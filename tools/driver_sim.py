@@ -1,0 +1,76 @@
+"""Simulate the correctness driver against __spark_entry__.py.
+
+Uses a PLAIN SparkSession (no engine-side tuning) exactly as an external
+driver would, then runs: (1) entry() smoke at sf0.001, (2) every
+queries()[name] vs oracle_sql()[name] via DuckDB at sf0.01 with
+row-count/schema/value-hash comparison.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+from tools.verify_oracle import run_duckdb, table_digest
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    smoke = entrymod.entry(spark)
+    rows = smoke.collect()
+    print(f"smoke entry(): rows={len(rows)} schema={smoke.columns} [{time.time()-t0:.1f}s]")
+    assert len(rows) > 0
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows={len(s_rows)} rows-only [{time.time()-t0:.1f}s]")
+            continue
+        d_cols, d_rows = run_duckdb(oracles[name], sf_dir)
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not problems and table_digest(s_cols, s_rows) != table_digest(d_cols, d_rows):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: rows={len(s_rows)} hash-match [{time.time()-t0:.1f}s]")
+    print(json.dumps({"total": len(qs), "failed": len(failures), "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

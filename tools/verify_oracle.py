@@ -1,0 +1,136 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and (where present) its DuckDB
+oracle twin on the same parquet tables, then compares row count, column
+names/ordering-insensitive schema, and an order-insensitive value hash.
+
+Usage:
+    python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import us_stock_data_pipeline_spark  # noqa: F401
+from us_stock_data_pipeline_spark import registry
+from us_stock_data_pipeline_spark.catalog import TABLES
+from us_stock_data_pipeline_spark.session import get_spark
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def table_digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    t_total = time.time()
+    for name, q in registry.all_queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if q.oracle is None:
+            print(f"ok*   {name}: rows={len(s_rows)} (rows-only, no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            d_cols, d_rows = run_duckdb(q.oracle, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            hs, hd = table_digest(s_cols, s_rows), table_digest(d_cols, d_rows)
+            if hs != hd:
+                problems.append(f"hash spark={hs} duckdb={hd}")
+                # print first differing normalized row for debugging
+                so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                sl = sorted("|".join(_norm_cell(r[i]) for i in so) for r in s_rows)
+                dl = sorted("|".join(_norm_cell(r[i]) for i in do) for r in d_rows)
+                for a, b in zip(sl, dl):
+                    if a != b:
+                        print(f"      first diff:\n      spark : {a}\n      duckdb: {b}")
+                        break
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: rows={len(s_rows)} hash-match [{time.time()-t0:.1f}s]")
+    n = len(registry.all_queries() if not only else only)
+    print(
+        json.dumps(
+            {
+                "total": n,
+                "failed": len(failures),
+                "failures": failures,
+                "elapsed_sec": round(time.time() - t_total, 1),
+            }
+        )
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

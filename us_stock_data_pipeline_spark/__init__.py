@@ -1,0 +1,40 @@
+"""us_stock_data_pipeline_spark — a PySpark-native analytics engine.
+
+A ground-up, Spark-first re-expression of the capabilities of
+``sanantachat/us-stock-data-pipeline`` (an OHLCV stock-bar ingestion ETL,
+see /root/reference), widened into a full analytics engine:
+
+- reference-parity stock ETL (bronze->silver projection, session labeling,
+  incremental watermarks, partitioned idempotent sinks),
+- a relational operator surface (joins of every flavor, aggregations,
+  window functions, set ops, scalar function batteries),
+- LLM-data-pipeline operators (exact/MinHash/SimHash dedup, embedding
+  similarity search, text analysis, multimodal columns),
+- Structured Streaming operators (tumbling/sliding/session windows,
+  watermarks, streaming dedup).
+
+Everything is declared through the DataFrame/SQL API so Catalyst owns the
+physical plan; Python only touches data through Arrow-vectorized Pandas
+UDFs where the built-ins genuinely can't express the semantics.
+
+Every operator is registered in :mod:`.registry` as a (Spark callable,
+DuckDB oracle SQL) pair; ``__spark_entry__.py`` at the repo root exposes
+them to the correctness driver.
+"""
+
+from us_stock_data_pipeline_spark import registry as registry  # noqa: F401
+from us_stock_data_pipeline_spark.catalog import TABLES, load_table, register_views  # noqa: F401
+from us_stock_data_pipeline_spark.session import get_spark  # noqa: F401
+
+# Importing the query packages registers every query.
+from us_stock_data_pipeline_spark.queries import (  # noqa: F401
+    relational,
+    scalars,
+    stock_etl,
+    llm_ops,
+    udf_ops,
+    streaming_ops,
+)
+
+__all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]
+__version__ = "0.1.0"

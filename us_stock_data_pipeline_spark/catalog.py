@@ -1,0 +1,70 @@
+"""Table loading for the engine's test catalog.
+
+One parquet file per table under an ``sf_dir`` (see TESTDATA.md). Reads go
+through ``spark.read.parquet`` so Catalyst gets vectorized parquet scans
+with predicate pushdown, column pruning, and (for partitioned layouts)
+partition pruning for free — mirroring the reference's read path
+(`symbols(historical)/utils.py:7,17`) without its driver-side loops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (their
+# cardinality is fixed or near-fixed: 5 regions, 25 nations, ...). At 100 TB
+# these are still KBs; broadcasting them removes shuffles from every join.
+BROADCASTABLE = frozenset({"region", "nation", "supplier", "part"})
+
+
+def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert a nanos-as-long timestamp column (see SPARK-40819 /
+    `spark.sql.legacy.parquet.nanosAsLong`) back to TimestampType.
+    `div` is integral division, so this is an exact ns->us truncation —
+    the fixture's values are microsecond-aligned (verified in FIXTURES.md
+    terms: epoch_ns % 1000 == 0 for all rows)."""
+    from pyspark.sql.types import LongType
+
+    if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; valid: {TABLES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = fix_nanos_ts(df)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so queries can be expressed through spark.sql.
+
+    Re-registration replaces the prior view, so switching ``sf_dir``
+    mid-session (the driver does: sf0.001 smoke then sf0.01 correctness)
+    is safe as long as every SQL-path query re-registers before querying.
+    """
+    ensure_session_confs(spark)
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

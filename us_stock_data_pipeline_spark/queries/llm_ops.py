@@ -1,0 +1,663 @@
+"""LLM-training-data pipeline operators over documents/embeddings:
+
+- deduplication: exact (hash groupBy), MinHash+LSH (shingle -> minhash ->
+  band -> bucket-join), SimHash, n-gram Jaccard verification,
+- similarity search: brute-force cosine top-k (baseline) and
+  random-hyperplane LSH bucketed ANN (the scale path),
+- text analysis: token counting, quality scoring, term frequency,
+  heuristic language ID, document fingerprinting,
+- multimodal columns: struct assembly and binary payload plumbing.
+
+Everything numeric stays in JVM higher-order functions (transform /
+aggregate / zip_with) — no Python in the row path except the explicitly
+Arrow-batched multimodal decode stub. At 100 TB the LSH variants are the
+real operators (candidate generation via equi-join on band/bucket keys =
+one shuffle, no O(n^2) pair enumeration); the brute-force forms exist as
+small-scale baselines and correctness oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*)     OVER (PARTITION BY md5(text))                 AS n_copies
+  FROM documents
+)
+SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies
+FROM keyed WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: md5(text) -> keep lowest doc_id per
+    hash. Hashing first means the shuffle key is 16 bytes, not the
+    document body — at 100 TB the shuffle moves hashes + ids only.
+    (The reference appends duplicates blindly — SURVEY §1.4; this is the
+    missing dedup operator.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("content_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", F.col("n_copies").cast("long").alias("n_copies"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT
+  doc_id,
+  md5(concat(lang, '|', text))            AS fingerprint,
+  substring(md5(text), 1, 8)              AS short_fp,
+  CAST(length(text) AS BIGINT)            AS n_bytes
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprinting (hash of normalized content +
+    a short prefix fingerprint for cheap equality pre-filtering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("text"))).alias("fingerprint"),
+        F.substring(F.md5("text"), 1, 8).alias("short_fp"),
+        F.length("text").cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (native HOFs — no Python, no Spark-ML dependency)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1  # modulus for the affine permutations
+_N_PERM = 16
+_BAND_ROWS = 4  # 16 perms -> 4 bands of 4: catches jaccard >~ 0.5
+_RNG = np.random.RandomState(42)
+_PERM_A = [int(a) | 1 for a in _RNG.randint(1, _MERSENNE, size=_N_PERM)]
+_PERM_B = [int(b) for b in _RNG.randint(0, _MERSENNE, size=_N_PERM)]
+
+
+def shingle_hashes(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct xxhash64 values of k-word shingles (k=3), all JVM-side.
+
+    Short docs (< k words) fall back to whole-text as the single shingle.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - k)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.col(text_col))))
+    return F.array_distinct(shingles)
+
+
+def minhash_signature(hashes_col: F.Column) -> F.Column:
+    """16-permutation MinHash signature via affine maps modulo a Mersenne
+    prime. `pmod` keeps everything in non-negative long range so ANSI-mode
+    overflow checking never trips."""
+    sig = [
+        F.array_min(
+            F.transform(hashes_col, lambda h: (F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE))
+        )
+        for a, b in zip(_PERM_A, _PERM_B)
+    ]
+    return F.array(*sig)
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: 3-word shingles -> 16-perm MinHash
+    -> 4 bands of 4 rows -> equi-join on (band_id, band_hash) -> exact
+    Jaccard verification on the candidate pairs only.
+
+    Scale shape: candidate generation is ONE shuffle on the band key
+    (docs sharing a band bucket co-locate); no O(n^2) comparison ever
+    happens. The exact-Jaccard verify joins shingle sets back by doc_id
+    (two more key joins). This is the textbook 100 TB near-dedup plan.
+    No SQL oracle (xxhash64 is Spark-specific); recall/precision are
+    property-tested on planted near-duplicates in tests/test_llm_ops.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id",
+        shingle_hashes().alias("shingles"),
+    ).select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_PERM // _BAND_ROWS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws("-", F.transform(F.slice("sig", b * _BAND_ROWS + 1, _BAND_ROWS), lambda x: x.cast("string")))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .dropDuplicates()
+    )
+
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("shingles", "sh_a"), "doc_id_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("shingles", "sh_b"), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, computed entirely in JVM nested HOFs:
+    per-bit majority vote over xxhash64(word) values. Output is the bit
+    string plus a 16-bit prefix bucket — documents sharing a bucket are
+    near-dup candidates (Hamming-adjacent fingerprints collide in at
+    least one of 4 such rotated prefixes at scale; one prefix here).
+    No SQL oracle (xxhash64); properties tested on planted dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bits = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            transform(sequence(0, 63), b ->
+              aggregate(
+                array_distinct(transform(split(text, ' '), w -> xxhash64(w))),
+                0L,
+                (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+              )
+            )
+            """
+        ).alias("bit_votes"),
+    )
+    bits = F.transform("bit_votes", lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    return (
+        with_bits.select(
+            "doc_id",
+            F.array_join(bits, "").alias("simhash_bits"),
+        )
+        .withColumn("bucket16", F.substring("simhash_bits", 1, 16))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_jaccard_pairs",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_shared
+  FROM dw a JOIN dw b ON b.doc_id = a.doc_id + 1 AND a.w = b.w
+  GROUP BY 1, 2
+)
+SELECT
+  s.doc_id_a, s.doc_id_b,
+  round(CAST(s.n_shared AS DOUBLE) / (ca.n + cb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_id_a
+JOIN counts cb ON cb.doc_id = s.doc_id_b
+ORDER BY doc_id_a
+""",
+    tags=("llm", "dedup"),
+)
+def text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard between consecutive doc_ids — the
+    SQL-checkable twin of the Jaccard verification stage inside
+    dedup_minhash_lsh (inverted-index join on tokens, then
+    |intersection| / |union| from per-doc counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    counts = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dw.alias("a")
+    b = dw.alias("b")
+    shared = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.w") == F.col("b.w")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(counts.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_id_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.col(a) if isinstance(a, str) else a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT
+    q.query_id,
+    e.vec_id AS neighbor_id,
+    list_cosine_similarity(
+      list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+      list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+    ) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+@register("knn_bruteforce_cosine", oracle=KNN_ORACLE, tags=("llm", "similarity"), bench=True)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full embedding corpus; dot/norm via JVM zip_with+aggregate HOFs;
+    per-query top-k via ranking window (WindowGroupLimit pushes the top-5
+    below the shuffle). Scales linearly in corpus size with no shuffle of
+    the corpus — the right baseline; the LSH variant below is the
+    sub-linear path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qnrm"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", _dot("embedding", "qe") / (F.col("nrm") * F.col("qnrm")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# Fixed random hyperplanes for LSH bucketing (seeded — deterministic across
+# engines; also embedded literally into the oracle SQL below).
+_N_PLANES = 8
+_PLANES = np.random.RandomState(7).standard_normal((_N_PLANES, 64)).round(6)
+
+
+def _bucket_expr(emb_col: str) -> F.Column:
+    """Sign-bit bucket id from the 8 fixed hyperplanes — pure JVM HOFs."""
+    bucket = F.lit(0)
+    for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _PLANES[j]])
+        d = F.aggregate(
+            F.zip_with(emb_col, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def _bucket_sql(emb_expr: str) -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        lits = ", ".join(repr(float(v)) for v in _PLANES[j])
+        terms.append(
+            "CASE WHEN list_dot_product(list_transform({e}, x -> CAST(x AS DOUBLE)), [{lits}]) > 0 "
+            "THEN {p} ELSE 0 END".format(e=emb_expr, lits=lits, p=1 << j)
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ANN_LSH_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bucketed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.bucket,
+         list_cosine_similarity(
+           list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+         ) AS cos_sim
+  FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, round(cos_sim, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+@register("ann_lsh_cosine", oracle=ANN_LSH_ORACLE, tags=("llm", "similarity"), bench=True)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 sign bits -> 256
+    buckets; candidates are an EQUI-join on the bucket id, so the corpus
+    shuffles once on a 1-byte key and each query only scores ~1/256 of
+    the data — the sub-linear scale path (IVF-style). The hyperplane
+    matrix is a fixed seeded constant embedded in both engines, so even
+    this approximate operator is oracle-checkable exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket"), _norm("embedding").alias("nrm")
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket").alias("qbucket"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", _dot("embedding", "qe") / (F.col("nrm") * F.col("qnrm")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens_re,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4)
+    AS avg_token_len,
+  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+    AS n_stopwords,
+  round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality statistics: whitespace + regex ('BPE-ish' [a-z0-9]+
+    pieces) token counts, mean token length, stopword ratio — the standard
+    quality-filter signals for a pretraining corpus, all codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.filter(words, lambda w: w.isin("the", "a", "of", "and"))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens_ws"),
+        F.regexp_count("text", F.lit("[a-z0-9]+")).cast("long").alias("n_tokens_re"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(words), 4
+        ).alias("avg_token_len"),
+        F.size(stop).cast("long").alias("n_stopwords"),
+        F.round(F.size(stop).cast("double") / F.size(words), 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_term_frequency",
+    oracle="""
+SELECT w AS term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> ''
+GROUP BY w
+ORDER BY tf DESC, term
+LIMIT 20
+""",
+    tags=("llm", "text"),
+    bench=True,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency: explode -> two-level aggregate.
+    The classic word-count shuffle; partial aggregation means the shuffle
+    carries one row per (partition, term), not per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(20)
+    )
+
+
+_LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "un"),
+}
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({words})))"
+
+
+LANG_ID_ORACLE = f"""
+SELECT
+  doc_id,
+  lang AS lang_declared,
+  CASE
+    WHEN {_lang_hits_sql('de')} > {_lang_hits_sql('en')} THEN 'de'
+    WHEN {_lang_hits_sql('es')} > {_lang_hits_sql('en')} THEN 'es'
+    WHEN {_lang_hits_sql('fr')} > {_lang_hits_sql('en')} THEN 'fr'
+    WHEN {_lang_hits_sql('en')} > 0 THEN 'en'
+    ELSE 'und'
+  END AS lang_pred,
+  CAST({_lang_hits_sql('en')} AS BIGINT) AS en_hits
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_language_id", oracle=LANG_ID_ORACLE, tags=("llm", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts with a
+    priority vote (a real system swaps the tiny built-in lists for char
+    n-gram profiles; the dataflow — per-row scoring, no shuffle — is
+    identical). Oracle carries the same lists, so the heuristic itself is
+    hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def hits(lang: str) -> F.Column:
+        return F.size(F.filter(words, lambda w: w.isin(*_LANG_STOPWORDS[lang])))
+
+    pred = (
+        F.when(hits("de") > hits("en"), "de")
+        .when(hits("es") > hits("en"), "es")
+        .when(hits("fr") > hits("en"), "fr")
+        .when(hits("en") > 0, "en")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        pred.alias("lang_pred"),
+        hits("en").cast("long").alias("en_hits"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_struct",
+    oracle="""
+SELECT
+  d.doc_id,
+  d.lang,
+  e.label,
+  CAST(length(d.text) AS BIGINT) AS text_len,
+  round(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+    AS emb_norm
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: documents x embeddings zipped into one
+    typed struct column {text, lang, embedding} (the document+vector
+    record a training pipeline materializes), then nested-field access.
+    Output is flattened scalars so the oracle hash applies; the struct
+    column itself is exercised in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rec = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .withColumn("record", F.struct("text", "lang", "embedding", "label"))
+    )
+    return rec.select(
+        "doc_id",
+        F.col("record.lang").alias("lang"),
+        F.col("record.label").alias("label"),
+        F.length("record.text").cast("long").alias("text_len"),
+        F.round(_norm(F.col("record.embedding")), 4).alias("emb_norm"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+  round(CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7, 4) AS feat_stub
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: payloads as opaque `binary`
+    (here utf-8 encoded text standing in for image/audio bytes) processed
+    through an Arrow-batched mapInPandas 'decode' — the real schema /
+    partitioning / batch shape of a media feature-extraction stage.
+    The actual codec is STUBBED with a deterministic fake (see
+    functions/multimodal.py: decode_image raises NotImplementedError —
+    image/audio libs are not in this container)."""
+    from us_stock_data_pipeline_spark.functions.multimodal import fake_decode_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = blobs.mapInPandas(
+        fake_decode_batch, schema="doc_id long, byte_len long, first_byte long, feat_stub double"
+    )
+    return out.orderBy("doc_id")

@@ -1,0 +1,239 @@
+"""Scalar function surface: string / datetime / math / array / JSON /
+conditional batteries, each over the table whose domain fits.
+
+All of these stay inside whole-stage codegen (pure `pyspark.sql.functions`
+column expressions — no Python in the row path), so they cost the same per
+row at sf0.001 and at 100 TB. Integer-producing builtins are cast to long
+on the Spark side to match DuckDB's BIGINT outputs exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+
+@register(
+    "scalar_string",
+    oracle="""
+SELECT
+  doc_id,
+  upper(lang)                          AS lang_u,
+  CAST(length(text) AS BIGINT)         AS text_len,
+  substring(text, 1, 20)               AS prefix,
+  split_part(text, ' ', 1)             AS first_word,
+  concat_ws(':', lang, source)         AS tag,
+  replace(substring(text, 1, 30), ' ', '_') AS snake30,
+  CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS n_a
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("scalar",),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery on documents.text (lower/upper/substring/split/
+    concat_ws/length/replace — SURVEY §2B scalar:string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 20).alias("prefix"),
+        F.substring_index("text", " ", 1).alias("first_word"),
+        F.concat_ws(":", "lang", "source").alias("tag"),
+        F.replace(F.substring("text", 1, 30), F.lit(" "), F.lit("_")).alias("snake30"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("a"), F.lit("")))).cast("long").alias("n_a"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+SELECT
+  event_id,
+  CAST(year(ts) AS BIGINT)    AS y,
+  CAST(month(ts) AS BIGINT)   AS mo,
+  CAST(day(ts) AS BIGINT)     AS d,
+  CAST(hour(ts) AS BIGINT)    AS h,
+  CAST(minute(ts) AS BIGINT)  AS mi,
+  date_trunc('hour', CAST(ts AS TIMESTAMP))   AS ts_hour,
+  CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE  AS ts_plus90m,
+  CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS days_since_jan1,
+  epoch_ms(ts)                AS t_millis
+FROM events
+ORDER BY event_id
+""",
+    tags=("scalar",),
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime battery on events.ts (year/month/day/hour/minute,
+    date_trunc, interval arithmetic, datediff, epoch millis — parity
+    ancestors P2/P4/P5: the reference's epoch-millis cast and hhmm clock
+    encoding, `ingest_massive.py:127`, `1m-seesion-pipeline/utils.py:3-5`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus90m"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")).cast("long").alias(
+            "days_since_jan1"
+        ),
+        F.unix_millis("ts").alias("t_millis"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+  round(abs(l_discount - 0.05), 4)   AS abs_disc_delta,
+  round(ln(l_extendedprice), 6)      AS ln_price,
+  round(log10(l_extendedprice), 6)   AS log10_price,
+  round(sqrt(l_quantity), 6)         AS sqrt_qty,
+  round(pow(l_quantity, 2.0), 2)     AS qty_sq,
+  CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_kbucket,
+  CAST(floor(l_quantity) AS BIGINT)             AS qty_floor,
+  CAST(l_linenumber % 3 AS BIGINT)              AS ln_mod3
+FROM lineitem
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("scalar",),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery on lineitem price arithmetic (round/abs/ln/log10/sqrt/
+    pow/ceil/floor/mod)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+            ).alias("charge"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_delta"),
+            F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+            F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+            F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+            F.round(F.pow("l_quantity", F.lit(2.0)), 2).alias("qty_sq"),
+            F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
+            F.floor("l_quantity").cast("long").alias("qty_floor"),
+            (F.col("l_linenumber") % 3).cast("long").alias("ln_mod3"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+SELECT
+  vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+    AS l2_norm,
+  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS sum_first8,
+  round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)      AS max_val
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("scalar", "array"),
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery on embeddings.embedding: size, element_at, slice, and
+    higher-order functions (transform/aggregate/array_max). HOFs run in
+    the JVM inside codegen — this is the scale path for vector math,
+    no Python involved (SURVEY §2B scalar:array)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+        F.round(
+            F.aggregate(F.slice(as_double, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_first8"),
+        F.round(F.array_max(as_double), 4).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+  (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+FROM events
+ORDER BY event_id
+""",
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON battery on events.props: path extraction via get_json_object
+    plus schema-full parsing via from_json (SURVEY §2B scalar:map/json)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k LONG")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
+
+
+@register(
+    "conditional_null",
+    oracle="""
+SELECT
+  c_custkey,
+  CASE
+    WHEN c_acctbal < 0 THEN 'negative'
+    WHEN c_acctbal < 3000 THEN 'low'
+    WHEN c_acctbal < 7000 THEN 'mid'
+    ELSE 'high'
+  END AS balance_bucket,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+  (c_acctbal < 0) AS is_negative,
+  round(greatest(c_acctbal, 0.0), 2) AS acctbal_clamped
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("scalar", "conditional"),
+)
+def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling battery (when/otherwise, nullif,
+    coalesce, greatest) — parity ancestor U1: the reference's normalizers
+    exist to preserve nulls through type coercion
+    (`polygon_client.py:100-120`); in-engine that is when/coalesce logic."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("balance_bucket"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        (F.col("c_acctbal") < 0).alias("is_negative"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("acctbal_clamped"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,228 @@
+"""Structured Streaming operators, driven to completion over the events
+parquet so each returns a plain (checkable) batch DataFrame.
+
+Pattern: ``readStream`` (file source, explicit schema) -> streaming
+transform -> memory sink with ``availableNow`` trigger -> return the sink
+table. In production the same plans run unchanged against Kafka/file
+streams with checkpointed state; the parquet fixture stands in as the
+source (the reference's REST-poll loop is exactly this file-landing
+pattern at scale — SURVEY §2A S1/S2).
+
+Watermark semantics note: with a single availableNow batch, watermarks
+only advance AFTER the batch, so append-mode operators emit nothing for
+in-batch data by design. We therefore check append-mode watermark
+behavior (late-row dropping across batches) in tests/test_streaming.py
+with a two-batch harness, and keep the oracle-checked queries in
+complete/update-compatible shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.registry import register
+
+_SINK_IDS = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from us_stock_data_pipeline_spark.catalog import fix_nanos_ts
+    from us_stock_data_pipeline_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    # The file stream source requires a directory; stage the fixture file
+    # into a per-sf_dir temp dir (this mirrors production, where a landing
+    # DIRECTORY accumulates files and the source tails it).
+    stage = os.path.join(
+        tempfile.gettempdir(), "us_sdps_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    staged = os.path.join(stage, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copyfile(path, staged)
+    schema = spark.read.parquet(staged).schema
+    return fix_nanos_ts(spark.readStream.schema(schema).parquet(stage))
+
+
+def _run_to_table(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+SELECT
+  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS window_end,
+  event_type,
+  count(*)             AS n_events,
+  round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+""",
+    tags=("streaming",),
+    bench=True,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type (streaming
+    groupBy(window(...)) — SURVEY §2B streaming:tumbling). State is keyed
+    by (window, type): bounded by time range, not input size; at scale the
+    same query runs continuously with a watermark to expire state."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_table(agg, spark, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+WITH anchored AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS slot, value FROM events
+  UNION ALL
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000), value FROM events
+)
+SELECT
+  slot                        AS window_start,
+  slot + INTERVAL 1 HOUR      AS window_end,
+  count(*)                    AS n_events,
+  round(sum(value), 2)        AS total_value
+FROM anchored
+GROUP BY 1, 2
+ORDER BY window_start
+""",
+    tags=("streaming",),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): every event lands in two
+    overlapping windows. The oracle expands the two anchor buckets
+    explicitly — same semantics, pure SQL."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_table(agg, spark, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+        "total_value",
+    ).orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  min(ts)                     AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*)                    AS n_events,
+  round(sum(value), 2)        AS session_value
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30 min inactivity gap) via the native
+    session_window operator. Spark defines session end = last event + gap;
+    the oracle is the batch gaps-and-islands formulation with the same
+    end semantics — streaming state machine vs batch window functions,
+    identical results."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+    out = _run_to_table(agg, spark, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates on the key columns keeps
+    the first arrival per key across the whole stream (state = one entry
+    per distinct key; production bounds it with
+    dropDuplicatesWithinWatermark — exercised in tests)."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    out = _run_to_table(dedup, spark, "append")
+    return out.orderBy("user_id", "event_type")
+
+
+@register("stream_watermarked_append", oracle=None, tags=("streaming", "watermark"))
+def stream_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregate with a 10-minute watermark — the
+    late-data-tolerant production shape. With one availableNow batch the
+    watermark only advances at batch end, so zero windows finalize here by
+    design (rows-only check); cross-batch late-row dropping is asserted in
+    tests/test_streaming.py."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_table(agg, spark, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    ).orderBy("window_start", "event_type")

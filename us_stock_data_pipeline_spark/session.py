@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the target execution model.
+
+Local mode here is only the test bed; every knob is chosen so the same
+logical plans survive a 1000-executor cluster at ~100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  join-strategy downgrade to broadcast when a shuffle side turns out small),
+- shuffle partitions sized to the local core count (on a real cluster this
+  is left to AQE's coalescing from a high initial number),
+- session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant,
+- Arrow enabled so any Pandas-UDF path is vectorized batch transfer,
+  never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "us-stock-data-pipeline-spark") -> SparkSession:
+    """Build (or fetch) the tuned local SparkSession."""
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we did not build.
+
+    The correctness driver hands us its own SparkSession; timezone and
+    Arrow are runtime-configurable, so pin them here for oracle parity.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # A driver-provided session defaults to 200 shuffle partitions —
+    # oversized for local test scale; AQE still re-splits if data demands.
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default (SPARK-40819); read nanos as long and
+    # convert in catalog.load_table (values are microsecond-aligned).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
