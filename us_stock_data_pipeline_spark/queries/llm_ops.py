@@ -101,42 +101,46 @@ _PERM_A = [int(a) | 1 for a in _RNG.randint(1, _MERSENNE, size=_N_PERM)]
 _PERM_B = [int(b) for b in _RNG.randint(0, _MERSENNE, size=_N_PERM)]
 
 
-def shingle_hashes(text_col: str = "text", k: int = 3) -> F.Column:
-    """Distinct xxhash64 values of k-word shingles (k=3), all JVM-side.
+def exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) rows: distinct xxhash64 values of 3-word shingles.
 
-    Short docs (< k words) fall back to whole-text as the single shingle.
+    Formulated as posexplode + lead windows rather than array HOFs on
+    purpose: a `transform(sequence(...), i -> ... element_at(split(text)))`
+    formulation re-evaluates the split() per element (Catalyst inlines the
+    shared subexpression into every lambda reference — measured 3x slower
+    at sf0.1). Exploding once and building shingles with lead() splits each
+    document exactly once, and the shuffle on doc_id introduced by the
+    window is REUSED by the downstream signature groupBy — one shuffle for
+    the whole signature pipeline at any scale.
+
+    Documents shorter than 3 words keep their pos==0 row (concat_ws skips
+    the null leads), so every doc_id survives with >= 1 shingle.
     """
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), n - k)
-    shingles = F.when(
-        n >= k,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                )
-            ),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.col(text_col))))
-    return F.array_distinct(shingles)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    words = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    return (
+        words.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .filter(F.col("w2").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", F.xxhash64(F.concat_ws(" ", "w", "w1", "w2")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
 
 
-def minhash_signature(hashes_col: F.Column) -> F.Column:
-    """16-permutation MinHash signature via affine maps modulo a Mersenne
-    prime. `pmod` keeps everything in non-negative long range so ANSI-mode
-    overflow checking never trips."""
-    sig = [
-        F.array_min(
-            F.transform(hashes_col, lambda h: (F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE))
+def minhash_agg_exprs() -> list[F.Column]:
+    """16 MinHash aggregate expressions over an exploded shingle-hash
+    column `h`: min((a_p * (h mod M) + b_p) mod M) per permutation.
+    Computed as grouped aggregates (not nested array HOFs) so Spark's
+    partial aggregation combines mins map-side — one shuffle row per
+    (doc, 16 longs) regardless of document size, and no giant codegen
+    expression. `pmod` keeps values in non-negative long range so
+    ANSI-mode overflow checking never trips."""
+    return [
+        F.min((F.lit(a) * F.pmod(F.col("h"), F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE)).alias(
+            f"mh{p}"
         )
-        for a, b in zip(_PERM_A, _PERM_B)
+        for p, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     ]
-    return F.array(*sig)
 
 
 @register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"), bench=True)
@@ -153,10 +157,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested on planted near-duplicates in tests/test_llm_ops.py.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id",
-        shingle_hashes().alias("shingles"),
-    ).select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
+    # One pass: exploded shingle hashes -> per-doc {shingle set, 16 minima}.
+    # The groupBy reuses the window's doc_id partitioning — no extra shuffle.
+    exploded = exploded_shingle_hashes(docs)
+    sigs = exploded.groupBy("doc_id").agg(
+        F.collect_set("h").alias("shingles"), *minhash_agg_exprs()
+    )
+    sig_arr = F.array(*[F.col(f"mh{p}") for p in range(_N_PERM)])
+    sigs = sigs.select("doc_id", "shingles", sig_arr.alias("sig"))
+    # The signature table feeds three consumers (band explode + both sides
+    # of the verify join); materialize it once instead of recomputing the
+    # shingle aggregation per branch. At cluster scale this is "persist the
+    # signature table" — a standard step in production near-dedup.
+    sigs = sigs.localCheckpoint(eager=True)
 
     bands = sigs.select(
         "doc_id",
