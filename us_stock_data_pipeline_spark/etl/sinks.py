@@ -1,0 +1,88 @@
+"""Partitioned, idempotent sinks.
+
+Parity K1/K2 (`ingest_massive.py:155`, `ingest_1m_session.py:273-293`)
+plus the idempotency the reference lacks: its append-only writes
+duplicate rows on re-run (SURVEY §1.4). Delta Lake would give MERGE;
+its jars are not in this image, so upsert is emulated with
+anti-join + union (the standard parquet-era pattern) and Delta itself is
+gated behind an import-try.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("symbol",),
+    mode: str = "append",
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-partitioned parquet write with small-file control.
+
+    The reference writes with no repartition ("WRITE (NO coalesce)",
+    `ingest_massive.py:153-155`) — at scale every task then emits a file
+    per partition value (tasks x partitions small files). Repartitioning
+    by the partition columns first means each output partition is written
+    by a bounded number of tasks."""
+    df.repartition(files_per_partition * max(1, len(partition_cols)), *partition_cols).write.mode(
+        mode
+    ).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("symbol",)) -> None:
+    """Idempotent re-ingest: dynamic partition overwrite replaces exactly
+    the partitions present in `df`, leaving others untouched — re-running
+    an ingest window is safe (the reference's blind append is not)."""
+    (
+        df.repartition(len(partition_cols), *partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = ("symbol",),
+) -> None:
+    """MERGE emulation on plain parquet: existing rows whose key matches
+    an update are replaced; everything else is kept. Anti-join + union,
+    rewritten atomically per partition via dynamic overwrite.
+
+    With Delta available this is `DeltaTable.merge` (see try_delta_writer);
+    the dataflow (broadcast the small update keys, anti-join the big
+    side) is the same one Delta executes underneath."""
+    from us_stock_data_pipeline_spark.etl.sources import parquet_exists
+
+    if not parquet_exists(spark, path):
+        write_partitioned(updates, path, partition_cols, mode="overwrite")
+        return
+    existing = spark.read.parquet(path)
+    keys = updates.select(*key_cols).dropDuplicates()
+    keep = existing.join(F.broadcast(keys), list(key_cols), "left_anti")
+    merged = keep.select(*updates.columns).unionByName(updates)
+    # Only partitions touched by the updates are rewritten.
+    touched = updates.select(*partition_cols).dropDuplicates()
+    merged_touched = merged.join(F.broadcast(touched), list(partition_cols), "left_semi")
+    overwrite_partitions(merged_touched, path, partition_cols)
+
+
+def try_delta_writer(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("symbol",)) -> bool:
+    """Delta append sink (parity K2: `ingest_1m_session.py:273-275`),
+    gated behind an import-try — delta-spark jars are not in this image.
+    Returns False when Delta is unavailable so callers fall back to
+    parquet."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    df.write.format("delta").mode("append").partitionBy(*partition_cols).save(path)
+    return True

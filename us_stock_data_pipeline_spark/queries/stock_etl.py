@@ -205,6 +205,79 @@ def etl_idempotent_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_reference_pipeline",
+    oracle="""
+WITH raw AS (
+  SELECT epoch_ms(ts) AS t, event_type AS symbol, value FROM events
+),
+curated AS (
+  SELECT
+    make_timestamp(t * 1000)            AS ts,
+    symbol,
+    round(value, 4)                     AS close,
+    CAST(floor(value * 1000) AS BIGINT) AS volume
+  FROM raw
+),
+labeled AS (
+  SELECT *,
+    hour(ts - INTERVAL 5 HOUR) * 100 + minute(ts - INTERVAL 5 HOUR) AS hhmm
+  FROM curated
+)
+SELECT
+  symbol,
+  CASE
+    WHEN hhmm BETWEEN 400 AND 929   THEN 'premarket'
+    WHEN hhmm BETWEEN 930 AND 1600  THEN 'regular'
+    WHEN hhmm BETWEEN 1601 AND 2000 THEN 'afterhours'
+    ELSE 'closed'
+  END AS session,
+  count(*)                      AS n_bars,
+  round(sum(close), 2)          AS sum_close,
+  CAST(sum(volume) AS BIGINT)   AS sum_volume
+FROM labeled
+GROUP BY 1, 2
+ORDER BY symbol, session
+""",
+    tags=("etl", "parity"),
+)
+def etl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference pipeline through the actual
+    `us_stock_data_pipeline_spark.etl` package: wire-format rows ->
+    curate() (typed projection, AGG-schema long casts) -> with_session()
+    (from_utc_timestamp + hhmm bands) -> per-symbol/session rollup.
+    This is the whole of `ingest_1m_session.py` as one declarative plan:
+    one scan, one shuffle (the final groupBy), versus the reference's
+    per-symbol driver loop with three filtered writes.
+    (Oracle uses a fixed UTC-5 shift — valid for the January-only events
+    fixture; DST correctness is unit-tested in tests/test_etl_bars.py.)"""
+    from us_stock_data_pipeline_spark.etl.bars import curate, with_session
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.unix_millis("ts").alias("t"),
+        F.col("event_type").alias("symbol"),
+        F.round("value", 4).alias("c"),
+        (F.col("value") * 1000).alias("v"),
+        F.lit(None).cast("double").alias("o"),
+        F.lit(None).cast("double").alias("h"),
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("vw"),
+        F.lit(None).cast("double").alias("n"),
+    )
+    curated = curate(raw)  # symbol taken from the existing column
+    labeled = with_session(curated)
+    return (
+        labeled.groupBy("symbol", "session")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.round(F.sum("close"), 2).alias("sum_close"),
+            F.sum("volume").alias("sum_volume"),
+        )
+        .orderBy("symbol", "session")
+    )
+
+
+@register(
     "etl_sessionization_gaps",
     oracle="""
 WITH flagged AS (
