@@ -29,6 +29,7 @@ from us_stock_data_pipeline_spark.session import get_spark  # noqa: F401
 # Importing the query packages registers every query.
 from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational,
+    relational2,
     scalars,
     stock_etl,
     llm_ops,

@@ -200,6 +200,175 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_string2",
+    oracle="""
+SELECT
+  doc_id,
+  upper(substring(lang, 1, 1)) || substring(lang, 2) AS lang_cap,
+  lpad(lang, 5, '_')                    AS lang_pad,
+  reverse(source)                       AS source_rev,
+  repeat(lang, 2)                       AS lang2,
+  CAST(levenshtein(lang, source) AS BIGINT)        AS lev_lang_source,
+  CAST(strpos(text, 'data') AS BIGINT)  AS data_pos,
+  translate(lang, 'aeiou', 'AEIOU')     AS lang_vowelcaps,
+  printf('%s/%s#%d', lang, source, doc_id) AS doc_key
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("scalar",),
+)
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery #2: initcap-style casing, padding, reverse, repeat,
+    levenshtein (the edit-distance primitive behind fuzzy key matching),
+    instr, translate, printf formatting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.initcap("lang").alias("lang_cap"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.reverse("source").alias("source_rev"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.levenshtein("lang", "source").cast("long").alias("lev_lang_source"),
+        F.instr("text", "data").cast("long").alias("data_pos"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowelcaps"),
+        F.format_string("%s/%s#%d", "lang", "source", "doc_id").alias("doc_key"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "scalar_datetime2",
+    oracle="""
+SELECT
+  event_id,
+  CAST(quarter(ts) AS BIGINT)     AS q,
+  CAST(weekofyear(ts) AS BIGINT)  AS iso_week,
+  CAST(dayofyear(ts) AS BIGINT)   AS doy,
+  CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end,
+  CAST(ts AS TIMESTAMP) + INTERVAL 1 MONTH      AS plus_month,
+  CAST(CAST(ts AS DATE) AS TIMESTAMP)           AS day_floor,
+  strftime(ts, '%Y-%m-%d %H:%M')  AS formatted
+FROM events
+ORDER BY event_id
+""",
+    tags=("scalar",),
+)
+def scalar_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime battery #2: quarter / ISO week / day-of-year / last_day /
+    calendar-aware month arithmetic / date floor / format. Format strings
+    are dialect-specific (Java pattern vs strftime) so each side uses its
+    own; outputs are identical strings."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.quarter("ts").cast("long").alias("q"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.last_day("ts").cast("timestamp").alias("month_end"),
+        (F.col("ts") + F.expr("INTERVAL 1 MONTH")).alias("plus_month"),
+        F.date_trunc("day", "ts").alias("day_floor"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scalar_cast_try",
+    oracle="""
+SELECT
+  doc_id,
+  TRY_CAST(substring(text, 1, 3) AS BIGINT)      AS bad_cast,
+  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT)   AS roundtrip,
+  CAST(round(n_chars * 1.5, 0) AS BIGINT)        AS scaled,
+  CAST(n_chars AS DOUBLE) / 100                  AS hundredths,
+  CAST(n_chars % 2 = 0 AS BOOLEAN)               AS even
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("scalar", "cast"),
+)
+def scalar_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast battery with try_cast null-on-failure semantics — the
+    engine-level replacement for the reference's driver-side int()/float()
+    coercion loops (parity U1/U2: `polygon_client.py:100-120`,
+    `ingest_1m_session.py:224-234`): same null-preserving behavior,
+    columnar, inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("try_cast(substring(text, 1, 3) AS LONG)").alias("bad_cast"),
+        F.col("n_chars").cast("string").cast("long").alias("roundtrip"),
+        F.round(F.col("n_chars") * 1.5, 0).cast("long").alias("scaled"),
+        (F.col("n_chars").cast("double") / 100).alias("hundredths"),
+        (F.col("n_chars") % 2 == 0).alias("even"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "scalar_array2",
+    oracle="""
+SELECT
+  vec_id,
+  round(CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1] AS DOUBLE), 4)
+    AS smallest,
+  round(CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[64] AS DOUBLE), 4)
+    AS largest,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 4) AS mean_val,
+  CAST(list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 2) + 0.0)) AS DOUBLE[])
+    AS head_sorted
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("scalar", "array"),
+)
+def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery #2: array_sort, filter HOF, element stats, sliced
+    sort — still all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    srt = F.array_sort(as_double)
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(srt, 1), 4).alias("smallest"),
+        F.round(F.element_at(srt, 64), 4).alias("largest"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / 64, 4).alias("mean_val"),
+        F.array_sort(
+            F.transform(F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 2) + F.lit(0.0))
+        ).alias("head_sorted"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "map_ops",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS k_plus,
+  'k' AS first_key
+FROM events
+ORDER BY event_id
+""",
+    tags=("scalar", "map"),
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse JSON into a typed map, then map_keys /
+    element_at / map arithmetic via transform_values. The oracle verifies
+    the VALUES through plain JSON SQL (map construction is Spark-side;
+    DuckDB's MAP is a different dialect — semantics, not syntax, are
+    what's checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,long>")
+    m_plus = F.transform_values(m, lambda _, v: v + 1)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.element_at(m_plus, "k").alias("k_plus"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    ).orderBy("event_id")
+
+
+@register(
     "conditional_null",
     oracle="""
 SELECT

@@ -209,6 +209,53 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running (count, sum) state updated batch-by-batch in an
+    Arrow-vectorized kernel — the escape hatch for stateful logic the
+    built-in streaming aggregates can't express (the reference's
+    incremental bookkeeping, per-key EMA, dedup-with-TTL all take this
+    shape). State lives in the state store keyed by user_id; with one
+    availableNow batch the emitted running totals equal the batch
+    aggregate, which is exactly what the oracle checks."""
+    import pandas as pd
+
+    def running_totals(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(s, 2)]}
+        )
+
+    ev = _events_stream(spark, sf_dir)
+    out_stream = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, s double",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = _run_to_table(out_stream, spark, "append")
+    return out.orderBy("user_id")
+
+
 @register("stream_watermarked_append", oracle=None, tags=("streaming", "watermark"))
 def stream_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode windowed aggregate with a 10-minute watermark — the
