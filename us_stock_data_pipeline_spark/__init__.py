@@ -30,11 +30,14 @@ from us_stock_data_pipeline_spark.session import get_spark  # noqa: F401
 from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational,
     relational2,
+    relational3,
     scalars,
     stock_etl,
     llm_ops,
+    llm_ops2,
     udf_ops,
     streaming_ops,
+    source_formats,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]
