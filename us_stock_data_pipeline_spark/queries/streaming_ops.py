@@ -54,14 +54,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_table(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful streaming creates one state store per shuffle partition; at
+    # this fixture's state cardinality (thousands of keys) 8 stores beat 32
+    # on per-batch store open/commit overhead. On a real cluster this is
+    # sized to executor count x a small factor — state store count is a
+    # fixed choice per checkpoint, so it's set before the query starts.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
