@@ -87,3 +87,32 @@ def test_minmax_by_consistent_with_window(spark):
     }
     for ck, (big, _small) in agg.items():
         assert hi[ck] == big
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The whole point of join_bucketed_colocated: both exchanges elided."""
+    df = _q("join_bucketed_colocated")(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the join itself must read bucketed scans directly; the only allowed
+    # exchange is the final single-partition sort/agg on 3 status rows
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert joins, "expected a shuffle-family join operator reading bucketed scans"
+    pre_join = plan.split(joins[0])[-1]  # text BELOW the join node = its inputs
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_multigrain_rollup_consistent(spark):
+    """day rows must equal the sum of their hour rows (cascade correctness)."""
+    rows = _q("rollup_time_multigrain")(spark, SF).collect()
+    import collections
+
+    day_from_hours = collections.Counter()
+    for r in rows:
+        if r.grain == "hour":
+            day_from_hours[(r.g_ts.date(), r.event_type)] += r.n_events
+    for r in rows:
+        if r.grain == "day":
+            assert day_from_hours[(r.g_ts.date(), r.event_type)] == r.n_events

@@ -31,6 +31,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     scalars,
     stock_etl,
     llm_ops,

@@ -1,0 +1,243 @@
+"""Relational surface, part 4: bucketed co-located joins, hypertable-style
+multi-granularity time rollups, bitwise scalars, and ordered collect
+aggregation.
+
+The bucketed join is the flagship scale technique here: pre-shuffling
+both sides of a recurring join into the same bucket layout at write time
+makes every subsequent join exchange-free — the 100 TB answer to "this
+join runs every hour on the same keys".
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join
+# --------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT
+  o_orderstatus,
+  count(*)                      AS n_lineitems,
+  round(sum(l_quantity), 2)     AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem+orders as tables bucketed by the join key, once per
+    sf_dir. Bucketing pre-applies the join's hash partitioning at write
+    time; reads then carry a hashpartitioning output that lets the
+    planner elide both exchanges (and the sort, within bucket files)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    li_tbl, o_tbl = f"li_bkt_{key}", f"o_bkt_{key}"
+    existing = {t.name for t in spark.catalog.listTables()}
+    # The default catalog is session-scoped but warehouse directories
+    # persist: a table absent from THIS session's catalog may still have a
+    # stale location on disk from a prior session — clear it before the
+    # managed-table write (bucket metadata lives in the catalog, so the
+    # files alone are not reusable).
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (li_tbl, o_tbl):
+        if tbl not in existing:
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    if li_tbl not in existing:
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+    if o_tbl not in existing:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+    return li_tbl, o_tbl
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE, tags=("join", "bucketing"))
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join via bucketed tables: both sides were
+    written `bucketBy(8, key)`, so their on-disk layout IS the join's
+    hash partitioning and the SortMergeJoin runs with zero shuffles
+    (asserted in tests/test_new_ops2.py). At 100 TB this converts the
+    nightly lineitem x orders shuffle — the single biggest network event
+    in a warehouse — into a map-side merge. The broadcast-threshold conf
+    is not touched; bucket co-location, not size, removes the exchange."""
+    li_tbl, o_tbl = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_tbl)
+    # The merge hint pins the SortMergeJoin path: at toy scale the planner
+    # would broadcast the small side instead and never exercise bucket
+    # co-location (at 100 TB neither side is broadcastable and SMJ is what
+    # the planner picks on its own).
+    orders = spark.table(o_tbl).hint("merge")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style multi-granularity rollup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_time_multigrain",
+    oracle="""
+SELECT grain, g_ts, event_type, n_events, total_value FROM (
+  SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS g_ts, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP), event_type,
+         count(*), round(sum(value), 2)
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP), event_type,
+         count(*), round(sum(value), 2)
+  FROM events GROUP BY 2, 3
+)
+ORDER BY grain, g_ts, event_type
+""",
+    tags=("agg", "timeseries"),
+)
+def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate build: hour/day/week rollups
+    of the event stream in ONE job. The hour grain aggregates the raw
+    table; day and week CASCADE from the hour partials (re-aggregating
+    ~24x/168x fewer rows) — the standard materialized-rollup maintenance
+    shape. At 100 TB the hour aggregate is the only pass over raw data;
+    coarser grains are nearly free, and each level lands in its own
+    partition of the rollup table for partition-pruned reads."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("g_ts"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    # day/week re-aggregate the hour partials, not the raw events
+    day = (
+        hour.groupBy(F.date_trunc("day", "g_ts").alias("g_ts"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    )
+    week = (
+        day.groupBy(F.date_trunc("week", "g_ts").alias("g_ts"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    )
+
+    def fin(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "g_ts",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("total_value"),
+        )
+
+    return (
+        fin(hour, "hour")
+        .unionByName(fin(day, "day"))
+        .unionByName(fin(week, "week"))
+        .orderBy("grain", "g_ts", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitwise scalar battery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT
+  event_id,
+  event_id & 255                   AS low_byte,
+  event_id | 4096                  AS with_flag,
+  xor(event_id, user_id)           AS xored,
+  event_id << 2                    AS shl2,
+  event_id >> 3                    AS shr3,
+  CAST(bit_count(event_id) AS INT) AS popcount
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery (and/or/xor/shifts/popcount) — the flag-mask
+    and hash-mixing primitives every fingerprinting/bucketing pipeline
+    leans on. All JVM codegen expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft("event_id", 2).alias("shl2"),
+        F.shiftright("event_id", 3).alias("shr3"),
+        F.bit_count("event_id").alias("popcount"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Ordered collect aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT
+  o_custkey,
+  list(o_orderkey ORDER BY o_orderkey)                 AS order_ids,
+  list(DISTINCT o_orderstatus ORDER BY o_orderstatus)  AS statuses
+FROM orders
+WHERE o_custkey < 100
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+    tags=("agg", "array"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation with deterministic ordering:
+    collect_list is order-nondeterministic under parallel merge, so a
+    stable pipeline ALWAYS wraps it in array_sort (this is the
+    denormalize-for-serving step — one row per customer with their order
+    history embedded). Bounded-size groups only; an unbounded collect is
+    an OOM, not an operator."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_ids"),
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        )
+        .orderBy("o_custkey")
+    )
