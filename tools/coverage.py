@@ -1,0 +1,114 @@
+"""Generate COVERAGE.md: SURVEY.md §2B target surface -> registered query
+mapping, plus the full registry inventory. Fails (exit 1) if a §2B row
+maps to a name the registry doesn't know — keeping the doc honest.
+
+Usage: python tools/coverage.py > COVERAGE.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import us_stock_data_pipeline_spark  # noqa: F401
+from us_stock_data_pipeline_spark import registry
+
+# SURVEY.md §2B row -> implementing queries (registry names).
+SECTION_2B = [
+    ("scan: parquet all tables", ["q1_pricing_summary", "etl_reference_pipeline"]),
+    ("scan: JSON / CSV landing zones", ["source_json_scan", "source_csv_scan"]),
+    ("sink: partitioned write + idempotent re-run", ["etl_idempotent_reingest"]),
+    ("projection: typed rename/cast (bronze->silver)", ["etl_curated_projection"]),
+    ("filter: range/conjunctive; session bucketing", ["filter_conjunctive_range", "etl_session_label"]),
+    ("join: broadcast equi", ["join_broadcast_dim"]),
+    ("join: shuffle/sort-merge chain", ["join_multiway_chain", "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]),
+    ("join: left / semi / anti / full / cross", ["join_left_outer", "join_semi", "join_anti", "join_full_outer", "join_cross"]),
+    ("join: range/theta non-equi", ["join_range_nonequi"]),
+    ("join: as-of (stock-native)", ["join_asof"]),
+    ("join: bucketed co-located (exchange-free)", ["join_bucketed_colocated"]),
+    ("agg: hash groupBy (Q1 shape)", ["q1_pricing_summary"]),
+    ("agg: distinct / approx distinct", ["agg_distinct", "agg_approx_distinct"]),
+    ("agg: rollup / cube / grouping sets", ["agg_rollup", "agg_cube", "agg_grouping_sets"]),
+    ("agg: percentiles exact + approx", ["agg_percentiles"]),
+    ("agg: statistical moments (stddev/var/corr/covar)", ["agg_stats_moments"]),
+    ("agg: arg-max (min_by/max_by)", ["agg_minmax_by"]),
+    ("agg: ordered collect to array", ["agg_collect_sorted"]),
+    ("agg: hypertable multi-grain time rollup", ["rollup_time_multigrain", "bars_ohlcv_resample"]),
+    ("window: ranking / top-N per group", ["window_rank_topn"]),
+    ("window: analytic lag/lead", ["window_lag_lead"]),
+    ("window: running / range frames", ["window_running_frame", "window_range_frame"]),
+    ("window: distribution (ntile/percent_rank/cume_dist)", ["window_distribution"]),
+    ("sort / limit / global top-k", ["topk_global"]),
+    ("set ops: union / intersect / except", ["set_union", "set_intersect", "set_except"]),
+    ("dedup: exact distinct on keys", ["distinct_pairs", "dedup_exact"]),
+    ("reshape: pivot / unpivot", ["pivot_counts", "unpivot_long"]),
+    ("subqueries: scalar / correlated / IN", ["subquery_scalar", "subquery_correlated", "subquery_in"]),
+    ("scalar: string batteries", ["scalar_string", "scalar_string2"]),
+    ("scalar: date/time batteries", ["scalar_datetime", "scalar_datetime2"]),
+    ("scalar: math", ["scalar_math"]),
+    ("scalar: array + HOFs", ["scalar_array", "scalar_array2"]),
+    ("scalar: map ops", ["map_ops"]),
+    ("scalar: JSON extraction", ["scalar_json"]),
+    ("scalar: casts / try_cast", ["scalar_cast_try"]),
+    ("scalar: bitwise", ["scalar_bitwise"]),
+    ("conditional / null handling", ["conditional_null"]),
+    ("ETL: incremental watermark (global + per-key)", ["etl_incremental_watermark", "etl_watermark_per_key"]),
+    ("ETL: full reference pipeline parity", ["etl_reference_pipeline"]),
+    ("ETL: sessionization (gaps-and-islands)", ["etl_sessionization_gaps"]),
+    ("streaming: tumbling / sliding windows", ["stream_tumbling_window", "stream_sliding_window"]),
+    ("streaming: session window", ["stream_session_window"]),
+    ("streaming: watermark / late data", ["stream_watermarked_append"]),
+    ("streaming: stateful dedup", ["stream_dedup"]),
+    ("streaming: custom state (applyInPandasWithState)", ["stream_stateful_running_totals"]),
+    ("UDF surface: python udf / pandas_udf / applyInPandas", ["udf_zscore_by_group", "pandas_udf_vowel_stats"]),
+    ("LLM dedup: exact hash", ["dedup_exact"]),
+    ("LLM dedup: MinHash + LSH", ["dedup_minhash_lsh"]),
+    ("LLM dedup: SimHash", ["dedup_simhash"]),
+    ("LLM dedup: n-gram Jaccard", ["dedup_ngram_jaccard", "text_jaccard_pairs"]),
+    ("LLM dedup: embedding-cosine near-dup", ["dedup_embedding_cosine"]),
+    ("LLM similarity: brute-force cosine top-k", ["knn_bruteforce_cosine"]),
+    ("LLM similarity: LSH-bucketed ANN", ["ann_lsh_cosine"]),
+    ("LLM similarity: IVF inverted-list ANN", ["ann_ivf_cosine"]),
+    ("LLM text: quality stats / token counting", ["text_stats"]),
+    ("LLM text: term frequency", ["text_term_frequency"]),
+    ("LLM text: language ID", ["text_language_id"]),
+    ("LLM text: document fingerprint (rolling hash)", ["doc_fingerprint"]),
+    ("LLM multimodal: struct column (documents x embeddings)", ["multimodal_struct"]),
+    ("LLM multimodal: binary payload + metadata", ["multimodal_binary_meta"]),
+    ("LLM multimodal: frame sampling (mapInPandas)", ["multimodal_frame_sample"]),
+]
+
+
+def main() -> int:
+    all_q = registry.all_queries()
+    missing = [n for _, names in SECTION_2B for n in names if n not in all_q]
+    if missing:
+        print(f"UNKNOWN REGISTRY NAMES: {missing}", file=sys.stderr)
+        return 1
+    mapped = {n for _, names in SECTION_2B for n in names}
+    unmapped = sorted(set(all_q) - mapped)
+
+    print("# COVERAGE — SURVEY.md §2B target surface -> implementation\n")
+    print("Generated by `python tools/coverage.py`. Every row names its")
+    print("registered queries; `oracle` marks a full DuckDB value-hash check,")
+    print("`rows-only` a weaker count-only check (non-SQL-expressible ops).\n")
+    print("| §2B target | queries | check |")
+    print("| --- | --- | --- |")
+    for row, names in SECTION_2B:
+        checks = ", ".join(
+            "oracle" if all_q[n].oracle else "rows-only" for n in names
+        )
+        print(f"| {row} | {', '.join(f'`{n}`' for n in names)} | {checks} |")
+    print(f"\n**{len(all_q)} registered queries**, "
+          f"{sum(1 for q in all_q.values() if q.oracle)} oracle-checked, "
+          f"{sum(1 for q in all_q.values() if q.bench)} in the bench headline set.")
+    if unmapped:
+        print("\nRegistered but outside §2B rows (extras): "
+              + ", ".join(f"`{n}`" for n in unmapped))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -281,3 +281,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "doc_id long, frame_idx long, frame_len long, frame_head string"
     return docs.mapInPandas(sample_frames, out_schema).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# Word n-gram (shingle) Jaccard dedup
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i.g, i.g + 2), ' ') AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS g) i
+),
+counts AS (
+  SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_shared
+  FROM tg a JOIN tg b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+  GROUP BY 1, 2
+)
+SELECT
+  s.doc_id_a, s.doc_id_b,
+  round(CAST(s.n_shared AS DOUBLE) / (ca.n + cb.n - s.n_shared), 4) AS jaccard
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_id_a
+JOIN counts cb ON cb.doc_id = s.doc_id_b
+ORDER BY doc_id_a
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram (3-shingle) Jaccard between consecutive doc_ids — the
+    n-gram-level exact near-dup measure (stricter than word-set Jaccard:
+    shared vocabulary in a different order scores ~0). Shingling is a JVM
+    HOF (sequence + slice + concat_ws); the pair scores come from an
+    inverted-index equi-join on the shingle — the same join shape MinHash
+    banding approximates sub-quadratically, making this the exact oracle
+    for small candidate sets and the verify stage at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    trigrams = F.when(
+        F.size(ws) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 2),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(3))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = docs.select("doc_id", F.explode(trigrams).alias("g"))
+    counts = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tg.alias("a")
+    b = tg.alias("b")
+    shared = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.g") == F.col("b.g")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(counts.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "na"), "doc_id_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "nb"), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_id_a")
+    )

@@ -80,7 +80,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exchange-free fact-fact join via bucketed tables: both sides were
     written `bucketBy(8, key)`, so their on-disk layout IS the join's
     hash partitioning and the SortMergeJoin runs with zero shuffles
-    (asserted in tests/test_new_ops2.py). At 100 TB this converts the
+    (asserted in tests/test_new_ops.py). At 100 TB this converts the
     nightly lineitem x orders shuffle — the single biggest network event
     in a warehouse — into a map-side merge. The broadcast-threshold conf
     is not touched; bucket co-location, not size, removes the exchange."""
@@ -241,3 +241,68 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Technical indicators over resampled bars
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bars_technical_indicators",
+    oracle="""
+WITH bars AS (
+  SELECT
+    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bar_ts,
+    event_type AS symbol,
+    arg_max(value, event_id) AS close
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT
+  symbol,
+  bar_ts,
+  round(close, 4) AS close,
+  round(avg(close) OVER w5, 4) AS sma5,
+  round(CASE WHEN count(*) OVER w5 >= 2 THEN stddev_samp(close) OVER w5 END, 4) AS vol5,
+  round(close / lag(close) OVER wp - 1, 6) AS pct_return,
+  round(max(close) OVER wrun, 4) AS run_high
+FROM bars
+WINDOW
+  wp   AS (PARTITION BY symbol ORDER BY bar_ts),
+  w5   AS (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+  wrun AS (PARTITION BY symbol ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY symbol, bar_ts
+""",
+    tags=("window", "stock"),
+)
+def bars_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Technical-indicator sweep over resampled bars: 5-bar SMA, 5-bar
+    rolling volatility, bar-over-bar return, running high — the standard
+    signal block downstream of the reference's ingested bars. One shuffle
+    on symbol serves ALL FOUR window frames (same partitioning, same
+    sort); the bar build beneath is the one-pass OHLCV hash aggregate.
+    At 100 TB add the time bucket to the partition key to bound any one
+    symbol's window state."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.timestamp_micros((F.unix_micros("ts") / 3_600_000_000).cast("long") * 3_600_000_000)
+    bars = (
+        ev.groupBy(hour.alias("bar_ts"), F.col("event_type").alias("symbol"))
+        .agg(F.max_by("value", "event_id").alias("close"))
+    )
+    wp = W.partitionBy("symbol").orderBy("bar_ts")
+    w5 = wp.rowsBetween(-4, 0)
+    wrun = wp.rowsBetween(W.unboundedPreceding, 0)
+    return bars.select(
+        "symbol",
+        "bar_ts",
+        F.round("close", 4).alias("close"),
+        F.round(F.avg("close").over(w5), 4).alias("sma5"),
+        F.round(
+            F.when(F.count(F.lit(1)).over(w5) >= 2, F.stddev_samp("close").over(w5)), 4
+        ).alias("vol5"),
+        F.round(F.col("close") / F.lag("close").over(wp) - 1, 6).alias("pct_return"),
+        F.round(F.max("close").over(wrun), 4).alias("run_high"),
+    ).orderBy("symbol", "bar_ts")
