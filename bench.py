@@ -52,6 +52,40 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
+    # Secondary metric: the same set run CONCURRENTLY (Spark's scheduler
+    # interleaves the jobs across the cores, as a multi-tenant cluster
+    # would) — per-query driver/job overhead amortizes, so this is the
+    # fairer throughput number for a set of small queries.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda fn: fn(spark, sf_dir).collect(), registry.bench_queries().values()))
+    concurrent_wall = round(time.time() - t0, 3)
+
+    # Baseline twin: DuckDB single-node on the oracle SQL of the same set
+    # (BASELINE.md) — recorded here so every BENCH_r{N}.json carries its
+    # own comparison point.
+    duck_total = None
+    try:
+        import duckdb
+
+        from us_stock_data_pipeline_spark.catalog import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        oracles = registry.oracles()
+        t0 = time.time()
+        for name in registry.bench_queries():
+            if name in oracles:
+                con.execute(oracles[name]).fetchall()
+        duck_total = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"# duckdb baseline failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -60,6 +94,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "concurrent_wall_sec": concurrent_wall,
+                "duckdb_baseline_sec": duck_total,
             }
         )
     )

@@ -520,13 +520,19 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_rank_topn",
     oracle="""
-SELECT * FROM (
+SELECT
+  o_custkey,
+  o_orderkey,
+  totalprice,
+  rn,
+  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank
+FROM (
   SELECT
     o_custkey,
     o_orderkey,
+    o_orderstatus,
     round(o_totalprice, 2) AS totalprice,
-    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-    rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderstatus)                 AS status_rank
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders
 ) WHERE rn <= 3
 ORDER BY o_custkey, rn
@@ -535,22 +541,35 @@ ORDER BY o_custkey, rn
     bench=True,
 )
 def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N per group via ranking window. Spark pushes a per-partition
-    top-K (WindowGroupLimit) below the shuffle since 3.5 — so at 100 TB
-    each map task ships only K rows per key, not the whole partition.
-    Deterministic tiebreak on o_orderkey keeps the oracle hash stable."""
+    """Top-N per group via ranking window, with a second analytic window
+    (status rank among the survivors) stacked above. The top-N filter sits
+    DIRECTLY on its window so Spark rewrites it to WindowGroupLimit
+    (asserted in tests/test_plans.py): each map task pre-ships only K rows
+    per key — at 100 TB that's the difference between shuffling 3 rows and
+    shuffling every order a customer ever placed. Both windows partition
+    by o_custkey, so one shuffle serves the pair. Deterministic tiebreak
+    on o_orderkey keeps the oracle hash stable."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     w2 = W.partitionBy("o_custkey").orderBy("o_orderstatus")
-    return (
+    top = (
         orders.select(
             "o_custkey",
             "o_orderkey",
+            "o_orderstatus",
             F.round("o_totalprice", 2).alias("totalprice"),
             F.row_number().over(w).alias("rn"),
-            F.rank().over(w2).alias("status_rank"),
         )
         .filter(F.col("rn") <= 3)
+    )
+    return (
+        top.select(
+            "o_custkey",
+            "o_orderkey",
+            "totalprice",
+            "rn",
+            F.rank().over(w2).alias("status_rank"),
+        )
         .orderBy("o_custkey", "rn")
     )
 
