@@ -1,0 +1,88 @@
+"""End-to-end test of the CLI ingest driver: land NDJSON pages, run full
+then incremental loads, assert layout, idempotency, and per-symbol
+watermark semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from us_stock_data_pipeline_spark.etl.run import build_parser, run
+
+
+def _land(dirpath, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "page-000.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _bar(t_ms, symbol, px=10.0, vol=100.0):
+    return {"t": t_ms, "o": px, "h": px + 1, "l": px - 1, "c": px, "v": vol, "vw": px, "n": 5.0}
+
+
+def test_cli_full_then_incremental(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "silver")
+    # 2024-01-02 15:00 UTC = 10:00 ET (regular session)
+    t0 = 1704207600000
+    _land(landing, [dict(_bar(t0 + i * 60_000, "AAPL"), symbol="AAPL") for i in range(3)]
+          + [dict(_bar(t0, "MSFT"), symbol="MSFT")])
+
+    args = build_parser().parse_args(["--landing", landing, "--out", out])
+    res = run(spark, args)
+    assert res["rows_written"] == 4
+    # hive layout: session=regular/symbol=AAPL
+    assert os.path.isdir(os.path.join(out, "session=regular", "symbol=AAPL"))
+
+    first = spark.read.parquet(out)
+    assert first.count() == 4
+    assert dict(first.dtypes)["volume"] == "bigint"  # AGG_SCHEMA enforced
+
+    # incremental re-run over the SAME landing: everything filtered by the
+    # per-symbol watermark -> no new rows, no duplicate rows
+    args2 = build_parser().parse_args(
+        ["--landing", landing, "--out", out, "--load-type", "incremental"]
+    )
+    res2 = run(spark, args2)
+    assert res2["rows_written"] == 0
+    assert spark.read.parquet(out).count() == 4
+
+    # land one newer AAPL bar and one stale MSFT bar: only the newer one
+    # survives incremental (per-symbol, strict >)
+    landing2 = str(tmp_path / "landing2")
+    _land(
+        landing2,
+        [
+            dict(_bar(t0 + 10 * 60_000, "AAPL"), symbol="AAPL"),
+            dict(_bar(t0, "MSFT"), symbol="MSFT"),
+        ],
+    )
+    args3 = build_parser().parse_args(
+        ["--landing", landing2, "--out", out, "--load-type", "incremental"]
+    )
+    res3 = run(spark, args3)
+    assert res3["rows_written"] == 1
+    final = spark.read.parquet(out)
+    assert final.count() == 5
+    assert final.filter("symbol = 'MSFT'").count() == 1
+
+
+def test_cli_new_symbol_passes_watermark(spark, tmp_path):
+    landing = str(tmp_path / "l1")
+    out = str(tmp_path / "s1")
+    t0 = 1704207600000
+    _land(landing, [dict(_bar(t0, "AAPL"), symbol="AAPL")])
+    run(spark, build_parser().parse_args(["--landing", landing, "--out", out]))
+
+    landing2 = str(tmp_path / "l2")
+    _land(landing2, [dict(_bar(t0 - 86_400_000, "NVDA"), symbol="NVDA")])
+    res = run(
+        spark,
+        build_parser().parse_args(
+            ["--landing", landing2, "--out", out, "--load-type", "incremental"]
+        ),
+    )
+    # NVDA has no watermark: its (older-than-AAPL) rows still load — the
+    # reference's global max would have dropped them (SURVEY §3 EP3)
+    assert res["rows_written"] == 1
