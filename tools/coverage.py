@@ -75,6 +75,8 @@ SECTION_2B = [
     ("LLM text: term frequency", ["text_term_frequency"]),
     ("LLM text: language ID", ["text_language_id"]),
     ("LLM text: document fingerprint (rolling hash)", ["doc_fingerprint"]),
+    ("LLM text: fuzzy edit distance (levenshtein)", ["text_edit_distance"]),
+    ("stock: technical indicators over bars", ["bars_technical_indicators"]),
     ("LLM multimodal: struct column (documents x embeddings)", ["multimodal_struct"]),
     ("LLM multimodal: binary payload + metadata", ["multimodal_binary_meta"]),
     ("LLM multimodal: frame sampling (mapInPandas)", ["multimodal_frame_sample"]),

@@ -354,3 +354,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_a")
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance fuzzy matching
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+SELECT
+  a.doc_id AS doc_id_a,
+  b.doc_id AS doc_id_b,
+  levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist,
+  round(1.0 - levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30))
+        / greatest(length(substr(a.text, 1, 30)), length(substr(b.text, 1, 30))), 4)
+    AS similarity
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_id_a
+""",
+    tags=("llm", "text", "fuzzy"),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive documents' prefixes —
+    the character-level fuzzy-match primitive (entity resolution, OCR-noise
+    dedup). Edit distance is O(len^2) per pair, so production NEVER runs it
+    all-pairs: it is the verify stage behind a blocking key (here the
+    consecutive-id join stands in for the block), exactly like exact-Jaccard
+    behind MinHash bands. Prefix-bounding (30 chars) caps per-pair cost —
+    both engines compute the identical value."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.substring("text", 1, 30).alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.substring("text", 1, 30).alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            dist.alias("edit_dist"),
+            F.round(
+                1.0 - dist / F.greatest(F.length("ta"), F.length("tb")), 4
+            ).alias("similarity"),
+        )
+        .orderBy("doc_id_a")
+    )

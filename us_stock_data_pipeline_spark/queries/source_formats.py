@@ -46,6 +46,13 @@ def _stage_events(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Land events as newline-JSON or headered CSV files, once per sf."""
     path = _stage_dir(sf_dir, fmt)
     marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    # Self-healing: restage when the fixture is newer than the marker, so
+    # regenerated testdata can't be shadowed by a stale landing copy.
+    if os.path.exists(marker) and os.stat(marker).st_mtime < os.stat(src).st_mtime:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",

@@ -45,7 +45,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "us_sdps_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     )
     staged = os.path.join(stage, "events.parquet")
-    if not os.path.exists(staged):
+    # Self-healing: restage when the source file changed (size or mtime) so
+    # regenerated testdata can't be shadowed by a stale copy.
+    src_stat = os.stat(path)
+    if (
+        not os.path.exists(staged)
+        or os.stat(staged).st_size != src_stat.st_size
+        or os.stat(staged).st_mtime < src_stat.st_mtime
+    ):
         os.makedirs(stage, exist_ok=True)
         shutil.copyfile(path, staged)
     schema = spark.read.parquet(staged).schema
