@@ -26,13 +26,14 @@ SECTION_2B = [
     ("join: shuffle/sort-merge chain", ["join_multiway_chain", "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]),
     ("join: left / semi / anti / full / cross", ["join_left_outer", "join_semi", "join_anti", "join_full_outer", "join_cross"]),
     ("join: range/theta non-equi", ["join_range_nonequi"]),
-    ("join: as-of (stock-native)", ["join_asof"]),
+    ("join: as-of (stock-native; window + cogrouped-pandas twins)", ["join_asof", "join_asof_pandas"]),
     ("join: bucketed co-located (exchange-free)", ["join_bucketed_colocated"]),
     ("agg: hash groupBy (Q1 shape)", ["q1_pricing_summary"]),
     ("agg: distinct / approx distinct", ["agg_distinct", "agg_approx_distinct"]),
     ("agg: rollup / cube / grouping sets", ["agg_rollup", "agg_cube", "agg_grouping_sets"]),
     ("agg: percentiles exact + approx", ["agg_percentiles"]),
     ("agg: statistical moments (stddev/var/corr/covar)", ["agg_stats_moments"]),
+    ("agg: fixed-width histogram", ["agg_histogram"]),
     ("agg: arg-max (min_by/max_by)", ["agg_minmax_by"]),
     ("agg: ordered collect to array", ["agg_collect_sorted"]),
     ("agg: hypertable multi-grain time rollup", ["rollup_time_multigrain", "bars_ohlcv_resample"]),

@@ -306,3 +306,40 @@ def bars_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("close") / F.lag("close").over(wp) - 1, 6).alias("pct_return"),
         F.round(F.max("close").over(wrun), 4).alias("run_high"),
     ).orderBy("symbol", "bar_ts")
+
+
+# --------------------------------------------------------------------------
+# Histogram aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT
+  CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+  CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+  count(*) AS n,
+  round(avg(o_totalprice), 2) AS mean_in_bucket
+FROM orders
+GROUP BY 1, 2
+ORDER BY bucket
+""",
+    tags=("agg", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a groupBy on the bucket expression — the
+    distribution profile at corpus scale. One partial-aggregatable shuffle
+    of O(buckets); contrast with exact percentiles (per-group sort). The
+    equal-width bucket id is a pure expression, so the scan prunes to one
+    column and the whole thing codegens."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_in_bucket"),
+        )
+        .orderBy("bucket")
+    )

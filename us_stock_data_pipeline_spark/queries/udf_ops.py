@@ -83,3 +83,62 @@ def pandas_udf_vowel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ASOF_PANDAS_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  (SELECT max(c.ts) FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  ) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+@register("join_asof_pandas", oracle=ASOF_PANDAS_ORACLE, tags=("join", "asof", "udf"))
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join AGAIN, through the Arrow escape hatch: cogrouped
+    applyInPandas running pandas.merge_asof per user_id — the pattern for
+    when as-of semantics grow beyond what a window expresses (tolerance
+    bands, nearest-direction, multiple value columns). Same oracle as the
+    window formulation (join_asof), so the two implementations are proven
+    interchangeable. Scale shape: both sides shuffle once on the key;
+    each group's sort happens in-kernel; Arrow moves columns, not rows.
+    The window form stays JVM-side and is preferred when it suffices."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left.copy()
+            out["last_click_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "last_click_ts"]]
+        right = right.sort_values("ts").rename(columns={"ts": "last_click_ts"})
+        out = pd.merge_asof(
+            left,
+            right[["user_id", "last_click_ts"]],
+            left_on="ts",
+            right_on="last_click_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    out_schema = "event_id long, user_id long, ts timestamp, last_click_ts timestamp"
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(asof, out_schema)
+        .orderBy("event_id")
+    )
