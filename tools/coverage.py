@@ -62,6 +62,7 @@ SECTION_2B = [
     ("streaming: session window", ["stream_session_window"]),
     ("streaming: watermark / late data", ["stream_watermarked_append"]),
     ("streaming: stateful dedup", ["stream_dedup"]),
+    ("streaming: stream-stream interval join", ["stream_stream_join"]),
     ("streaming: custom state (applyInPandasWithState)", ["stream_stateful_running_totals"]),
     ("UDF surface: python udf / pandas_udf / applyInPandas", ["udf_zscore_by_group", "pandas_udf_vowel_stats"]),
     ("LLM dedup: exact hash", ["dedup_exact"]),

@@ -290,3 +290,58 @@ def stream_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT
+  c.event_id AS click_id,
+  p.event_id AS purchase_id,
+  c.user_id,
+  round(p.value, 4) AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+""",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the purchases that
+    follow them within an hour, BOTH sides unbounded streams. Watermarks
+    plus the time-range join condition are what make this feasible — they
+    bound each side's join state to [watermark, now] instead of the whole
+    history, the canonical funnel/attribution shape. Inner-join matches
+    emit as soon as both rows arrive; the oracle is the identical interval
+    join in batch SQL (same fixture, same rows)."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id", F.round("value", 4).alias("purchase_value"))
+    out = _run_to_table(joined, spark, "append")
+    return out.orderBy("click_id", "purchase_id")
