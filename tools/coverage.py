@@ -34,6 +34,7 @@ SECTION_2B = [
     ("agg: percentiles exact + approx", ["agg_percentiles"]),
     ("agg: statistical moments (stddev/var/corr/covar)", ["agg_stats_moments"]),
     ("agg: fixed-width histogram", ["agg_histogram"]),
+    ("agg: filtered/conditional (FILTER clause)", ["agg_conditional_filter"]),
     ("agg: arg-max (min_by/max_by)", ["agg_minmax_by"]),
     ("agg: ordered collect to array", ["agg_collect_sorted"]),
     ("agg: hypertable multi-grain time rollup", ["rollup_time_multigrain", "bars_ohlcv_resample"]),

@@ -343,3 +343,51 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered (conditional) aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_conditional_filter",
+    oracle="""
+SELECT
+  l_returnflag,
+  count(*) FILTER (l_quantity >= 25)                          AS n_bulk,
+  count(*) FILTER (l_quantity < 25)                           AS n_small,
+  round(sum(l_extendedprice) FILTER (l_discount > 0.05), 2)   AS rev_discounted,
+  round(sum(l_extendedprice) FILTER (l_discount <= 0.05), 2)  AS rev_full_price,
+  round(avg(l_tax) FILTER (l_returnflag = 'R'), 6)            AS avg_tax_returned
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (SQL FILTER clause): several conditional
+    metrics in ONE pass over the fact table — the alternative is N
+    self-joined subqueries, N scans. Spark expresses FILTER as
+    agg(when(cond, x)): count ignores nulls, so count(when(...)) and
+    sum(when(...)) are exact FILTER equivalents, all partial-aggregatable
+    in the same single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+            F.count(F.when(F.col("l_quantity") < 25, 1)).alias("n_small"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+            ).alias("rev_discounted"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice"))), 2
+            ).alias("rev_full_price"),
+            F.round(
+                F.avg(F.when(F.col("l_returnflag") == "R", F.col("l_tax"))), 6
+            ).alias("avg_tax_returned"),
+        )
+        .orderBy("l_returnflag")
+    )
