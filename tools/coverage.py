@@ -28,6 +28,8 @@ SECTION_2B = [
     ("join: range/theta non-equi", ["join_range_nonequi"]),
     ("join: as-of (stock-native; window + cogrouped-pandas twins)", ["join_asof", "join_asof_pandas"]),
     ("join: bucketed co-located (exchange-free)", ["join_bucketed_colocated"]),
+    ("join: salted skew mitigation", ["join_salted_skew"]),
+    ("join: null-safe equality", ["join_null_safe"]),
     ("agg: hash groupBy (Q1 shape)", ["q1_pricing_summary"]),
     ("agg: distinct / approx distinct", ["agg_distinct", "agg_approx_distinct"]),
     ("agg: rollup / cube / grouping sets", ["agg_rollup", "agg_cube", "agg_grouping_sets"]),

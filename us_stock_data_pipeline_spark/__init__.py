@@ -32,6 +32,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     scalars,
     stock_etl,
     llm_ops,

@@ -1,0 +1,109 @@
+"""Relational surface, part 5: skew-mitigating salted join and null-safe
+join — the two join variants docs/SCALE.md §2 prescribes but the earlier
+batches only described.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+_SALT_K = 8
+
+_SALTED_ORACLE = """
+WITH user_stats AS (
+  SELECT user_id, count(*) AS n_events_user, round(avg(value), 4) AS avg_value_user
+  FROM events GROUP BY user_id
+)
+SELECT
+  e.event_id,
+  e.user_id,
+  u.n_events_user,
+  u.avg_value_user
+FROM events e
+JOIN user_stats u ON e.user_id = u.user_id
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the hand-rolled skew mitigation: the big (probe) side
+    gets a deterministic salt in [0, k); the small (build) side is
+    exploded k ways; the join key becomes (user_id, salt). A pathological
+    hot key that would land one reducer with 30% of the data now spreads
+    across k reducers, at the cost of k-replicating the build side —
+    which is why the build side here is a pre-aggregated stats table, not
+    a fact. Results are provably identical to the plain join (the oracle
+    IS the plain join). At 100 TB this is the fallback when AQE's
+    skew-split can't help (e.g. a skewed BUILD side, or stateful
+    streaming joins where AQE doesn't apply); salt only the keys known
+    hot — blanket salting doubles shuffle volume for nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    user_stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events_user"),
+        F.round(F.avg("value"), 4).alias("avg_value_user"),
+    )
+    big = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(_SALT_K)).cast("int")
+    )
+    small = user_stats.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_K - 1)).cast("array<int>"))
+    )
+    return (
+        big.join(small, ["user_id", "salt"])
+        .select("event_id", "user_id", "n_events_user", "avg_value_user")
+        .orderBy("event_id")
+    )
+
+
+_NULL_SAFE_ORACLE = """
+WITH e AS (
+  SELECT event_id, nullif(user_id % 5, 0) AS bucket, value FROM events
+  WHERE event_type = 'signup'
+),
+d AS (
+  SELECT nullif(b, 0) AS bucket, concat('tier-', b) AS tier
+  FROM (SELECT unnest(range(0, 5)) AS b)
+)
+SELECT
+  e.event_id,
+  e.bucket,
+  d.tier,
+  round(e.value, 4) AS value
+FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+ORDER BY e.event_id
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_ORACLE, tags=("join", "null"))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    NULL keys — the semantics dimension-lookup pipelines need when
+    "unknown" is itself a dimension member (here: bucket 0 nulled into an
+    'unknown' tier). A plain `=` silently drops every NULL-keyed row;
+    eqNullSafe keeps them AND still hash-partitions (NULLs co-locate on
+    one key — if nulls are the skew, fold them to a sentinel first, or
+    see join_salted_skew)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("bucket"),
+        "value",
+    )
+    d = (
+        spark.range(0, 5)
+        .select(
+            F.nullif(F.col("id"), F.lit(0)).alias("bucket"),
+            F.concat(F.lit("tier-"), F.col("id")).alias("tier"),
+        )
+    )
+    return (
+        e.join(F.broadcast(d), e.bucket.eqNullSafe(d.bucket))
+        .select("event_id", e.bucket.alias("bucket"), "tier", F.round("value", 4).alias("value"))
+        .orderBy("event_id")
+    )
