@@ -73,3 +73,28 @@ def test_delta_gated(spark, tmp_path):
     df = _bars(spark, [("AAA", datetime(2024, 1, 5), 1.0)])
     # delta-spark is not in this image; the writer must decline, not raise.
     assert try_delta_writer(df, str(tmp_path / "delta")) is False
+
+
+def test_compact_partitions(spark, tmp_path):
+    from us_stock_data_pipeline_spark.etl.sinks import compact_partitions
+    import glob
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", float(i)) for i in range(100)],
+        "event_id long, symbol string, value double",
+    )
+    # simulate accretion: 10 appends -> many small files per partition
+    for k in range(10):
+        df.filter(F.col("event_id") % 10 == k).write.mode("append").partitionBy(
+            "symbol"
+        ).parquet(path)
+    before_files = len(glob.glob(f"{path}/symbol=*/*.parquet"))
+    assert before_files >= 20
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    n = compact_partitions(spark, path, ("symbol",), files_per_partition=1)
+    assert n == 100
+    after_files = len(glob.glob(f"{path}/symbol=*/*.parquet"))
+    assert after_files == 2  # one file per symbol partition
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before

@@ -18,7 +18,7 @@ from us_stock_data_pipeline_spark import registry
 # SURVEY.md §2B row -> implementing queries (registry names).
 SECTION_2B = [
     ("scan: parquet all tables", ["q1_pricing_summary", "etl_reference_pipeline"]),
-    ("scan: JSON / CSV landing zones", ["source_json_scan", "source_csv_scan"]),
+    ("scan: JSON / CSV / ORC landing zones", ["source_json_scan", "source_csv_scan", "source_orc_scan"]),
     ("sink: partitioned write + idempotent re-run", ["etl_idempotent_reingest"]),
     ("projection: typed rename/cast (bronze->silver)", ["etl_curated_projection"]),
     ("filter: range/conjunctive; session bucketing", ["filter_conjunctive_range", "etl_session_label"]),
@@ -85,6 +85,7 @@ SECTION_2B = [
     ("LLM multimodal: struct column (documents x embeddings)", ["multimodal_struct"]),
     ("LLM multimodal: binary payload + metadata", ["multimodal_binary_meta"]),
     ("LLM multimodal: frame sampling (mapInPandas)", ["multimodal_frame_sample"]),
+    ("LLM pipeline: composite corpus curation (filter->dedup->rollup)", ["pipeline_corpus_curation"]),
 ]
 
 

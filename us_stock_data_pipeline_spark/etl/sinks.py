@@ -86,3 +86,31 @@ def try_delta_writer(df: DataFrame, path: str, partition_cols: tuple[str, ...] =
         return False
     df.write.format("delta").mode("append").partitionBy(*partition_cols).save(path)
     return True
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = ("symbol",),
+    files_per_partition: int = 1,
+) -> int:
+    """Small-file compaction: rewrite each hive partition's many small
+    files into `files_per_partition` files, preserving rows exactly.
+
+    Streaming sinks and incremental appends accrete a file per
+    micro-batch/run; at 100 TB that is millions of KB-sized files whose
+    open/list overhead dwarfs the data. Compaction = read + dynamic
+    partition overwrite with a repartition on the partition columns —
+    run it as routine maintenance per partition, off the write path.
+    Returns the number of rows rewritten (callers assert it equals the
+    pre-count)."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    (
+        df.repartition(files_per_partition, *partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return n

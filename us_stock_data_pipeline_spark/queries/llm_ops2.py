@@ -401,3 +401,83 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_a")
     )
+
+
+# --------------------------------------------------------------------------
+# Composite corpus-curation pipeline (the training-data flagship)
+# --------------------------------------------------------------------------
+
+CORPUS_PIPELINE_ORACLE = """
+WITH stats AS (
+  SELECT doc_id, text, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+),
+quality AS (
+  SELECT * FROM stats WHERE n_tokens >= 10 AND stop_ratio <= 0.6
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+)
+SELECT
+  lang,
+  count(*)                               AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT)          AS total_tokens,
+  round(avg(n_tokens), 2)                AS avg_tokens,
+  count(DISTINCT source)                 AS n_sources
+FROM deduped
+WHERE lang IN ('en', 'de', 'fr', 'es')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=CORPUS_PIPELINE_ORACLE,
+    tags=("llm", "pipeline", "flagship"),
+    bench=True,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-corpus curation pipeline, end to end in one
+    lazy plan: quality filter (token count + stopword ratio) -> exact
+    dedup (keep lowest doc_id per content hash) -> language allowlist ->
+    per-language corpus accounting. This is the shape every pretraining
+    data refresh runs nightly; at 100 TB it is exactly two shuffles — one
+    on the content hash (dedup), one on lang (final rollup) — because the
+    quality stats are per-row expressions fused into the scan, and
+    Catalyst pipelines the filters into both sides. Swap the exact-dedup
+    stage for dedup_minhash_lsh's band join to get the fuzzy version with
+    the same surrounding plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stats = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(words).alias("n_tokens"),
+        (
+            F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and"))).cast("double")
+            / F.size(words)
+        ).alias("stop_ratio"),
+    )
+    quality = stats.filter((F.col("n_tokens") >= 10) & (F.col("stop_ratio") <= 0.6))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.filter(F.col("lang").isin("en", "de", "fr", "es"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )

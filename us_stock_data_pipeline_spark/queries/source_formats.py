@@ -121,3 +121,40 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     format connectors must be interchangeable."""
     path = _stage_events(spark, sf_dir, "csv")
     return _landed_rollup(spark, path, "csv")
+
+
+@register("source_orc_scan", oracle=_ROLLUP_ORACLE, tags=("source", "orc"))
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC landing-zone scan — the third columnar-capable landing format
+    (native Spark support, vectorized reader, predicate pushdown like
+    parquet). Same rollup oracle: the format is an implementation
+    detail, the result is not."""
+    path = _stage_dir(sf_dir, "orc")
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(marker) and os.stat(marker).st_mtime < os.stat(src).st_mtime:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        ev.repartition(4).write.mode("overwrite").orc(path)
+    landed = spark.read.schema(_LANDED_SCHEMA).orc(path)
+    return (
+        landed.withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
