@@ -86,3 +86,40 @@ def test_cli_new_symbol_passes_watermark(spark, tmp_path):
     # NVDA has no watermark: its (older-than-AAPL) rows still load — the
     # reference's global max would have dropped them (SURVEY §3 EP3)
     assert res["rows_written"] == 1
+
+
+def test_corrupt_json_rows_isolated(spark, tmp_path):
+    """Malformed landing rows must not fail the load NOR silently vanish:
+    PERMISSIVE mode + a corrupt-record column isolates them for a
+    quarantine sink while clean rows proceed — the 100 TB posture, where
+    one bad page out of millions must not kill the nightly load."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "page.json"), "w") as f:
+        f.write('{"t": 1704207600000, "o": 10.0, "symbol": "AAPL"}\n')
+        f.write('{"t": "not-a-number", "o": 10.0, "symbol": "AAPL"}\n')
+        f.write("this is not json at all\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("t", T.LongType()),
+            T.StructField("o", T.DoubleType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(landing)
+        .cache()  # SPARK-21610: corrupt-record column needs materialization
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 1
+    assert quarantine.count() == 2
+    df.unpersist()

@@ -39,11 +39,13 @@ SECTION_2B = [
     ("agg: filtered/conditional (FILTER clause)", ["agg_conditional_filter"]),
     ("agg: arg-max (min_by/max_by)", ["agg_minmax_by"]),
     ("agg: ordered collect to array", ["agg_collect_sorted"]),
+    ("agg: ordered string concat (string_agg)", ["agg_string_concat"]),
     ("agg: hypertable multi-grain time rollup", ["rollup_time_multigrain", "bars_ohlcv_resample"]),
     ("window: ranking / top-N per group", ["window_rank_topn"]),
     ("window: analytic lag/lead", ["window_lag_lead"]),
     ("window: running / range frames", ["window_running_frame", "window_range_frame"]),
     ("window: distribution (ntile/percent_rank/cume_dist)", ["window_distribution"]),
+    ("window: value functions (first/last/nth)", ["window_value_functions"]),
     ("sort / limit / global top-k", ["topk_global"]),
     ("set ops: union / intersect / except", ["set_union", "set_intersect", "set_except"]),
     ("dedup: exact distinct on keys", ["distinct_pairs", "dedup_exact"]),

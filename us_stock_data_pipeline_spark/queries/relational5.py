@@ -107,3 +107,86 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", e.bucket.alias("bucket"), "tier", F.round("value", 4).alias("value"))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# String aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+SELECT
+  n_name,
+  string_agg(c_name, ',' ORDER BY c_name) AS customers,
+  count(*)                                AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("agg", "string"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL string_agg): Spark composes it from
+    array_join(array_sort(collect_list(...))) — explicit ordering makes
+    the result deterministic under parallel merge, which string_agg
+    without ORDER BY is NOT (first thing to check when a downstream diff
+    flaps). Bounded groups only, same rule as any collect."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customers"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window value functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(first_value(o_totalprice) OVER w, 2)   AS first_price,
+  round(last_value(o_totalprice) OVER wfull, 2) AS last_price,
+  round(nth_value(o_totalprice, 2) OVER wfull, 2) AS second_price
+FROM orders
+WINDOW
+  w     AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window",),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (first_value / last_value / nth_value): each
+    customer's first, latest, and second order price in one windowed
+    pass. The classic trap is frame defaults: last_value over the default
+    frame (UNBOUNDED PRECEDING..CURRENT ROW) returns the CURRENT row —
+    the full-frame window here is the correct spelling, identical in both
+    engines. One shuffle on o_custkey serves all three."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
