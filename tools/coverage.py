@@ -37,6 +37,7 @@ SECTION_2B = [
     ("agg: statistical moments (stddev/var/corr/covar)", ["agg_stats_moments"]),
     ("agg: fixed-width histogram", ["agg_histogram"]),
     ("agg: filtered/conditional (FILTER clause)", ["agg_conditional_filter"]),
+    ("agg: boolean (bool_and/bool_or)", ["agg_bool"]),
     ("agg: arg-max (min_by/max_by)", ["agg_minmax_by"]),
     ("agg: ordered collect to array", ["agg_collect_sorted"]),
     ("agg: ordered string concat (string_agg)", ["agg_string_concat"]),
@@ -59,6 +60,7 @@ SECTION_2B = [
     ("scalar: JSON extraction", ["scalar_json"]),
     ("scalar: casts / try_cast", ["scalar_cast_try"]),
     ("scalar: bitwise", ["scalar_bitwise"]),
+    ("scalar: regex battery", ["scalar_regex"]),
     ("conditional / null handling", ["conditional_null"]),
     ("ETL: incremental watermark (global + per-key)", ["etl_incremental_watermark", "etl_watermark_per_key"]),
     ("ETL: full reference pipeline parity", ["etl_reference_pipeline"]),

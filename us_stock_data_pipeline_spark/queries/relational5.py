@@ -190,3 +190,79 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
         F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Regex scalar battery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+SELECT
+  doc_id,
+  regexp_extract(text, '([a-z]{5,})', 1)                       AS first_long_word,
+  CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT)   AS n_long_words,
+  regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g')     AS devoweled_head,
+  split_part(text, ' ', 2)                                     AS second_word,
+  regexp_matches(text, '^[a-z]')                               AS starts_lower
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("scalar", "regex"),
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: extract / extract-all / global replace / split_part
+    / boolean match — the text-wrangling workhorses. All JVM-side codegen
+    (no Python); regex dialects agree on this class-and-quantifier subset
+    (each engine's extended syntax differs, so operators stick to the
+    common core)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{5,})", 1).alias("first_long_word"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)).cast("long").alias("n_long_words"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "*").alias("devoweled_head"),
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("second_word"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Boolean aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_bool",
+    oracle="""
+SELECT
+  o_orderpriority,
+  bool_and(o_totalprice > 1000)   AS all_over_1k,
+  bool_or(o_totalprice > 400000)  AS any_over_400k,
+  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+  count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "bool"),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or = SQL EVERY / ANY): data-
+    quality invariants as one aggregate pass — "do ALL rows in this group
+    satisfy X, does ANY violate Y". Partial-aggregatable single bits per
+    group; the standard shape for constraint monitoring over a 100 TB
+    table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
