@@ -33,6 +33,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     scalars,
     stock_etl,
     llm_ops,
