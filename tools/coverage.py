@@ -62,6 +62,11 @@ SECTION_2B = [
     ("scalar: casts / try_cast", ["scalar_cast_try"]),
     ("scalar: bitwise", ["scalar_bitwise"]),
     ("scalar: regex battery", ["scalar_regex"]),
+    ("scalar: hash / encoding (md5/sha256/base64/hex/bucket)", ["scalar_hash_encode"]),
+    ("reshape: lateral explode with ordinality", ["lateral_posexplode"]),
+    ("timeseries: calendar gap-fill (generated scaffold)", ["timeseries_gap_fill"]),
+    ("agg: median / any_value", ["agg_median_any"]),
+    ("dedup: CDC latest-row-per-key snapshot", ["dedup_latest_snapshot"]),
     ("conditional / null handling", ["conditional_null"]),
     ("ETL: incremental watermark (global + per-key)", ["etl_incremental_watermark", "etl_watermark_per_key"]),
     ("ETL: full reference pipeline parity", ["etl_reference_pipeline"]),
@@ -91,6 +96,9 @@ SECTION_2B = [
     ("LLM multimodal: binary payload + metadata", ["multimodal_binary_meta"]),
     ("LLM multimodal: frame sampling (mapInPandas)", ["multimodal_frame_sample"]),
     ("LLM pipeline: composite corpus curation (filter->dedup->rollup)", ["pipeline_corpus_curation"]),
+    ("LLM assembly: deterministic train/val/test split (content hash)", ["split_train_val_test"]),
+    ("LLM assembly: context-window chunking with overlap", ["doc_chunking"]),
+    ("LLM assembly: token-budget packing", ["pack_token_budget"]),
 ]
 
 

@@ -34,10 +34,12 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     scalars,
     stock_etl,
     llm_ops,
     llm_ops2,
+    llm_ops3,
     udf_ops,
     streaming_ops,
     source_formats,

@@ -1,0 +1,241 @@
+"""Relational surface, part 7: hash/encoding scalars, lateral explode
+with ordinality, time-series gap-filling over a generated calendar,
+median/any_value aggregates, and CDC-style latest-row-per-key dedup.
+
+These close the remaining scalar/reshape gaps in SURVEY.md §2B: every
+operator here is a pure DataFrame declaration (no Python in the row
+path), so Catalyst keeps whole-stage codegen across the battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Hash / encoding battery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_hash_encode",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text)                                            AS h_md5,
+  sha256(text)                                         AS h_sha256,
+  base64(substr(text, 1, 12)::BLOB)                    AS b64_head,
+  lower(hex(substr(text, 1, 6)))                       AS hex_head,
+  ('0x' || substr(md5(text), 1, 4))::UBIGINT % 100     AS hash_bucket
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("scalar", "hash"),
+)
+def scalar_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash + binary-encoding battery: md5 / sha256 content hashes,
+    base64 / hex encodings, and a hex-prefix -> integer bucket (the
+    primitive under deterministic sharding and A/B salting). All JVM
+    builtins evaluated inside one codegen stage; content hashes are the
+    backbone of exact dedup and cache keys at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64_head"),
+        F.lower(F.hex(F.substring("text", 1, 6))).alias("hex_head"),
+        (F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 100).alias(
+            "hash_bucket"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Lateral explode with ordinality (posexplode)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lateral_posexplode",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+  unnest(toks)                                     AS token
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE doc_id < 40
+)
+ORDER BY doc_id, pos
+""",
+    tags=("reshape", "lateral"),
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explosion WITH ordinality: one row per token carrying
+    its 0-based position — the tokenizer output shape every downstream
+    text op consumes (shingling, n-grams, positional features). Explode is
+    a narrow transform: rows multiply inside the stage with no shuffle,
+    and the generator output stays in codegen. Kept to a doc_id slice so
+    the corpus-size row blowup stays proportional in the fixture."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling over a generated calendar
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+WITH days AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 00:00:00',
+                                INTERVAL 1 DAY)) AS day
+),
+daily AS (
+  SELECT
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(count(*) AS BIGINT)                 AS n_events,
+    round(sum(value), 2)                     AS total_value
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT
+  days.day,
+  coalesce(daily.n_events, 0)      AS n_events,
+  coalesce(daily.total_value, 0.0) AS total_value
+FROM days LEFT JOIN daily ON days.day = daily.day
+ORDER BY days.day
+""",
+    tags=("timeseries", "join"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: generate the full day scaffold with
+    sequence()+explode, left-join the real per-day aggregate onto it, and
+    zero-fill the holes — so downstream window math (moving averages,
+    deltas) never silently skips empty days. The scaffold is O(days) and
+    broadcast; the fact side is pre-aggregated before the join, so the
+    join moves O(days) rows regardless of event volume."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        days.join(daily, "day", "left_outer")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Median / any_value aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_any",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(median(l_quantity), 4)      AS med_qty,
+  round(median(l_extendedprice), 4) AS med_price,
+  any_value(upper(l_returnflag))    AS flag_upper,
+  count(*)                          AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_median_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and any_value aggregates. median is the exact interpolated
+    50th percentile — unlike the moment sketches it needs the group's
+    values materialized, so at 100 TB the per-group sort is the cost and
+    approx_percentile is the scale fallback (agg_percentiles covers the
+    approx path). any_value is the "pick one, don't care which" projector;
+    it is applied to a group-constant expression here so both engines'
+    arbitrary choice is the same value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+            F.any_value(F.upper("l_returnflag")).alias("flag_upper"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC-style latest-row-per-key snapshot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_latest_snapshot",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+    tags=("dedup", "window", "cdc"),
+)
+def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key snapshot (the CDC/SCD "current state" compaction:
+    many change events per key -> one current row). row_number over
+    (ts DESC, event_id DESC) makes the winner total-order deterministic
+    even on timestamp ties. One shuffle on the key; AQE handles skewed
+    hot keys, and at 100 TB this is the standard log->snapshot compaction
+    run. The windowed-rank formulation lets Spark's WindowGroupLimit push
+    the rn=1 limit into the sort instead of ranking every row."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
