@@ -59,7 +59,7 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=18) as pool:
         list(pool.map(lambda fn: fn(spark, sf_dir).collect(), registry.bench_queries().values()))
     concurrent_wall = round(time.time() - t0, 3)
 
