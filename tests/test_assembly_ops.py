@@ -111,3 +111,40 @@ def test_latest_snapshot_one_row_per_user(spark):
     max_ts = {r.user_id: r.m for r in truth}
     for r in rows:
         assert r.last_ts == max_ts[r.user_id]
+
+
+def test_merge_upsert_semantics(spark):
+    """updated/inserted/kept must reflect true key membership, and every
+    updated row must carry the doubled source value."""
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    rows = _q("etl_merge_upsert")(spark, SF).collect()
+    events = load_table(spark, SF, "events")
+    t_ids = {r.event_id for r in events.filter("ts < timestamp'2024-01-20'").collect()}
+    s_ids = {r.event_id for r in events.filter("ts >= timestamp'2024-01-15'").collect()}
+    assert {r.event_id for r in rows} == t_ids | s_ids
+    vals = {r.event_id: r.value for r in events.select("event_id", F.round("value", 2).alias("value")).collect()}
+    for r in rows:
+        if r.action == "updated":
+            assert r.event_id in t_ids and r.event_id in s_ids
+            assert abs(r.value - round(vals[r.event_id] * 2, 2)) < 0.021
+        elif r.action == "inserted":
+            assert r.event_id in s_ids and r.event_id not in t_ids
+        else:
+            assert r.event_id in t_ids and r.event_id not in s_ids
+
+
+def test_hll_estimates_near_exact_and_merge_consistent(spark):
+    """Per-type HLL estimates must sit within 5% of exact distinct counts;
+    the merged ALL estimate must match a direct global sketch."""
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    rows = {r.event_type: r for r in _q("agg_hll_sketch")(spark, SF).collect()}
+    assert "ALL" in rows
+    for t, r in rows.items():
+        if t == "ALL":
+            continue
+        assert abs(r.est_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+    events = load_table(spark, SF, "events")
+    direct = events.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
+    assert rows["ALL"].est_users == direct

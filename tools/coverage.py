@@ -67,6 +67,8 @@ SECTION_2B = [
     ("timeseries: calendar gap-fill (generated scaffold)", ["timeseries_gap_fill"]),
     ("agg: median / any_value", ["agg_median_any"]),
     ("dedup: CDC latest-row-per-key snapshot", ["dedup_latest_snapshot"]),
+    ("ETL: batch MERGE / upsert (full-outer coalesce)", ["etl_merge_upsert"]),
+    ("agg: HLL sketch (mergeable approx distinct)", ["agg_hll_sketch"]),
     ("conditional / null handling", ["conditional_null"]),
     ("ETL: incremental watermark (global + per-key)", ["etl_incremental_watermark", "etl_watermark_per_key"]),
     ("ETL: full reference pipeline parity", ["etl_reference_pipeline"]),

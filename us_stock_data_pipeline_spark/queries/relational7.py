@@ -239,3 +239,110 @@ def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch MERGE / upsert (full-outer coalesce formulation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "etl_merge_upsert",
+    oracle="""
+WITH target AS (
+  SELECT event_id, event_type, round(value, 2) AS value
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+),
+source AS (
+  SELECT event_id, event_type, round(value * 2, 2) AS value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT
+  coalesce(s.event_id, t.event_id)     AS event_id,
+  coalesce(s.event_type, t.event_type) AS event_type,
+  coalesce(s.value, t.value)           AS value,
+  CASE WHEN s.event_id IS NOT NULL AND t.event_id IS NOT NULL THEN 'updated'
+       WHEN s.event_id IS NOT NULL THEN 'inserted'
+       ELSE 'kept' END                 AS action
+FROM target t
+FULL OUTER JOIN source s ON t.event_id = s.event_id
+ORDER BY event_id
+""",
+    tags=("etl", "merge"),
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (upsert) semantics as a full-outer join + coalesce:
+    matched keys take the source row ('updated'), unmatched source rows
+    insert, unmatched target rows survive — the exact fix for the
+    reference's append-only duplication flaw (re-running its 1m pipeline
+    appends duplicate bars; `ingest_1m_session.py:273-293` has no
+    MERGE/dedup). On a Delta/Iceberg table this compiles to MERGE INTO;
+    the join formulation here is storage-agnostic and shuffles each side
+    once on the key — at 100 TB you'd partition/z-order the target by the
+    key so the merge join prunes to touched files only."""
+    events = load_table(spark, sf_dir, "events")
+    target = events.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.round("value", 2).alias("t_value"),
+    )
+    source = events.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp")).select(
+        F.col("event_id").alias("s_id"),
+        F.col("event_type").alias("s_type"),
+        F.round(F.col("value") * 2, 2).alias("s_value"),
+    )
+    return (
+        target.join(source, target.t_id == source.s_id, "full_outer")
+        .select(
+            F.coalesce("s_id", "t_id").alias("event_id"),
+            F.coalesce("s_type", "t_type").alias("event_type"),
+            F.coalesce("s_value", "t_value").alias("value"),
+            F.when(F.col("s_id").isNotNull() & F.col("t_id").isNotNull(), "updated")
+            .when(F.col("s_id").isNotNull(), "inserted")
+            .otherwise("kept")
+            .alias("action"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch aggregation (mergeable approximate distinct)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # sketch estimates are engine-specific; property-tested
+    tags=("agg", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch aggregation (Apache DataSketches via Spark's
+    hll_sketch_agg): per-event-type distinct-user estimates PLUS the
+    merged all-types estimate from unioning the per-group sketches —
+    demonstrating the property that matters at 100 TB: sketches are
+    mergeable partial aggregates, so distinct counts roll up across
+    partitions/days/tables without re-scanning raw data. No SQL oracle
+    (estimates are engine-specific); the pytest twin checks estimates
+    against exact counts and merge-consistency."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.lit("ALL").alias("event_type"),
+        F.max(F.lit(None).cast("long")).alias("exact_users"),
+    ).select("event_type", "est_users", "exact_users")
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+            "exact_users",
+        )
+        .unionByName(merged)
+        .orderBy("event_type")
+    )
