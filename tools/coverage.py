@@ -69,6 +69,9 @@ SECTION_2B = [
     ("dedup: CDC latest-row-per-key snapshot", ["dedup_latest_snapshot"]),
     ("ETL: batch MERGE / upsert (full-outer coalesce)", ["etl_merge_upsert"]),
     ("agg: HLL sketch (mergeable approx distinct)", ["agg_hll_sketch"]),
+    ("agg: linear-regression battery (regr_*)", ["agg_regression"]),
+    ("agg: product (log-space rewrite)", ["agg_product_logspace"]),
+    ("scalar: trig / transcendental battery", ["scalar_trig"]),
     ("conditional / null handling", ["conditional_null"]),
     ("ETL: incremental watermark (global + per-key)", ["etl_incremental_watermark", "etl_watermark_per_key"]),
     ("ETL: full reference pipeline parity", ["etl_reference_pipeline"]),

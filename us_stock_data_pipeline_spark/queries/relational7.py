@@ -346,3 +346,126 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(merged)
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_regression",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+  regr_count(l_extendedprice, l_quantity)               AS n_pairs,
+  round(regr_avgx(l_extendedprice, l_quantity), 4)      AS avg_qty,
+  round(regr_avgy(l_extendedprice, l_quantity), 4)      AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price ~ quantity per return flag):
+    slope / intercept / R^2 / count / means in ONE pass. Like the moment
+    sketches these reduce to co-moment partial aggregates (sums and
+    cross-products), so the shuffle carries O(groups) state — the
+    fit-a-trend-per-key primitive for feature pipelines, without a
+    per-group solver round trip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+            F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 4).alias("avg_qty"),
+            F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Trigonometric / transcendental scalar battery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_trig",
+    oracle="""
+SELECT
+  p_partkey,
+  round(sin(radians(p_size * 7)), 6)          AS s,
+  round(cos(radians(p_size * 7)), 6)          AS c,
+  round(atan2(p_size, p_retailprice), 6)      AS bearing,
+  round(degrees(atan(p_size / 10.0)), 4)      AS deg,
+  round(exp(p_size / 25.0), 6)                AS e,
+  round(cbrt(p_retailprice), 6)               AS cr
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("scalar", "math"),
+)
+def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental scalars (sin/cos/atan2, degree-radian
+    conversion, exp, cbrt) — the geo-distance and cyclic-feature-encoding
+    toolbox (hour-of-day/day-of-week sin-cos embeddings for training
+    features). Pure codegen'd JVM math, identical IEEE semantics on both
+    engines at 6-decimal rounding."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.sin(F.radians(F.col("p_size") * 7)), 6).alias("s"),
+        F.round(F.cos(F.radians(F.col("p_size") * 7)), 6).alias("c"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")), 6).alias(
+            "bearing"
+        ),
+        F.round(F.degrees(F.atan(F.col("p_size") / 10.0)), 4).alias("deg"),
+        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("e"),
+        F.round(F.cbrt("p_retailprice"), 6).alias("cr"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Product aggregate (log-space formulation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_product_logspace",
+    oracle="""
+SELECT
+  l_orderkey,
+  round(product(1 - l_discount), 4)       AS retained_frac,
+  CAST(count(*) AS BIGINT)                AS n_lines
+FROM lineitem
+WHERE l_orderkey < 200
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+    tags=("agg", "math"),
+)
+def agg_product_logspace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product aggregate — compound retained fraction after stacking each
+    line's discount. Spark has no product() aggregate; the standard
+    rewrite is exp(sum(ln(x))), which IS partial-aggregatable (sums
+    distribute) and numerically stable for positive factors — the same
+    log-space trick used for compounding returns over long bar histories.
+    Bounded keyspace slice keeps the fixture result small; the plan is
+    identical at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.exp(F.sum(F.log(1 - F.col("l_discount")))), 4).alias("retained_frac"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
