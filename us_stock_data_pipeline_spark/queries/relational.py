@@ -402,18 +402,43 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT
+  event_type,
+  count(DISTINCT user_id) AS exact_users,
+  TRUE                    AS within_tol
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct's dedup shuffle is too expensive. No SQL oracle (sketch is
-    implementation-defined); tests assert <10% relative error vs exact.
-    """
+    distinct's dedup shuffle is too expensive.
+
+    The sketch estimate itself is engine-specific, so the compared
+    columns are the exact count (DuckDB recomputes it) plus a boolean
+    asserting the HLL estimate landed within 10% relative error of the
+    exact count — i.e. the oracle verifies the approximation CONTRACT,
+    not the implementation-defined estimate value. rsd=0.02 makes a 10%
+    miss a >5-sigma event, so the row is deterministic in practice."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("within_tol"),
         )
         .orderBy("event_type")
     )

@@ -216,8 +216,8 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   o_custkey,
-  list(o_orderkey ORDER BY o_orderkey)                 AS order_ids,
-  list(DISTINCT o_orderstatus ORDER BY o_orderstatus)  AS statuses
+  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')                AS order_ids,
+  array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') AS statuses
 FROM orders
 WHERE o_custkey < 100
 GROUP BY o_custkey
@@ -231,13 +231,17 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable pipeline ALWAYS wraps it in array_sort (this is the
     denormalize-for-serving step — one row per customer with their order
     history embedded). Bounded-size groups only; an unbounded collect is
-    an OOM, not an operator."""
+    an OOM, not an operator.
+
+    Compared columns are the arrays serialized to CSV strings
+    (concat_ws / array_to_string on the two sides) so the driver's
+    pandas-based canonicalizer never has to hash a raw array cell."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("order_ids"),
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.concat_ws(",", F.array_sort(F.collect_list("o_orderkey"))).alias("order_ids"),
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
         )
         .orderBy("o_custkey")
     )

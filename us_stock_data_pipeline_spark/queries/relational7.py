@@ -315,7 +315,17 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_sketch",
-    oracle=None,  # sketch estimates are engine-specific; property-tested
+    oracle="""
+SELECT
+  event_type,
+  count(DISTINCT user_id) AS exact_users,
+  TRUE                    AS within_tol
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+ORDER BY event_type
+""",
     tags=("agg", "sketch"),
 )
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,19 +334,25 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged all-types estimate from unioning the per-group sketches —
     demonstrating the property that matters at 100 TB: sketches are
     mergeable partial aggregates, so distinct counts roll up across
-    partitions/days/tables without re-scanning raw data. No SQL oracle
-    (estimates are engine-specific); the pytest twin checks estimates
-    against exact counts and merge-consistency."""
+    partitions/days/tables without re-scanning raw data.
+
+    Sketch estimates are engine-specific, so the compared columns are
+    the exact distinct counts (DuckDB recomputes both grains) plus a
+    boolean asserting each estimate — including the one produced by
+    MERGING the per-group sketches — is within 10% of exact. The oracle
+    therefore verifies both the estimate contract and merge-consistency;
+    default lgConfigK=12 has ~1.6% rsd, so 10% is deterministic."""
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    merged = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.lit("ALL").alias("event_type"),
-        F.max(F.lit(None).cast("long")).alias("exact_users"),
-    ).select("event_type", "est_users", "exact_users")
+    exact_all = events.agg(F.count_distinct("user_id").alias("exact_users"))
+    merged = (
+        per_type.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+        .crossJoin(exact_all)
+        .select(F.lit("ALL").alias("event_type"), "est_users", "exact_users")
+    )
     return (
         per_type.select(
             "event_type",
@@ -344,6 +360,14 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
         .unionByName(merged)
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
         .orderBy("event_type")
     )
 

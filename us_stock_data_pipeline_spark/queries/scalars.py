@@ -313,8 +313,9 @@ SELECT
     AS largest,
   CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
   round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 4) AS mean_val,
-  CAST(list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 2) + 0.0)) AS DOUBLE[])
-    AS head_sorted
+  array_to_string(
+    list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 2) + 0.0)), ','
+  ) AS head_sorted
 FROM embeddings
 ORDER BY vec_id
 """,
@@ -322,7 +323,9 @@ ORDER BY vec_id
 )
 def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array battery #2: array_sort, filter HOF, element stats, sliced
-    sort — still all JVM-side."""
+    sort — still all JVM-side. The sorted head slice is serialized to a
+    CSV string on both sides so the driver canonicalizer never hashes a
+    raw array cell."""
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     srt = F.array_sort(as_double)
@@ -332,8 +335,17 @@ def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(srt, 64), 4).alias("largest"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / 64, 4).alias("mean_val"),
-        F.array_sort(
-            F.transform(F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 2) + F.lit(0.0))
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.slice("embedding", 1, 4),
+                        lambda x: F.round(x.cast("double"), 2) + F.lit(0.0),
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
         ).alias("head_sorted"),
     ).orderBy("vec_id")
 
