@@ -123,3 +123,56 @@ def test_corrupt_json_rows_isolated(spark, tmp_path):
     assert clean.count() == 1
     assert quarantine.count() == 2
     df.unpersist()
+
+
+def test_determine_window_branches():
+    """Parity C1 (`symbols(historical)/utils.py:25-58`): explicit window,
+    timeframe-dependent default backfill, incremental overlap-by-one-day,
+    and the three error branches."""
+    import datetime as dt
+
+    import pytest
+
+    from us_stock_data_pipeline_spark.etl.run import determine_window
+
+    today = dt.date(2026, 8, 13)
+    # full + explicit window -> verbatim
+    assert determine_window("full", "1m", "2024-01-01", "2024-02-01", today=today) == (
+        "2024-01-01",
+        "2024-02-01",
+    )
+    # full defaults: minute bars from 2015, daily bars from 2000
+    assert determine_window("full", "1m", today=today) == ("2015-01-01", "2026-08-13")
+    assert determine_window("full", "1d", today=today) == ("2000-01-01", "2026-08-13")
+    with pytest.raises(ValueError, match="Unsupported timeframe"):
+        determine_window("full", "5s", today=today)
+    # incremental: one-day overlap before the stored max (the per-symbol
+    # watermark filter dedups the overlap downstream)
+    mx = dt.datetime(2026, 8, 10, 19, 59)
+    assert determine_window("incremental", "1m", existing_max_ts=mx, today=today) == (
+        "2026-08-09",
+        "2026-08-13",
+    )
+    with pytest.raises(ValueError, match="No existing data"):
+        determine_window("incremental", "1m", today=today)
+    with pytest.raises(ValueError, match="Invalid load_type"):
+        determine_window("refresh", "1m", today=today)
+
+
+def test_ingest_metrics_are_single_pass(spark, tmp_path, monkeypatch):
+    """rows_written must come from an Observation on the write job, not a
+    separate count() scan: a count() anywhere in the ingest path fails
+    the run (at 100 TB the old count-then-write was a full extra pass)."""
+    from pyspark.sql import DataFrame
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "silver")
+    t0 = 1704207600000
+    _land(landing, [dict(_bar(t0 + i * 60_000, "AAPL"), symbol="AAPL") for i in range(5)])
+
+    def _no_count(self):
+        raise AssertionError("count() called in the ingest path")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    res = run(spark, build_parser().parse_args(["--landing", landing, "--out", out]))
+    assert res["rows_written"] == 5

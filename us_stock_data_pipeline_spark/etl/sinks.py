@@ -72,7 +72,30 @@ def merge_upsert(
     # Only partitions touched by the updates are rewritten.
     touched = updates.select(*partition_cols).dropDuplicates()
     merged_touched = merged.join(F.broadcast(touched), list(partition_cols), "left_semi")
-    overwrite_partitions(merged_touched, path, partition_cols)
+    # Stage-then-swap: materialize the merged result to a sibling staging
+    # path FIRST, so the read of `existing` completes before anything at
+    # `path` is deleted — a failure during the merge computation leaves
+    # the target completely untouched. The final dynamic-overwrite commit
+    # is still not atomic on plain parquet (readers can observe a torn
+    # state mid-commit; a crash mid-commit needs the staging dir to
+    # recover from) — Delta/Iceberg's commit protocol is the real fix and
+    # try_delta_writer uses it when the jars exist.
+    staging = path.rstrip("/") + "_staging"
+    merged_touched.repartition(len(partition_cols), *partition_cols).write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols).parquet(staging)
+    overwrite_partitions(spark.read.parquet(staging), path, partition_cols)
+    _rmtree_path(spark, staging)
+
+
+def _rmtree_path(spark: SparkSession, path: str) -> None:
+    """Delete a path via Hadoop's FileSystem API so it works on any
+    supported filesystem (local, HDFS, object stores), not just POSIX."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    fs.delete(p, True)
 
 
 def try_delta_writer(df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("symbol",)) -> bool:
@@ -102,15 +125,29 @@ def compact_partitions(
     open/list overhead dwarfs the data. Compaction = read + dynamic
     partition overwrite with a repartition on the partition columns —
     run it as routine maintenance per partition, off the write path.
-    Returns the number of rows rewritten (callers assert it equals the
-    pre-count)."""
+    Stage-then-swap (as in merge_upsert) so the source read completes
+    before the target is touched. Returns the number of rows rewritten
+    (observed on the staging write itself — no separate count pass)."""
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(path)
-    n = df.count()
+    obs = Observation("compact_rows")
+    staging = path.rstrip("/") + "_staging"
     (
-        df.repartition(files_per_partition, *partition_cols)
+        df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartition(files_per_partition, *partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(staging)
+    )
+    n = obs.get["rows"]
+    (
+        spark.read.parquet(staging)
+        .repartition(files_per_partition, *partition_cols)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+    _rmtree_path(spark, staging)
     return n

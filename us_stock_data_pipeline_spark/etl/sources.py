@@ -14,7 +14,13 @@ reference's (`polygon_client.py:14-16`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+from collections.abc import Callable
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -56,9 +62,104 @@ class RetryPolicy:
     max_retries: int = 5
     backoff_factor: float = 2.0
     base_wait: float = 2.0
+    # Injectable for tests; production uses time.sleep.
+    sleep: Callable[[float], None] = field(default=time.sleep, compare=False)
 
     def wait_seconds(self, attempt: int) -> float:
         return self.base_wait * (self.backoff_factor**attempt)
+
+
+class FetchError(RuntimeError):
+    """Raised when a page is still failing after max_retries attempts."""
+
+
+@dataclass
+class _HttpResponse:
+    status: int
+    headers: dict[str, str]
+    body: bytes
+
+
+def _urllib_get(url: str) -> _HttpResponse:
+    """Minimal stdlib GET returning status/headers/body without raising
+    on HTTP error status (the retry loop decides what is retryable)."""
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310 — landing fetcher, caller controls URL
+            return _HttpResponse(resp.status, dict(resp.headers), resp.read())
+    except urllib.error.HTTPError as e:
+        return _HttpResponse(e.code, dict(e.headers or {}), e.read() or b"")
+
+
+def get_with_retry(
+    url: str,
+    policy: RetryPolicy = RetryPolicy(),
+    http_get: Callable[[str], _HttpResponse] = _urllib_get,
+) -> dict:
+    """GET a JSON page under the reference's retry contract
+    (`polygon_client.py:19-53`): 429 sleeps Retry-After (default
+    base_wait) and retries; 5xx and transport errors sleep
+    base_wait * backoff^attempt and retry; anything else parses as JSON.
+    After max_retries failed attempts raises FetchError."""
+    last = "no attempt made"
+    for attempt in range(policy.max_retries):
+        try:
+            resp = http_get(url)
+        except OSError as e:  # transport-level failure
+            policy.sleep(policy.wait_seconds(attempt))
+            last = f"transport error: {e}"
+            continue
+        if resp.status == 429:
+            wait = float(resp.headers.get("Retry-After", policy.base_wait))
+            policy.sleep(wait)
+            last = "rate limited (429)"
+            continue
+        if resp.status >= 500:
+            policy.sleep(policy.wait_seconds(attempt))
+            last = f"server error {resp.status}"
+            continue
+        if resp.status >= 400:
+            raise FetchError(f"client error {resp.status} for {url}")
+        return json.loads(resp.body)
+    raise FetchError(f"fetch failed after {policy.max_retries} retries ({last}): {url}")
+
+
+def fetch_pages_to_landing(
+    url: str,
+    out_dir: str,
+    policy: RetryPolicy = RetryPolicy(),
+    http_get: Callable[[str], _HttpResponse] = _urllib_get,
+    max_pages: int = 100_000,
+) -> int:
+    """Drive a paginated JSON API to a newline-JSON landing directory —
+    the runnable half of the RestLanding contract (parity S1-S3,
+    `polygon_client.py:73-94`, `ingest_massive.py:23-59`).
+
+    Each page's ``results`` array lands verbatim as one
+    ``part-NNNNN.json`` file (one JSON object per line — exactly what
+    ``read_json_landing`` scans in parallel); pagination follows
+    ``next_url`` until absent. Returns the number of pages landed.
+
+    This loop is intentionally OUTSIDE the query engine: one fetcher
+    process per symbol/day shard runs it against object storage, and the
+    rate-limited network hop never serializes a Spark job. The driver
+    loop in the reference is the same loop — but feeding createDataFrame
+    on the Spark driver, which is the 250k-bars/min ceiling this design
+    removes."""
+    os.makedirs(out_dir, exist_ok=True)
+    pages = 0
+    next_url: str | None = url
+    while next_url and pages < max_pages:
+        data = get_with_retry(next_url, policy, http_get)
+        rows = data.get("results", [])
+        tmp = os.path.join(out_dir, f".part-{pages:05d}.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        # rename so readers never see a half-written page
+        os.replace(tmp, os.path.join(out_dir, f"part-{pages:05d}.json"))
+        pages += 1
+        next_url = data.get("next_url")
+    return pages
 
 
 @dataclass(frozen=True)
