@@ -104,6 +104,14 @@ SECTION_2B = [
     ("LLM assembly: deterministic train/val/test split (content hash)", ["split_train_val_test"]),
     ("LLM assembly: context-window chunking with overlap", ["doc_chunking"]),
     ("LLM assembly: token-budget packing", ["pack_token_budget"]),
+    ("LLM dedup: cluster resolution (connected components, pointer doubling)", ["dedup_cluster_connected"]),
+    ("LLM text: TF-IDF term scoring", ["text_tfidf"]),
+    ("LLM sampling: deterministic stratified hash sample", ["sample_deterministic"]),
+    ("analytics: ordered funnel", ["events_funnel"]),
+    ("analytics: retention cohorts", ["events_retention"]),
+    ("stock: VWAP / TWAP derivation", ["bars_vwap_twap"]),
+    ("analytics: rolling z-score anomaly detection", ["anomaly_rolling_zscore"]),
+    ("analytics: distribution entropy", ["agg_entropy"]),
 ]
 
 

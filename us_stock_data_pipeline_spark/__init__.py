@@ -40,6 +40,8 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops,
     llm_ops2,
     llm_ops3,
+    llm_ops4,
+    analytics_ops,
     udf_ops,
     streaming_ops,
     source_formats,

@@ -1,0 +1,275 @@
+"""Event-analytics operators: ordered funnels, retention cohorts, VWAP/
+TWAP bars, rolling z-score anomaly detection, and distribution entropy.
+
+The product-analytics query family every event warehouse runs daily —
+each one expressed as partial-aggregable groupBys and windows so the
+same plan survives a 1000-executor shuffle (no per-user collect, no
+driver loops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Ordered funnel
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT
+  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_after,
+  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after,
+  round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        / (SELECT count(*) FROM s1), 4) AS view_rate,
+  round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        / (SELECT count(*) FROM s1), 4) AS purchase_rate
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("analytics", "funnel"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (signup -> view -> purchase): each
+    stage is min-timestamp-after-previous-stage, i.e. a groupBy per
+    stage joined back on user_id — every shuffle is on user_id so
+    Catalyst reuses one partitioning across all three stages, and the
+    stage tables shrink monotonically (classic funnel pruning). No
+    window over the whole event stream, no per-user state collection."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    return c1.crossJoin(c2).crossJoin(c3).select(
+        "n_signup",
+        "n_view_after",
+        "n_purchase_after",
+        F.round(F.col("n_view_after").cast("double") / F.col("n_signup"), 4).alias("view_rate"),
+        F.round(F.col("n_purchase_after").cast("double") / F.col("n_signup"), 4).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+)
+SELECT
+  f.cohort_week,
+  CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS BIGINT) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_retention", oracle=_RETENTION_ORACLE, tags=("analytics", "retention"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week of a user's first
+    event; each (cohort, week-offset) cell counts users active that many
+    weeks later. Two aggregations and one join, all shuffled on user_id
+    then on the (cohort, offset) pair — the distinct-activity table is
+    pre-deduped per (user, week) so the final count is a plain count,
+    not count(DISTINCT) over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).dropDuplicates()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# VWAP / TWAP bars
+# --------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS DATE) AS day,
+  event_type AS symbol,
+  round(sum(value * (event_id % 100 + 1)) / sum(event_id % 100 + 1), 4) AS vwap,
+  round(avg(value), 4) AS twap,
+  CAST(sum(event_id % 100 + 1) AS BIGINT) AS volume
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("bars_vwap_twap", oracle=_VWAP_ORACLE, tags=("stock", "agg"))
+def bars_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP and TWAP per symbol (events-as-ticks: event_type is
+    the symbol, value the price, and a deterministic event_id-derived
+    quantity stands in for trade size — the fixture has no volume
+    column). One partial-aggregable groupBy; the volume-weighted mean is
+    sum(p*v)/sum(v), never a collect-and-loop. Parity flavor: the
+    reference stores vw from the wire (`ingest_massive.py:70`) but never
+    recomputes it; here it is derived, which is what a surveillance
+    pipeline must do from raw ticks."""
+    ev = load_table(spark, sf_dir, "events")
+    vol = F.col("event_id") % 100 + 1
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value") * vol) / F.sum(vol), 4).alias("vwap"),
+            F.round(F.avg("value"), 4).alias("twap"),
+            F.sum(vol).cast("long").alias("volume"),
+        )
+        .orderBy("day", "symbol")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, v,
+    avg(v) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+    stddev_samp(v) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd,
+    count(v) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n
+  FROM daily
+)
+SELECT event_type, day, round(v, 4) AS v, round((v - mu) / sd, 4) AS zscore
+FROM w
+WHERE n >= 3 AND sd > 1e-9
+ORDER BY event_type, day
+"""
+
+
+@register("anomaly_rolling_zscore", oracle=_ZSCORE_ORACLE, tags=("analytics", "window"))
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score of the daily mean vs its own trailing 7-day
+    window (excluding today — the detector must not see the point it
+    scores). Window partitioned by the series key; with real ticker
+    symbols the key is high-cardinality and the sort is per-partition,
+    never global (same shape as bars_technical_indicators). Warm-up rows
+    (n<3) and flat windows (sd~0) are excluded rather than emitting
+    NaN/inf — both engines agree on the guard."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count("v").over(w).alias("n"),
+    )
+    return (
+        scored.filter((F.col("n") >= 3) & (F.col("sd") > 1e-9))
+        .select(
+            "event_type",
+            "day",
+            F.round("v", 4).alias("v"),
+            F.round((F.col("v") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution entropy
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT
+  c.user_id,
+  round(-sum((CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n)), 4) AS entropy,
+  CAST(count(*) AS BIGINT) AS n_types
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id
+ORDER BY user_id
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE, tags=("analytics", "agg"))
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity score (and, on documents, the char/token-distribution
+    quality filter LLM corpus pipelines use). Two groupBys on the same
+    user_id key (one partitioning, reused) and a broadcast-size join;
+    the -sum(p ln p) fold is a plain aggregate, computed identically on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )

@@ -132,6 +132,15 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
+    # round-2 additions (new operators, no prior row by definition)
+    "dedup_cluster_connected",
+    "text_tfidf",
+    "sample_deterministic",
+    "events_funnel",
+    "events_retention",
+    "bars_vwap_twap",
+    "anomaly_rolling_zscore",
+    "agg_entropy",
 )
 
 
