@@ -112,6 +112,11 @@ SECTION_2B = [
     ("stock: VWAP / TWAP derivation", ["bars_vwap_twap"]),
     ("analytics: rolling z-score anomaly detection", ["anomaly_rolling_zscore"]),
     ("analytics: distribution entropy", ["agg_entropy"]),
+    ("stock: recursive EMA (applyInPandas kernel, recursive-CTE oracle)", ["bars_ema"]),
+    ("ETL: SCD Type 2 dimension history", ["etl_scd2_dimension"]),
+    ("ETL: FK conformance audit", ["etl_fk_conformance"]),
+    ("ETL: column profiling (single-pass)", ["etl_profile_table"]),
+    ("streaming: foreachBatch MERGE upsert sink", ["stream_foreachbatch_upsert"]),
 ]
 
 

@@ -1,0 +1,243 @@
+"""ETL data-quality and dimension-maintenance operators: SCD Type 2
+history build, foreign-key conformance auditing, and column profiling.
+
+The quality layer every warehouse runs between landing and serving. The
+reference has none of it (SURVEY §1.4: blind append, no FK checks, no
+profiles) — these are the operators that make re-running it safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# SCD Type 2 dimension history
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS attr, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+  FROM events
+),
+changes AS (
+  SELECT user_id, attr, ts AS valid_from
+  FROM ordered
+  WHERE prev_attr IS NULL OR attr <> prev_attr
+)
+SELECT user_id, attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+         AS is_current,
+       row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS version
+FROM changes
+ORDER BY user_id, version
+"""
+
+
+@register("etl_scd2_dimension", oracle=_SCD2_ORACLE, tags=("etl", "scd", "window"))
+def etl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a change stream: collapse
+    consecutive identical attribute values (lag), then interval-ize the
+    survivors (lead) into [valid_from, valid_to) rows with an is_current
+    flag and a version number. Both windows share the user_id
+    partitioning, so the whole history build is ONE shuffle; ordering
+    ties on ts are broken by event_id so the history is deterministic.
+    This is the maintained-dimension pattern the reference's
+    append-only design can't produce."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            "ts",
+            F.lag("event_type").over(w_ev).alias("prev_attr"),
+        )
+        .filter(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .select("user_id", "attr", F.col("ts").alias("valid_from"))
+    )
+    w_ch = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changes.select(
+            "user_id",
+            "attr",
+            "valid_from",
+            F.lead("valid_from").over(w_ch).alias("valid_to"),
+            F.lead("valid_from").over(w_ch).isNull().alias("is_current"),
+            F.row_number().over(w_ch).alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------------
+# Foreign-key conformance audit
+# --------------------------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT 'lineitem->orders' AS fk,
+       CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation',
+       CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier->nation',
+       CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation->region',
+       CAST(count(*) FILTER (WHERE rg.r_regionkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM nation na LEFT JOIN region rg ON na.n_regionkey = rg.r_regionkey
+ORDER BY fk
+"""
+
+
+@register("etl_fk_conformance", oracle=_FK_ORACLE, tags=("etl", "quality", "join"))
+def etl_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per FK edge,
+    how many child rows have no parent. Each edge is a left join against
+    a broadcastable parent keyed table counting nulls — the parent side
+    is dims (broadcast) except lineitem->orders, which shuffles once on
+    the fact's join key. The counts aggregate map-side, so the audit
+    output is five rows regardless of input size — run it after every
+    load; a nonzero orphan count gates the publish step."""
+
+    def edge(name, child, ckey, parent, pkey):
+        p = parent.select(F.col(pkey).alias("__pk")).dropDuplicates()
+        joined = child.join(F.broadcast(p) if name != "lineitem->orders" else p,
+                            child[ckey] == F.col("__pk"), "left")
+        return joined.agg(
+            F.lit(name).alias("fk"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    rg = load_table(spark, sf_dir, "region")
+    audits = [
+        edge("lineitem->orders", li, "l_orderkey", od, "o_orderkey"),
+        edge("orders->customer", od, "o_custkey", cu, "c_custkey"),
+        edge("customer->nation", cu, "c_nationkey", na, "n_nationkey"),
+        edge("supplier->nation", su, "s_nationkey", na, "n_nationkey"),
+        edge("nation->region", na, "n_regionkey", rg, "r_regionkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("fk")
+
+
+# --------------------------------------------------------------------------
+# Column profiling
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT
+    count(*) AS n,
+    count(o_orderkey)   AS nn_key,  count(DISTINCT o_orderkey)   AS nd_key,
+    CAST(min(o_orderkey) AS VARCHAR) AS mn_key, CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+    count(o_custkey)    AS nn_cust, count(DISTINCT o_custkey)    AS nd_cust,
+    CAST(min(o_custkey) AS VARCHAR) AS mn_cust, CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+    count(o_totalprice) AS nn_tp,   count(DISTINCT o_totalprice) AS nd_tp,
+    CAST(round(min(o_totalprice), 2) AS VARCHAR) AS mn_tp,
+    CAST(round(max(o_totalprice), 2) AS VARCHAR) AS mx_tp,
+    count(o_orderdate)  AS nn_od,   count(DISTINCT o_orderdate)  AS nd_od,
+    CAST(min(o_orderdate) AS VARCHAR) AS mn_od, CAST(max(o_orderdate) AS VARCHAR) AS mx_od
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, CAST(n - nn_key AS BIGINT) AS n_nulls,
+       CAST(nd_key AS BIGINT) AS n_distinct, mn_key AS min_val, mx_key AS max_val FROM s
+UNION ALL
+SELECT 'o_custkey', CAST(n - nn_cust AS BIGINT), CAST(nd_cust AS BIGINT), mn_cust, mx_cust FROM s
+UNION ALL
+SELECT 'o_totalprice', CAST(n - nn_tp AS BIGINT), CAST(nd_tp AS BIGINT), mn_tp, mx_tp FROM s
+UNION ALL
+SELECT 'o_orderdate', CAST(n - nn_od AS BIGINT), CAST(nd_od AS BIGINT), mn_od, mx_od FROM s
+ORDER BY col_name
+"""
+
+
+@register("etl_profile_table", oracle=_PROFILE_ORACLE, tags=("etl", "quality", "agg"))
+def etl_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table (null count, distinct count,
+    min/max) — the post-load statistics pass that feeds both data-quality
+    alerts and the optimizer's expectations. ALL columns profile in ONE
+    aggregation pass (a single wide agg, then an explode to long form) —
+    never one scan per column; at 100 TB the difference is 4 scans vs 1.
+    Values are stringified per-type (doubles rounded first) so one long
+    schema carries every column's stats."""
+    od = load_table(spark, sf_dir, "orders")
+    s = od.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("mn_tp"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("mx_tp"),
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.min("o_orderdate").cast("string").alias("mn_od"),
+        F.max("o_orderdate").cast("string").alias("mx_od"),
+    )
+    profile = F.array(
+        F.struct(
+            F.lit("o_orderkey").alias("col_name"),
+            (F.col("n") - F.col("nn_key")).alias("n_nulls"),
+            F.col("nd_key").alias("n_distinct"),
+            F.col("mn_key").alias("min_val"),
+            F.col("mx_key").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_custkey").alias("col_name"),
+            (F.col("n") - F.col("nn_cust")).alias("n_nulls"),
+            F.col("nd_cust").alias("n_distinct"),
+            F.col("mn_cust").alias("min_val"),
+            F.col("mx_cust").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("col_name"),
+            (F.col("n") - F.col("nn_tp")).alias("n_nulls"),
+            F.col("nd_tp").alias("n_distinct"),
+            F.col("mn_tp").alias("min_val"),
+            F.col("mx_tp").alias("max_val"),
+        ),
+        F.struct(
+            F.lit("o_orderdate").alias("col_name"),
+            (F.col("n") - F.col("nn_od")).alias("n_nulls"),
+            F.col("nd_od").alias("n_distinct"),
+            F.col("mn_od").alias("min_val"),
+            F.col("mx_od").alias("max_val"),
+        ),
+    )
+    return (
+        s.select(F.explode(profile).alias("p"))
+        .select("p.col_name", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val")
+        .orderBy("col_name")
+    )

@@ -345,3 +345,82 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", "user_id", F.round("value", 4).alias("purchase_value"))
     out = _run_to_table(joined, spark, "append")
     return out.orderBy("click_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch -> MERGE upsert sink
+# --------------------------------------------------------------------------
+
+_FOREACH_UPSERT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle=_FOREACH_UPSERT_ORACLE,
+    tags=("streaming", "sink", "merge"),
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: foreachBatch bridges Structured Streaming to the
+    batch upsert sink — per micro-batch, compact the batch to its latest
+    row per key (max_by), then merge_upsert into the serving table keyed
+    on user_id. This is THE production pattern for streaming into a
+    keyed table (Delta/Iceberg MERGE inside foreachBatch); the final
+    table state equals the latest-row-per-key snapshot of everything
+    streamed, which is exactly what the oracle computes from the batch
+    fixture — so the streaming path gets a full value-hash check, not a
+    rows-only one. Batch-ordering note: within one batch max_by picks
+    the (ts, event_id) max; across batches the upsert keeps the last
+    writer, and the file source replays files in order, so the result is
+    deterministic."""
+    import tempfile
+
+    from us_stock_data_pipeline_spark.etl.sinks import merge_upsert
+
+    out = tempfile.mkdtemp(prefix="us_sdps_upsert_")
+    sdf = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value",
+        F.pmod("user_id", F.lit(8)).cast("int").alias("bucket"),
+    )
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        compact = batch.groupBy("user_id").agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.max_by("value", key).alias("last_value"),
+            F.max_by("bucket", key).alias("bucket"),
+        )
+        merge_upsert(
+            batch.sparkSession, compact, out, key_cols=("user_id",),
+            partition_cols=("bucket",),
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(upsert_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "user_id", "last_event_id", "last_type",
+            F.round("last_value", 4).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

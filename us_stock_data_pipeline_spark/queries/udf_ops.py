@@ -142,3 +142,68 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(asof, out_schema)
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive indicator: EMA via applyInPandas
+# --------------------------------------------------------------------------
+
+_EMA_ORACLE = """
+WITH RECURSIVE bars0 AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT symbol, day, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+  FROM bars0
+),
+ema(symbol, day, close, rn, ema) AS (
+  SELECT symbol, day, close, rn, close FROM bars WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.day, b.close, b.rn, 0.2 * b.close + 0.8 * e.ema
+  FROM bars b JOIN ema e ON b.symbol = e.symbol AND b.rn = e.rn + 1
+)
+SELECT symbol, day, round(close, 4) AS close, round(ema, 4) AS ema
+FROM ema
+ORDER BY symbol, day
+"""
+
+
+@register("bars_ema", oracle=_EMA_ORACLE, tags=("udf", "stock", "recursive"))
+def bars_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average over daily closes — the canonical
+    operator Spark's built-ins genuinely CANNOT express: ema_t depends
+    on ema_{t-1}, and window frames can't recurse. This is exactly the
+    case the architecture reserves for applyInPandas: one shuffle on the
+    series key, each series arrives as a single Arrow batch, and the
+    recursion is a per-group kernel. The kernel writes the recursion
+    explicitly (0.2*x + 0.8*prev) rather than pandas ewm() so the
+    floating-point expression is bit-identical to the oracle's recursive
+    CTE. Per-symbol history fits one executor by construction (a series
+    that doesn't is chunked by date with carried-in state — same kernel,
+    seeded first row)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.max_by("value", "event_id").alias("close"))
+
+    def ema_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = [0.0] * len(pdf)
+        prev = None
+        for i, x in enumerate(pdf["close"]):
+            prev = x if prev is None else 0.2 * x + 0.8 * prev
+            out[i] = prev
+        pdf["ema"] = out
+        return pdf[["symbol", "day", "close", "ema"]]
+
+    out_schema = "symbol string, day date, close double, ema double"
+    return (
+        daily.groupBy("symbol")
+        .applyInPandas(ema_kernel, out_schema)
+        .select("symbol", "day", F.round("close", 4).alias("close"), F.round("ema", 4).alias("ema"))
+        .orderBy("symbol", "day")
+    )

@@ -141,6 +141,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bars_vwap_twap",
     "anomaly_rolling_zscore",
     "agg_entropy",
+    "bars_ema",
+    "etl_scd2_dimension",
+    "etl_fk_conformance",
+    "etl_profile_table",
+    "stream_foreachbatch_upsert",
 )
 
 
