@@ -52,3 +52,45 @@ def test_minhash_no_cartesian(spark):
     plan = _executed(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fk_audit_broadcasts_dims_no_cartesian(spark):
+    """The FK audit's four dim edges must broadcast the parent key set;
+    no edge may degenerate into a cartesian product."""
+    plan = _executed(spark, "etl_fk_conformance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_no_cartesian_and_prunes_text(spark):
+    """TF-IDF joins TF to DF on the term key (inverted index) — never a
+    doc x term dense product — and the 1-row corpus count broadcasts."""
+    plan = _executed(spark, "text_tfidf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_docs crossJoin
+    assert "SortMergeJoin" not in plan  # tf-df join stays hash/broadcast
+
+
+def test_sample_deterministic_is_scan_plus_filter_only(spark):
+    """Hash sampling must stay map-side: no shuffle (Exchange) anywhere
+    above the scan except the output ordering."""
+    plan = _executed(spark, "sample_deterministic")
+    assert "Join" not in plan
+    # exactly one exchange: the rangepartitioning for the oracle orderBy
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_scd2_single_shuffle_for_both_windows(spark):
+    """Both SCD2 windows (lag-collapse, lead-intervalize) key on user_id;
+    Catalyst must reuse ONE hash exchange for them, not shuffle twice."""
+    plan = _executed(spark, "etl_scd2_dimension")
+    import re
+
+    # The executed-plan string can print the tree more than once under
+    # AQE, so assert on the SET of exchange keys: every hash exchange is
+    # on user_id (window partitioning reused), nothing else shuffles.
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"user_id"}, keys

@@ -117,6 +117,8 @@ SECTION_2B = [
     ("ETL: FK conformance audit", ["etl_fk_conformance"]),
     ("ETL: column profiling (single-pass)", ["etl_profile_table"]),
     ("streaming: foreachBatch MERGE upsert sink", ["stream_foreachbatch_upsert"]),
+    ("agg: Theta sketch set operations (intersect/union of distinct sets)", ["agg_theta_sketch"]),
+    ("agg: KLL quantile sketch (streaming percentiles)", ["agg_kll_quantiles"]),
 ]
 
 

@@ -43,6 +43,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops4,
     analytics_ops,
     etl_quality,
+    sketch_ops,
     udf_ops,
     streaming_ops,
     source_formats,

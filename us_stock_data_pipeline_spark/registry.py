@@ -146,6 +146,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_fk_conformance",
     "etl_profile_table",
     "stream_foreachbatch_upsert",
+    "agg_theta_sketch",
+    "agg_kll_quantiles",
 )
 
 
