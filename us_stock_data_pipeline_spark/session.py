@@ -38,14 +38,23 @@ def default_shuffle_partitions() -> int:
     return int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(8, cpus // 4)))
 
 
-def get_spark(app_name: str = "us-stock-data-pipeline-spark") -> SparkSession:
-    """Build (or fetch) the tuned local SparkSession."""
+def get_spark(app_name: str = "us-stock-data-pipeline-spark", profile: str = "local") -> SparkSession:
+    """Build (or fetch) a SparkSession for the given deployment profile.
+
+    ``local`` (default) right-sizes shuffle width and scheduling for the
+    single-JVM test bed. ``cluster`` leaves shuffle width high (2000)
+    for AQE to coalesce per stage and keeps FIFO scheduling — the knobs
+    a real deployment sets via spark-submit; the profile arg exists so
+    the local-bench tuning is an explicit choice, not a baked-in
+    assumption (plans themselves are identical under both profiles)."""
     cpus = default_parallelism()
+    shuffle = default_shuffle_partitions() if profile == "local" else 2000
+    scheduler = "FAIR" if profile == "local" else "FIFO"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(default_shuffle_partitions()))
-        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.scheduler.mode", scheduler)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
