@@ -126,3 +126,42 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert g is None
         else:
             assert g == exp_ts.to_pydatetime()
+
+
+def test_foreachbatch_upsert_across_two_batches(spark, tmp_path):
+    """Drive foreachBatch MERGE across TWO micro-batches (one file per
+    batch via maxFilesPerTrigger) and assert the later batch's rows
+    overwrite the earlier batch's state for shared keys while unshared
+    keys survive — the cross-batch upsert contract the single-batch
+    oracle run can't exercise."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from us_stock_data_pipeline_spark.etl.sinks import merge_upsert
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out = str(tmp_path / "state")
+    # batch 1: keys 1, 2; batch 2: key 2 updated, key 3 new
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"], "seq": [1, 1]}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"k": [2, 3], "v": ["B", "c"], "seq": [2, 2]}).to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("bucket", F.pmod("k", F.lit(2)).cast("int"))
+    )
+    batches = []
+
+    def upsert(batch, batch_id):
+        batches.append(batch_id)
+        merge_upsert(batch.sparkSession, batch, out, key_cols=("k",), partition_cols=("bucket",))
+
+    q = sdf.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    assert len(batches) == 2  # really two micro-batches
+    state = {r.k: (r.v, r.seq) for r in spark.read.parquet(out).collect()}
+    assert state == {1: ("a", 1), 2: ("B", 2), 3: ("c", 2)}

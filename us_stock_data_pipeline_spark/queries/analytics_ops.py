@@ -273,3 +273,50 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-series correlation matrix
+# --------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         avg(value) AS close
+  FROM events GROUP BY 1, 2
+)
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       round(corr(a.close, b.close), 4) AS correlation,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM daily a JOIN daily b ON a.day = b.day AND a.symbol < b.symbol
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("bars_correlation_matrix", oracle=_CORR_ORACLE, tags=("stock", "agg", "join"))
+def bars_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation of daily closes across all symbol pairs —
+    the cross-sectional risk matrix. The self-join aligns series on the
+    DAY key, so the pair blow-up is bounded by symbols-per-day (k², with
+    k symbols), never by history length; corr() is a single-pass
+    partial-aggregable moment. With thousands of symbols the same plan
+    holds — the day-keyed join shuffles each day's k closes once, and
+    the k² pair space IS the output, not an intermediate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.avg("value").alias("close"))
+    a = daily.select(F.col("symbol").alias("symbol_a"), "day", F.col("close").alias("close_a"))
+    b = daily.select(F.col("symbol").alias("symbol_b"), "day", F.col("close").alias("close_b"))
+    return (
+        a.join(b, "day")
+        .filter(F.col("symbol_a") < F.col("symbol_b"))
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.round(F.corr("close_a", "close_b"), 4).alias("correlation"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )

@@ -241,3 +241,172 @@ def etl_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.col_name", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val")
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup
+# --------------------------------------------------------------------------
+
+_SCD2_LOOKUP_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS attr, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+  FROM events
+),
+changes AS (
+  SELECT user_id, attr, ts AS valid_from FROM ordered
+  WHERE prev_attr IS NULL OR attr <> prev_attr
+),
+dim AS (
+  SELECT user_id, attr, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM changes
+),
+probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, d.attr AS attr_at_purchase
+FROM probes p JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.ts
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+ORDER BY p.event_id
+"""
+
+
+@register("etl_scd2_lookup", oracle=_SCD2_LOOKUP_ORACLE, tags=("etl", "scd", "join"))
+def etl_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: for each purchase,
+    the attribute version valid AT that moment ([valid_from, valid_to)
+    interval containment). The equi-key (user_id) carries the join —
+    the interval predicate is a post-join filter on co-located rows, so
+    this is a plain hash join, NOT a range join: each probe matches
+    exactly one version. At 100 TB the dimension side is the compacted
+    SCD2 table (orders of magnitude smaller than facts) and usually
+    broadcastable per partition. Builds the dimension inline from the
+    same change stream as etl_scd2_dimension (cited: SURVEY §1.4 — the
+    reference keeps no history at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            "ts",
+            F.lag("event_type").over(w_ev).alias("prev_attr"),
+        )
+        .filter(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .select("user_id", "attr", F.col("ts").alias("valid_from"))
+    )
+    w_ch = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = changes.select(
+        "user_id", "attr", "valid_from", F.lead("valid_from").over(w_ch).alias("valid_to")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return (
+        probes.join(dim, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", F.col("attr").alias("attr_at_purchase"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Table diff / reconciliation
+# --------------------------------------------------------------------------
+
+_TABLE_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+v2 AS (  -- planted new version: drop keys =0 mod 97, bump price on =1 mod 97, add synthetic keys
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 1 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', 0.0 FROM orders WHERE o_orderkey % 97 = 2
+),
+j AS (
+  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS k,
+         v1.o_orderkey IS NULL AS added,
+         v2.o_orderkey IS NULL AS removed,
+         v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+           AND md5(concat_ws('|', v1.o_custkey, v1.o_orderstatus, v1.o_totalprice))
+            <> md5(concat_ws('|', v2.o_custkey, v2.o_orderstatus, v2.o_totalprice)) AS changed
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT
+  CAST(count(*) FILTER (WHERE added) AS BIGINT)   AS n_added,
+  CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+  CAST(count(*) FILTER (WHERE changed) AS BIGINT) AS n_changed,
+  CAST(count(*) FILTER (WHERE NOT added AND NOT removed AND NOT changed) AS BIGINT)
+    AS n_identical
+FROM j
+"""
+
+
+@register("etl_table_diff", oracle=_TABLE_DIFF_ORACLE, tags=("etl", "quality", "cdc"))
+def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version table reconciliation: full-outer join on the
+    key, rows compared by a hash of their non-key columns — the
+    regression gate run after every backfill ("what did this rerun
+    actually change?"). Row content never leaves the executors: only the
+    16-byte hash is compared, and the output is four counts whatever the
+    input size (map-side-combined). The second version is planted
+    in-query (drop 1/97, modify 1/97, add 1/97) so the diff is
+    deterministic and both engines see identical inputs. At 100 TB both
+    sides bucket by the key and the join is co-located; with
+    Delta/Iceberg this becomes a snapshot-to-snapshot diff on the log."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        od.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 97 == 1, F.round(F.col("o_totalprice") * 1.1, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            od.filter(F.col("o_orderkey") % 97 == 2).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(0.0).alias("o_totalprice"),
+            )
+        )
+    )
+
+    def row_hash(prefix):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"{prefix}.o_custkey"),
+                F.col(f"{prefix}.o_orderstatus"),
+                F.col(f"{prefix}.o_totalprice"),
+            )
+        )
+
+    j = od.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    added = F.col("a.o_orderkey").isNull()
+    removed = F.col("b.o_orderkey").isNull()
+    changed = (~added) & (~removed) & (row_hash("a") != row_hash("b"))
+    return j.agg(
+        F.sum(added.cast("long")).alias("n_added"),
+        F.sum(removed.cast("long")).alias("n_removed"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        F.sum(((~added) & (~removed) & (row_hash("a") == row_hash("b"))).cast("long")).alias(
+            "n_identical"
+        ),
+    )

@@ -148,6 +148,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "stream_foreachbatch_upsert",
     "agg_theta_sketch",
     "agg_kll_quantiles",
+    "etl_scd2_lookup",
+    "etl_table_diff",
+    "bars_correlation_matrix",
 )
 
 
