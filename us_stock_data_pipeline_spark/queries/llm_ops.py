@@ -102,7 +102,7 @@ _PERM_B = [int(b) for b in _RNG.randint(0, _MERSENNE, size=_N_PERM)]
 
 
 def exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) rows: distinct xxhash64 values of 3-word shingles.
+    """(doc_id, h) rows: distinct 60-bit hashes of 3-word shingles.
 
     Formulated as posexplode + lead windows rather than array HOFs on
     purpose: a `transform(sequence(...), i -> ... element_at(split(text)))`
@@ -113,6 +113,14 @@ def exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
     window is REUSED by the downstream signature groupBy — one shuffle for
     the whole signature pipeline at any scale.
 
+    The hash is the first 15 hex chars of md5 read as an integer —
+    chosen over xxhash64 because DuckDB computes the identical value
+    (('0x' || substring(md5(s),1,15))::BIGINT == conv(substring(md5(s),
+    1,15),16,10)), which is what lets the whole MinHash pipeline carry a
+    full value-hash oracle instead of a rows-only check. 60 bits keeps
+    shingle collisions negligible and the affine-permutation arithmetic
+    inside signed-long range.
+
     Documents shorter than 3 words keep their pos==0 row (concat_ws skips
     the null leads), so every doc_id survives with >= 1 shingle.
     """
@@ -122,7 +130,12 @@ def exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
         words.withColumn("w1", F.lead("w", 1).over(w))
         .withColumn("w2", F.lead("w", 2).over(w))
         .filter(F.col("w2").isNotNull() | (F.col("pos") == 0))
-        .select("doc_id", F.xxhash64(F.concat_ws(" ", "w", "w1", "w2")).alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.concat_ws(" ", "w", "w1", "w2")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
         .dropDuplicates(["doc_id", "h"])
     )
 
@@ -143,7 +156,62 @@ def minhash_agg_exprs() -> list[F.Column]:
     ]
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "approx"), bench=True)
+# The oracle replays the ENTIRE MinHash pipeline in DuckDB SQL — same
+# md5-derived shingle hashes, same 16 affine permutations (constants
+# interpolated below), same 4-band candidate rule (bands compared by
+# VALUE equality, which is what the Spark side's band-hash equi-join
+# computes), same exact-Jaccard verify. Candidate banding in SQL is a
+# band-table self-join, fine at oracle scale; Spark's band-hash key is
+# the same join executed shuffle-efficiently.
+_MINHASH_MIN_EXPRS = ",\n         ".join(
+    f"min(({a} * (h % {_MERSENNE}) + {b}) % {_MERSENNE}) AS mh{p}"
+    for p, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+)
+_MINHASH_BAND_ROWS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band_id, mh{band * 4} AS m0, mh{band * 4 + 1} AS m1, "
+    f"mh{band * 4 + 2} AS m2, mh{band * 4 + 3} AS m3 FROM sig"
+    for band in range(_N_PERM // _BAND_ROWS)
+)
+_MINHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tg AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(array_to_string(list_slice(ws, i.g, i.g + 2), ' ')), 1, 15))::BIGINT AS h
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS g) i
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_MIN_EXPRS}
+  FROM tg GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.m0 = b.m0 AND a.m1 = b.m1
+   AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY 1),
+shared AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS ns
+  FROM cand c
+  JOIN tg ta ON ta.doc_id = c.doc_id_a
+  JOIN tg tb ON tb.doc_id = c.doc_id_b AND tb.h = ta.h
+  GROUP BY 1, 2
+)
+SELECT s.doc_id_a, s.doc_id_b,
+       round(CAST(s.ns AS DOUBLE) / (ca.n + cb.n - s.ns), 4) AS jaccard
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_id_a
+JOIN counts cb ON cb.doc_id = s.doc_id_b
+WHERE CAST(s.ns AS DOUBLE) / (ca.n + cb.n - s.ns) >= 0.5
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("llm", "dedup", "approx"), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: 3-word shingles -> 16-perm MinHash
     -> 4 bands of 4 rows -> equi-join on (band_id, band_hash) -> exact
@@ -153,8 +221,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs sharing a band bucket co-locate); no O(n^2) comparison ever
     happens. The exact-Jaccard verify joins shingle sets back by doc_id
     (two more key joins). This is the textbook 100 TB near-dedup plan.
-    No SQL oracle (xxhash64 is Spark-specific); recall/precision are
-    property-tested on planted near-duplicates in tests/test_llm_ops.py.
+    Round 2: the shingle hash switched to an md5-derived integer both
+    engines compute identically, so the FULL pipeline (hashing, the 16
+    permutations, banding, verification) is value-hash-checked against
+    the DuckDB oracle above — on the fixture's real near-dup structure,
+    not just the planted recall tests (tests/test_llm_ops.py).
     """
     docs = load_table(spark, sf_dir, "documents")
     # One pass: exploded shingle hashes -> per-doc {shingle set, 16 minima}.
