@@ -288,26 +288,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_a", "doc_id_b")
 
 
-@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "approx"))
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+words AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM words, LATERAL (SELECT unnest(range(60)) AS b) b
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash_bits
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id, simhash_bits, substring(simhash_bits, 1, 16) AS bucket16
+FROM fp
+ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, computed entirely in JVM nested HOFs:
-    per-bit majority vote over xxhash64(word) values. Output is the bit
-    string plus a 16-bit prefix bucket — documents sharing a bucket are
-    near-dup candidates (Hamming-adjacent fingerprints collide in at
-    least one of 4 such rotated prefixes at scale; one prefix here).
-    No SQL oracle (xxhash64); properties tested on planted dups."""
+    """60-bit SimHash per document, computed entirely in JVM HOFs:
+    per-bit majority vote over md5-derived word hashes (the same
+    engine-portable 60-bit hash as MinHash, so the full fingerprint is
+    value-hash-checked against a DuckDB replay — no rows-only check).
+    Output is the bit string plus a 16-bit prefix bucket — documents
+    sharing a bucket are near-dup candidates (Hamming-adjacent
+    fingerprints collide in at least one of 4 rotated prefixes at
+    scale; one prefix here). Zero shuffle for fingerprinting: the
+    distinct word-hash ARRAY is materialized in its own projection
+    first, so each word hashes once — a lambda that recomputed
+    split+hash per bit would do the work 60x (Catalyst inlines shared
+    subexpressions into every lambda reference)."""
     docs = load_table(spark, sf_dir, "documents")
-    with_bits = docs.select(
+    hashed = docs.select(
         "doc_id",
         F.expr(
             """
-            transform(sequence(0, 63), b ->
-              aggregate(
-                array_distinct(transform(split(text, ' '), w -> xxhash64(w))),
-                0L,
-                (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
-              )
-            )
+            array_distinct(transform(split(text, ' '),
+              w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS LONG)))
+            """
+        ).alias("hs"),
+    )
+    with_bits = hashed.select(
+        "doc_id",
+        F.expr(
+            """
+            transform(sequence(0, 59), b ->
+              aggregate(hs, 0L,
+                (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))
             """
         ).alias("bit_votes"),
     )
