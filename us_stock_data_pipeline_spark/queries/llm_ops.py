@@ -492,17 +492,22 @@ _PLANES = np.random.RandomState(7).standard_normal((_N_PLANES, 64)).round(6)
 
 
 def _bucket_expr(emb_col: str) -> F.Column:
-    """Sign-bit bucket id from the 8 fixed hyperplanes — pure JVM HOFs."""
-    bucket = F.lit(0)
+    """Sign-bit bucket id from the 8 fixed hyperplanes — pure JVM HOFs.
+
+    Built as ONE parsed SQL expression instead of composing 8 x 64
+    literal Column objects through py4j: the per-call plan-construction
+    cost drops from ~512 driver round-trips to a single parse (the
+    executed plan is identical — measured on the bench as pure plan-
+    build latency, not task time)."""
+    terms = []
     for j in range(_N_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in _PLANES[j]])
-        d = F.aggregate(
-            F.zip_with(emb_col, plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        lits = ", ".join(f"{float(v)!r}D" for v in _PLANES[j])
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({emb_col}, array({lits}), "
+            f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, x) -> acc + x) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
         )
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("long")
+    return F.expr("CAST(" + " + ".join(terms) + " AS LONG)")
 
 
 def _bucket_sql(emb_expr: str) -> str:
