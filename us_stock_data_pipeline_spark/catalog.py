@@ -48,13 +48,28 @@ def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# DataFrame handles memoized per (session, file): building one costs
+# ~90 ms of driver-side footer/schema reads, paid by EVERY query for
+# EVERY table it touches (a 6-table join re-read 6 footers per call).
+# DataFrames are immutable lazy plans, so reuse is safe; the cache is
+# the engine's catalog — at cluster scale this is exactly what a
+# metastore-backed table lookup amortizes. Keyed by session identity so
+# a driver-provided session never sees another session's handles.
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; valid: {TABLES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = fix_nanos_ts(df)
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    key = (id(spark), path)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = fix_nanos_ts(df)
+        _TABLE_CACHE[key] = df
     return df
 
 
