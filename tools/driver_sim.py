@@ -57,6 +57,18 @@ def main() -> int:
             continue
         d_cols, d_rows = run_duckdb(oracles[name], sf_dir)
         problems = []
+        # Replicate the official driver's pandas canonicalizer: it
+        # sort_values()s the frame by every column before hashing, which
+        # RAISES on unhashable cells (numpy arrays from ArrayType
+        # columns — the exact crash CORRECTNESS_r01 recorded for
+        # agg_collect_sorted). Running it here means a query that would
+        # crash the official canonicalizer fails in this sim too.
+        try:
+            import pandas as pd
+
+            pd.DataFrame(s_rows, columns=s_cols).sort_values(by=sorted(s_cols))
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"official-canonicalizer would crash: {type(e).__name__}: {e}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
