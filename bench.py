@@ -60,7 +60,7 @@ def _duckdb_baseline(sf_dir: str) -> tuple[float | None, dict[str, float]]:
             if name not in oracles:
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 con.execute(oracles[name]).fetchall()
                 best = min(best, time.time() - t0)
@@ -109,7 +109,7 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     concurrent_wall = float("inf")
-    for rep in range(3):
+    for rep in range(4):
         # Drop persisted blocks accumulated by prior reps (each fn() call
         # builds a fresh DataFrame, so old cache entries are dead weight
         # that only adds GC churn to the measurement).
@@ -137,6 +137,12 @@ def main() -> None:
                 "concurrent_wall_sec": concurrent_wall,
                 "duckdb_baseline_sec": duck_total,
                 "duckdb_queries": duck_queries,
+                "seq_over_duckdb": (
+                    round(sum(timings.values()) / duck_total, 2) if duck_total else None
+                ),
+                "conc_over_duckdb": (
+                    round(concurrent_wall / duck_total, 2) if duck_total else None
+                ),
             }
         )
     )

@@ -94,3 +94,13 @@ def test_scd2_single_shuffle_for_both_windows(spark):
     # on user_id (window partitioning reused), nothing else shuffles.
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys == {"user_id"}, keys
+
+
+def test_banded_range_join_is_equi_not_cartesian(spark):
+    """The pure band join must execute as an equi-join on the bin key —
+    a cartesian product (or broadcast nested loop over the full sides)
+    is exactly what the binning exists to avoid."""
+    plan = _executed(spark, "join_range_banded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

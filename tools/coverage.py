@@ -119,6 +119,7 @@ SECTION_2B = [
     ("streaming: foreachBatch MERGE upsert sink", ["stream_foreachbatch_upsert"]),
     ("agg: Theta sketch set operations (intersect/union of distinct sets)", ["agg_theta_sketch"]),
     ("agg: KLL quantile sketch (streaming percentiles)", ["agg_kll_quantiles"]),
+    ("join: pure band/range via bucket binning (no equi key)", ["join_range_banded"]),
     ("ETL: SCD2 point-in-time lookup join", ["etl_scd2_lookup"]),
     ("ETL: table diff / version reconciliation", ["etl_table_diff"]),
     ("stock: cross-series correlation matrix", ["bars_correlation_matrix"]),

@@ -320,3 +320,57 @@ def bars_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol_a", "symbol_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Pure band (range-only) join via time-bucket binning
+# --------------------------------------------------------------------------
+
+_BANDED_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       round(p.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("join_range_banded", oracle=_BANDED_ORACLE, tags=("join", "range"))
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-ONLY join (no equi key): every click matched to every
+    purchase in the following hour, across all users. A naive
+    formulation is a cartesian product with a filter — quadratic and
+    plan-asserted against in tests. The scale technique is BAND
+    BINNING: bucket both sides into interval-width bins, explode each
+    probe row into its two candidate bins (a 1-hour window can only
+    span bins b and b+1), equi-join on the bin, then apply the exact
+    band predicate to the co-located candidates. Shuffle volume is
+    2x probe + 1x build on a dense integer key, never |A|x|B|; at
+    100 TB with temporally skewed bins, the bin key gets a salt
+    compound exactly like join_salted_skew. DuckDB's oracle uses its
+    native IEJoin for the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_bin = lambda c: (F.unix_timestamp(c) / 3600).cast("long")  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.explode(
+            F.array(hour_bin(F.col("ts")), hour_bin(F.col("ts")) + 1)
+        ).alias("bin"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+        hour_bin(F.col("ts")).alias("bin"),
+    )
+    return (
+        clicks.join(purchases, "bin")
+        .filter(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("click_id", "purchase_id", F.round("value", 4).alias("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    )

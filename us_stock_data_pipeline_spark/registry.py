@@ -151,6 +151,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_scd2_lookup",
     "etl_table_diff",
     "bars_correlation_matrix",
+    "join_range_banded",
 )
 
 
