@@ -62,12 +62,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_table(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     name = f"stream_sink_{next(_SINK_IDS)}"
     # Stateful streaming creates one state store per shuffle partition; at
-    # this fixture's state cardinality (thousands of keys) 8 stores beat 32
-    # on per-batch store open/commit overhead. On a real cluster this is
-    # sized to executor count x a small factor — state store count is a
-    # fixed choice per checkpoint, so it's set before the query starts.
+    # this fixture's state cardinality (thousands of keys) store
+    # open/commit overhead dominates past a few stores (measured at
+    # sf0.1: 1.7s @ 8 stores, 1.4s @ 4, 1.3s @ 2 — 4 balances overhead
+    # against keeping real parallel state machinery exercised). On a
+    # real cluster this is sized to executor count x a small factor —
+    # state store count is a fixed choice per checkpoint, so it's set
+    # before the query starts.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             sdf.writeStream.format("memory")
