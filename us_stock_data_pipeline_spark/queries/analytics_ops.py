@@ -336,7 +336,7 @@ ORDER BY click_id, purchase_id
 """
 
 
-@register("join_range_banded", oracle=_BANDED_ORACLE, tags=("join", "range"))
+@register("join_range_banded", oracle=_BANDED_ORACLE, tags=("join", "range"), bench=True)
 def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-ONLY join (no equi key): every click matched to every
     purchase in the following hour, across all users. A naive

@@ -38,7 +38,7 @@ ORDER BY user_id, version
 """
 
 
-@register("etl_scd2_dimension", oracle=_SCD2_ORACLE, tags=("etl", "scd", "window"))
+@register("etl_scd2_dimension", oracle=_SCD2_ORACLE, tags=("etl", "scd", "window"), bench=True)
 def etl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 from a change stream: collapse
     consecutive identical attribute values (lag), then interval-ize the

@@ -171,7 +171,7 @@ ORDER BY symbol, day
 """
 
 
-@register("bars_ema", oracle=_EMA_ORACLE, tags=("udf", "stock", "recursive"))
+@register("bars_ema", oracle=_EMA_ORACLE, tags=("udf", "stock", "recursive"), bench=True)
 def bars_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average over daily closes — the canonical
     operator Spark's built-ins genuinely CANNOT express: ema_t depends
