@@ -123,6 +123,7 @@ SECTION_2B = [
     ("ETL: SCD2 point-in-time lookup join", ["etl_scd2_lookup"]),
     ("ETL: table diff / version reconciliation", ["etl_table_diff"]),
     ("stock: cross-series correlation matrix", ["bars_correlation_matrix"]),
+    ("analytics: winsorization (group-percentile outlier capping)", ["clean_winsorize"]),
 ]
 
 

@@ -376,3 +376,59 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "purchase_id", F.round("value", 4).alias("purchase_value"))
         .orderBy("click_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorization (outlier capping)
+# --------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 4) AS value,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 4) AS value_capped,
+       (e.value < b.lo OR e.value > b.hi) AS was_clipped
+FROM events e JOIN bounds b USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+@register("clean_winsorize", oracle=_WINSORIZE_ORACLE, tags=("analytics", "cleaning"))
+def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: cap each value at its group's [p05, p95] — the
+    standard outlier treatment before feature scaling / loss-sensitive
+    training. Bounds come from one per-group aggregate (exact
+    percentile here; agg_kll_quantiles is the sketch path when groups
+    don't fit a sort) joined back broadcast-small; the cap itself is a
+    map-side CASE. Emits the clipped flag so downstream can audit how
+    much signal the cap destroyed."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value")),
+                4,
+            ).alias("value_capped"),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "was_clipped"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -152,6 +152,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_table_diff",
     "bars_correlation_matrix",
     "join_range_banded",
+    "clean_winsorize",
 )
 
 
