@@ -114,3 +114,25 @@ def test_entropy_bounds(spark):
         # 5 event types -> entropy in [0, ln 5]
         assert -1e-9 <= r.entropy <= math.log(5) + 1e-9
         assert 1 <= r.n_types <= 5
+
+
+def test_contamination_flags_real_overlap(spark):
+    """The decontamination gate must fire on the fixture's genuine
+    benchmark overlap (verified present in the data), not just produce
+    zeros that would make the oracle row vacuous."""
+    rows = _q("text_contamination_check")(spark, "/root/testdata/sf0.01").collect()
+    assert any(r.contaminated for r in rows)
+    assert all(r.doc_id >= 10 for r in rows)  # benchmark docs excluded
+
+
+def test_unigram_cross_entropy_positive_and_finite(spark):
+    rows = _q("text_unigram_logprob")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cross_entropy > 0 and math.isfinite(r.cross_entropy)
+
+
+def test_repetition_share_bounds(spark):
+    rows = _q("text_repetition_ratio")(spark, SF).collect()
+    for r in rows:
+        assert 0 < r.top_trigram_share <= 1

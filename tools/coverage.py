@@ -124,6 +124,9 @@ SECTION_2B = [
     ("ETL: table diff / version reconciliation", ["etl_table_diff"]),
     ("stock: cross-series correlation matrix", ["bars_correlation_matrix"]),
     ("analytics: winsorization (group-percentile outlier capping)", ["clean_winsorize"]),
+    ("LLM quality: unigram-LM cross-entropy (perplexity filter)", ["text_unigram_logprob"]),
+    ("LLM quality: benchmark decontamination (8-gram overlap)", ["text_contamination_check"]),
+    ("LLM quality: repetition/boilerplate ratio", ["text_repetition_ratio"]),
 ]
 
 

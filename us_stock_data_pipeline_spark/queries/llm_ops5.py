@@ -1,0 +1,194 @@
+"""LLM-data-pipeline operators, part 5: statistical quality filters —
+the corpus-curation rules large-scale training pipelines run between
+dedup and tokenization (unigram-LM scoring a la CCNet, benchmark
+decontamination, repetition/boilerplate detection a la Gopher rules).
+
+All three are inverted-index / partial-aggregate shapes: corpus
+statistics are one groupBy, per-doc scoring is one join on the token
+key — never a per-doc Python loop, never a dense matrix."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Unigram-LM cross-entropy (perplexity filter)
+# --------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+),
+total AS (SELECT sum(c) AS t FROM vocab)
+SELECT
+  tok.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(-avg(ln(CAST(v.c AS DOUBLE) / total.t)), 4) AS cross_entropy
+FROM tok JOIN vocab v USING (w) CROSS JOIN total
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the shape of the CCNet/KenLM perplexity filter (docs scoring far
+    from the corpus distribution are boilerplate, spam, or the wrong
+    language). The LM is one vocabulary groupBy; scoring is one join on
+    the token key and an average of log-probs — at 100 TB the vocab
+    table is Zipf-small relative to the corpus and broadcastable, and
+    the production variant simply swaps in a trained KenLM table with
+    the identical join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 4).alias(
+                "cross_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+_CONTAMINATION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i.g, i.g + 7), ' ') AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS g) i
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+hits AS (
+  SELECT grams.doc_id, count(*) AS n_overlap
+  FROM grams JOIN bench USING (g)
+  WHERE grams.doc_id >= 10
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 3 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 10
+ORDER BY d.doc_id
+"""
+
+
+@register("text_contamination_check", oracle=_CONTAMINATION_ORACLE, tags=("llm", "text", "quality"))
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count each training doc's distinct
+    8-gram overlaps with a held-out benchmark set (docs 0-9 stand in)
+    and flag docs with >= 3 shared 8-grams — the eval-leakage gate every
+    production training pipeline runs. The benchmark's distinct 8-grams
+    are a broadcastable set (benchmarks are MBs, corpora are TBs); the
+    check is one semi-join-shaped equi-join on the gram string plus a
+    count — no pairwise doc comparison exists anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams8 = F.when(
+        F.size(ws) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 7),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(8))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(grams8).alias("g"))
+    bench = grams.filter(F.col("doc_id") < 10).select("g").dropDuplicates()
+    hits = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 10)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 3).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / boilerplate detection
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tg AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i.g, i.g + 2), ' ') AS g
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS g) i
+),
+counts AS (
+  SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, sum(c) AS n_trigrams, max(c) AS top_c FROM counts GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       round(CAST(top_c AS DOUBLE) / n_trigrams, 4) AS top_trigram_share,
+       CAST(top_c AS DOUBLE) / n_trigrams > 0.2 AS is_repetitive
+FROM stats
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_ratio", oracle=_REPETITION_ORACLE, tags=("llm", "text", "quality"))
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detector (Gopher-rule shape): the share of a doc's
+    trigrams taken by its single most frequent trigram — boilerplate,
+    scraped menus, and degenerate generations score high. Two stacked
+    aggregations on the same doc_id-keyed shuffle (trigram counts, then
+    per-doc max/sum); the threshold flag uses an exact rational so both
+    engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    trigrams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_trigrams"), F.max("c").alias("top_c"))
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.round(F.col("top_c").cast("double") / F.col("n_trigrams"), 4).alias(
+                "top_trigram_share"
+            ),
+            (F.col("top_c").cast("double") / F.col("n_trigrams") > 0.2).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -153,6 +153,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bars_correlation_matrix",
     "join_range_banded",
     "clean_winsorize",
+    "text_unigram_logprob",
+    "text_contamination_check",
+    "text_repetition_ratio",
 )
 
 
