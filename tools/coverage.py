@@ -127,6 +127,8 @@ SECTION_2B = [
     ("LLM quality: unigram-LM cross-entropy (perplexity filter)", ["text_unigram_logprob"]),
     ("LLM quality: benchmark decontamination (8-gram overlap)", ["text_contamination_check"]),
     ("LLM quality: repetition/boilerplate ratio", ["text_repetition_ratio"]),
+    ("ML: equi-depth feature binning (ntile deciles + per-bin stats)", ["feature_binning_ntile"]),
+    ("analytics: cumulative uniques via first-seen compaction", ["events_cumulative_uniques"]),
 ]
 
 

@@ -432,3 +432,99 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth feature binning
+# --------------------------------------------------------------------------
+
+_BINNING_ORACLE = """
+WITH binned AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi,
+       round(avg(value), 4) AS mean_val
+FROM binned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("feature_binning_ntile", oracle=_BINNING_ORACLE, tags=("analytics", "window", "ml"))
+def feature_binning_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) binning per group with per-bin stats — the
+    feature-discretization step before monotonic-feature models and the
+    shape of every histogram-equalized feature store column. ntile ties
+    are broken by event_id so bin assignment is a total order both
+    engines agree on. One window + one groupBy, both on the group key
+    (a high-cardinality symbol/feature id at scale, never a global
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.avg("value"), 4).alias("mean_val"),
+        )
+        .select("event_type", F.col("bin").cast("long").alias("bin"), "n", "lo", "hi", "mean_val")
+        .orderBy("event_type", "bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative unique users over time
+# --------------------------------------------------------------------------
+
+_CUMULATIVE_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+ORDER BY day
+"""
+
+
+@register("events_cumulative_uniques", oracle=_CUMULATIVE_ORACLE, tags=("analytics", "window"))
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: daily NEW users (first-seen compaction) and
+    the running cumulative unique count. The naive formulation —
+    count(DISTINCT user) over an expanding window — holds every
+    historical id in window state; compacting to first-seen dates first
+    turns it into a daily count plus a running SUM over a tiny series
+    (the growth-accounting identity: cumulative uniques = cumsum of
+    first-appearances). The final window is over days, not users — KBs
+    of state at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

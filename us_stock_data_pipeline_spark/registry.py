@@ -156,6 +156,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "text_contamination_check",
     "text_repetition_ratio",
+    "feature_binning_ntile",
+    "events_cumulative_uniques",
 )
 
 
