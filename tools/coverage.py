@@ -129,6 +129,8 @@ SECTION_2B = [
     ("LLM quality: repetition/boilerplate ratio", ["text_repetition_ratio"]),
     ("ML: equi-depth feature binning (ntile deciles + per-bin stats)", ["feature_binning_ntile"]),
     ("analytics: cumulative uniques via first-seen compaction", ["events_cumulative_uniques"]),
+    ("analytics: Markov transition matrix over event sequences", ["events_markov_transition"]),
+    ("LLM pipeline: per-source corpus scorecard (dup rate + quality rollup)", ["pipeline_source_scorecard"]),
 ]
 
 

@@ -528,3 +528,64 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, sum(c) AS t FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type,
+       CAST(p.c AS BIGINT) AS n_transitions,
+       round(CAST(p.c AS DOUBLE) / t.t, 4) AS probability
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@register("events_markov_transition", oracle=_MARKOV_ORACLE, tags=("analytics", "sequence"))
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (from, to) event-type pair, the transition count and row-normalized
+    probability. Consecutive pairs come from ONE lead window per user
+    (deterministic under timestamp ties via event_id); the matrix is a
+    k^2-bounded aggregate however long the histories are — the
+    behavioral-model fit that runs on full clickstreams precisely
+    because nothing in the plan is proportional to sequence length
+    except the initial scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("t"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions").cast("double") / F.col("t"), 4).alias("probability"),
+        )
+        .orderBy("from_type", "to_type")
+    )

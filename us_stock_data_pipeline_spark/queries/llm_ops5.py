@@ -192,3 +192,73 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus scorecard (composite of the quality signals)
+# --------------------------------------------------------------------------
+
+_SCORECARD_ORACLE = """
+WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+rep AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top_share FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, i.g, i.g + 2), ' ') AS g, count(*) AS c
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS g) i
+    GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT
+  w.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(1.0 - CAST(count(DISTINCT md5(w.text)) AS DOUBLE) / count(*), 4) AS dup_rate,
+  CAST(round(avg(len(w.ws)), 0) AS BIGINT) AS avg_tokens,
+  round(avg(rep.top_share), 4) AS avg_top_trigram_share,
+  CAST(count(*) FILTER (WHERE rep.top_share > 0.2) AS BIGINT) AS n_repetitive
+FROM w JOIN rep USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("pipeline_source_scorecard", oracle=_SCORECARD_ORACLE, tags=("llm", "quality", "pipeline"))
+def pipeline_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health scorecard: doc count, exact-dup rate,
+    mean length, and repetition statistics rolled up by provenance —
+    the dashboard a data-acquisition team reviews before admitting a
+    source into the training mix. Each signal is itself a bounded
+    aggregate (dup rate via distinct content hashes — 16 bytes per doc
+    shuffled, never text; repetition via the trigram-count agg); the
+    per-source rollup adds one tiny groupBy. Composite queries like
+    this are why every signal is expression-based: they fuse into one
+    DAG instead of N passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    trigrams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = (
+        docs.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") * 1.0 / F.sum("c")).alias("top_share"))
+    )
+    return (
+        docs.select("doc_id", "source", F.md5("text").alias("h"), F.size(ws).alias("n_tokens"))
+        .join(rep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(1.0 - F.countDistinct("h").cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_rate"
+            ),
+            F.round(F.avg("n_tokens"), 0).cast("long").alias("avg_tokens"),
+            F.round(F.avg("top_share"), 4).alias("avg_top_trigram_share"),
+            F.sum((F.col("top_share") > 0.2).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )

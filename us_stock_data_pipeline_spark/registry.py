@@ -158,6 +158,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "text_repetition_ratio",
     "feature_binning_ntile",
     "events_cumulative_uniques",
+    "events_markov_transition",
+    "pipeline_source_scorecard",
 )
 
 
