@@ -96,7 +96,7 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_orderkey,
   l_linenumber,
-  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
   round(abs(l_discount - 0.05), 4)   AS abs_disc_delta,
   round(ln(l_extendedprice), 6)      AS ln_price,
   round(log10(l_extendedprice), 6)   AS log10_price,
@@ -120,8 +120,14 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
+            # round at 6, not 2: the product of 2dp fixture values is an
+            # EXACT 6-decimal number, so rounding at 2 lands precisely on
+            # .xx5 boundaries where Spark (decimal-repr HALF_UP) and
+            # DuckDB (binary-value) round opposite ways (first hit:
+            # 43395.75*0.94 = 40792.005 at sf0.1). At 6 decimals the
+            # 7th digit is always 0 — no boundary exists on either side.
             F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
             ).alias("charge"),
             F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_delta"),
             F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
