@@ -140,8 +140,8 @@ _VWAP_ORACLE = """
 SELECT
   CAST(date_trunc('day', ts) AS DATE) AS day,
   event_type AS symbol,
-  round(sum(value * (event_id % 100 + 1)) / sum(event_id % 100 + 1), 4) AS vwap,
-  round(avg(value), 4) AS twap,
+  floor(sum(value * (event_id % 100 + 1)) / sum(event_id % 100 + 1) * 10000 + 0.5) / 10000 AS vwap,
+  floor(avg(value) * 10000 + 0.5) / 10000 AS twap,
   CAST(sum(event_id % 100 + 1) AS BIGINT) AS volume
 FROM events
 GROUP BY 1, 2
@@ -167,8 +167,14 @@ def bars_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("symbol"),
         )
         .agg(
-            F.round(F.sum(F.col("value") * vol) / F.sum(vol), 4).alias("vwap"),
-            F.round(F.avg("value"), 4).alias("twap"),
+            # floor(x*1e4+0.5)/1e4 instead of round(x, 4): means/ratios of
+            # the 2dp fixture values are exact decimals that land ON round
+            # boundaries (e.g. 2301.74/80 = 28.77175), where Spark
+            # (HALF_UP on decimal repr) and DuckDB (binary value) round
+            # opposite ways. The floor form computes bit-identically in
+            # double arithmetic on both engines (positive values only).
+            (F.floor(F.sum(F.col("value") * vol) / F.sum(vol) * 10000 + 0.5) / 10000).alias("vwap"),
+            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("twap"),
             F.sum(vol).cast("long").alias("volume"),
         )
         .orderBy("day", "symbol")
@@ -194,7 +200,7 @@ w AS (
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n
   FROM daily
 )
-SELECT event_type, day, round(v, 4) AS v, round((v - mu) / sd, 4) AS zscore
+SELECT event_type, day, floor(v * 10000 + 0.5) / 10000 AS v, round((v - mu) / sd, 4) AS zscore
 FROM w
 WHERE n >= 3 AND sd > 1e-9
 ORDER BY event_type, day
@@ -228,7 +234,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "day",
-            F.round("v", 4).alias("v"),
+            (F.floor(F.col("v") * 10000 + 0.5) / 10000).alias("v"),
             F.round((F.col("v") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         )
         .orderBy("event_type", "day")

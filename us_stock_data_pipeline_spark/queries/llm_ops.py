@@ -336,13 +336,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("hs"),
     )
+    # ONE fold over the word hashes carrying a 60-long vote accumulator
+    # (zip_with against the bit-index sequence), not 60 separate
+    # aggregate() folds: the 60-fold form codegens a 60x larger
+    # expression and re-walks the array per bit — measured 31s vs 1.4s
+    # for the whole query at sf0.1.
     with_bits = hashed.select(
         "doc_id",
         F.expr(
             """
-            transform(sequence(0, 59), b ->
-              aggregate(hs, 0L,
-                (acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))
+            aggregate(hs,
+              transform(sequence(0, 59), b -> 0L),
+              (acc, h) -> zip_with(acc, sequence(0, 59),
+                (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))
             """
         ).alias("bit_votes"),
     )

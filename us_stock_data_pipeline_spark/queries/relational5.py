@@ -15,7 +15,7 @@ _SALT_K = 8
 
 _SALTED_ORACLE = """
 WITH user_stats AS (
-  SELECT user_id, count(*) AS n_events_user, round(avg(value), 2) AS avg_value_user
+  SELECT user_id, count(*) AS n_events_user, floor(avg(value) * 100 + 0.5) / 100 AS avg_value_user
   FROM events GROUP BY user_id
 )
 SELECT
@@ -46,10 +46,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user_stats = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events_user"),
-        # round at 2, not 4: the hot user aggregates ~20k doubles and
-        # float sum-order noise (~1e-11) flips a 4dp .00005 boundary
-        # between engines at sf0.1; 2dp has 100x the margin.
-        F.round(F.avg("value"), 2).alias("avg_value_user"),
+        # floor(x*100+0.5)/100, not round(x, 2): means of the 2dp fixture
+        # values are exact decimals that land ON round boundaries, where
+        # Spark (HALF_UP on the decimal repr) and DuckDB (binary-value)
+        # disagree. The floor formulation computes bit-identically in
+        # double arithmetic on both engines (values are positive).
+        (F.floor(F.avg("value") * 100 + 0.5) / 100).alias("avg_value_user"),
     )
     big = ev.filter(F.col("event_type") == "purchase").withColumn(
         "salt", F.pmod(F.col("event_id"), F.lit(_SALT_K)).cast("int")
