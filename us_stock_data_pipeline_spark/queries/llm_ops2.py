@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from us_stock_data_pipeline_spark.catalog import load_table
 from us_stock_data_pipeline_spark.queries.llm_ops import _bucket_expr, _bucket_sql, _dot, _norm
@@ -175,14 +174,18 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    centroids = spark.createDataFrame(
-        [(cid, [float(v) for v in _CENTROIDS[cid]]) for cid in range(_N_CENTROIDS)],
-        T.StructType(
-            [
-                T.StructField("cid", T.IntegerType(), False),
-                T.StructField("cvec", T.ArrayType(T.DoubleType()), False),
-            ]
-        ),
+    # One parsed VALUES clause instead of createDataFrame: building the
+    # 8x64 literal table through Python/Arrow costs ~0.5s of plan-build
+    # per call; the SQL parse is one round-trip (same lesson as the LSH
+    # bucket expression in llm_ops._bucket_expr).
+    values_sql = ", ".join(
+        "({}, array({}))".format(
+            cid, ", ".join(f"{float(v)!r}D" for v in _CENTROIDS[cid])
+        )
+        for cid in range(_N_CENTROIDS)
+    )
+    centroids = spark.sql(
+        f"SELECT CAST(col1 AS INT) AS cid, col2 AS cvec FROM VALUES {values_sql}"
     )
     d2 = (
         _dot("emb", "emb")
