@@ -131,6 +131,8 @@ SECTION_2B = [
     ("analytics: cumulative uniques via first-seen compaction", ["events_cumulative_uniques"]),
     ("analytics: Markov transition matrix over event sequences", ["events_markov_transition"]),
     ("LLM pipeline: per-source corpus scorecard (dup rate + quality rollup)", ["pipeline_source_scorecard"]),
+    ("LLM sampling: exact k-per-group (balanced subset builder)", ["sample_k_per_group"]),
+    ("agg: median absolute deviation (robust outlier score)", ["agg_mad_robust"]),
 ]
 
 

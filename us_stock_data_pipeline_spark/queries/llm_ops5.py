@@ -262,3 +262,101 @@ def pipeline_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact k-per-group sampling
+# --------------------------------------------------------------------------
+
+_K_PER_GROUP_ORACLE = """
+SELECT event_type, event_id, user_id
+FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+)
+WHERE rn <= 50
+ORDER BY event_type, event_id
+"""
+
+
+@register("sample_k_per_group", oracle=_K_PER_GROUP_ORACLE, tags=("llm", "sampling"))
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k examples per class, deterministically: rank rows within
+    each group by the md5 of their key (a stable pseudo-random order
+    both engines compute identically) and keep the first 50 — the
+    "balanced few-shot / eval subset" builder. Unlike sampleBy()
+    fractions, the output size per class is exact; unlike ORDER BY
+    rand(), reruns and engines agree. Spark's WindowGroupLimit pushes
+    the rank<=k cut below the shuffle, so only ~k rows per group leave
+    the map side at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select("event_type", "event_id", "user_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("event_type", "event_id", "user_id")
+        .orderBy("event_type", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Median absolute deviation (robust outlier score)
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, med.med, median(abs(e.value - med.med)) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.med
+)
+SELECT event_type,
+       round(med, 4) AS med,
+       round(mad, 4) AS mad,
+       CAST((SELECT count(*) FROM events e2
+             WHERE e2.event_type = mad.event_type
+               AND abs(e2.value - mad.med) > 3 * 1.4826 * mad.mad) AS BIGINT)
+         AS n_outliers
+FROM mad
+ORDER BY event_type
+"""
+
+
+@register("agg_mad_robust", oracle=_MAD_ORACLE, tags=("analytics", "agg", "robust"))
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group plus the count of 3-sigma
+    (MAD-scaled) outliers — the robust alternative to z-scores when the
+    data itself contains the outliers that would corrupt a mean/stddev
+    threshold. Two median passes (center, then deviations) sharing the
+    group key's partitioning, then a counting join — the standard
+    robust-statistics shape; medians swap to KLL sketches when groups
+    stop fitting a sort (agg_kll_quantiles is that path)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    outliers = (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        mad.join(outliers, "event_type", "left")
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

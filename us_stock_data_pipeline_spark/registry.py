@@ -160,6 +160,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_cumulative_uniques",
     "events_markov_transition",
     "pipeline_source_scorecard",
+    "sample_k_per_group",
+    "agg_mad_robust",
 )
 
 
