@@ -133,6 +133,8 @@ SECTION_2B = [
     ("LLM pipeline: per-source corpus scorecard (dup rate + quality rollup)", ["pipeline_source_scorecard"]),
     ("LLM sampling: exact k-per-group (balanced subset builder)", ["sample_k_per_group"]),
     ("agg: median absolute deviation (robust outlier score)", ["agg_mad_robust"]),
+    ("analytics: longest activity streak (calendar gaps-and-islands)", ["events_activity_streaks"]),
+    ("stock: log returns + realized/annualized volatility", ["bars_volatility"]),
 ]
 
 

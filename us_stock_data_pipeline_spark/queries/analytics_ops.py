@@ -595,3 +595,118 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Longest activity streak (gaps-and-islands on the calendar)
+# --------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS run_key
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_len, min(day) AS streak_start
+  FROM runs GROUP BY user_id, run_key
+)
+SELECT user_id,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_activity_streaks", oracle=_STREAK_ORACLE, tags=("analytics", "window"))
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — calendar
+    gaps-and-islands: distinct active days, then day minus its row
+    number is constant within a consecutive run (the classic island
+    key), so streaks are one groupBy away. Differs from
+    etl_sessionization_gaps (timestamp-gap sessions): the island key
+    here is arithmetic on the calendar, no gap threshold. All shuffles
+    on user_id; the distinct-day compaction bounds everything downstream
+    by active-days, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).dropDuplicates()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("run_key"),
+    )
+    streaks = runs.groupBy("user_id", "run_key").agg(F.count(F.lit(1)).alias("streak_len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Log returns and realized volatility
+# --------------------------------------------------------------------------
+
+_VOLATILITY_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         arg_max(value, event_id) AS close
+  FROM events GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol, day, close,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY day)) AS log_ret
+  FROM daily
+)
+SELECT symbol,
+       CAST(count(log_ret) AS BIGINT) AS n_returns,
+       round(avg(log_ret), 6) AS mean_ret,
+       round(stddev_samp(log_ret), 6) AS daily_vol,
+       round(stddev_samp(log_ret) * sqrt(252), 6) AS annualized_vol
+FROM rets
+GROUP BY symbol
+ORDER BY symbol
+"""
+
+
+@register("bars_volatility", oracle=_VOLATILITY_ORACLE, tags=("stock", "window", "agg"))
+def bars_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log returns (lag window per symbol) rolled into realized
+    and annualized volatility — the risk number every stock pipeline
+    publishes. The return series needs one per-symbol lag; the
+    volatility is a plain partial-aggregable stddev over it, so the
+    whole risk sweep is one symbol-keyed shuffle however long the
+    history (parity flavor: the reference stores bars but computes no
+    derived risk at all — SURVEY §1.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.max_by("value", "event_id").alias("close"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("log_ret"),
+    )
+    return (
+        rets.groupBy("symbol")
+        .agg(
+            F.count("log_ret").alias("n_returns"),
+            F.round(F.avg("log_ret"), 6).alias("mean_ret"),
+            F.round(F.stddev_samp("log_ret"), 6).alias("daily_vol"),
+            F.round(F.stddev_samp("log_ret") * F.sqrt(F.lit(252.0)), 6).alias("annualized_vol"),
+        )
+        .orderBy("symbol")
+    )

@@ -162,6 +162,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_source_scorecard",
     "sample_k_per_group",
     "agg_mad_robust",
+    "events_activity_streaks",
+    "bars_volatility",
 )
 
 
