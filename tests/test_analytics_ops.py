@@ -136,3 +136,43 @@ def test_repetition_share_bounds(spark):
     rows = _q("text_repetition_ratio")(spark, SF).collect()
     for r in rows:
         assert 0 < r.top_trigram_share <= 1
+
+
+def test_k_per_group_exact_and_deterministic(spark):
+    rows = _q("sample_k_per_group")(spark, "/root/testdata/sf0.01").collect()
+    per_group: dict[str, int] = {}
+    for r in rows:
+        per_group[r.event_type] = per_group.get(r.event_type, 0) + 1
+    assert all(n == 50 for n in per_group.values())
+    again = _q("sample_k_per_group")(spark, "/root/testdata/sf0.01").collect()
+    assert {(r.event_type, r.event_id) for r in rows} == {
+        (r.event_type, r.event_id) for r in again
+    }
+
+
+def test_mad_robust_bounds(spark):
+    for r in _q("agg_mad_robust")(spark, SF).collect():
+        assert r.mad >= 0 and r.n_outliers >= 0
+
+
+def test_streaks_bounded_by_active_days(spark):
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    active = {
+        r.user_id: r.n
+        for r in ev.select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .dropDuplicates()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in _q("events_activity_streaks")(spark, SF).collect():
+        assert 1 <= r.longest_streak <= active[r.user_id]
+        assert r.n_streaks >= 1
+
+
+def test_volatility_consistency(spark):
+    for r in _q("bars_volatility")(spark, SF).collect():
+        assert r.daily_vol >= 0
+        assert abs(r.annualized_vol - round(r.daily_vol * (252 ** 0.5), 1)) < 0.3
