@@ -135,6 +135,8 @@ SECTION_2B = [
     ("agg: median absolute deviation (robust outlier score)", ["agg_mad_robust"]),
     ("analytics: longest activity streak (calendar gaps-and-islands)", ["events_activity_streaks"]),
     ("stock: log returns + realized/annualized volatility", ["bars_volatility"]),
+    ("LLM quality: language mix per source", ["corpus_language_mix"]),
+    ("LLM pipeline: curation yield funnel (single-pass gates)", ["pipeline_curation_yield"]),
 ]
 
 

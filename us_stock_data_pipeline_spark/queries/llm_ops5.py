@@ -360,3 +360,137 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Language mix per source
+# --------------------------------------------------------------------------
+
+_LANG_MIX_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c) AS t FROM counts GROUP BY 1),
+dom AS (
+  SELECT source, lang AS dominant_lang, c AS dom_c
+  FROM (
+    SELECT source, lang, c,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       d.dominant_lang,
+       round(CAST(d.dom_c AS DOUBLE) / t.t, 4) AS dominant_share
+FROM counts c
+JOIN tot t USING (source)
+JOIN dom d ON d.source = c.source
+GROUP BY c.source, d.dominant_lang, d.dom_c, t.t
+ORDER BY c.source
+"""
+
+
+@register("corpus_language_mix", oracle=_LANG_MIX_ORACLE, tags=("llm", "quality"))
+def corpus_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per source: how many languages, which
+    dominates, and its share — the first thing a curation review asks of
+    a new crawl source (a 'German news' source that is 40% English is a
+    labeling problem). One (source, lang) count aggregate feeds all
+    three outputs; the dominant language ties break lexically via
+    max_by on a (count, lang) struct so both engines pick the same
+    winner."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    dom = counts.groupBy("source").agg(
+        F.max_by("lang", F.struct(F.col("c"), F.col("lang"))).alias("dominant_lang"),
+        F.max("c").alias("dom_c"),
+    )
+    return (
+        counts.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_langs"))
+        .join(tot, "source")
+        .join(dom, "source")
+        .select(
+            "source",
+            "n_langs",
+            "dominant_lang",
+            F.round(F.col("dom_c").cast("double") / F.col("t"), 4).alias("dominant_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Curation yield funnel
+# --------------------------------------------------------------------------
+
+_YIELD_ORACLE = """
+WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+rep AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top_share FROM (
+    SELECT doc_id, array_to_string(list_slice(ws, i.g, i.g + 2), ' ') AS g, count(*) AS c
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS g) i
+    GROUP BY 1, 2
+  ) GROUP BY doc_id
+),
+staged AS (
+  SELECT w.doc_id,
+         len(w.ws) >= 20 AND w.n_chars <= 2000 AS pass_length,
+         rep.top_share <= 0.2 AS pass_repetition
+  FROM w JOIN rep USING (doc_id)
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_input,
+  CAST(count(*) FILTER (WHERE pass_length) AS BIGINT) AS n_after_length,
+  CAST(count(*) FILTER (WHERE pass_length AND pass_repetition) AS BIGINT)
+    AS n_after_repetition,
+  round(CAST(count(*) FILTER (WHERE pass_length AND pass_repetition) AS DOUBLE)
+        / count(*), 4) AS yield_rate
+FROM staged
+"""
+
+
+@register("pipeline_curation_yield", oracle=_YIELD_ORACLE, tags=("llm", "quality", "pipeline"))
+def pipeline_curation_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation yield funnel: how many documents survive each quality
+    gate (length band, then repetition), and the final yield rate — the
+    number that decides whether a crawl source is worth its storage.
+    Gates are evaluated as boolean columns in ONE pass (conditional
+    counts, not one filtered scan per stage), so adding a gate adds an
+    expression, not a scan — the same single-pass discipline as
+    events_funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    trigrams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = (
+        docs.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") * 1.0 / F.sum("c")).alias("top_share"))
+    )
+    staged = (
+        docs.select("doc_id", "n_chars", F.size(ws).alias("n_tokens"))
+        .join(rep, "doc_id")
+        .select(
+            ((F.col("n_tokens") >= 20) & (F.col("n_chars") <= 2000)).alias("pass_length"),
+            (F.col("top_share") <= 0.2).alias("pass_repetition"),
+        )
+    )
+    both = F.col("pass_length") & F.col("pass_repetition")
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("pass_length").cast("long")).alias("n_after_length"),
+        F.sum(both.cast("long")).alias("n_after_repetition"),
+        F.round(F.sum(both.cast("long")).cast("double") / F.count(F.lit(1)), 4).alias(
+            "yield_rate"
+        ),
+    )

@@ -164,6 +164,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_mad_robust",
     "events_activity_streaks",
     "bars_volatility",
+    "corpus_language_mix",
+    "pipeline_curation_yield",
 )
 
 
