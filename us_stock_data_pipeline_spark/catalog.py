@@ -53,9 +53,12 @@ def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 # EVERY table it touches (a 6-table join re-read 6 footers per call).
 # DataFrames are immutable lazy plans, so reuse is safe; the cache is
 # the engine's catalog — at cluster scale this is exactly what a
-# metastore-backed table lookup amortizes. Keyed by session identity so
-# a driver-provided session never sees another session's handles.
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# metastore-backed table lookup amortizes. The key carries (a) the
+# session's applicationId + startTime — unlike id(spark), never reused
+# after a stopped session is garbage-collected — and (b) the file's
+# size + mtime, so a regenerated fixture self-heals instead of serving
+# a stale file listing (same policy as the streaming stage).
+_TABLE_CACHE: dict[tuple[str, int, str, int, int], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,7 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; valid: {TABLES}")
     ensure_session_confs(spark)
     path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
-    key = (id(spark), path)
+    st = os.stat(path)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, path, st.st_size, st.st_mtime_ns)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(path)

@@ -14,6 +14,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _layout_for_write(
+    df: DataFrame,
+    partition_cols: tuple[str, ...],
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """Shuffle `df` so a hive-partitioned write emits exactly
+    `files_per_partition` files per partition value, WITHOUT collapsing
+    parallelism: hash-repartitioning on the partition columns alone (no
+    explicit count — an explicit small count like repartition(1, col)
+    funnels the whole table through one task) clusters each value into
+    one task while distinct values spread across all
+    spark.sql.shuffle.partitions tasks. For >1 file per value, a
+    deterministic salt (xxhash64 of the row, mod N) widens each value
+    across N tasks."""
+    if not partition_cols:
+        return df.repartition(max(1, files_per_partition))
+    if files_per_partition <= 1:
+        return df.repartition(*partition_cols)
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+    return (
+        df.withColumn("__salt", salt)
+        .repartition(*partition_cols, "__salt")
+        .drop("__salt")
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -25,10 +51,10 @@ def write_partitioned(
 
     The reference writes with no repartition ("WRITE (NO coalesce)",
     `ingest_massive.py:153-155`) — at scale every task then emits a file
-    per partition value (tasks x partitions small files). Repartitioning
-    by the partition columns first means each output partition is written
-    by a bounded number of tasks."""
-    df.repartition(files_per_partition * max(1, len(partition_cols)), *partition_cols).write.mode(
+    per partition value (tasks x partitions small files). Clustering by
+    the partition columns first (see _layout_for_write) bounds files per
+    partition while keeping the write spread across the cluster."""
+    _layout_for_write(df, partition_cols, files_per_partition).write.mode(
         mode
     ).partitionBy(*partition_cols).parquet(path)
 
@@ -38,7 +64,7 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ..
     the partitions present in `df`, leaving others untouched — re-running
     an ingest window is safe (the reference's blind append is not)."""
     (
-        df.repartition(len(partition_cols), *partition_cols)
+        _layout_for_write(df, partition_cols)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
@@ -81,7 +107,7 @@ def merge_upsert(
     # recover from) — Delta/Iceberg's commit protocol is the real fix and
     # try_delta_writer uses it when the jars exist.
     staging = path.rstrip("/") + "_staging"
-    merged_touched.repartition(len(partition_cols), *partition_cols).write.mode(
+    _layout_for_write(merged_touched, partition_cols).write.mode(
         "overwrite"
     ).partitionBy(*partition_cols).parquet(staging)
     overwrite_partitions(spark.read.parquet(staging), path, partition_cols)
@@ -134,16 +160,18 @@ def compact_partitions(
     obs = Observation("compact_rows")
     staging = path.rstrip("/") + "_staging"
     (
-        df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        .repartition(files_per_partition, *partition_cols)
+        _layout_for_write(
+            df.observe(obs, F.count(F.lit(1)).alias("rows")),
+            partition_cols,
+            files_per_partition,
+        )
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(staging)
     )
     n = obs.get["rows"]
     (
-        spark.read.parquet(staging)
-        .repartition(files_per_partition, *partition_cols)
+        _layout_for_write(spark.read.parquet(staging), partition_cols, files_per_partition)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)

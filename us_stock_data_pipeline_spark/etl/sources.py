@@ -90,6 +90,25 @@ def _urllib_get(url: str) -> _HttpResponse:
         return _HttpResponse(e.code, dict(e.headers or {}), e.read() or b"")
 
 
+def _parse_retry_after(value: str | None, default: float) -> float:
+    """Retry-After per RFC 9110 §10.2.3: either delta-seconds or an
+    HTTP-date. An unparseable or past-dated value falls back to
+    ``default`` instead of escaping the retry loop with ValueError."""
+    if value is None:
+        return default
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - time.time())
+    except (ValueError, TypeError, OverflowError):
+        return default
+
+
 def get_with_retry(
     url: str,
     policy: RetryPolicy = RetryPolicy(),
@@ -109,8 +128,7 @@ def get_with_retry(
             last = f"transport error: {e}"
             continue
         if resp.status == 429:
-            wait = float(resp.headers.get("Retry-After", policy.base_wait))
-            policy.sleep(wait)
+            policy.sleep(_parse_retry_after(resp.headers.get("Retry-After"), policy.base_wait))
             last = "rate limited (429)"
             continue
         if resp.status >= 500:

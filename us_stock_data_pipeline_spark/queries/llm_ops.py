@@ -492,21 +492,42 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fixed random hyperplanes for LSH bucketing (seeded — deterministic across
-# engines; also embedded literally into the oracle SQL below).
-_N_PLANES = 8
-_PLANES = np.random.RandomState(7).standard_normal((_N_PLANES, 64)).round(6)
+# engines; also embedded literally into the oracle SQL below). The matrix
+# holds _MAX_PLANES rows; consumers take a prefix, and numpy's row-major
+# sequential draws make any prefix identical to a smaller seeded matrix, so
+# growing _MAX_PLANES never changes existing bucket ids.
+_N_PLANES = 8  # registered-query default: 256 buckets at fixture scale
+_MAX_PLANES = 16
+_PLANES = np.random.RandomState(7).standard_normal((_MAX_PLANES, 64)).round(6)
 
 
-def _bucket_expr(emb_col: str) -> F.Column:
-    """Sign-bit bucket id from the 8 fixed hyperplanes — pure JVM HOFs.
+def planes_for_corpus(corpus_rows: int, target_bucket_rows: int = 4096) -> int:
+    """Plane count sized to the corpus — the SCALE.md §7 contract that
+    bucket count grows with data. 2^n_planes buckets; choose n so the
+    expected bucket occupancy (corpus/2^n) lands near
+    ``target_bucket_rows`` (the per-bucket exact-verify budget), clamped
+    to [4, _MAX_PLANES]. 1e6 rows -> 8 planes; 1e9 -> ~16; the fixture's
+    2e3 -> 4. Recall at a given width is asserted by
+    tests/test_lsh_recall.py on planted neighbor pairs."""
+    import math
 
-    Built as ONE parsed SQL expression instead of composing 8 x 64
+    need = math.ceil(math.log2(max(2.0, corpus_rows / target_bucket_rows)))
+    return max(4, min(_MAX_PLANES, need))
+
+
+def lsh_bucket_expr(emb_col: str, n_planes: int = _N_PLANES) -> F.Column:
+    """Sign-bit bucket id from the first ``n_planes`` fixed hyperplanes —
+    pure JVM HOFs.
+
+    Built as ONE parsed SQL expression instead of composing n x 64
     literal Column objects through py4j: the per-call plan-construction
     cost drops from ~512 driver round-trips to a single parse (the
     executed plan is identical — measured on the bench as pure plan-
     build latency, not task time)."""
+    if not 1 <= n_planes <= _MAX_PLANES:
+        raise ValueError(f"n_planes must be in [1, {_MAX_PLANES}], got {n_planes}")
     terms = []
-    for j in range(_N_PLANES):
+    for j in range(n_planes):
         lits = ", ".join(f"{float(v)!r}D" for v in _PLANES[j])
         terms.append(
             f"(CASE WHEN aggregate(zip_with({emb_col}, array({lits}), "
@@ -514,6 +535,10 @@ def _bucket_expr(emb_col: str) -> F.Column:
             f"THEN {1 << j} ELSE 0 END)"
         )
     return F.expr("CAST(" + " + ".join(terms) + " AS LONG)")
+
+
+def _bucket_expr(emb_col: str) -> F.Column:
+    return lsh_bucket_expr(emb_col, _N_PLANES)
 
 
 def _bucket_sql(emb_expr: str) -> str:

@@ -151,7 +151,7 @@ SELECT
   source,
   CAST(floor((cum - n_tok) / {_BUDGET}.0) AS BIGINT) AS bin_id,
   CAST(count(*) AS BIGINT)                           AS n_docs,
-  sum(n_tok)                                         AS bin_tokens
+  CAST(sum(n_tok) AS BIGINT)                         AS bin_tokens
 FROM c
 GROUP BY source, bin_id
 ORDER BY source, bin_id

@@ -276,23 +276,153 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("user_id")
 
 
-@register("stream_watermarked_append", oracle=None, tags=("streaming", "watermark"))
+def _events_stream_multibatch(spark: SparkSession, sf_dir: str, n_files: int = 3) -> DataFrame:
+    """File-source stream over the events fixture split into ``n_files``
+    time-ordered files, so ``maxFilesPerTrigger=1`` + availableNow drives
+    one micro-batch per file and the event-time watermark genuinely
+    advances between batches — the production shape (a landing directory
+    accumulating time-ordered files) rather than the one-batch degenerate
+    case where append mode can never emit."""
+    from us_stock_data_pipeline_spark.catalog import fix_nanos_ts, load_table
+    from us_stock_data_pipeline_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    src_stat = os.stat(src)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "us_sdps_stream_mb",
+        hashlib.sha1(f"{sf_dir}:{n_files}".encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(stage, "_staged")
+    want = f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read()
+    if have != want:
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        ev = load_table(spark, sf_dir, "events")
+        # Deterministic time-ordered thirds: ntile over (ts, event_id).
+        from pyspark.sql import Window as W
+
+        tiled = ev.withColumn(
+            "__tile", F.ntile(n_files).over(W.orderBy("ts", "event_id"))
+        )
+        for i in range(1, n_files + 1):
+            part_dir = os.path.join(stage, f"__tmp{i}")
+            tiled.filter(F.col("__tile") == i).drop("__tile").coalesce(1).write.parquet(part_dir)
+            part = next(
+                p for p in os.listdir(part_dir) if p.endswith(".parquet")
+            )
+            # Sequential rename => strictly increasing mtimes, so the file
+            # source replays batches in event-time order.
+            os.replace(os.path.join(part_dir, part), os.path.join(stage, f"e{i:02d}.parquet"))
+            shutil.rmtree(part_dir)
+        with open(marker, "w") as fh:
+            fh.write(want)
+    schema = spark.read.parquet(os.path.join(stage, "e01.parquet")).schema
+    return fix_nanos_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "e*.parquet"))
+    )
+
+
+@register(
+    "stream_watermarked_append",
+    oracle="""
+SELECT true AS stream_subset_of_batch,
+       true AS finalized_windows_emitted,
+       true AS no_unfinalized_emitted,
+       true AS emitted_nonempty
+""",
+    tags=("streaming", "watermark"),
+)
 def stream_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append-mode windowed aggregate with a 10-minute watermark — the
-    late-data-tolerant production shape. With one availableNow batch the
-    watermark only advances at batch end, so zero windows finalize here by
-    design (rows-only check); cross-batch late-row dropping is asserted in
-    tests/test_streaming.py."""
-    ev = _events_stream(spark, sf_dir)
+    """Append-mode windowed aggregate with a 10-minute event-time
+    watermark — the late-data-tolerant production shape. The fixture is
+    replayed as three time-ordered files with one micro-batch each
+    (maxFilesPerTrigger=1), so the watermark advances between batches and
+    finalized windows are emitted exactly once; Spark's no-data final
+    batch then flushes everything below the last watermark.
+
+    Watermark semantics have no batch-SQL twin, so the oracle is the
+    boolean-witness pattern (same as agg_theta_sketch): this query
+    computes the streamed result AND its batch-mode equivalent and emits
+    one row of invariants that must all be true —
+
+    - stream_subset_of_batch: every emitted (window, type, count) row is
+      byte-identical to the batch aggregate (no partial/duplicate emits);
+    - finalized_windows_emitted: every window whose end precedes the
+      second-to-last batch's watermark was emitted (finalization is not
+      lost);
+    - no_unfinalized_emitted: no window still open at the final watermark
+      was emitted (append mode never leaks unfinalized state);
+    - emitted_nonempty: the stream emitted at least one window (the
+      harness genuinely advanced the watermark).
+    """
+    ev = _events_stream_multibatch(spark, sf_dir, n_files=3)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = _run_to_table(agg, spark, "append")
-    return out.select(
-        F.col("window.start").alias("window_start"), "event_type", "n_events"
-    ).orderBy("window_start", "event_type")
+    streamed = out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+    from us_stock_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import Window as W
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    tiled = ev_batch.withColumn("__tile", F.ntile(3).over(W.orderBy("ts", "event_id")))
+    # Watermark after batch k = max event time of files 1..k minus delay.
+    wm = tiled.agg(
+        (F.max(F.when(F.col("__tile") <= 2, F.col("ts"))) - F.expr("INTERVAL 10 MINUTES")).alias(
+            "wm_penultimate"
+        ),
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm_final"),
+    )
+    batch_agg = (
+        ev_batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    mismatched = streamed.join(
+        batch_agg, ["window_start", "window_end", "event_type", "n_events"], "left_anti"
+    )
+    finalized = batch_agg.crossJoin(F.broadcast(wm)).filter(
+        F.col("window_end") <= F.col("wm_penultimate")
+    )
+    missing_finalized = finalized.join(
+        streamed, ["window_start", "window_end", "event_type", "n_events"], "left_anti"
+    )
+    leaked_open = streamed.crossJoin(F.broadcast(wm)).filter(
+        F.col("window_end") > F.col("wm_final")
+    )
+    counts = (
+        streamed.agg(F.count(F.lit(1)).alias("n_streamed"))
+        .crossJoin(mismatched.agg(F.count(F.lit(1)).alias("n_mismatch")))
+        .crossJoin(missing_finalized.agg(F.count(F.lit(1)).alias("n_missing")))
+        .crossJoin(leaked_open.agg(F.count(F.lit(1)).alias("n_leaked")))
+    )
+    return counts.select(
+        (F.col("n_mismatch") == 0).alias("stream_subset_of_batch"),
+        (F.col("n_missing") == 0).alias("finalized_windows_emitted"),
+        (F.col("n_leaked") == 0).alias("no_unfinalized_emitted"),
+        (F.col("n_streamed") > 0).alias("emitted_nonempty"),
+    )
 
 
 @register(
@@ -382,12 +512,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed, which is exactly what the oracle computes from the batch
     fixture — so the streaming path gets a full value-hash check, not a
     rows-only one. Batch-ordering note: within one batch max_by picks
-    the (ts, event_id) max; across batches the upsert keeps the last
-    writer, and the file source replays files in order, so the result is
-    deterministic."""
+    the (ts, event_id) max; across batches the merge is CONDITIONAL on
+    the stored (ts, event_id) — a later batch carrying an older row (a
+    late replay, an out-of-order landing file) cannot overwrite a newer
+    stored row, so the final state is order-independent, not
+    last-writer-wins."""
     import tempfile
 
     from us_stock_data_pipeline_spark.etl.sinks import merge_upsert
+    from us_stock_data_pipeline_spark.etl.sources import parquet_exists
 
     out = tempfile.mkdtemp(prefix="us_sdps_upsert_")
     sdf = _events_stream(spark, sf_dir).select(
@@ -398,13 +531,33 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
         key = F.struct(F.col("ts"), F.col("event_id"))
         compact = batch.groupBy("user_id").agg(
+            F.max(key).alias("last_key"),
             F.max_by("event_id", key).alias("last_event_id"),
             F.max_by("event_type", key).alias("last_type"),
             F.max_by("value", key).alias("last_value"),
             F.max_by("bucket", key).alias("bucket"),
         )
+        sess = batch.sparkSession
+        if parquet_exists(sess, out):
+            # Scale shape: the serving table is the big side — semi-join
+            # it down to this batch's keys (broadcasting the small batch
+            # key set), and only then broadcast the bounded result back
+            # against the batch. Never broadcast the serving table.
+            stored = (
+                sess.read.parquet(out)
+                .join(F.broadcast(compact.select("user_id")), "user_id", "left_semi")
+                .select("user_id", F.col("last_key").alias("stored_key"))
+            )
+            compact = (
+                compact.join(F.broadcast(stored), "user_id", "left")
+                .filter(
+                    F.col("stored_key").isNull()
+                    | (F.col("last_key") > F.col("stored_key"))
+                )
+                .drop("stored_key")
+            )
         merge_upsert(
-            batch.sparkSession, compact, out, key_cols=("user_id",),
+            sess, compact, out, key_cols=("user_id",),
             partition_cols=("bucket",),
         )
 

@@ -39,70 +39,20 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The correctness driver verifies ``queries()`` in iteration order and has a
-# bounded per-round budget (round 1 stopped after the first 50 of 125), so
-# iteration order IS verification priority. Names listed here are emitted
-# first, in this order; everything else follows in registration order.
-# Round 2: front-load the 75 queries with no CORRECTNESS_r01 row plus the two
-# whose rows were red/rows-only (agg_collect_sorted, agg_approx_distinct) —
-# LLM ops, streaming, ETL-parity, UDF surface, source formats, scalar
-# batteries, then the TPC-H suite. Already-green queries re-verify last.
+# bounded per-round budget (~50/round), so iteration order IS verification
+# priority. Names listed here are emitted first, in this order; everything
+# else follows in registration order.
+# Round 3: front-load the two non-green rows from r02 (pack_token_budget's
+# oracle cast is fixed; stream_watermarked_append now carries a real oracle),
+# then the 60 queries that have never had an official CORRECTNESS row
+# (rounds 1+2 checked 98 of 158), then round-3 additions. The 96
+# already-green queries re-verify last.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # fixed this round — need fresh green rows
-    "agg_collect_sorted",
-    "agg_approx_distinct",
-    "agg_hll_sketch",
-    # LLM-data-pipeline operators (judge grades these first-class)
-    "dedup_exact",
-    "doc_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_latest_snapshot",
-    "knn_bruteforce_cosine",
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "text_stats",
-    "text_term_frequency",
-    "text_language_id",
-    "text_jaccard_pairs",
-    "text_edit_distance",
-    "multimodal_struct",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "pipeline_corpus_curation",
-    "split_train_val_test",
-    "doc_chunking",
+    # red / rows-only in r02 — fixed this round, need fresh green rows
     "pack_token_budget",
-    # Structured Streaming surface
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_stateful_running_totals",
     "stream_watermarked_append",
-    "stream_stream_join",
-    # reference-parity ETL
-    "etl_curated_projection",
-    "etl_session_label",
-    "etl_incremental_watermark",
-    "etl_watermark_per_key",
-    "etl_idempotent_reingest",
-    "etl_reference_pipeline",
-    "etl_sessionization_gaps",
-    "etl_merge_upsert",
-    # UDF surface + source formats
-    "udf_zscore_by_group",
-    "pandas_udf_vowel_stats",
-    "join_asof_pandas",
-    "source_json_scan",
-    "source_csv_scan",
-    "source_orc_scan",
+    # --- never officially checked (r01+r02 budget tail), 60 queries ---
     # scalar batteries
-    "scalar_string",
-    "scalar_string2",
-    "scalar_datetime",
-    "scalar_datetime2",
     "scalar_math",
     "scalar_trig",
     "scalar_array",
@@ -112,7 +62,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scalar_hash_encode",
     "map_ops",
     "conditional_null",
-    # relational tail ops never checked in r01
+    # relational tail
     "lateral_posexplode",
     "timeseries_gap_fill",
     "agg_median_any",
@@ -132,7 +82,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
-    # round-2 additions (new operators, no prior row by definition)
+    # LLM / analytics / ETL-quality / sketch families (round-2 additions)
     "dedup_cluster_connected",
     "text_tfidf",
     "sample_deterministic",
@@ -166,6 +116,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bars_volatility",
     "corpus_language_mix",
     "pipeline_curation_yield",
+    # --- round-3 additions (no prior row by definition) appended below ---
 )
 
 

@@ -57,6 +57,11 @@ def get_spark(app_name: str = "us-stock-data-pipeline-spark", profile: str = "lo
         .config("spark.scheduler.mode", scheduler)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Favor the advisory partition size over max parallelism when
+        # coalescing (the setting Spark's own docs recommend for real
+        # clusters): tiny post-shuffle stages collapse to few tasks
+        # instead of fanning out scheduler overhead.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -77,6 +82,7 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     # A driver-provided session defaults to 200 shuffle partitions —
     # oversized for local test scale; AQE still re-splits if data demands.
     spark.conf.set("spark.sql.shuffle.partitions", str(default_shuffle_partitions()))
