@@ -24,7 +24,7 @@ SECTION_2B = [
     ("filter: range/conjunctive; session bucketing", ["filter_conjunctive_range", "etl_session_label"]),
     ("join: broadcast equi", ["join_broadcast_dim"]),
     ("join: shuffle/sort-merge chain", ["join_multiway_chain", "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]),
-    ("join: TPC-H suite (every fixture-expressible query: 1,3-8,10,13-19,22)", ["q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share", "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_parts_supplier_cnt", "q17_small_qty_revenue", "q18_large_volume_customer", "q19_disjunctive_revenue", "q22_global_sales_opportunity"]),
+    ("join: TPC-H suite (every fixture-expressible query: 1,3-8,10,12-19,22)", ["q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share", "q12_shipping_modes", "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier", "q16_parts_supplier_cnt", "q17_small_qty_revenue", "q18_large_volume_customer", "q19_disjunctive_revenue", "q22_global_sales_opportunity"]),
     ("join: left / semi / anti / full / cross", ["join_left_outer", "join_semi", "join_anti", "join_full_outer", "join_cross"]),
     ("join: range/theta non-equi", ["join_range_nonequi"]),
     ("join: as-of (stock-native; window + cogrouped-pandas twins)", ["join_asof", "join_asof_pandas"]),

@@ -2,13 +2,12 @@
 
 With Q1/Q3/Q5/Q10 already registered (relational.py / relational3.py),
 this module adds every remaining TPC-H query expressible over the
-fixture's column subset (FIXTURES.md): Q4, Q6, Q7, Q8, Q13, Q14, Q15,
-Q16, Q17, Q18, Q19, Q22 — adapted where the fixture lacks a column
+fixture's column subset (FIXTURES.md): Q4, Q6, Q7, Q8, Q12, Q13, Q14,
+Q15, Q16, Q17, Q18, Q19, Q22 — adapted where the fixture lacks a column
 (no partsupp table, no l_shipmode/l_commitdate/l_receiptdate, no
-p_container/c_phone; adaptations are noted per query). Q2/Q9/Q11/Q20/Q21
-need partsupp or commit/receipt dates and are therefore out of fixture
-scope; Q12's shipmode CASE-sum shape is covered by `agg_conditional_filter`
-and `q14_promo_revenue`.
+p_container/c_phone; adaptations are noted per query — Q12 derives a
+deterministic shipmode, mirrored in its oracle). Q2/Q9/Q11/Q20/Q21 need
+partsupp or commit/receipt dates and are therefore out of fixture scope.
 
 Together these exercise the reporting shapes a warehouse actually runs:
 EXISTS/NOT-EXISTS decorrelation, scalar and correlated subqueries,
@@ -645,4 +644,79 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping modes and order priority (derived shipmode)
+# --------------------------------------------------------------------------
+
+# The fixture has no l_shipmode; derive one deterministically from the line
+# identity with pure integer arithmetic (NOT an engine hash function —
+# Spark's hash() and DuckDB's hash() disagree, plain * and % do not).
+# Multipliers are primes sized so the product stays far below 2^63 on both
+# engines (no silent-wrap vs HUGEINT-promotion divergence).
+_SHIPMODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+_SHIPMODE_IDX = "((l_orderkey % 1000003) * 7919 + l_linenumber * 104729) % 7"
+
+Q12_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         list_extract({list(_SHIPMODES)!r}, CAST({_SHIPMODE_IDX} AS INTEGER) + 1)
+           AS l_shipmode
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT
+  l_shipmode,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS low_line_count
+FROM orders JOIN li ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+@register("q12_shipping_modes", oracle=Q12_ORACLE, tags=("join", "agg"))
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes vs order priority (TPC-H Q12 shape, adapted: the
+    fixture has no l_shipmode/l_commitdate/l_receiptdate, so shipmode is
+    a deterministic 7-way integer bucketing of the line identity —
+    mirrored exactly in the oracle — and the receipt-year filter becomes
+    a ship-year filter). The plan is the canonical conditional-sum join:
+    the shipmode IN filter and the date range both evaluate at the
+    lineitem scan (pushed predicates on l_shipdate; the derived column
+    filter right above it), so only ~2/7 of one year's lines shuffle to
+    the orders join, and the CASE-sums are two-stage partial aggregates.
+    At 100 TB the join shuffles on l_orderkey; orders' two used columns
+    shuffle with it — nothing wider survives column pruning."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            F.element_at(
+                F.array(*[F.lit(m) for m in _SHIPMODES]),
+                (F.expr(_SHIPMODE_IDX).cast("int") + 1),
+            ).alias("l_shipmode"),
+        )
+        .filter(F.col("l_shipmode").isin("MAIL", "SHIP"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
     )

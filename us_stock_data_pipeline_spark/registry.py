@@ -117,6 +117,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "corpus_language_mix",
     "pipeline_curation_yield",
     # --- round-3 additions (no prior row by definition) appended below ---
+    "q12_shipping_modes",
 )
 
 
