@@ -137,6 +137,13 @@ SECTION_2B = [
     ("stock: log returns + realized/annualized volatility", ["bars_volatility"]),
     ("LLM quality: language mix per source", ["corpus_language_mix"]),
     ("LLM pipeline: curation yield funnel (single-pass gates)", ["pipeline_curation_yield"]),
+    ("LLM compliance: PII detection + redaction (regex codegen)", ["pii_redact"]),
+    ("LLM tokenizer: BPE adjacent-pair counting kernel", ["bpe_pair_counts"]),
+    ("LLM sampling: corpus mixture to target source weights", ["corpus_mixture_sample"]),
+    ("LLM assembly: exact greedy first-fit packing (applyInPandas + recursive-CTE oracle)", ["pack_greedy_exact"]),
+    ("join: Bloom-filter runtime semi-join pruning", ["bloom_semijoin"]),
+    ("LLM serving: length-sorted inference micro-batching (padding minimization)", ["batch_padding_builder"]),
+    ("analytics: heavy-hitter skew profiling (pre-join diagnostic)", ["skew_heavy_hitters"]),
 ]
 
 

@@ -42,6 +42,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops3,
     llm_ops4,
     llm_ops5,
+    llm_ops6,
     analytics_ops,
     etl_quality,
     sketch_ops,

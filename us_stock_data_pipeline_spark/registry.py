@@ -118,6 +118,13 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "pipeline_curation_yield",
     # --- round-3 additions (no prior row by definition) appended below ---
     "q12_shipping_modes",
+    "pii_redact",
+    "bpe_pair_counts",
+    "corpus_mixture_sample",
+    "pack_greedy_exact",
+    "bloom_semijoin",
+    "batch_padding_builder",
+    "skew_heavy_hitters",
 )
 
 
