@@ -135,13 +135,18 @@ def main() -> None:
 
     # Fixed job floor: measured per-query overhead of a trivial one-stage
     # query on warm local[32] (BASELINE.md "fixed overhead decomposition")
-    # — plan->job->task->Arrow-fetch machinery that amortizes across a
-    # concurrent batch but is paid per query sequentially. Re-measured
-    # here (not hard-coded) so the decomposition tracks the build.
+    # — plan->job->file-scan->task->Arrow-fetch machinery that amortizes
+    # across a concurrent batch but is paid per query sequentially.
+    # Measured as a real tiny parquet aggregate (spark.range(1) skips the
+    # scan planning a real query pays and under-reads the floor ~10x);
+    # re-measured here (not hard-coded) so the decomposition tracks the
+    # build.
+    from us_stock_data_pipeline_spark.catalog import load_table
+
     floor_reps = []
     for _ in range(REPS):
         t0 = time.time()
-        spark.range(1).toPandas()
+        load_table(spark, sf_dir, "region").groupBy().count().toPandas()
         floor_reps.append(time.time() - t0)
     job_floor = round(min(floor_reps), 3)
 
