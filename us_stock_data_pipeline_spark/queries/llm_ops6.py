@@ -235,29 +235,46 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PACK_BUDGET = 512
+# Shard fan-out for the pack key: groups shuffle on (source, shard), so no
+# group is ever larger than ~|source| / _PACK_SHARDS rows — the knob that
+# keeps Arrow batches executor-sized at 100 TB (raise it with corpus size;
+# bins never span shards by construction). The shard is a Fibonacci
+# (multiplicative) hash of doc_id taking the HIGH 3 bits of the mixed
+# 32-bit word: a plain doc_id % 8 inherits the fixture's cyclic
+# source-assignment pattern (source = doc_id % n_sources) and lands every
+# source on only gcd-related residues — low bits of an arithmetic
+# progression don't mix, high bits of odd-multiplier products do. Integer
+# arithmetic only, so Spark and DuckDB compute it bit-identically.
+_PACK_SHARDS = 8
+_SHARD_MULT = 2654435761  # 2^32 / golden ratio, odd => bijection mod 2^32
+_SHARD_SQL = f"((doc_id * {_SHARD_MULT}) % 4294967296) // 536870912"  # DuckDB
+_SHARD_EXPR = f"((doc_id * {_SHARD_MULT}) % 4294967296) div 536870912"  # Spark
 
 _GREEDY_ORACLE = f"""
 WITH RECURSIVE d AS (
-  SELECT source, doc_id,
+  SELECT source, {_SHARD_SQL} AS shard, doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         row_number() OVER (PARTITION BY source, {_SHARD_SQL}
+                            ORDER BY doc_id) AS rn
   FROM documents
 ),
-packed(source, rn, n_tok, bin_id, fill) AS (
-  SELECT source, rn, n_tok, 0, n_tok FROM d WHERE rn = 1
+packed(source, shard, rn, n_tok, bin_id, fill) AS (
+  SELECT source, shard, rn, n_tok, 0, n_tok FROM d WHERE rn = 1
   UNION ALL
-  SELECT d.source, d.rn, d.n_tok,
+  SELECT d.source, d.shard, d.rn, d.n_tok,
          CASE WHEN p.fill + d.n_tok > {_PACK_BUDGET} THEN p.bin_id + 1 ELSE p.bin_id END,
          CASE WHEN p.fill + d.n_tok > {_PACK_BUDGET} THEN d.n_tok ELSE p.fill + d.n_tok END
-  FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+  FROM d JOIN packed p
+    ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
 )
 SELECT source,
+       CAST(shard AS BIGINT)      AS shard,
        CAST(bin_id AS BIGINT)     AS bin_id,
        CAST(count(*) AS BIGINT)   AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS bin_tokens
 FROM packed
-GROUP BY source, bin_id
-ORDER BY source, bin_id
+GROUP BY source, shard, bin_id
+ORDER BY source, shard, bin_id
 """
 
 
@@ -269,14 +286,20 @@ def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     no bin ever overflows. bin_{i} depends on bin_{i-1}: inherently
     sequential, not window-expressible — the architecture's reserved
     case for applyInPandas (same contract as bars_ema): one shuffle on
-    the pack key (source), each group arrives as one Arrow batch, the
-    fold is a per-group integer kernel (bit-exact, no float drift), and
-    the oracle is the identical fold as a DuckDB recursive CTE. At
-    100 TB the pack key is (source, shard) so groups stay
-    executor-sized; bins never span shards by construction."""
+    the pack key (source, shard), each group arrives as one Arrow batch,
+    the fold is a per-group integer kernel (bit-exact, no float drift),
+    and the oracle is the identical fold as a DuckDB recursive CTE. The
+    shard sub-key (a Fibonacci hash of doc_id) bounds every group to
+    |source| / shards rows so Arrow batches stay executor-sized at any
+    corpus scale; bins never span shards by construction (the 100 TB
+    deployment raises _PACK_SHARDS with corpus size — the bound is
+    tested in tests/test_llm_ops6.py)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
-        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        "source",
+        F.expr(_SHARD_EXPR).cast("long").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
 
     def pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -294,18 +317,18 @@ def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fill += tok
             bin_ids[i] = bin_id
         pdf["bin_id"] = bin_ids
-        return pdf[["source", "doc_id", "n_tok", "bin_id"]]
+        return pdf[["source", "shard", "doc_id", "n_tok", "bin_id"]]
 
-    out_schema = "source string, doc_id long, n_tok long, bin_id long"
+    out_schema = "source string, shard long, doc_id long, n_tok long, bin_id long"
     return (
-        d.groupBy("source")
+        d.groupBy("source", "shard")
         .applyInPandas(pack_kernel, out_schema)
-        .groupBy("source", "bin_id")
+        .groupBy("source", "shard", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("bin_tokens"),
         )
-        .orderBy("source", "bin_id")
+        .orderBy("source", "shard", "bin_id")
     )
 
 
@@ -313,7 +336,8 @@ def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter semi-join (from first principles)
 # --------------------------------------------------------------------------
 
-_BLOOM_M = 262144  # bits (2^18): ~100 bits/key at the largest fixture SF
+_BLOOM_MIN_M = 16384  # floor on filter width (bits)
+_BLOOM_BITS_PER_KEY = 64  # m = max(floor, bits_per_key * ndv): fp ~ 1e-4 at k=3
 _BLOOM_K = 3  # hash functions
 
 # Runtime filters only pay off when the build side is SELECTIVE — an
@@ -355,27 +379,38 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves use the boolean-witness oracle (exact membership via EXISTS
     on both engines, then: a Bloom filter must have ZERO false
     negatives; the false-positive rate must stay under 5% — both
-    engine-checked, constant-true in the oracle). Sizing rule: _BLOOM_M
-    grows with build-key cardinality (~16+ bits/key); at the largest
-    fixture SF (~3k urgent custkeys) 2^18 bits gives fp ~ 1e-4."""
+    engine-checked, constant-true in the oracle). Sizing: the filter
+    width m is NOT a constant — it is derived in-plan from an
+    approx_count_distinct of the build keys (m = max(_BLOOM_MIN_M,
+    _BLOOM_BITS_PER_KEY * ndv), a 1-row broadcast both sides feed on),
+    so fp stays ~1e-4 at any fixture SF or build selectivity instead of
+    saturating a fixed width — the same stats-driven sizing a real
+    runtime-filter framework does, with no driver-side action."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
 
     def positions(col: F.Column) -> list[F.Column]:
+        # pmod by the in-plan width column `m` (joined in below).
         return [
-            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_BLOOM_M)) for i in range(_BLOOM_K)
+            F.pmod(F.xxhash64(col, F.lit(i)), F.col("m")) for i in range(_BLOOM_K)
         ]
 
     build_keys = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    width = build_keys.agg(
+        F.greatest(
+            F.lit(_BLOOM_MIN_M),
+            F.approx_count_distinct("o_custkey") * _BLOOM_BITS_PER_KEY,
+        ).alias("m")
+    )
     build = (
-        build_keys.select(
-            F.explode(F.array(*positions(F.col("o_custkey")))).alias("pos")
-        )
+        build_keys.join(F.broadcast(width))
+        .select(F.explode(F.array(*positions(F.col("o_custkey")))).alias("pos"))
         .distinct()
         .agg(F.collect_set("pos").alias("bits"))
     )
     probed = (
-        cust.select("c_custkey", *[
+        cust.join(F.broadcast(width))
+        .select("c_custkey", *[
             p.alias(f"p{i}") for i, p in enumerate(positions(F.col("c_custkey")))
         ])
         .join(F.broadcast(build))
@@ -417,22 +452,25 @@ _BATCH_SIZE = 8
 
 _BATCH_ORACLE = f"""
 WITH d AS (
-  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  SELECT source, {_SHARD_SQL} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents
 ),
 ranked AS (
-  SELECT source, n_tok,
-         row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn
+  SELECT source, shard, n_tok,
+         row_number() OVER (PARTITION BY source, shard
+                            ORDER BY n_tok, doc_id) AS rn
   FROM d
 )
 SELECT source,
+       CAST(shard AS BIGINT)                                AS shard,
        CAST((rn - 1) // {_BATCH_SIZE} AS BIGINT)            AS batch_id,
        CAST(count(*) AS BIGINT)                             AS n_docs,
        CAST(max(n_tok) AS BIGINT)                           AS max_tok,
        CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)   AS pad_tokens
 FROM ranked
-GROUP BY source, batch_id
-ORDER BY source, batch_id
+GROUP BY source, shard, batch_id
+ORDER BY source, shard, batch_id
 """
 
 
@@ -443,25 +481,28 @@ def batch_padding_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding each batch wastes (batch_size * max_len - sum_len — what a
     padded tensor actually allocates). Sorting by length before batching
     is the standard padding minimizer (random batching wastes ~40%+;
-    sorted batching single digits). One window per source partition,
-    then a group-by — a single shuffle on the source key; at 100 TB the
-    sort key becomes (source, shard) exactly like pack_greedy_exact so
-    no partition ever globally sorts."""
+    sorted batching single digits). The sort key is (source, shard) —
+    the same Fibonacci-hash sub-key as pack_greedy_exact — so no
+    window partition ever exceeds |source| / shards rows: one bounded
+    shuffle, no global sort, at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
-        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        "source",
+        F.expr(_SHARD_EXPR).cast("long").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    w = W.partitionBy("source").orderBy("n_tok", "doc_id")
+    w = W.partitionBy("source", "shard").orderBy("n_tok", "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .withColumn("batch_id", ((F.col("rn") - 1) / _BATCH_SIZE).cast("long"))
-        .groupBy("source", "batch_id")
+        .groupBy("source", "shard", "batch_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.max("n_tok").alias("max_tok"),
             (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")).alias("pad_tokens"),
         )
-        .orderBy("source", "batch_id")
+        .orderBy("source", "shard", "batch_id")
     )
 
 
@@ -497,22 +538,27 @@ def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter detection — the diagnostic you run BEFORE picking a
     join strategy: per-key frequency, share of total, and a 2x-uniform
     heaviness flag (the keys join_salted_skew's salting exists for).
-    Two-stage partial aggregate on the key, then a 1-row totals
-    broadcast and a top-15 rank over the aggregated counts only — the
-    raw events never shuffle twice, and the integer heaviness predicate
-    (n * n_users > 2 * total) avoids float thresholds entirely. At
-    100 TB this is the profile that decides salting width per key, fed
-    by exactly this plan over a sample or the full data."""
+    Two-stage partial aggregate on the key, a 1-row totals broadcast,
+    then top-15 via orderBy(...).limit(15) — Spark compiles that to
+    TakeOrderedAndProject: every partition computes its own partial
+    top-15 in parallel and only 15-row candidate sets reach the driver
+    merge, so at billions of keys no single task ever sorts the full
+    count table (the plan shape is asserted in tests/test_plans.py).
+    Ranks are attached afterwards by a window over the 15 surviving
+    rows only. The integer heaviness predicate (n * n_users > 2 *
+    total) avoids float thresholds entirely. At 100 TB this is the
+    profile that decides salting width per key, fed by exactly this
+    plan over a sample or the full data."""
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     tot = counts.agg(
         F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_users")
     )
+    top15 = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(15)
     w = W.orderBy(F.desc("n_events"), F.asc("user_id"))
     return (
-        counts.join(F.broadcast(tot))
+        top15.join(F.broadcast(tot))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 15)
         .select(
             "rnk",
             "user_id",

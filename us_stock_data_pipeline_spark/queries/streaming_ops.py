@@ -523,7 +523,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_stock_data_pipeline_spark.etl.sources import parquet_exists
 
     out = tempfile.mkdtemp(prefix="us_sdps_upsert_")
-    sdf = _events_stream(spark, sf_dir).select(
+    # multibatch source (one time-ordered file per micro-batch) so the
+    # stored-key conditional-merge branch genuinely executes: batch 2+
+    # sees parquet_exists(out) true and merges against stored state.
+    sdf = _events_stream_multibatch(spark, sf_dir, n_files=3).select(
         "user_id", "event_id", "event_type", "ts", "value",
         F.pmod("user_id", F.lit(8)).cast("int").alias("bucket"),
     )
@@ -556,6 +559,11 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .drop("stored_key")
             )
+            # every batch row older than stored state -> nothing to merge;
+            # writing an empty staging dir would make the follow-up read
+            # fail with 'Unable to infer schema'.
+            if not compact.take(1):
+                return
         merge_upsert(
             sess, compact, out, key_cols=("user_id",),
             partition_cols=("bucket",),

@@ -42,68 +42,13 @@ _REGISTRY: dict[str, Query] = {}
 # bounded per-round budget (~50/round), so iteration order IS verification
 # priority. Names listed here are emitted first, in this order; everything
 # else follows in registration order.
-# Round 3: front-load the two non-green rows from r02 (pack_token_budget's
-# oracle cast is fixed; stream_watermarked_append now carries a real oracle),
-# then the 60 queries that have never had an official CORRECTNESS row
-# (rounds 1+2 checked 98 of 158), then round-3 additions. The 96
-# already-green queries re-verify last.
+# Round 4: front-load the 20 queries with no official CORRECTNESS row in any
+# round (r01+r02+r03 cumulatively checked 146 of 166): the 12 round-2
+# stragglers, q12_shipping_modes, and the 7 round-3 llm_ops6 operators —
+# followed by round-4 additions. Everything already green re-verifies after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # red / rows-only in r02 — fixed this round, need fresh green rows
-    "pack_token_budget",
-    "stream_watermarked_append",
-    # --- never officially checked (r01+r02 budget tail), 60 queries ---
-    # scalar batteries
-    "scalar_math",
-    "scalar_trig",
-    "scalar_array",
-    "scalar_array2",
-    "scalar_json",
-    "scalar_cast_try",
-    "scalar_hash_encode",
-    "map_ops",
-    "conditional_null",
-    # relational tail
-    "lateral_posexplode",
-    "timeseries_gap_fill",
-    "agg_median_any",
-    "agg_regression",
-    "agg_product_logspace",
-    "agg_bool",
-    # TPC-H suite
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    # LLM / analytics / ETL-quality / sketch families (round-2 additions)
-    "dedup_cluster_connected",
-    "text_tfidf",
-    "sample_deterministic",
-    "events_funnel",
-    "events_retention",
-    "bars_vwap_twap",
-    "anomaly_rolling_zscore",
-    "agg_entropy",
-    "bars_ema",
-    "etl_scd2_dimension",
-    "etl_fk_conformance",
-    "etl_profile_table",
-    "stream_foreachbatch_upsert",
-    "agg_theta_sketch",
-    "agg_kll_quantiles",
-    "etl_scd2_lookup",
-    "etl_table_diff",
-    "bars_correlation_matrix",
-    "join_range_banded",
-    "clean_winsorize",
-    "text_unigram_logprob",
+    # --- never officially checked (cumulative budget tail), 20 queries ---
+    # round-2 stragglers
     "text_contamination_check",
     "text_repetition_ratio",
     "feature_binning_ntile",
@@ -116,8 +61,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bars_volatility",
     "corpus_language_mix",
     "pipeline_curation_yield",
-    # --- round-3 additions (no prior row by definition) appended below ---
+    # derived-shipmode TPC-H Q12
     "q12_shipping_modes",
+    # round-3 llm_ops6 operators
     "pii_redact",
     "bpe_pair_counts",
     "corpus_mixture_sample",
@@ -125,6 +71,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bloom_semijoin",
     "batch_padding_builder",
     "skew_heavy_hitters",
+    # --- round-4 additions (no prior row by definition) ---
+    "bpe_merge_round",
 )
 
 
