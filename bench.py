@@ -102,19 +102,31 @@ def main() -> None:
     # loop): later reps run with hot codegen/file-status caches, so the
     # number reported is steady-state per-query latency, not first-run
     # cache population.
+    # Per-query failure isolation: one broken query records an "err" entry
+    # and is excluded from totals/concurrent — it can never again zero out
+    # a whole round's performance evidence (BENCH_r04 lesson).
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name, fn in registry.bench_queries().items():
         best = float("inf")
-        for rep in range(REPS):
-            t0 = time.time()
-            rows[name] = _run(fn, spark, sf_dir)
-            best = min(best, time.time() - t0)
+        try:
+            for rep in range(REPS):
+                t0 = time.time()
+                rows[name] = _run(fn, spark, sf_dir)
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={rows[name]}", file=sys.stderr)
 
     from concurrent.futures import ThreadPoolExecutor
 
+    ok_fns = [
+        fn for name, fn in registry.bench_queries().items() if name in timings
+    ]
     concurrent_wall = float("inf")
     for rep in range(REPS):
         # Drop persisted blocks accumulated by prior reps (each fn() call
@@ -125,12 +137,7 @@ def main() -> None:
         # 10 workers measured fastest on local[32] (18 workers add ~0.3s
         # of scheduler/GIL contention; 6 under-utilizes the cores).
         with ThreadPoolExecutor(max_workers=10) as pool:
-            list(
-                pool.map(
-                    lambda fn: _run(fn, spark, sf_dir),
-                    registry.bench_queries().values(),
-                )
-            )
+            list(pool.map(lambda fn: _run(fn, spark, sf_dir), ok_fns))
         concurrent_wall = min(concurrent_wall, round(time.time() - t0, 3))
 
     # Fixed job floor: measured per-query overhead of a trivial one-stage
@@ -152,6 +159,13 @@ def main() -> None:
 
     seq_total = round(sum(timings.values()), 3)
     n_q = len(timings)
+    # Ratios compare like-for-like: if a query errored on the Spark side,
+    # drop its DuckDB split from the baseline sum too.
+    duck_cmp = (
+        round(sum(v for k, v in duck_queries.items() if k in timings), 3)
+        if duck_queries
+        else duck_total
+    )
     print(
         json.dumps(
             {
@@ -170,11 +184,12 @@ def main() -> None:
                 "concurrent_wall_sec": concurrent_wall,
                 "duckdb_baseline_sec": duck_total,
                 "duckdb_queries": duck_queries,
+                "errors": errors,
                 "seq_over_duckdb": (
-                    round(seq_total / duck_total, 2) if duck_total else None
+                    round(seq_total / duck_cmp, 2) if duck_cmp else None
                 ),
                 "conc_over_duckdb": (
-                    round(concurrent_wall / duck_total, 2) if duck_total else None
+                    round(concurrent_wall / duck_cmp, 2) if duck_cmp else None
                 ),
                 "spark_job_floor_sec": job_floor,
                 "floor_decomposition": (

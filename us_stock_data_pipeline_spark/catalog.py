@@ -36,15 +36,31 @@ BROADCASTABLE = frozenset({"region", "nation", "supplier", "part"})
 
 
 def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Convert a nanos-as-long timestamp column (see SPARK-40819 /
-    `spark.sql.legacy.parquet.nanosAsLong`) back to TimestampType.
-    `div` is integral division, so this is an exact ns->us truncation —
-    the fixture's values are microsecond-aligned (verified in FIXTURES.md
-    terms: epoch_ns % 1000 == 0 for all rows)."""
-    from pyspark.sql.types import LongType
+    """Normalize the fixture's ``ts`` column to TimestampType, whatever
+    parquet encoding the generator used. This is the ONE choke point for
+    raw-timestamp schema drift — every query reads events through
+    ``load_table``, so a regenerated fixture can change encodings without
+    touching any query code. Handled encodings:
 
-    if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    - ``timestamp[ns]`` read as LongType under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (SPARK-40819): exact
+      ns->us truncation via integral ``div`` (fixture values are
+      microsecond-aligned, see FIXTURES.md).
+    - ``timestamp[us]`` with no timezone, which Spark loads as
+      TIMESTAMP_NTZ (``inferTimestampNTZ``): cast to TimestampType.
+      The session timezone is pinned UTC (session.py), so the wall-clock
+      fields are reinterpreted as UTC instants — identical values to the
+      old encoding, and identical to what DuckDB's oracle sees.
+    - plain TIMESTAMP: passes through untouched.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if col in df.columns:
+        dt = df.schema[col].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast(TimestampType()))
     return df
 
 

@@ -42,37 +42,19 @@ _REGISTRY: dict[str, Query] = {}
 # bounded per-round budget (~50/round), so iteration order IS verification
 # priority. Names listed here are emitted first, in this order; everything
 # else follows in registration order.
-# Round 4: front-load the 20 queries with no official CORRECTNESS row in any
-# round (r01+r02+r03 cumulatively checked 146 of 166): the 12 round-2
-# stragglers, q12_shipping_modes, and the 7 round-3 llm_ops6 operators —
-# followed by round-4 additions. Everything already green re-verifies after.
+# Round 5: front-load the 7 queries broken by the round-4 TIMESTAMP_NTZ
+# fixture regression (now fixed at the catalog boundary) so CORRECTNESS_r05
+# records their green rows first, then any round-5 additions; everything
+# already green re-verifies after in registration order.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # --- never officially checked (cumulative budget tail), 20 queries ---
-    # round-2 stragglers
-    "text_contamination_check",
-    "text_repetition_ratio",
-    "feature_binning_ntile",
-    "events_cumulative_uniques",
-    "events_markov_transition",
-    "pipeline_source_scorecard",
-    "sample_k_per_group",
-    "agg_mad_robust",
-    "events_activity_streaks",
-    "bars_volatility",
-    "corpus_language_mix",
-    "pipeline_curation_yield",
-    # derived-shipmode TPC-H Q12
-    "q12_shipping_modes",
-    # round-3 llm_ops6 operators
-    "pii_redact",
-    "bpe_pair_counts",
-    "corpus_mixture_sample",
-    "pack_greedy_exact",
-    "bloom_semijoin",
-    "batch_padding_builder",
-    "skew_heavy_hitters",
-    # --- round-4 additions (no prior row by definition) ---
-    "bpe_merge_round",
+    # --- NTZ-regression casualties, fixed in catalog.fix_nanos_ts ---
+    "window_range_frame",
+    "bars_ohlcv_resample",
+    "bars_technical_indicators",
+    "etl_sessionization_gaps",
+    "source_json_scan",
+    "source_csv_scan",
+    "source_orc_scan",
 )
 
 
