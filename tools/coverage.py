@@ -144,6 +144,13 @@ SECTION_2B = [
     ("join: Bloom-filter runtime semi-join pruning", ["bloom_semijoin"]),
     ("LLM serving: length-sorted inference micro-batching (padding minimization)", ["batch_padding_builder"]),
     ("analytics: heavy-hitter skew profiling (pre-join diagnostic)", ["skew_heavy_hitters"]),
+    ("LLM sampling: weighted reservoir (Efraimidis-Spirakis A-ES)", ["sample_weighted_reservoir"]),
+    ("agg: count-min sketch (mergeable frequency estimates)", ["agg_count_min_sketch"]),
+    ("analytics: last-touch attribution (conditional running-max window)", ["events_attribution_last_touch"]),
+    ("agg: exact weighted median (cumulative-weight crossing)", ["agg_weighted_median"]),
+    ("LLM embedding: int8 quantization + reconstruction-error audit", ["embedding_quantize_int8"]),
+    ("LLM similarity: product-quantization ANN (ADC)", ["ann_pq_adc"]),
+    ("LLM assembly: curriculum difficulty staging", ["curriculum_difficulty_stages"]),
 ]
 
 
