@@ -151,6 +151,11 @@ SECTION_2B = [
     ("LLM embedding: int8 quantization + reconstruction-error audit", ["embedding_quantize_int8"]),
     ("LLM similarity: product-quantization ANN (ADC)", ["ann_pq_adc"]),
     ("LLM assembly: curriculum difficulty staging", ["curriculum_difficulty_stages"]),
+    ("graph: PageRank over trade network (iterative, shrink-then-iterate)", ["graph_pagerank_trade"]),
+    ("LLM quality: logistic classifier inference as codegen expression", ["pipeline_quality_classifier"]),
+    ("LLM dedup: asymmetric containment (rare-shingle blocking)", ["dedup_containment_ngram"]),
+    ("analytics: A/B lift + two-proportion z-score", ["events_ab_test_lift"]),
+    ("LLM quality: bigram LM scorer (order-aware perplexity)", ["text_bigram_lm"]),
 ]
 
 

@@ -44,6 +44,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops5,
     llm_ops6,
     llm_ops7,
+    llm_ops8,
     analytics_ops,
     etl_quality,
     sketch_ops,

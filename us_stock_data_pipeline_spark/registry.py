@@ -55,6 +55,19 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "source_json_scan",
     "source_csv_scan",
     "source_orc_scan",
+    # --- round-5 additions (no prior official row) ---
+    "sample_weighted_reservoir",
+    "agg_count_min_sketch",
+    "events_attribution_last_touch",
+    "agg_weighted_median",
+    "embedding_quantize_int8",
+    "ann_pq_adc",
+    "curriculum_difficulty_stages",
+    "graph_pagerank_trade",
+    "pipeline_quality_classifier",
+    "dedup_containment_ngram",
+    "events_ab_test_lift",
+    "text_bigram_lm",
 )
 
 
