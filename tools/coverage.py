@@ -156,6 +156,13 @@ SECTION_2B = [
     ("LLM dedup: asymmetric containment (rare-shingle blocking)", ["dedup_containment_ngram"]),
     ("analytics: A/B lift + two-proportion z-score", ["events_ab_test_lift"]),
     ("LLM quality: bigram LM scorer (order-aware perplexity)", ["text_bigram_lm"]),
+    ("ETL: parquet schema evolution (mergeSchema additive columns)", ["etl_schema_evolution"]),
+    ("scan: hive-partitioned landing + partition pruning", ["source_partitioned_scan"]),
+    ("ETL: data-quality quarantine gate (single-pass rule bitmap)", ["etl_quarantine_validation"]),
+    ("agg: exact mode with deterministic tie-break", ["agg_mode_exact"]),
+    ("agg: geometric / harmonic / arithmetic means (log-space)", ["agg_pythagorean_means"]),
+    ("join: forward as-of (next-event semantics)", ["join_asof_forward"]),
+    ("analytics: rolling DAU/WAU stickiness (spread-then-aggregate)", ["events_rolling_dau_wau"]),
 ]
 
 

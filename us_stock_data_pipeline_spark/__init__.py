@@ -49,8 +49,10 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     etl_quality,
     sketch_ops,
     udf_ops,
+    relational8,
     streaming_ops,
     source_formats,
+    source_formats2,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]

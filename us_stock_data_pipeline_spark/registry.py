@@ -68,6 +68,13 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_containment_ngram",
     "events_ab_test_lift",
     "text_bigram_lm",
+    "etl_schema_evolution",
+    "source_partitioned_scan",
+    "etl_quarantine_validation",
+    "agg_mode_exact",
+    "agg_pythagorean_means",
+    "join_asof_forward",
+    "events_rolling_dau_wau",
 )
 
 
