@@ -163,6 +163,10 @@ SECTION_2B = [
     ("agg: geometric / harmonic / arithmetic means (log-space)", ["agg_pythagorean_means"]),
     ("join: forward as-of (next-event semantics)", ["join_asof_forward"]),
     ("analytics: rolling DAU/WAU stickiness (spread-then-aggregate)", ["events_rolling_dau_wau"]),
+    ("agg: skewness/kurtosis from raw power sums (engine-neutral)", ["agg_higher_moments"]),
+    ("analytics: Pareto concentration + Gini coefficient", ["events_pareto_gini"]),
+    ("LLM text: Zipf rank-frequency fit (corpus health)", ["text_zipf_slope"]),
+    ("analytics: hour-of-week seasonality + chi-square", ["events_seasonality_chisq"]),
 ]
 
 

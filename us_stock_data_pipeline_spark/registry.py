@@ -75,6 +75,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_pythagorean_means",
     "join_asof_forward",
     "events_rolling_dau_wau",
+    "agg_higher_moments",
+    "events_pareto_gini",
+    "text_zipf_slope",
+    "events_seasonality_chisq",
 )
 
 
