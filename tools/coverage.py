@@ -167,6 +167,10 @@ SECTION_2B = [
     ("analytics: Pareto concentration + Gini coefficient", ["events_pareto_gini"]),
     ("LLM text: Zipf rank-frequency fit (corpus health)", ["text_zipf_slope"]),
     ("analytics: hour-of-week seasonality + chi-square", ["events_seasonality_chisq"]),
+    ("analytics: market-basket association rules (support/confidence/lift)", ["orders_market_basket"]),
+    ("analytics: RFM customer segmentation (exact-cent quintiles)", ["customer_rfm_segments"]),
+    ("analytics: session path analysis (ordered sequence mining)", ["events_path_analysis"]),
+    ("analytics: inter-arrival distribution fit (Poisson check)", ["events_interarrival_fit"]),
 ]
 
 

@@ -47,6 +47,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops8,
     analytics_ops,
     analytics_ops2,
+    analytics_ops3,
     etl_quality,
     sketch_ops,
     udf_ops,

@@ -79,6 +79,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_pareto_gini",
     "text_zipf_slope",
     "events_seasonality_chisq",
+    "orders_market_basket",
+    "customer_rfm_segments",
+    "events_path_analysis",
+    "events_interarrival_fit",
 )
 
 
