@@ -171,6 +171,11 @@ SECTION_2B = [
     ("analytics: RFM customer segmentation (exact-cent quintiles)", ["customer_rfm_segments"]),
     ("analytics: session path analysis (ordered sequence mining)", ["events_path_analysis"]),
     ("analytics: inter-arrival distribution fit (Poisson check)", ["events_interarrival_fit"]),
+    ("LLM dedup: URL canonicalization (crawl dedup ladder, step 0)", ["dedup_url_canonical"]),
+    ("LLM tokenizer: vocabulary-coverage / OOV audit", ["tokenizer_vocab_coverage"]),
+    ("LLM embedding: effective dimensionality (participation ratio)", ["embedding_effective_dim"]),
+    ("ETL: CDC changelog apply with delete tombstones", ["etl_cdc_changelog_apply"]),
+    ("LLM assembly: training-shard manifest (per-source byte budget)", ["data_shard_manifest"]),
 ]
 
 

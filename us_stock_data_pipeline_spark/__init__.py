@@ -45,6 +45,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops6,
     llm_ops7,
     llm_ops8,
+    llm_ops9,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,

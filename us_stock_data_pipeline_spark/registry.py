@@ -83,6 +83,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "events_path_analysis",
     "events_interarrival_fit",
+    "dedup_url_canonical",
+    "tokenizer_vocab_coverage",
+    "embedding_effective_dim",
+    "etl_cdc_changelog_apply",
+    "data_shard_manifest",
 )
 
 
