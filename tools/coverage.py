@@ -176,6 +176,10 @@ SECTION_2B = [
     ("LLM embedding: effective dimensionality (participation ratio)", ["embedding_effective_dim"]),
     ("ETL: CDC changelog apply with delete tombstones", ["etl_cdc_changelog_apply"]),
     ("LLM assembly: training-shard manifest (per-source byte budget)", ["data_shard_manifest"]),
+    ("scalar: nested-struct build / withField update / leaf pruning", ["scalar_struct_ops"]),
+    ("agg: full covariance/correlation matrix (joinless in-row pairs)", ["agg_covariance_matrix"]),
+    ("timeseries: M4 downsampling (min/max/first/last per bin)", ["timeseries_m4_downsample"]),
+    ("graph: triangle count + transitivity (canonical orientation)", ["graph_triangle_count"]),
 ]
 
 

@@ -53,6 +53,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     sketch_ops,
     udf_ops,
     relational8,
+    relational9,
     streaming_ops,
     source_formats,
     source_formats2,

@@ -88,6 +88,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "embedding_effective_dim",
     "etl_cdc_changelog_apply",
     "data_shard_manifest",
+    "scalar_struct_ops",
+    "agg_covariance_matrix",
+    "timeseries_m4_downsample",
+    "graph_triangle_count",
 )
 
 
