@@ -180,6 +180,8 @@ SECTION_2B = [
     ("agg: full covariance/correlation matrix (joinless in-row pairs)", ["agg_covariance_matrix"]),
     ("timeseries: M4 downsampling (min/max/first/last per bin)", ["timeseries_m4_downsample"]),
     ("graph: triangle count + transitivity (canonical orientation)", ["graph_triangle_count"]),
+    ("streaming: continuous OHLCV bar construction (reference core, streaming twin)", ["stream_ohlcv_bars"]),
+    ("streaming: windowed trending top-k (state/rank split)", ["stream_trending_topk"]),
 ]
 
 

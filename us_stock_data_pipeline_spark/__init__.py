@@ -55,6 +55,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational8,
     relational9,
     streaming_ops,
+    streaming_ops2,
     source_formats,
     source_formats2,
 )

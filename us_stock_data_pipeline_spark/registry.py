@@ -92,6 +92,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_covariance_matrix",
     "timeseries_m4_downsample",
     "graph_triangle_count",
+    "stream_ohlcv_bars",
+    "stream_trending_topk",
 )
 
 
