@@ -182,6 +182,8 @@ SECTION_2B = [
     ("graph: triangle count + transitivity (canonical orientation)", ["graph_triangle_count"]),
     ("streaming: continuous OHLCV bar construction (reference core, streaming twin)", ["stream_ohlcv_bars"]),
     ("streaming: windowed trending top-k (state/rank split)", ["stream_trending_topk"]),
+    ("UDF surface: Python UDTF (row->table expansion)", ["udtf_installment_expand"]),
+    ("source: custom Python DataSource (parallel paged connector)", ["source_python_datasource"]),
 ]
 
 

@@ -58,6 +58,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     streaming_ops2,
     source_formats,
     source_formats2,
+    extensibility_ops,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]

@@ -94,6 +94,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "stream_ohlcv_bars",
     "stream_trending_topk",
+    "udtf_installment_expand",
+    "source_python_datasource",
 )
 
 
