@@ -134,9 +134,11 @@ def main() -> None:
         # that only adds GC churn to the measurement).
         spark.catalog.clearCache()
         t0 = time.time()
-        # 10 workers measured fastest on local[32] (18 workers add ~0.3s
-        # of scheduler/GIL contention; 6 under-utilizes the cores).
-        with ThreadPoolExecutor(max_workers=10) as pool:
+        # 14 workers measured fastest on local[32] for the current set
+        # (round-5 sweep: 6w=3.09s, 10w=2.66s, 14w=2.34s, 21w=2.46s —
+        # past ~14 the long-pole queries start contending with each
+        # other; the old 10w tuning predated the r03+ headline mix).
+        with ThreadPoolExecutor(max_workers=14) as pool:
             list(pool.map(lambda fn: _run(fn, spark, sf_dir), ok_fns))
         concurrent_wall = min(concurrent_wall, round(time.time() - t0, 3))
 
