@@ -184,6 +184,9 @@ SECTION_2B = [
     ("streaming: windowed trending top-k (state/rank split)", ["stream_trending_topk"]),
     ("UDF surface: Python UDTF (row->table expansion)", ["udtf_installment_expand"]),
     ("source: custom Python DataSource (parallel paged connector)", ["source_python_datasource"]),
+    ("LLM multimodal: audio chunk planning (metadata-only scheduling)", ["multimodal_audio_chunk_plan"]),
+    ("LLM text: RAKE keyword extraction (degree/frequency)", ["text_keyword_rake"]),
+    ("LLM embedding: Matryoshka truncation recall audit", ["embedding_matryoshka_recall"]),
 ]
 
 

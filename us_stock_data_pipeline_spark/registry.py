@@ -96,6 +96,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "stream_trending_topk",
     "udtf_installment_expand",
     "source_python_datasource",
+    "multimodal_audio_chunk_plan",
+    "text_keyword_rake",
+    "embedding_matryoshka_recall",
 )
 
 
