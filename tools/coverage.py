@@ -187,6 +187,8 @@ SECTION_2B = [
     ("LLM multimodal: audio chunk planning (metadata-only scheduling)", ["multimodal_audio_chunk_plan"]),
     ("LLM text: RAKE keyword extraction (degree/frequency)", ["text_keyword_rake"]),
     ("LLM embedding: Matryoshka truncation recall audit", ["embedding_matryoshka_recall"]),
+    ("SQL: recursive CTE hierarchy walk (WITH RECURSIVE, Spark 4)", ["sql_recursive_hierarchy"]),
+    ("scalar: VARIANT semi-structured extraction (parse once, Spark 4)", ["scalar_variant_props"]),
 ]
 
 

@@ -57,6 +57,11 @@ QUERIES = [
     "etl_sessionization_gaps",
     "join_range_banded",
     "bars_ema",
+    # round-5 heavy additions: fact-join-fed iteration, basket self-join,
+    # bigram count join — each a distinct shuffle shape worth curving
+    "graph_pagerank_trade",
+    "orders_market_basket",
+    "text_bigram_lm",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -60,6 +60,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     source_formats,
     source_formats2,
     extensibility_ops,
+    modern_sql_ops,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]

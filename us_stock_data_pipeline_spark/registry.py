@@ -99,6 +99,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_chunk_plan",
     "text_keyword_rake",
     "embedding_matryoshka_recall",
+    "sql_recursive_hierarchy",
+    "scalar_variant_props",
 )
 
 
