@@ -189,6 +189,8 @@ SECTION_2B = [
     ("LLM embedding: Matryoshka truncation recall audit", ["embedding_matryoshka_recall"]),
     ("SQL: recursive CTE hierarchy walk (WITH RECURSIVE, Spark 4)", ["sql_recursive_hierarchy"]),
     ("scalar: VARIANT semi-structured extraction (parse once, Spark 4)", ["scalar_variant_props"]),
+    ("LLM assembly: SFT loss-mask spans (completion-only loss)", ["sft_loss_mask_spans"]),
+    ("LLM assembly: RLHF/DPO preference pairs (rank-matched)", ["rlhf_preference_pairs"]),
 ]
 
 

@@ -101,6 +101,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "embedding_matryoshka_recall",
     "sql_recursive_hierarchy",
     "scalar_variant_props",
+    "sft_loss_mask_spans",
+    "rlhf_preference_pairs",
 )
 
 
