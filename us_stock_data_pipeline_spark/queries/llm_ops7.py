@@ -31,6 +31,7 @@ WITH keyed AS (
          ln((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
                   AS UBIGINT) + 1) / 4294967296.0) / value AS k
   FROM events
+  WHERE value > 0
 )
 SELECT event_id, event_type, round(value, 2) AS w, round(k, 6) AS es_key
 FROM keyed
@@ -52,8 +53,11 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one scan, k*n_partitions rows moved, no shuffle of the
     corpus. The deterministic u doubles as reproducibility — the same
     corpus always yields the same training subset (same property the
-    repo's `sample_deterministic` exploits)."""
-    ev = load_table(spark, sf_dir, "events")
+    repo's `sample_deterministic` exploits). Zero-weight rows are
+    filtered first — A-ES is defined for w > 0 (P(select) -> 0 as
+    w -> 0 anyway, and ln(u)/0 is the sf0.1 fixture's division-by-zero
+    landmine this filter defuses)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
         .cast("double")
@@ -413,7 +417,8 @@ adc AS (
 ),
 ranked AS (
   SELECT qid, vec_id, adist,
-         row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+         row_number() OVER (PARTITION BY qid ORDER BY round(adist, 4), vec_id)
+           AS rnk
   FROM adc WHERE qid != vec_id
 )
 SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, round(adist, 4) AS adist
@@ -491,7 +496,14 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d2").alias("adist"))
         .filter(F.col("qid") != F.col("vec_id"))
     )
-    rnk = F.row_number().over(W.partitionBy("qid").orderBy("adist", "vec_id"))
+    # Rank by the ROUNDED distance: the fixture's planted near-dup
+    # vectors produce mathematically-equal ADC distances whose unrounded
+    # doubles differ in the last ulp between engines (grouped-sum order),
+    # flipping rank-1 at sf0.1. Rounding to the output precision before
+    # ranking makes vec_id the deciding tie-break on both sides.
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.round("adist", 4), "vec_id")
+    )
     return (
         adc.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= 5)
