@@ -191,6 +191,8 @@ SECTION_2B = [
     ("scalar: VARIANT semi-structured extraction (parse once, Spark 4)", ["scalar_variant_props"]),
     ("LLM assembly: SFT loss-mask spans (completion-only loss)", ["sft_loss_mask_spans"]),
     ("LLM assembly: RLHF/DPO preference pairs (rank-matched)", ["rlhf_preference_pairs"]),
+    ("analytics: cohort LTV triangle (exact-cent revenue)", ["customer_ltv_cohort"]),
+    ("analytics: fulfillment lead-time SLA profile", ["orders_fulfillment_leadtime"]),
 ]
 
 

@@ -51,6 +51,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
+    analytics_ops4,
     etl_quality,
     sketch_ops,
     udf_ops,

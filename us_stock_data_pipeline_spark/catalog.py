@@ -64,6 +64,24 @@ def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast EVERY TimestampNTZ column to TimestampType. The fixture's
+    parquet timestamps carry no timezone, so Spark loads them all as
+    TIMESTAMP_NTZ (events.ts, lineitem.l_shipdate, orders.o_orderdate)
+    — and epoch functions (unix_micros & co.) reject NTZ. The session
+    timezone is pinned UTC, so the cast reinterprets the wall-clock
+    fields as UTC instants: identical displayed values, identical
+    DuckDB comparisons, and the full epoch-function surface works on
+    every table — not just the events.ts special case the round-4
+    regression first exposed."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+    return df
+
+
 # DataFrame handles memoized per (session, file): building one costs
 # ~90 ms of driver-side footer/schema reads, paid by EVERY query for
 # EVERY table it touches (a 6-table join re-read 6 footers per call).
@@ -90,6 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if name == "events":
             df = fix_nanos_ts(df)
+        df = normalize_timestamps(df)
         _TABLE_CACHE[key] = df
     return df
 

@@ -103,6 +103,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scalar_variant_props",
     "sft_loss_mask_spans",
     "rlhf_preference_pairs",
+    "customer_ltv_cohort",
+    "orders_fulfillment_leadtime",
 )
 
 
