@@ -79,3 +79,15 @@ def test_triangle_count_consistent(spark):
     max_tri = r["n_nodes"] * (r["n_nodes"] - 1) * (r["n_nodes"] - 2) // 6
     assert 0 <= r["n_triangles"] <= max_tri
     assert 0.0 <= r["transitivity"] <= 1.0
+
+
+def test_interval_burst_counts_include_self(spark):
+    """Every surviving row's 24h count includes itself and is >= 3 by
+    the threshold; counts ride one user_id exchange."""
+    rows = registry.queries()["window_interval_burst"](spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["n_24h"] >= 3
+    plan = _executed(spark, "window_interval_burst")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"user_id"}, keys

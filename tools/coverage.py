@@ -193,6 +193,7 @@ SECTION_2B = [
     ("LLM assembly: RLHF/DPO preference pairs (rank-matched)", ["rlhf_preference_pairs"]),
     ("analytics: cohort LTV triangle (exact-cent revenue)", ["customer_ltv_cohort"]),
     ("analytics: fulfillment lead-time SLA profile", ["orders_fulfillment_leadtime"]),
+    ("window: native INTERVAL range frame (burst / rate-limit detection)", ["window_interval_burst"]),
 ]
 
 

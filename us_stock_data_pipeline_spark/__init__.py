@@ -57,6 +57,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     udf_ops,
     relational8,
     relational9,
+    relational10,
     streaming_ops,
     streaming_ops2,
     source_formats,

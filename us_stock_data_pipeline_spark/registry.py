@@ -105,6 +105,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "rlhf_preference_pairs",
     "customer_ltv_cohort",
     "orders_fulfillment_leadtime",
+    "window_interval_burst",
 )
 
 
