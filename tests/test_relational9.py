@@ -91,3 +91,30 @@ def test_interval_burst_counts_include_self(spark):
     plan = _executed(spark, "window_interval_burst")
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys == {"user_id"}, keys
+
+
+def test_asof_tolerance_is_subset_of_unbounded(spark):
+    """Tolerance matches must equal the unbounded as-of match whenever
+    that match is within the horizon, and NULL whenever it is older."""
+    unb = {r["event_id"]: r["last_click_ts"] for r in registry.queries()["join_asof"](spark, SF).collect()}
+    tol = {r["event_id"]: r for r in registry.queries()["join_asof_tolerance"](spark, SF).collect()}
+    assert unb.keys() == tol.keys()
+    import datetime
+    hour = datetime.timedelta(hours=1)
+    for eid, r in tol.items():
+        full = unb[eid]
+        if r["last_click_1h"] is not None:
+            assert r["last_click_1h"] == full
+            assert r["ts"] - r["last_click_1h"] <= hour
+        elif full is not None:
+            assert r["ts"] - full > hour
+
+
+def test_novelty_first_doc_is_fully_novel_and_shares_bounded(spark):
+    rows = registry.queries()["text_ngram_novelty"](spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novelty"] == 1.0  # the earliest doc introduces all its grams
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_grams"]

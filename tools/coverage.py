@@ -194,6 +194,8 @@ SECTION_2B = [
     ("analytics: cohort LTV triangle (exact-cent revenue)", ["customer_ltv_cohort"]),
     ("analytics: fulfillment lead-time SLA profile", ["orders_fulfillment_leadtime"]),
     ("window: native INTERVAL range frame (burst / rate-limit detection)", ["window_interval_burst"]),
+    ("join: as-of with tolerance (stale-match nullifier)", ["join_asof_tolerance"]),
+    ("LLM dedup: first-seen n-gram novelty (incremental-crawl gate)", ["text_ngram_novelty"]),
 ]
 
 

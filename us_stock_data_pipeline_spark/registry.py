@@ -106,6 +106,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "customer_ltv_cohort",
     "orders_fulfillment_leadtime",
     "window_interval_burst",
+    "join_asof_tolerance",
+    "text_ngram_novelty",
 )
 
 
