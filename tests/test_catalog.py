@@ -105,3 +105,20 @@ def test_ntz_casualty_queries_analyze(spark, queryname):
     df = fn(spark, SF_DIR)
     assert len(df.schema.fields) > 0
     assert df.limit(1).count() >= 0
+
+
+def test_ntz_cast_does_not_block_pushdown(spark):
+    """The catalog's blanket NTZ->TIMESTAMP cast must stay transparent
+    to predicate pushdown: a timestamp filter on orders must still
+    reach the parquet scan as a PushedFilter (Catalyst pushes the
+    instant-preserving cast onto the literal side)."""
+    import pyspark.sql.functions as F
+
+    df = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderdate") >= "2024-01-01"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "o_orderdate" in pushed, pushed
