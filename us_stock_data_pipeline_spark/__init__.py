@@ -52,6 +52,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops2,
     analytics_ops3,
     analytics_ops4,
+    analytics_ops5,
     etl_quality,
     sketch_ops,
     udf_ops,
