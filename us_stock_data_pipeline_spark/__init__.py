@@ -48,6 +48,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops9,
     llm_ops10,
     llm_ops11,
+    llm_ops12,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
