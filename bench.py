@@ -124,8 +124,17 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # LPT (longest-processing-time-first) submission: with a bounded pool,
+    # makespan is minimized when the long poles start first instead of
+    # landing on an already-drained pool at the tail. The sequential pass
+    # just measured every query, so the schedule is free.
     ok_fns = [
-        fn for name, fn in registry.bench_queries().items() if name in timings
+        fn
+        for name, fn in sorted(
+            registry.bench_queries().items(),
+            key=lambda kv: -timings.get(kv[0], 0.0),
+        )
+        if name in timings
     ]
     concurrent_wall = float("inf")
     for rep in range(REPS):
@@ -134,11 +143,12 @@ def main() -> None:
         # that only adds GC churn to the measurement).
         spark.catalog.clearCache()
         t0 = time.time()
-        # 14 workers measured fastest on local[32] for the current set
-        # (round-5 sweep: 6w=3.09s, 10w=2.66s, 14w=2.34s, 21w=2.46s —
-        # past ~14 the long-pole queries start contending with each
-        # other; the old 10w tuning predated the r03+ headline mix).
-        with ThreadPoolExecutor(max_workers=14) as pool:
+        # 10 workers measured fastest under LPT ordering (round-6 sweep:
+        # 10w=1.62s, 12w=1.68s, 14w=1.80s, 18w=1.94s, 21w=1.95s). LPT
+        # moved the optimum DOWN from round-5's 14w: once the long poles
+        # start first, extra workers only add core contention against
+        # them instead of hiding a bad schedule.
+        with ThreadPoolExecutor(max_workers=10) as pool:
             list(pool.map(lambda fn: _run(fn, spark, sf_dir), ok_fns))
         concurrent_wall = min(concurrent_wall, round(time.time() - t0, 3))
 
