@@ -193,3 +193,59 @@ def test_semdedup_pairs_stay_within_cells(spark):
     plan is a SortMergeJoin/ShuffledHashJoin on j — never a cartesian."""
     plan = _executed(spark, "dedup_semdedup")
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 2: KS / fuzzy dedup / Holt / PCA
+# --------------------------------------------------------------------------
+
+def test_ks_statistic_bounds(spark):
+    r = _q("stats_ks_two_sample")(spark, SF).collect()[0]
+    assert 0.0 <= r.d_stat <= 1.0
+    assert r.n1 > 0 and r.n2 > 0
+
+
+def test_fuzzy_transactions_catch_all_plants(spark):
+    """Neighboring-bin blocking guarantees 100% recall on the +3-cent/
+    +2-day plants; every reported pair satisfies both tolerances."""
+    from us_stock_data_pipeline_spark.queries.analytics_ops6 import (
+        _FUZZ_CENTS_TOL,
+        _FUZZ_DAYS_TOL,
+        _FUZZ_PLANT_MOD,
+        _FUZZ_PLANT_OFFSET,
+    )
+    rows = _q("dedup_fuzzy_transactions")(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_plants = orders.filter(f"o_orderkey % {_FUZZ_PLANT_MOD} = 0").count()
+    planted_pairs = {
+        (r.okey_a, r.okey_b)
+        for r in rows
+        if r.okey_b == r.okey_a + _FUZZ_PLANT_OFFSET
+    }
+    assert len(planted_pairs) == n_plants
+    for r in rows:
+        assert r.cents_diff <= _FUZZ_CENTS_TOL and r.days_apart <= _FUZZ_DAYS_TOL
+
+
+def test_holt_forecast_identity(spark):
+    """forecast_next = level + trend on every row (up to the shared
+    rounding), and the first row of each series seeds level=close."""
+    rows = _q("timeseries_holt_linear")(spark, SF).collect()
+    by_symbol = {}
+    for r in rows:
+        by_symbol.setdefault(r.symbol, []).append(r)
+    for sym, rs in by_symbol.items():
+        first = min(rs, key=lambda r: r.day)
+        assert first.level == first.close and first.trend == 0.0
+        for r in rs:
+            assert abs(r.forecast_next - (r.level + r.trend)) < 2e-4
+
+
+def test_pca_loading_normalized(spark):
+    """The dominant loading is exactly +-1.0 (renormalization pins the
+    max-abs component to 1e4/1e4) and every loading is in [-1, 1]."""
+    rows = _q("embedding_pca_power_iteration")(spark, SF).collect()
+    assert len(rows) == 64
+    loadings = [r.loading for r in rows]
+    assert max(abs(v) for v in loadings) == 1.0
+    assert all(-1.0 <= v <= 1.0 for v in loadings)

@@ -211,6 +211,10 @@ SECTION_2B = [
     ("layout: z-order clustering keys + skipping stats", ["layout_zorder_clustering"]),
     ("layout: range-partition boundary planner", ["layout_partition_planner"]),
     ("join: interval-overlap via month binning", ["join_interval_overlap"]),
+    ("stats: Kolmogorov-Smirnov two-sample (exact CDF supremum)", ["stats_ks_two_sample"]),
+    ("dedup: fuzzy transaction matching (neighboring-bin blocking)", ["dedup_fuzzy_transactions"]),
+    ("timeseries: Holt linear-trend smoothing (recursive kernel)", ["timeseries_holt_linear"]),
+    ("LLM embedding: PCA top component (exact power iteration)", ["embedding_pca_power_iteration"]),
 ]
 
 

@@ -49,11 +49,13 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops10,
     llm_ops11,
     llm_ops12,
+    llm_ops13,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
     analytics_ops4,
     analytics_ops5,
+    analytics_ops6,
     etl_quality,
     sketch_ops,
     udf_ops,

@@ -63,6 +63,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "layout_zorder_clustering",
     "layout_partition_planner",
     "join_interval_overlap",
+    "stats_ks_two_sample",
+    "dedup_fuzzy_transactions",
+    "timeseries_holt_linear",
+    "embedding_pca_power_iteration",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
