@@ -249,3 +249,63 @@ def test_pca_loading_normalized(spark):
     loadings = [r.loading for r in rows]
     assert max(abs(v) for v in loadings) == 1.0
     assert all(-1.0 <= v <= 1.0 for v in loadings)
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 3: ML eval / survival / pattern matching
+# --------------------------------------------------------------------------
+
+def test_auc_within_bounds_and_better_than_chance(spark):
+    """AUC in [0,1] and near chance: the fixture text is uniform word
+    soup, so the stopword scorer has no real signal — a strongly
+    off-chance AUC would mean the rank math is broken."""
+    r = _q("ml_auc_roc")(spark, SF).collect()[0]
+    assert 0.0 <= r.auc <= 1.0
+    assert 0.3 < r.auc < 0.7
+    assert r.n_pos > 0 and r.n_neg > 0
+
+
+def test_confusion_matrix_partitions_corpus(spark):
+    r = _q("ml_confusion_matrix")(spark, SF).collect()[0]
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert r.tp + r.fp + r.fn + r.tn == docs_n
+    assert 0.0 <= r.precision_ <= 1.0 and 0.0 <= r.recall_ <= 1.0
+    # F1 is the harmonic mean: between min and max of P and R
+    assert min(r.precision_, r.recall_) - 1e-4 <= r.f1 <= max(r.precision_, r.recall_) + 1e-4
+
+
+def test_calibration_bins_cover_and_order(spark):
+    rows = _q("ml_calibration_bins")(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs_n
+    means = [r.mean_score for r in sorted(rows, key=lambda r: r.bin)]
+    assert means == sorted(means)  # mean score monotone across bins
+    for r in rows:
+        assert 0.0 <= r.obs_rate <= 1.0
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    """Survival curves never rise; at-risk counts never grow over time;
+    the exact integer log column agrees with the rounded survival."""
+    import math
+
+    rows = sorted(_q("survival_kaplan_meier")(spark, SF).collect(), key=lambda r: r.t_days)
+    assert rows
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert r.survival <= prev_s + 1e-9
+        prev_s = r.survival
+        if prev_risk is not None:
+            assert r.n_risk <= prev_risk
+        prev_risk = r.n_risk
+        assert abs(math.exp(r.log_survival_micro / 1e6) - r.survival) < 1e-3
+
+
+def test_vreversal_pattern_semantics(spark):
+    """Every reported match satisfies both legs of the V."""
+    from us_stock_data_pipeline_spark.queries.analytics_ops7 import _V_MIN_DEPTH_CENTS
+
+    rows = _q("bars_pattern_vreversal")(spark, SF).collect()
+    for r in rows:
+        assert r.depth_cents >= _V_MIN_DEPTH_CENTS
+        assert r.rebound_cents >= _V_MIN_DEPTH_CENTS

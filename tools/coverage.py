@@ -215,6 +215,11 @@ SECTION_2B = [
     ("dedup: fuzzy transaction matching (neighboring-bin blocking)", ["dedup_fuzzy_transactions"]),
     ("timeseries: Holt linear-trend smoothing (recursive kernel)", ["timeseries_holt_linear"]),
     ("LLM embedding: PCA top component (exact power iteration)", ["embedding_pca_power_iteration"]),
+    ("ML eval: AUC-ROC (exact rank-sum)", ["ml_auc_roc"]),
+    ("ML eval: confusion matrix + precision/recall/F1", ["ml_confusion_matrix"]),
+    ("ML eval: calibration / reliability bins", ["ml_calibration_bins"]),
+    ("analytics: Kaplan-Meier survival with censoring", ["survival_kaplan_meier"]),
+    ("stock: V-reversal pattern match (MATCH_RECOGNIZE-lite)", ["bars_pattern_vreversal"]),
 ]
 
 

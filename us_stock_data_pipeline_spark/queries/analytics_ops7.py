@@ -1,0 +1,201 @@
+"""Round-6 analytics additions, part 7: Kaplan-Meier survival curve
+and V-reversal pattern detection — survival analysis and sequential
+pattern matching, two named analytics families the surface lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimator
+# --------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 60
+
+_KM_ORACLE = f"""
+WITH dur AS (
+  -- time-to-ship per order line; the fixture has no receipt column, so
+  -- the duration is ship - orderdate, right-censored at the {_KM_CENSOR_DAYS}-day
+  -- observation window (same censoring any live warehouse has)
+  SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > {_KM_CENSOR_DAYS}
+              THEN {_KM_CENSOR_DAYS}
+              ELSE date_diff('day', o.o_orderdate, l.l_shipdate) END AS t,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > {_KM_CENSOR_DAYS}
+              THEN 0 ELSE 1 END AS ev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+per_t AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS leaving
+  FROM dur GROUP BY t
+),
+at_risk AS (
+  SELECT t, d,
+         tot.n - coalesce(sum(leaving) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t, tot
+),
+steps AS (
+  -- per-step log survival quantized to exact micro-nats BEFORE the
+  -- cumulative sum (the DSIR ulp-robustness trick)
+  SELECT t, d, n_risk,
+         CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000) AS BIGINT) AS lq
+  FROM at_risk WHERE d > 0 AND n_risk > d
+),
+curve AS (
+  SELECT t, d, n_risk,
+         sum(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_lq
+  FROM steps
+)
+SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_events,
+       CAST(cum_lq AS BIGINT) AS log_survival_micro,
+       floor(exp(CAST(cum_lq AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS survival
+FROM curve
+ORDER BY t_days
+"""
+
+
+@register("survival_kaplan_meier", oracle=_KM_ORACLE, tags=("analytics", "survival"))
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for order-to-ship time with
+    right-censoring at 60 days — the estimator behind churn curves,
+    delivery SLAs, and any time-to-event readout with incomplete
+    observation. S(t) = prod(1 - d_i/n_i) runs in LOG space with each
+    step's log-factor quantized to exact integer micro-nats before the
+    cumulative sum (the `agg_product_logspace` + DSIR discipline), so
+    the curve's monotone structure is exact integer arithmetic and the
+    only floats are one ln per distinct time and one final exp. Plan:
+    one fact-fact join (shuffle on order key), one groupBy to the
+    distinct-time support, then windows over that tiny support table —
+    the at-risk counts come from ONE ordered cumsum, not a per-time
+    rescan; at 100 TB the support is duration-cardinality-sized
+    (days: hundreds) regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    raw_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    dur = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.when(raw_days > _KM_CENSOR_DAYS, F.lit(_KM_CENSOR_DAYS))
+            .otherwise(raw_days)
+            .alias("t"),
+            F.when(raw_days > _KM_CENSOR_DAYS, F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+        )
+    )
+    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_t = dur.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))).alias("n_risk"),
+    )
+    steps = at_risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")) * 1000000
+        )
+        .cast("long")
+        .alias("lq"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = steps.select(
+        "t", "d", "n_risk", F.sum("lq").over(w_cum).alias("cum_lq")
+    )
+    return curve.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("cum_lq").cast("long").alias("log_survival_micro"),
+        (
+            F.floor(F.exp(F.col("cum_lq").cast("double") / 1000000) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("survival"),
+    ).orderBy("t_days")
+
+
+# --------------------------------------------------------------------------
+# V-reversal pattern detection (MATCH_RECOGNIZE-lite)
+# --------------------------------------------------------------------------
+
+_V_MIN_DEPTH_CENTS = 200
+
+_VREV_ORACLE = f"""
+WITH closes AS (
+  SELECT event_type AS symbol,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS close_cents
+  FROM events GROUP BY 1, 2
+),
+laged AS (
+  SELECT symbol, day, close_cents,
+         lag(close_cents, 2) OVER (PARTITION BY symbol ORDER BY day) AS c2,
+         lag(close_cents, 1) OVER (PARTITION BY symbol ORDER BY day) AS c1
+  FROM closes
+)
+SELECT symbol,
+       day AS rebound_day,
+       c2 - c1 AS depth_cents,
+       close_cents - c1 AS rebound_cents
+FROM laged
+WHERE c2 IS NOT NULL
+  AND c2 - c1 >= {_V_MIN_DEPTH_CENTS}
+  AND close_cents - c1 >= {_V_MIN_DEPTH_CENTS}
+ORDER BY symbol, rebound_day
+"""
+
+
+@register("bars_pattern_vreversal", oracle=_VREV_ORACLE, tags=("stock", "pattern", "window"))
+def bars_pattern_vreversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-reversal detection on daily closes: a drop of >= $2 followed
+    immediately by a rebound of >= $2 — sequential pattern matching
+    (SQL MATCH_RECOGNIZE territory, which Spark lacks) expressed as
+    lag-window predicates. The 3-bar pattern needs exactly two lags
+    over ONE (symbol ORDER BY day) window spec — a single shuffle, one
+    sort, every pattern predicate in whole-stage codegen; longer
+    patterns extend with more lags or a collect_list sliding frame,
+    and genuinely stateful grammars (Kleene stars) fall through to the
+    `bars_ema` applyInPandas tier. Closes are exact integer cents so
+    the match decision can't waver."""
+    ev = load_table(spark, sf_dir, "events")
+    closes = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.round(F.max_by("value", "event_id") * 100).cast("long").alias("close_cents")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    laged = closes.select(
+        "symbol",
+        "day",
+        "close_cents",
+        F.lag("close_cents", 2).over(w).alias("c2"),
+        F.lag("close_cents", 1).over(w).alias("c1"),
+    )
+    return (
+        laged.filter(
+            F.col("c2").isNotNull()
+            & (F.col("c2") - F.col("c1") >= _V_MIN_DEPTH_CENTS)
+            & (F.col("close_cents") - F.col("c1") >= _V_MIN_DEPTH_CENTS)
+        )
+        .select(
+            "symbol",
+            F.col("day").alias("rebound_day"),
+            (F.col("c2") - F.col("c1")).alias("depth_cents"),
+            (F.col("close_cents") - F.col("c1")).alias("rebound_cents"),
+        )
+        .orderBy("symbol", "rebound_day")
+    )

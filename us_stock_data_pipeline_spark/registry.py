@@ -67,6 +67,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_fuzzy_transactions",
     "timeseries_holt_linear",
     "embedding_pca_power_iteration",
+    "ml_auc_roc",
+    "ml_confusion_matrix",
+    "ml_calibration_bins",
+    "survival_kaplan_meier",
+    "bars_pattern_vreversal",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
