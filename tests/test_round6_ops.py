@@ -309,3 +309,56 @@ def test_vreversal_pattern_semantics(spark):
     for r in rows:
         assert r.depth_cents >= _V_MIN_DEPTH_CENTS
         assert r.rebound_cents >= _V_MIN_DEPTH_CENTS
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 4: conversion latency / incremental merge / late dims / MACD
+# --------------------------------------------------------------------------
+
+def test_conversion_latency_ordering(spark):
+    r = _q("events_conversion_latency")(spark, SF).collect()[0]
+    assert 0 < r.n_converted <= r.n_viewers
+    assert 0 <= r.p50_hours <= r.p90_hours
+
+
+def test_incremental_merge_equals_direct(spark):
+    """The merged monthly state must equal a direct month-grain
+    aggregate over raw events — the mergeability property itself."""
+    rows = _q("etl_incremental_agg_merge")(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from pyspark.sql import functions as F
+    direct = {
+        (r["event_type"], r["month"]): (r["cnt"], r["sum_cents"])
+        for r in ev.groupBy(
+            "event_type",
+            F.date_trunc("month", F.col("ts").cast("timestamp")).cast("date").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(direct)
+    for r in rows:
+        assert (r.cnt, r.sum_cents) == direct[(r.event_type, r.month)]
+        assert r.min_cents <= r.max_cents
+
+
+def test_late_dim_quantifies_missing_keys(spark):
+    from us_stock_data_pipeline_spark.queries.analytics_ops8 import _LATE_MOD
+
+    rows = _q("etl_late_arriving_dimension")(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    expect_late = orders.filter(f"o_custkey % {_LATE_MOD} = 0").count()
+    assert sum(r.n_late for r in rows) == expect_late
+    for r in rows:
+        assert 0 <= r.n_pending_keys <= r.n_late
+        assert 0.0 <= r.late_share <= 1.0
+
+
+def test_macd_histogram_identity(spark):
+    rows = _q("bars_macd")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.histogram - (r.macd - r.signal)) < 2e-4

@@ -220,6 +220,10 @@ SECTION_2B = [
     ("ML eval: calibration / reliability bins", ["ml_calibration_bins"]),
     ("analytics: Kaplan-Meier survival with censoring", ["survival_kaplan_meier"]),
     ("stock: V-reversal pattern match (MATCH_RECOGNIZE-lite)", ["bars_pattern_vreversal"]),
+    ("analytics: conversion latency (first-touch to first-buy)", ["events_conversion_latency"]),
+    ("ETL: incremental aggregate-state merge (partial rollup)", ["etl_incremental_agg_merge"]),
+    ("ETL: late-arriving dimension audit (backfill queue)", ["etl_late_arriving_dimension"]),
+    ("stock: MACD 12/26/9 (triple coupled recursion)", ["bars_macd"]),
 ]
 
 

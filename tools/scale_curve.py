@@ -62,6 +62,12 @@ QUERIES = [
     "graph_pagerank_trade",
     "orders_market_basket",
     "text_bigram_lm",
+    # round-6 heavy additions: iterative Lloyd assignment, within-cell
+    # pairwise dedup, dim-pair covariance build, blocked fuzzy self-join
+    "kmeans_lloyd_exact",
+    "dedup_semdedup",
+    "embedding_pca_power_iteration",
+    "dedup_fuzzy_transactions",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -72,6 +72,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "ml_calibration_bins",
     "survival_kaplan_meier",
     "bars_pattern_vreversal",
+    "events_conversion_latency",
+    "etl_incremental_agg_merge",
+    "etl_late_arriving_dimension",
+    "bars_macd",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
