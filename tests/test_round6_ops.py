@@ -362,3 +362,43 @@ def test_macd_histogram_identity(spark):
     assert rows
     for r in rows:
         assert abs(r.histogram - (r.macd - r.signal)) < 2e-4
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 5: lateral SQL / boilerplate spans / BPE step
+# --------------------------------------------------------------------------
+
+def test_lateral_topn_decorrelates(spark):
+    """Catalyst must decorrelate the LATERAL subquery — the executed
+    plan may not re-run the inner query per outer row (no nested-loop
+    execution of the correlated subquery; a window/aggregate or a
+    ranked join is acceptable)."""
+    plan = _executed(spark, "sql_lateral_topn")
+    assert "CartesianProduct" not in plan
+    rows = _q("sql_lateral_topn")(spark, SF).collect()
+    per_nation = {}
+    for r in rows:
+        per_nation.setdefault(r.n_name, []).append(r.bal_cents)
+    for n, bals in per_nation.items():
+        assert len(bals) <= 3
+        assert bals == sorted(bals, reverse=True)
+
+
+def test_boilerplate_spans_ranked(spark):
+    rows = _q("text_boilerplate_spans")(spark, SF).collect()
+    assert len(rows) == 25
+    cnts = [r.n_occurrences for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert 1 <= r.n_docs <= r.n_occurrences
+        assert len(r.span) == 30
+
+
+def test_bpe_merge_step_removes_winning_pair(spark):
+    """After applying the merge, the fused symbol is uppercase so the
+    old winning pair's count must drop (usually to near zero) — the
+    top pair of the NEXT iteration differs from the applied merge."""
+    rows = _q("bpe_merge_step")(spark, SF).collect()
+    assert [r.rnk for r in rows] == list(range(1, 16))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)

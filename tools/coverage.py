@@ -224,6 +224,9 @@ SECTION_2B = [
     ("ETL: incremental aggregate-state merge (partial rollup)", ["etl_incremental_agg_merge"]),
     ("ETL: late-arriving dimension audit (backfill queue)", ["etl_late_arriving_dimension"]),
     ("stock: MACD 12/26/9 (triple coupled recursion)", ["bars_macd"]),
+    ("SQL: correlated LATERAL top-N (decorrelation)", ["sql_lateral_topn"]),
+    ("LLM text: boilerplate span detection (span-level dedup)", ["text_boilerplate_spans"]),
+    ("LLM tokenizer: full BPE merge step (count->apply->recount)", ["bpe_merge_step"]),
 ]
 
 

@@ -73,6 +73,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     source_formats2,
     extensibility_ops,
     modern_sql_ops,
+    modern_sql_ops2,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]

@@ -76,6 +76,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_incremental_agg_merge",
     "etl_late_arriving_dimension",
     "bars_macd",
+    "sql_lateral_topn",
+    "text_boilerplate_spans",
+    "bpe_merge_step",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
