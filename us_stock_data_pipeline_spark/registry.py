@@ -79,6 +79,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "sql_lateral_topn",
     "text_boilerplate_spans",
     "bpe_merge_step",
+    "join_asof_nearest",
+    "events_funnel_time_bounded",
+    "scalar_business_days",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
