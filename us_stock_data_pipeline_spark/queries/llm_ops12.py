@@ -281,12 +281,30 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "q", "n2", "j")
         .persist()
     )
-    a, b = asg.alias("a"), asg.alias("b")
+    # Salt-tile the within-cell pair join: with only K cells, a plain
+    # join on j gives at most K-way parallelism while the OUTPUT
+    # explodes quadratically per cell (the 10x scale sweep measured
+    # this as a near-single-threaded stage). Tiling the probe side by
+    # vec_id % S and replicating the build side S times keeps the same
+    # pair set but spreads it over K*S tasks — the standard skew-salt
+    # applied to a self-join.
+    n_salts = 8
+    a = asg.withColumn("salt", (F.col("vec_id") % n_salts).cast("int")).alias("a")
+    b = (
+        asg.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        ).alias("b")
+    )
     cos = _qdot(F.col("a.q"), F.col("b.q")).cast("double") / F.sqrt(
         F.col("a.n2").cast("double") * F.col("b.n2").cast("double")
     )
     dups = (
-        a.join(b, (F.col("a.j") == F.col("b.j")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(F.col("a.j").alias("j"), F.col("b.vec_id").alias("vb"), cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _SEM_TAU)
         .groupBy("j")
