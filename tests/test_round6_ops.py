@@ -439,3 +439,52 @@ def test_business_days_bounds(spark):
     for r in rows:
         assert 0 <= r.avg_bdays
         assert r.max_bdays >= 0
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 7: binaryFile + raw-text landing zones
+# --------------------------------------------------------------------------
+
+def test_binaryfile_roundtrip_bytes_exact(spark):
+    """Every staged payload must round-trip byte-exact: n_bytes equals
+    the utf-8 length of the source document text and the md5 matches a
+    locally computed digest."""
+    import hashlib
+
+    from us_stock_data_pipeline_spark.queries.source_formats3 import _BIN_MOD
+
+    rows = {r.fname: r for r in _q("source_binaryfile_scan")(spark, SF).collect()}
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(f"doc_id % {_BIN_MOD} = 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[f"doc_{d.doc_id:08d}.bin"]
+        raw = d.text.encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.content_md5 == hashlib.md5(raw).hexdigest()
+
+
+def test_text_log_parse_lossless(spark):
+    """The render -> land -> regex-parse loop must reproduce the exact
+    per-type counts and cent totals of the source table."""
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in _q("source_text_regex_parse")(spark, SF).collect()}
+    direct = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert rows.keys() == direct.keys()
+    for t, r in rows.items():
+        assert r.n_lines == direct[t].n
+        assert r.value_cents == direct[t].cents

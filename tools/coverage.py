@@ -230,6 +230,8 @@ SECTION_2B = [
     ("join: nearest as-of (bidirectional, tie backward)", ["join_asof_nearest"]),
     ("analytics: time-bounded funnel (24h step windows)", ["events_funnel_time_bounded"]),
     ("scalar: business-day arithmetic (closed form)", ["scalar_business_days"]),
+    ("source: binaryFile scan (multimodal ingest manifest)", ["source_binaryfile_scan"]),
+    ("source: raw-text log landing + regex parse", ["source_text_regex_parse"]),
 ]
 
 

@@ -72,6 +72,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     streaming_ops2,
     source_formats,
     source_formats2,
+    source_formats3,
     extensibility_ops,
     modern_sql_ops,
     modern_sql_ops2,

@@ -1,0 +1,175 @@
+"""Round-6 source connectors, part 3: binaryFile scans (the multimodal
+ingest front door) and raw-text log parsing (regex extraction from
+unstructured lines) — the two landing-zone shapes the S1/S2 family
+still lacked.
+
+Staging follows the source_formats contract: land once per sf_dir under
+a content-keyed temp dir with a freshness marker, then read back through
+the REAL Spark source under test; the oracle recomputes from the
+original parquet (JSON/CSV) or re-reads the same staged files
+(binaryFile via DuckDB read_blob), proving the roundtrip lossless.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+_BIN_MOD = 10  # every 10th document becomes a binary payload file
+
+
+def _stage_dir(sf_dir: str, kind: str) -> str:
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "us_sdps_landing", key, kind)
+
+
+def _stage_binaries(spark: SparkSession, sf_dir: str) -> str:
+    """Land every 10th document's utf-8 bytes as doc_<id>.bin, once."""
+    path = _stage_dir(sf_dir, "binfiles")
+    marker = os.path.join(path, "_STAGED")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(marker) and os.stat(marker).st_mtime < os.stat(src).st_mtime:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % _BIN_MOD == 0)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id:08d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    # The oracle SQL is one static string but staging is per-sf: point a
+    # stable symlink at the current sf's staging so DuckDB's read_blob
+    # (run side-by-side with this query at the same sf) sees the same
+    # files the Spark source just read.
+    link = _BIN_LINK
+    tmp_link = link + ".tmp"
+    if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(path, tmp_link)
+    os.replace(tmp_link, link)
+    return path
+
+
+_BIN_LINK = os.path.join(tempfile.gettempdir(), "us_sdps_landing", "binfiles_current")
+
+_BINARY_ORACLE_STATIC = f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+       CAST(octet_length(content) AS BIGINT) AS n_bytes,
+       md5(CAST(content AS VARCHAR)) AS content_md5
+FROM read_blob('{_BIN_LINK}/*.bin')
+ORDER BY fname
+"""
+
+
+@register("source_binaryfile_scan", oracle=_BINARY_ORACLE_STATIC, tags=("source", "multimodal"))
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file landing zone via Spark's `binaryFile` source — the
+    ingest front door for the multimodal family (`multimodal_binary_meta`
+    models payloads already in a table; THIS is how they get there from
+    a bucket of raw files: each file becomes a (path, length, content)
+    row with no decode). The query stages documents as .bin files once,
+    reads them back through the real source, and emits per-file size +
+    md5 — the dedup-ready manifest a crawl ingest builds first. The
+    oracle re-reads the SAME staged files with DuckDB's read_blob, so
+    the check covers the actual on-disk roundtrip. Scale: binaryFile
+    parallelizes by file; tiny-file floods amortize via
+    files.maxPartitionBytes packing, and the md5 runs in the scan
+    stage, map-side."""
+    path = _stage_binaries(spark, sf_dir)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return (
+        df.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("fname")
+    )
+
+
+# --------------------------------------------------------------------------
+# Raw text log parsing (read.text + regexp extraction)
+# --------------------------------------------------------------------------
+
+_LOG_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _stage_logs(spark: SparkSession, sf_dir: str) -> str:
+    """Render events as access-log-style text lines, once per sf_dir."""
+    path = _stage_dir(sf_dir, "textlogs")
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(marker) and os.stat(marker).st_mtime < os.stat(src).st_mtime:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        line = F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(" - [") ,
+            F.col("event_id").cast("string"),
+            F.lit('] "GET /'),
+            F.col("event_type"),
+            F.lit('" '),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        )
+        (
+            load_table(spark, sf_dir, "events")
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(path)
+        )
+    return path
+
+
+@register("source_text_regex_parse", oracle=_LOG_ORACLE, tags=("source", "text"))
+def source_text_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-text landing zone: events rendered as access-log
+    lines (`user - [id] "GET /type" cents`), landed as plain text files,
+    read back with `spark.read.text`, and parsed by regexp_extract in
+    the scan stage — the raw-log ingestion pattern for sources that
+    never were structured (the reference's REST landing assumes JSON;
+    real fleets also tail logs). The aggregate must reproduce the
+    original parquet's per-type counts and exact cent totals, proving
+    the render -> land -> parse loop lossless. All extraction is JVM
+    regex codegen, map-side; one groupBy on the parsed type."""
+    path = _stage_logs(spark, sf_dir)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract(F.col("value"), r'"GET /([a-z]+)"', 1).alias("event_type"),
+        F.regexp_extract(F.col("value"), r'" (-?\d+)$', 1).cast("long").alias("cents"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -82,6 +82,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "events_funnel_time_bounded",
     "scalar_business_days",
+    "source_binaryfile_scan",
+    "source_text_regex_parse",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
