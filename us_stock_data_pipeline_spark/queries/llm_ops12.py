@@ -287,9 +287,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this as a near-single-threaded stage). Tiling the probe side by
     # vec_id % S and replicating the build side S times keeps the same
     # pair set but spreads it over K*S tasks — the standard skew-salt
-    # applied to a self-join.
+    # applied to a self-join. The explicit repartition(K*S) is load-
+    # bearing: the INPUT is megabytes, so AQE would otherwise coalesce
+    # the shuffle back to one partition and re-serialize the exploding
+    # output (explicit numPartitions is exempt from AQE coalescing).
     n_salts = 8
-    a = asg.withColumn("salt", (F.col("vec_id") % n_salts).cast("int")).alias("a")
+    a = (
+        asg.withColumn("salt", (F.col("vec_id") % n_salts).cast("int"))
+        .repartition(_K * n_salts, "j", "salt")
+        .alias("a")
+    )
     b = (
         asg.withColumn(
             "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
