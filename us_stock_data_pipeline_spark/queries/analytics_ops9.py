@@ -1,0 +1,154 @@
+"""Round-6 analytics additions, part 9: link prediction by Jaccard
+common-neighbors and bitmap activity aggregation — graph-mining and
+bitmap-engine patterns over the existing fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Link prediction: Jaccard over the supplier-part bipartite graph
+# --------------------------------------------------------------------------
+
+_LINK_TOPN = 20
+
+_LINK_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY s
+),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS c
+  FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+scored AS (
+  SELECT c.s1, c.s2, c.c AS n_common,
+         da.d AS deg1, db.d AS deg2,
+         floor(CAST(c.c AS DOUBLE) / (da.d + db.d - c.c) * 1000000 + 0.5) / 1000000
+           AS jaccard
+  FROM common c
+  JOIN deg da ON da.s = c.s1
+  JOIN deg db ON db.s = c.s2
+)
+SELECT s1, s2, n_common, deg1, deg2, jaccard
+FROM scored
+ORDER BY jaccard DESC, s1, s2
+LIMIT {_LINK_TOPN}
+"""
+
+
+@register("graph_link_prediction_jaccard", oracle=_LINK_ORACLE, tags=("graph", "similarity"))
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier-part bipartite graph: score
+    supplier pairs by the Jaccard of their part neighborhoods — the
+    common-neighbors heuristic behind 'suppliers like yours' and
+    co-purchase recommenders (`orders_market_basket` scores ITEM
+    pairs by baskets; this scores NODE pairs by shared neighbors,
+    and `graph_triangle_count` is its closed-triangle cousin). The
+    pair enumeration is an inverted-index self-join on the part key —
+    candidates exist ONLY for pairs sharing >= 1 part, never all
+    supplier pairs — followed by two broadcast-sized degree joins;
+    Jaccard = c/(d1+d2-c) from exact ints with one terminal division.
+    At 100 TB the hot-part skew (a part sold by thousands of
+    suppliers) is the known hazard: cap or sample per-part neighbor
+    lists (the standard frequent-neighbor cutoff) — the same guard
+    `skew_heavy_hitters` exists to diagnose."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = edges.alias("a"), edges.alias("b")
+    common = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    db = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    scored = (
+        common.join(F.broadcast(da), "s1")
+        .join(F.broadcast(db), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "deg1",
+            "deg2",
+            (
+                F.floor(
+                    F.col("n_common").cast("double")
+                    / (F.col("deg1") + F.col("deg2") - F.col("n_common"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(_LINK_TOPN)
+
+
+# --------------------------------------------------------------------------
+# Bitmap activity aggregation (roaring-bitmap-style retention state)
+# --------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS d
+  FROM events
+),
+masks AS (
+  -- one 64-bit activity bitmap per user: bit d set = active on day d
+  SELECT user_id, CAST(sum(CAST(1 AS BIGINT) << d) AS BIGINT) AS mask
+  FROM days GROUP BY user_id
+)
+SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(mask) AS BIGINT) AS min_mask
+FROM masks
+GROUP BY bit_count(mask)
+ORDER BY active_days
+"""
+
+
+@register("events_activity_bitmap", oracle=_BITMAP_ORACLE, tags=("analytics", "bitmap"))
+def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-encoded activity state: each user's month compresses to
+    ONE 64-bit integer (bit d = active on day d), then the whole
+    engagement distribution is a bit_count groupBy — the
+    roaring-bitmap pattern retention engines (ClickHouse groupBitmap,
+    Druid) use to make N-day-window questions integer ops instead of
+    joins. The mask build is one distinct + one sum of power-of-two
+    terms (exact: 30 distinct days < 2^63, each term distinct so the
+    sum IS the bitwise OR); downstream, any segment overlap question
+    becomes mask & mask. Two shuffles total (user distinct, histogram
+    groupBy) — and at a year's width the mask widens to an array of
+    longs with the identical algebra per word."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    masks = days.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(1 AS BIGINT) << d")).cast("long").alias("mask")
+    )
+    return (
+        masks.groupBy(F.bit_count("mask").cast("long").alias("active_days"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("mask").cast("long").alias("min_mask"),
+        )
+        .orderBy("active_days")
+    )

@@ -163,6 +163,7 @@ _PLANT_STRIDE = 20
 _PLANT_OFFSET = 1_000_000
 _PLANT_SHIFT = 0.01
 _SEM_TAU = 0.98
+_CELL_TARGET = 256  # target cell width; K = max(_K, n // _CELL_TARGET)
 
 _SEMDEDUP_ORACLE = f"""
 WITH base AS (
@@ -184,8 +185,15 @@ withnorm AS (
          CAST(list_sum(list_transform(range(1, {_DIMS + 1}), i -> q[i] * q[i])) AS BIGINT) AS n2
   FROM corpus
 ),
+kk AS (
+  -- K grows with the corpus so cells stay ~{_CELL_TARGET} wide: fixed K
+  -- makes within-cell pairs quadratic in n (the 10x sweep measured
+  -- 33x wall); K ~ n/{_CELL_TARGET} makes total pair count LINEAR.
+  SELECT greatest({_K}, CAST(count(*) AS BIGINT) // {_CELL_TARGET}) AS k
+  FROM embeddings
+),
 seeds AS (
-  SELECT vec_id AS j, q AS qc FROM corpus WHERE vec_id < {_K}
+  SELECT vec_id AS j, q AS qc FROM corpus, kk WHERE vec_id < kk.k
 ),
 asg AS (
   SELECT vec_id, q, n2, j FROM (
@@ -235,8 +243,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign embeddings to k-means cells,
     then mark near-duplicates ONLY within each cell — the cluster
     assignment is the blocking key that turns O(n^2) semantic dedup
-    into per-cell work. Here cells come from the 8 deterministic seed
-    centroids (the `kmeans_lloyd_exact` output shape) and planted
+    into per-cell work. Cells come from deterministic seed centroids
+    whose count GROWS with the corpus (K = max(8, n/256), computed
+    identically in the oracle), keeping cells ~256 wide so total pair
+    count stays LINEAR in n — the fixed-K variant measured 33x wall
+    for 10x data in the scale sweep. Planted
     near-duplicates (+0.01 shift, same plant as
     `dedup_embedding_cosine`) verify recall: a plant that lands in its
     original's cell scores cos >= 0.98 there (~92% do at fixture
@@ -261,8 +272,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("emb", lambda v: F.round(v * 10000).cast("long")).alias("q"),
     )
     withnorm = corpus.withColumn("n2", _qdot(F.col("q"), F.col("q")))
-    seeds = corpus.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("j"), F.col("q").alias("qc")
+    kk = emb.agg(
+        F.greatest(
+            F.lit(_K).cast("long"),
+            F.expr(f"CAST(count(*) AS BIGINT) div {_CELL_TARGET}"),
+        ).alias("k")
+    )
+    seeds = (
+        corpus.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("j"), F.col("q").alias("qc"))
     )
     d2 = _qdot(
         F.zip_with(F.col("q"), F.col("qc"), lambda p, c: p - c),
