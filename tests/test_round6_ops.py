@@ -488,3 +488,28 @@ def test_text_log_parse_lossless(spark):
     for t, r in rows.items():
         assert r.n_lines == direct[t].n
         assert r.value_cents == direct[t].cents
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 8: link prediction / activity bitmaps
+# --------------------------------------------------------------------------
+
+def test_link_prediction_jaccard_bounds(spark):
+    rows = _q("graph_link_prediction_jaccard")(spark, SF).collect()
+    assert len(rows) == 20
+    scores = [r.jaccard for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common <= min(r.deg1, r.deg2)
+
+
+def test_activity_bitmap_partitions_users(spark):
+    rows = _q("events_activity_bitmap")(spark, SF).collect()
+    users = (
+        spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == users
+    for r in rows:
+        assert 1 <= r.active_days <= 31
+        assert bin(r.min_mask).count("1") == r.active_days

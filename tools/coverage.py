@@ -232,6 +232,8 @@ SECTION_2B = [
     ("scalar: business-day arithmetic (closed form)", ["scalar_business_days"]),
     ("source: binaryFile scan (multimodal ingest manifest)", ["source_binaryfile_scan"]),
     ("source: raw-text log landing + regex parse", ["source_text_regex_parse"]),
+    ("graph: link prediction (Jaccard common-neighbors)", ["graph_link_prediction_jaccard"]),
+    ("analytics: bitmap activity state (bit_count retention)", ["events_activity_bitmap"]),
 ]
 
 

@@ -58,6 +58,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops6,
     analytics_ops7,
     analytics_ops8,
+    analytics_ops9,
     etl_quality,
     ml_eval_ops,
     sketch_ops,

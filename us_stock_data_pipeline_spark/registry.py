@@ -84,6 +84,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scalar_business_days",
     "source_binaryfile_scan",
     "source_text_regex_parse",
+    "graph_link_prediction_jaccard",
+    "events_activity_bitmap",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
