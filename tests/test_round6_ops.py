@@ -513,3 +513,34 @@ def test_activity_bitmap_partitions_users(spark):
     for r in rows:
         assert 1 <= r.active_days <= 31
         assert bin(r.min_mask).count("1") == r.active_days
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 9: YoY / churn / waterfall
+# --------------------------------------------------------------------------
+
+def test_yoy_growth_sane(spark):
+    rows = _q("orders_yoy_growth")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cents > 0 and r.cents_prev_year > 0
+        assert -1.0 < r.yoy_growth < 10.0
+
+
+def test_churn_rate_partitions_customers(spark):
+    rows = _q("customer_churn_flag")(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_churned <= r.n_customers
+        assert 0.0 <= r.churn_rate <= 1.0
+
+
+def test_waterfall_reconciles_to_the_cent(spark):
+    """The defining property: net = gross - discount and charged =
+    net + tax, EXACTLY, per year."""
+    rows = _q("lineitem_revenue_waterfall")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.net_cents == r.gross_cents - r.discount_cents
+        assert r.charged_cents == r.net_cents + r.tax_cents
+        assert r.discount_cents >= 0 and r.tax_cents >= 0

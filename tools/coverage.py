@@ -234,6 +234,9 @@ SECTION_2B = [
     ("source: raw-text log landing + regex parse", ["source_text_regex_parse"]),
     ("graph: link prediction (Jaccard common-neighbors)", ["graph_link_prediction_jaccard"]),
     ("analytics: bitmap activity state (bit_count retention)", ["events_activity_bitmap"]),
+    ("analytics: year-over-year growth (lag-12 window)", ["orders_yoy_growth"]),
+    ("analytics: recency churn flagging per segment", ["customer_churn_flag"]),
+    ("analytics: revenue waterfall (cent-exact bridge)", ["lineitem_revenue_waterfall"]),
 ]
 
 

@@ -86,6 +86,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "source_text_regex_parse",
     "graph_link_prediction_jaccard",
     "events_activity_bitmap",
+    "orders_yoy_growth",
+    "customer_churn_flag",
+    "lineitem_revenue_waterfall",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
