@@ -544,3 +544,28 @@ def test_waterfall_reconciles_to_the_cent(spark):
         assert r.net_cents == r.gross_cents - r.discount_cents
         assert r.charged_cents == r.net_cents + r.tax_cents
         assert r.discount_cents >= 0 and r.tax_cents >= 0
+
+
+# --------------------------------------------------------------------------
+# round-6 batch 10: ABC classification / embedding norm audit
+# --------------------------------------------------------------------------
+
+def test_abc_classes_partition_and_order(spark):
+    rows = {r.abc_class: r for r in _q("orders_abc_classification")(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    shares = [rows[c].revenue_share for c in "ABC"]
+    # A covers the largest share; shares sum to ~1
+    assert shares[0] >= shares[1] >= 0 and shares[0] >= shares[2] >= 0
+    assert abs(sum(shares) - 1.0) < 5e-3
+    # boundary semantics: A covers at most 80% of revenue, A+B at most 95%
+    assert shares[0] <= 0.8 + 1e-3
+    assert shares[0] + shares[1] <= 0.95 + 1e-3
+
+
+def test_embedding_norm_audit_covers_corpus(spark):
+    rows = _q("embedding_norm_audit")(spark, SF).collect()
+    emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == emb_n
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_vecs
+        assert 0 < r.min_norm <= r.max_norm

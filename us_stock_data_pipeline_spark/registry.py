@@ -89,6 +89,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "orders_yoy_growth",
     "customer_churn_flag",
     "lineitem_revenue_waterfall",
+    "orders_abc_classification",
+    "embedding_norm_audit",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
