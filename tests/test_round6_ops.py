@@ -569,3 +569,11 @@ def test_embedding_norm_audit_covers_corpus(spark):
     for r in rows:
         assert 0 <= r.n_outliers <= r.n_vecs
         assert 0 < r.min_norm <= r.max_norm
+
+
+def test_audience_overlap_bounds(spark):
+    rows = _q("events_audience_overlap")(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.share_of_a <= 1.0

@@ -223,3 +223,74 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap matrix (event-type co-occurrence)
+# --------------------------------------------------------------------------
+
+_OVERLAP_AUD_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_both,
+       max(sa.n) AS n_a, max(sb.n) AS n_b,
+       floor(CAST(count(*) AS DOUBLE) / max(sa.n) * 10000 + 0.5) / 10000
+         AS share_of_a
+FROM ut a
+JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN sizes sa ON sa.event_type = a.event_type
+JOIN sizes sb ON sb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_audience_overlap", oracle=_OVERLAP_AUD_ORACLE, tags=("analytics", "audience"))
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how many
+    users do BOTH, and what share of type A's audience that is — the
+    segment-overlap readout behind campaign planning and feature
+    adoption dashboards (the batch twin of what `events_activity_bitmap`
+    answers with mask ANDs once bitmaps are materialized). The
+    user-type self-join is bounded: each user contributes at most
+    C(types,2) pairs after the distinct, so output is types^2-sized
+    and the join shuffles once on user_id. Counts exact; the share is
+    one terminal division."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.floor(F.col("n_both").cast("double") / F.col("n_a") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("share_of_a"),
+        )
+        .orderBy("type_a", "type_b")
+    )

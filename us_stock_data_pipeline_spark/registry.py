@@ -91,6 +91,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "lineitem_revenue_waterfall",
     "orders_abc_classification",
     "embedding_norm_audit",
+    "events_audience_overlap",
     # --- round-4 NTZ casualties (fix landed round 5, no official row) ---
     "window_range_frame",
     "bars_ohlcv_resample",
