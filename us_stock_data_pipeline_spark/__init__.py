@@ -61,6 +61,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops9,
     analytics_ops10,
     analytics_ops11,
+    analytics_ops12,
     etl_quality,
     ml_eval_ops,
     sketch_ops,
