@@ -64,6 +64,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops12,
     etl_quality,
     ml_eval_ops,
+    ml_eval_ops2,
     sketch_ops,
     udf_ops,
     relational8,
