@@ -75,6 +75,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational12,
     relational13,
     relational14,
+    relational15,
     streaming_ops,
     streaming_ops2,
     source_formats,
