@@ -41,7 +41,7 @@ merged AS (
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_islands,
-       CAST(sum(me - ms) / 1000000 AS BIGINT) AS covered_seconds
+       CAST(sum(me - ms) // 1000000 AS BIGINT) AS covered_seconds
 FROM merged
 GROUP BY user_id
 ORDER BY user_id
@@ -101,9 +101,9 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_islands"),
-            (F.sum(F.col("me") - F.col("ms")) / 1000000).cast("long").alias(
-                "covered_seconds"
-            ),
+            F.floor(F.sum(F.col("me") - F.col("ms")) / 1000000)
+            .cast("long")
+            .alias("covered_seconds"),
         )
         .orderBy("user_id")
     )

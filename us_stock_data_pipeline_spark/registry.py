@@ -48,6 +48,27 @@ _REGISTRY: dict[str, Query] = {}
 # whose fix also never got an official green row; everything already
 # green re-verifies after in registration order.
 _VERIFY_PRIORITY: tuple[str, ...] = (
+    # --- round-7 additions (newest, no official row yet) ---
+    "stats_spearman_corr",
+    "stats_wilson_ci",
+    "agg_benford_digits",
+    "agg_herfindahl_index",
+    "interval_union_coverage",
+    "timeseries_theil_sen",
+    "orders_backlog_aging",
+    "etl_freshness_sla",
+    "ml_lift_deciles",
+    "feature_target_encoding_loo",
+    "sample_stratified_neyman",
+    "quantile_normalize",
+    "text_hapax_legomena",
+    "corpus_ngram_saturation",
+    "events_attribution_ushape",
+    "embedding_centroid_distance",
+    "bars_stochastic_oscillator",
+    "bars_obv",
+    "graph_degree_distribution",
+    "timeseries_weekday_index",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
