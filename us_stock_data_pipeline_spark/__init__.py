@@ -51,6 +51,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops12,
     llm_ops13,
     llm_ops14,
+    llm_ops15,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
