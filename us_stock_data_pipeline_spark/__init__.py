@@ -77,6 +77,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational13,
     relational14,
     relational15,
+    relational16,
     streaming_ops,
     streaming_ops2,
     source_formats,
