@@ -78,6 +78,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational14,
     relational15,
     relational16,
+    relational17,
     streaming_ops,
     streaming_ops2,
     source_formats,

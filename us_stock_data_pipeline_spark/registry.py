@@ -69,6 +69,19 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bars_obv",
     "graph_degree_distribution",
     "timeseries_weekday_index",
+    "dedup_survivor_pick",
+    "corpus_length_histogram",
+    "corpus_js_divergence",
+    "embedding_bucket_balance",
+    "etl_dq_rule_scorecard",
+    "join_nearest_numeric_1d",
+    "pivot_multi_agg",
+    "etl_observe_inflight_metrics",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
