@@ -64,6 +64,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops10,
     analytics_ops11,
     analytics_ops12,
+    analytics_ops13,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,
@@ -81,6 +82,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational17,
     streaming_ops,
     streaming_ops2,
+    streaming_ops3,
     source_formats,
     source_formats2,
     source_formats3,
