@@ -140,3 +140,48 @@ def test_q21_no_cartesian_in_plan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# analytics_ops13 + streaming_ops3
+# --------------------------------------------------------------------------
+
+
+def test_bot_detection_cv_nonnegative(spark):
+    rows = _q("events_bot_detection")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.gap_cv >= 0.0
+        assert r.mean_gap_sec >= 0
+        if r.bot_flag:
+            assert r.n_gaps + 1 >= 20 and r.gap_cv < 0.5
+
+
+def test_seasonal_naive_errors_bounded(spark):
+    rows = _q("forecast_eval_seasonal_naive")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.mape >= 0.0
+        assert 0.0 <= r.smape <= 2.0  # sMAPE is bounded by construction
+
+
+def test_backfill_ranges_disjoint_and_positive(spark):
+    rows = _q("etl_backfill_plan")(spark, SF).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.gap_start)
+        for r in rs:
+            assert r.n_hours >= 1
+            assert r.gap_start < r.gap_end
+        for a, b in zip(rs, rs[1:]):
+            assert a.gap_end < b.gap_start  # collapsed runs never touch
+
+
+def test_error_alert_threshold_is_exact(spark):
+    rows = _q("stream_error_rate_alert")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_errors * 10000 > 1500 * r.n_total
+        assert r.n_errors <= r.n_total

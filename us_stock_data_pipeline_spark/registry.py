@@ -82,6 +82,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q20_excess_shippers",
     "q21_sole_late_shipper",
+    "stream_error_rate_alert",
+    "events_bot_detection",
+    "forecast_eval_seasonal_naive",
+    "etl_backfill_plan",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
