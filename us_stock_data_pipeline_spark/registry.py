@@ -86,6 +86,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_bot_detection",
     "forecast_eval_seasonal_naive",
     "etl_backfill_plan",
+    "text_pmi_cooccurrence",
+    "bars_atr",
+    "agg_trimmed_mean",
+    "customer_repeat_latency",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
