@@ -1,0 +1,83 @@
+"""Round-7 operator tests, part 3: batch H/I/J invariants."""
+
+from __future__ import annotations
+
+from us_stock_data_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry.queries()[name]
+
+
+def test_pmi_symmetric_inputs_and_bounds(spark):
+    rows = _q("text_pmi_cooccurrence")(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.w1 < r.w2
+        assert r.n12 <= min(r.n1, r.n2)
+        assert r.n12 >= 5
+
+
+def test_atr_dominates_daily_range_floor(spark):
+    rows = _q("bars_atr")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.tr_cents >= 0
+        assert r.atr_cents >= 0
+
+
+def test_trimmed_mean_two_formulations_agree(spark):
+    for r in _q("agg_trimmed_mean")(spark, SF).collect():
+        assert abs(r.trimmed_mean - r.trimmed_mean_check) < 1e-9
+        assert r.n_kept <= r.n_total
+        # 10% trim keeps at least 80% of rows
+        assert r.n_kept >= r.n_total - 2 * (r.n_total // 10)
+
+
+def test_repeat_latency_buckets_ordered(spark):
+    rows = _q("customer_repeat_latency")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.min_avg_gap <= r.max_avg_gap
+        assert 7 * r.gap_weeks_bucket <= r.min_avg_gap + 1
+
+
+def test_token_runway_bottleneck_is_min(spark):
+    rows = _q("corpus_token_budget_forecast")(spark, SF).collect()
+    min_steps = min(r.steps_runway for r in rows)
+    for r in rows:
+        assert r.exhausts_first == (r.steps_runway == min_steps)
+
+
+def test_embedding_dup_audit_accounting(spark):
+    r = _q("embedding_exact_duplicates")(spark, SF).collect()[0]
+    assert r.n_vecs == 500
+    assert r.n_distinct + r.n_redundant == r.n_vecs
+    assert (r.max_group > 1) == (r.n_dup_groups > 0)
+
+
+def test_bag_semantics_identity(spark):
+    """|A EXCEPT ALL B| = |A| - |A INTERSECT ALL B| — the defining bag
+    identity; and UNION ALL = |A| + |B|."""
+    rows = {r.op: r.n_rows for r in _q("set_ops_bag_semantics")(spark, SF).collect()}
+    from pyspark.sql import functions as F
+
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    na = li.filter(F.col("l_returnflag") == "R").count()
+    nb = li.filter(F.col("l_linestatus") == "F").count()
+    assert rows["union_all"] == na + nb
+    assert rows["except_all"] == na - rows["intersect_all"]
+
+
+def test_grouping_labels_totals_consistent(spark):
+    rows = _q("agg_grouping_id_labels")(spark, SF).collect()
+    grand = [r for r in rows if r.scope == "grand_total"]
+    assert len(grand) == 1
+    detail_cents = sum(r.cents for r in rows if r.scope == "detail")
+    subtotal_cents = sum(r.cents for r in rows if r.scope == "nation_subtotal")
+    assert grand[0].cents == detail_cents == subtotal_cents
+    assert all(r.nation == "ALL_NATIONS" for r in grand)

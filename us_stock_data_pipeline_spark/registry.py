@@ -90,6 +90,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "bars_atr",
     "agg_trimmed_mean",
     "customer_repeat_latency",
+    "corpus_token_budget_forecast",
+    "embedding_exact_duplicates",
+    "set_ops_bag_semantics",
+    "agg_grouping_id_labels",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
