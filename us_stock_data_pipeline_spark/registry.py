@@ -94,6 +94,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "embedding_exact_duplicates",
     "set_ops_bag_semantics",
     "agg_grouping_id_labels",
+    "agg_ratio_delta_ci",
+    "events_simpson_check",
+    "knn_loo_label_eval",
+    "text_burstiness_dispersion",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
