@@ -81,3 +81,38 @@ def test_grouping_labels_totals_consistent(spark):
     subtotal_cents = sum(r.cents for r in rows if r.scope == "nation_subtotal")
     assert grand[0].cents == detail_cents == subtotal_cents
     assert all(r.nation == "ALL_NATIONS" for r in grand)
+
+
+# --------------------------------------------------------------------------
+# batch K: ratio CI, Simpson audit, kNN eval, burstiness
+# --------------------------------------------------------------------------
+
+
+def test_ratio_ci_brackets_point_estimate(spark):
+    for r in _q("agg_ratio_delta_ci")(spark, SF).collect():
+        assert r.ci_low <= r.revenue_per_event <= r.ci_high
+        assert r.n_users > 1
+
+
+def test_simpson_check_has_pooled_and_segments(spark):
+    rows = {r.segment: r for r in _q("events_simpson_check")(spark, SF).collect()}
+    assert set(rows) == {"heavy", "light", "pooled"}
+    for r in rows.values():
+        assert 0.0 <= r.rate_early <= 1.0 and 0.0 <= r.rate_late <= 1.0
+        assert r.conv_early <= r.n_early and r.conv_late <= r.n_late
+
+
+def test_knn_eval_counts_sum_to_sample(spark):
+    rows = _q("knn_loo_label_eval")(spark, SF).collect()
+    assert sum(r.n_queries for r in rows) == 50
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+
+
+def test_burstiness_nonnegative_and_flag_consistent(spark):
+    rows = _q("text_burstiness_dispersion")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.vmr >= 0.0
+        assert r.docs_with <= r.total
+        assert r.bursty == (r.vmr > 2.0) or abs(r.vmr - 2.0) < 1e-3
