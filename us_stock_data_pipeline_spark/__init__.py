@@ -85,6 +85,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational16,
     relational17,
     relational18,
+    relational19,
     streaming_ops,
     streaming_ops2,
     streaming_ops3,

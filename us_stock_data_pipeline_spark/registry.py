@@ -98,6 +98,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_simpson_check",
     "knn_loo_label_eval",
     "text_burstiness_dispersion",
+    "lineitem_tax_reconciliation",
+    "etl_surrogate_key_audit",
+    "join_inline_code_table",
+    "window_sliding_median",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
