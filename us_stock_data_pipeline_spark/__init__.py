@@ -86,6 +86,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational17,
     relational18,
     relational19,
+    relational20,
     streaming_ops,
     streaming_ops2,
     streaming_ops3,

@@ -102,6 +102,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_surrogate_key_audit",
     "join_inline_code_table",
     "window_sliding_median",
+    "etl_input_file_skew",
+    "events_alert_debounce",
+    "scalar_format_battery",
+    "orders_whale_concentration",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
