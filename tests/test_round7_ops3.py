@@ -170,3 +170,49 @@ def test_sliding_median_within_frame_bounds(spark):
         for i in range(6, len(rs)):
             window = cents[i - 6: i + 1]
             assert min(window) <= rs[i].median_cents <= max(window)
+
+
+# --------------------------------------------------------------------------
+# batch M: file skew, debounce, format battery, whale concentration
+# --------------------------------------------------------------------------
+
+
+def test_file_skew_value_file_bijection(spark):
+    """Staged layout writes one file per returnflag value, so n_files
+    equals the flag cardinality and row totals match lineitem."""
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    r = _q("etl_input_file_skew")(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    assert r.n_files == li.select("l_returnflag").distinct().count()
+    assert r.total_rows == li.count()
+    assert r.skew_ratio >= 1.0
+
+
+def test_debounce_suppression_ratio(spark):
+    rows = _q("events_alert_debounce")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_episodes <= r.n_crossings
+        assert r.crossings_per_episode >= 1.0
+
+
+def test_format_battery_rendering(spark):
+    rows = _q("scalar_format_battery")(spark, SF).collect()
+    for r in rows:
+        assert len(r.padded_key) == 3
+        assert len(r.lpadded) == 20
+        assert len(r.rpadded) == 6
+        assert r.kv_render.startswith("nation=")
+
+
+def test_whale_share_bounded_by_decile_math(spark):
+    rows = _q("orders_whale_concentration")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.top_decile_share <= 1.0
+        assert r.top_decile_cents <= r.total_cents
+        # a decile of customers holds at least a decile of revenue
+        # (they are the TOP decile)
+        if r.n_customers >= 10:
+            assert r.top_decile_share >= 0.1 - 1e-9
