@@ -68,6 +68,12 @@ QUERIES = [
     "dedup_semdedup",
     "embedding_pca_power_iteration",
     "dedup_fuzzy_transactions",
+    # round-7 heavy additions: full-vocab drift join, user-sorted
+    # sweep-line, doc-level pair co-occurrence, blocked survivor pick
+    "corpus_js_divergence",
+    "interval_union_coverage",
+    "text_pmi_cooccurrence",
+    "dedup_survivor_pick",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
