@@ -87,6 +87,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational18,
     relational19,
     relational20,
+    relational21,
     streaming_ops,
     streaming_ops2,
     streaming_ops3,

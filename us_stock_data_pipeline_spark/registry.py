@@ -106,6 +106,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_alert_debounce",
     "scalar_format_battery",
     "orders_whale_concentration",
+    "etl_deletion_manifest",
+    "agg_multi_distinct_expand",
+    "subquery_null_semantics",
+    "orders_fiscal_calendar_445",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
