@@ -54,6 +54,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops15,
     llm_ops16,
     llm_ops17,
+    llm_ops18,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
@@ -69,6 +70,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops13,
     analytics_ops14,
     analytics_ops15,
+    analytics_ops16,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,

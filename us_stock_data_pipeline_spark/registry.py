@@ -110,6 +110,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_multi_distinct_expand",
     "subquery_null_semantics",
     "orders_fiscal_calendar_445",
+    "events_error_budget_burn",
+    "agg_percentile_disc_cont",
+    "text_source_similarity_matrix",
+    "embedding_quantization_sweep",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
