@@ -90,6 +90,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational19,
     relational20,
     relational21,
+    relational22,
     streaming_ops,
     streaming_ops2,
     streaming_ops3,

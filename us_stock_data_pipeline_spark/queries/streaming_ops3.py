@@ -70,3 +70,50 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join
+# --------------------------------------------------------------------------
+
+_WEIGHTS = [("click", 1), ("view", 1), ("signup", 5), ("purchase", 10), ("error", 0)]
+_WEIGHTS_SQL = ", ".join(f"('{t}', {w})" for t, w in _WEIGHTS)
+
+_ENRICH_ORACLE = f"""
+WITH weights(event_type, weight) AS (VALUES {_WEIGHTS_SQL})
+SELECT make_timestamp((epoch_us(e.ts) // 21600000000) * 21600000000)
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT) * w.weight) AS BIGINT)
+         AS weighted_cents
+FROM events e JOIN weights w ON w.event_type = e.event_type
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+@register("stream_static_enrich_join", oracle=_ENRICH_ORACLE, tags=("streaming", "join"))
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins a STATIC dimension (business-value weights per event
+    type) before a 6-hour windowed weighted aggregate — the
+    enrichment pattern behind every streaming scorecard, and the
+    stateless complement to `stream_stream_join` (static side needs
+    NO watermark and NO state: it broadcasts into every batch).
+    Weighted sums are exact integers (cents x integer weight); the
+    stream side keys state by window only. On a cluster the static
+    table re-broadcasts per batch — the reason slowly-changing dims
+    at scale move to `stream_foreachbatch_upsert`-style refreshes."""
+    ev = _events_stream(spark, sf_dir)
+    weights = spark.createDataFrame(_WEIGHTS, "event_type string, weight long")
+    enriched = ev.join(F.broadcast(weights), "event_type")
+    agg = enriched.groupBy(F.window("ts", "6 hours")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long") * F.col("weight"))
+        .cast("long")
+        .alias("weighted_cents"),
+    )
+    out = _run_to_table(agg, spark, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n_events", "weighted_cents"
+    ).orderBy("window_start")

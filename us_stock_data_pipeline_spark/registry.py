@@ -114,6 +114,10 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "agg_percentile_disc_cont",
     "text_source_similarity_matrix",
     "embedding_quantization_sweep",
+    "window_percent_of_parent",
+    "scalar_try_arithmetic",
+    "events_segment_transition",
+    "stream_static_enrich_join",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
