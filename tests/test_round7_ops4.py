@@ -82,3 +82,60 @@ def test_quantization_sweep_monotone_in_bits(spark):
     assert rows[8].max_err_units <= rows[4].max_err_units
     for r in rows.values():
         assert r.n_vals == 500 * 64
+
+
+# --------------------------------------------------------------------------
+# batch P: percent-of-parent, try arithmetic, segment transitions,
+# stream-static join
+# --------------------------------------------------------------------------
+
+
+def test_percent_of_parent_sums_to_one_per_region(spark):
+    rows = _q("window_percent_of_parent")(spark, SF).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    for region, rs in by_region.items():
+        assert abs(sum(r.pct_of_region for r in rs) - 1.0) < 0.01, region
+    assert abs(sum(r.pct_of_total for r in rows) - 1.0) < 0.01
+
+
+def test_try_arithmetic_null_on_zero_divisor(spark):
+    rows = _q("scalar_try_arithmetic")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.flag_as_number is None  # letters never parse
+        assert r.qty_roundtrip is not None  # integral roundtrip always does
+        if r.price_per_discount_point is None:
+            pass  # zero discount -> NULL, never an error
+
+
+def test_segment_transitions_cover_all_user_weeks(spark):
+    from pyspark.sql import functions as F
+
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    rows = _q("events_segment_transition")(spark, SF).collect()
+    total_trans = sum(r.n_users for r in rows)
+    ev = load_table(spark, SF, "events")
+    wk_us = 7 * 86400 * 1000000
+    user_weeks = (
+        ev.select("user_id", F.expr(f"unix_micros(ts) div {wk_us}").alias("wk"))
+        .distinct()
+        .count()
+    )
+    # every observed user-week emits exactly one transition row
+    assert total_trans == user_weeks
+    for r in rows:
+        assert r.from_seg in ("heavy", "light")
+        assert r.to_seg in ("heavy", "light", "inactive")
+
+
+def test_stream_static_join_weights_conserved(spark):
+    rows = _q("stream_static_enrich_join")(spark, SF).collect()
+    assert rows
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    assert sum(r.n_events for r in rows) == load_table(spark, SF, "events").count()
+    for r in rows:
+        assert r.weighted_cents >= 0
