@@ -139,3 +139,47 @@ def test_stream_static_join_weights_conserved(spark):
     assert sum(r.n_events for r in rows) == load_table(spark, SF, "events").count()
     for r in rows:
         assert r.weighted_cents >= 0
+
+
+# --------------------------------------------------------------------------
+# batch Q: double submission, out-of-order, dedup savings, shard plan
+# --------------------------------------------------------------------------
+
+
+def test_double_submission_gaps_within_window(spark):
+    rows = _q("events_double_submission")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_suspect >= 1
+        assert 0 <= r.min_gap_sec <= 24 * 3600
+
+
+def test_out_of_order_ratio_bounded(spark):
+    rows = _q("events_out_of_order_ratio")(spark, SF).collect()
+    for r in rows:
+        assert r.n_late <= r.n_events
+        assert 0.0 <= r.late_ratio <= 1.0
+        if r.n_late > 0:
+            assert r.max_lateness_sec > 0
+
+
+def test_dedup_savings_consistent_with_survivor_pick(spark):
+    """Savings projection must agree with the survivor-pick op: chars
+    saved across sources equals cluster total minus kept chars."""
+    sav = _q("corpus_dedup_savings")(spark, SF).collect()
+    surv = _q("dedup_survivor_pick")(spark, SF).collect()
+    saved_from_clusters = sum(r.total_chars - r.kept_chars for r in surv)
+    assert sum(r.chars_saved for r in sav) == saved_from_clusters
+    for r in sav:
+        assert r.n_dropped < r.n_docs
+        assert 0.0 <= r.savings_ratio < 1.0
+
+
+def test_shard_plan_balances_buckets(spark):
+    rows = _q("embedding_shard_plan")(spark, SF).collect()
+    assert len(rows) == 8
+    assert sum(r.n_vecs for r in rows) == 500
+    loads = [r.n_vecs for r in rows]
+    bal = _q("embedding_bucket_balance")(spark, SF).collect()[0]
+    # striping keeps every shard within one max-bucket of the leader
+    assert max(loads) - min(loads) <= bal.max_bucket

@@ -269,7 +269,8 @@ WITH bits AS (
   SELECT vec_id, b.b AS b,
          CASE WHEN list_sum(list_transform(generate_series(1, 64),
                 d -> CAST(round(CAST(embedding[d] AS DOUBLE) * 10000) AS BIGINT)
-                     * (CASE WHEN (b.b * 1000003 + d * 7919) % 2 = 0
+                     * (CASE WHEN ((b.b * 1000003 + d * 7919) * 2654435761)
+                               % 2097152 // 1048576 = 0
                              THEN 1 ELSE -1 END))) >= 0
               THEN CAST(power(2, b.b) AS BIGINT) ELSE 0 END AS bit
   FROM embeddings, (SELECT unnest(generate_series(0, {_BB_BITS - 1})) AS b) b
@@ -313,7 +314,8 @@ def embedding_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(
         "aggregate(sequence(1, 64), 0L, (acc, d) -> acc"
         " + CAST(round(CAST(embedding[d - 1] AS DOUBLE) * 10000) AS LONG)"
-        " * (CASE WHEN (b * 1000003 + d * 7919) % 2 = 0 THEN 1 ELSE -1 END))"
+        " * (CASE WHEN ((b * 1000003 + d * 7919) * 2654435761)"
+        " % 2097152 div 1048576 = 0 THEN 1 ELSE -1 END))"
     )
     per_bit = bits.select(
         "vec_id",

@@ -118,6 +118,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "scalar_try_arithmetic",
     "events_segment_transition",
     "stream_static_enrich_join",
+    "events_double_submission",
+    "events_out_of_order_ratio",
+    "corpus_dedup_savings",
+    "embedding_shard_plan",
+    "embedding_bucket_balance",  # re-verify: mixer fix changed its results
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
