@@ -183,3 +183,42 @@ def test_shard_plan_balances_buckets(spark):
     bal = _q("embedding_bucket_balance")(spark, SF).collect()[0]
     # striping keeps every shard within one max-bucket of the leader
     assert max(loads) - min(loads) <= bal.max_bucket
+
+
+# --------------------------------------------------------------------------
+# batch R: PVM bridge, weighted scorecard, growth accounting
+# --------------------------------------------------------------------------
+
+
+def test_pvm_effects_reconstruct_delta(spark):
+    """Algebraic identity: price effect + volume effect = delta
+    (within 1 cent of rounding each effect)."""
+    rows = _q("lineitem_pvm_bridge")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        recon = r.price_effect_cents + r.volume_effect_cents
+        assert abs(recon - r.delta_cents) <= 2
+
+
+def test_scorecard_ranks_are_permutations(spark):
+    rows = _q("supplier_weighted_scorecard")(spark, SF).collect()
+    n = len(rows)
+    for col in ("r_rev", "r_breadth", "r_recency"):
+        assert sorted(getattr(r, col) for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert r.weighted_rank == 2 * r.r_rev + r.r_breadth + r.r_recency
+
+
+def test_growth_accounting_partitions_actives(spark):
+    rows = sorted(_q("events_growth_accounting")(spark, SF).collect(),
+                  key=lambda r: r.d)
+    assert rows
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active
+    # day one everyone is new
+    assert rows[0].n_retained == 0 and rows[0].n_resurrected == 0
+    # total news across days == total distinct users
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    total_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert sum(r.n_new for r in rows) == total_users

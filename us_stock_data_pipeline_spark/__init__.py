@@ -72,6 +72,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops15,
     analytics_ops16,
     analytics_ops17,
+    analytics_ops18,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,

@@ -123,6 +123,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "corpus_dedup_savings",
     "embedding_shard_plan",
     "embedding_bucket_balance",  # re-verify: mixer fix changed its results
+    "lineitem_pvm_bridge",
+    "supplier_weighted_scorecard",
+    "events_growth_accounting",
     # --- round-6 additions ---
     "kmeans_lloyd_exact",
     "dedup_semdedup",
