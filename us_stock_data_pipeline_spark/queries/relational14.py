@@ -22,7 +22,7 @@ WITH iv AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          CASE WHEN s > coalesce(max(e) OVER (
                 PARTITION BY user_id ORDER BY s, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775807)
@@ -31,7 +31,7 @@ flagged AS (
 ),
 islands AS (
   SELECT user_id, s, e,
-         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                ROWS UNBOUNDED PRECEDING) AS island_id
   FROM flagged
 ),
@@ -76,6 +76,7 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(
@@ -86,9 +87,13 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_island"),
     )
+    # the cumsum MUST replay the flag window's exact (s, event_id)
+    # order: with a different tiebreak, equal-start intervals can land
+    # their flags on permuted rows and split a true island (found by
+    # the round-7 hypothesis sweep-line property test)
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(
