@@ -48,12 +48,14 @@ _REGISTRY: dict[str, Query] = {}
 # whose fix also never got an official green row; everything already
 # green re-verifies after in registration order.
 _VERIFY_PRIORITY: tuple[str, ...] = (
+    # --- results CHANGED this round (stale prior rows) — verify first ---
+    "embedding_bucket_balance",  # hyperplane mixer fix
+    "interval_union_coverage",  # equal-start island fix
     # --- round-7 additions (newest, no official row yet) ---
     "stats_spearman_corr",
     "stats_wilson_ci",
     "agg_benford_digits",
     "agg_herfindahl_index",
-    "interval_union_coverage",
     "timeseries_theil_sen",
     "orders_backlog_aging",
     "etl_freshness_sla",
@@ -72,7 +74,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "dedup_survivor_pick",
     "corpus_length_histogram",
     "corpus_js_divergence",
-    "embedding_bucket_balance",
     "etl_dq_rule_scorecard",
     "join_nearest_numeric_1d",
     "pivot_multi_agg",
@@ -122,7 +123,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "events_out_of_order_ratio",
     "corpus_dedup_savings",
     "embedding_shard_plan",
-    "embedding_bucket_balance",  # re-verify: mixer fix changed its results
     "lineitem_pvm_bridge",
     "supplier_weighted_scorecard",
     "events_growth_accounting",
