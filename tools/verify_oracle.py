@@ -34,9 +34,15 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
+        # Keep the float/int distinction: the external driver hashes raw
+        # values, so a DuckDB DOUBLE 1234.0 vs Spark BIGINT 1234 must FAIL
+        # here too (this leniency is how the bars_atr r05 FAIL shipped).
+        # Round to 10 significant digits first so 2.0 and 2.0+1e-13
+        # canonicalize identically, then re-mark integral floats with ".0".
+        s = f"{v:.10g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, datetime):

@@ -34,10 +34,10 @@ tr AS (
   WINDOW w AS (PARTITION BY symbol ORDER BY day)
 )
 SELECT symbol, day, CAST(tr_cents AS BIGINT) AS tr_cents,
-       floor(avg(CAST(tr_cents AS DOUBLE)) OVER (
+       CAST(floor(avg(CAST(tr_cents AS DOUBLE)) OVER (
                PARTITION BY symbol ORDER BY day
                ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW) + 0.5)
-         AS atr_cents
+         AS BIGINT) AS atr_cents
 FROM tr
 WHERE rn > {_ATR_N}
 ORDER BY symbol, day

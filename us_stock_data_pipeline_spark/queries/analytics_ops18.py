@@ -37,9 +37,10 @@ paired AS (
 )
 SELECT p_type,
        CAST(c2 - c1 AS BIGINT) AS delta_cents,
-       floor((CAST(c2 AS DOUBLE) / q2 - CAST(c1 AS DOUBLE) / q1) * q2 + 0.5)
-         AS price_effect_cents,
-       floor(CAST(c1 AS DOUBLE) / q1 * (q2 - q1) + 0.5) AS volume_effect_cents
+       CAST(floor((CAST(c2 AS DOUBLE) / q2 - CAST(c1 AS DOUBLE) / q1) * q2 + 0.5)
+         AS BIGINT) AS price_effect_cents,
+       CAST(floor(CAST(c1 AS DOUBLE) / q1 * (q2 - q1) + 0.5) AS BIGINT)
+         AS volume_effect_cents
 FROM paired
 ORDER BY p_type
 """

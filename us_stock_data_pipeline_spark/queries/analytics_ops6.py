@@ -133,17 +133,23 @@ corpus AS (
   SELECT * FROM base UNION ALL SELECT * FROM planted
 ),
 probe AS (
-  SELECT okey, cust, cents, od, cents // 100 + b.off AS bin
-  FROM corpus, (SELECT unnest([-1, 0, 1]) AS off) b
+  SELECT okey, cust, cents, od, cents // 100 + b.off AS bin,
+         date_diff('day', DATE '1970-01-01', od) // 14 + f.foff AS fbin
+  FROM corpus,
+       (SELECT unnest([-1, 0, 1]) AS off) b,
+       (SELECT unnest([-1, 0, 1]) AS foff) f
 ),
 build AS (
-  SELECT okey, cust, cents, od, cents // 100 AS bin FROM corpus
+  SELECT okey, cust, cents, od, cents // 100 AS bin,
+         date_diff('day', DATE '1970-01-01', od) // 14 AS fbin
+  FROM corpus
 ),
 pairs AS (
   SELECT a.cust, a.okey AS okey_a, b.okey AS okey_b,
          abs(a.cents - b.cents) AS cents_diff,
          abs(date_diff('day', a.od, b.od)) AS days_apart
   FROM probe a JOIN build b ON a.cust = b.cust AND a.bin = b.bin
+                            AND a.fbin = b.fbin
                             AND a.okey < b.okey
   WHERE abs(a.cents - b.cents) <= {_FUZZ_CENTS_TOL}
     AND abs(date_diff('day', a.od, b.od)) <= {_FUZZ_DAYS_TOL}
@@ -162,15 +168,19 @@ def dedup_fuzzy_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     text near-dedup: two orders from the same customer within $1 and 7
     days are double-submission suspects. Planted duplicates (every
     500th order re-emitted +2 days/+3 cents) give the detector a known
-    recall target, oracle-checked. The non-equi tolerance predicate
-    becomes an EQUI-join by dollar-bucket blocking with neighboring
-    bins: the probe side emits bins {{f-1, f, f+1}} so a pair within
-    100 cents can never straddle out of reach, and each pair matches
-    on exactly ONE bin (no dedup pass needed). Plan: explode factor 3
-    on one side, one shuffle on (cust, bin), candidate set bounded by
-    per-(cust, dollar) density — the `join_range_banded` scale
-    contract; a cartesian per customer would be |orders|^2 at a hot
-    key, this is never more than 3x the true candidates."""
+    recall target, oracle-checked. The non-equi tolerance predicates
+    become an EQUI-join by two-dimensional blocking: a dollar bucket
+    (cents div 100, tolerance $1) AND a fortnight bucket (epoch-day
+    div 14, tolerance 7 days). The probe side emits the {{-1, 0, +1}}
+    neighbors on BOTH axes (explode factor 9) so no qualifying pair
+    can straddle out of reach, and because each tolerance is <= its
+    bucket grain a pair matches on exactly ONE (bin, fbin) combo — no
+    dedup pass needed. Plan: one shuffle on (cust, bin, fbin); block
+    size is bounded by per-(cust, dollar, fortnight) density, so a
+    customer who accumulates similar-priced orders over years no
+    longer yields a quadratic block (the round-5 SCALE_CURVE found
+    15x wall at 10x data with the price-only key; the date axis caps
+    the block at a fortnight of history)."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderkey").alias("okey"),
@@ -185,17 +195,44 @@ def dedup_fuzzy_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("od", 2).alias("od"),
     )
     corpus = base.unionByName(planted)
-    probe = corpus.select(
+    epoch_day = F.datediff(F.col("od"), F.lit("1970-01-01").cast("date"))
+    probe = (
+        corpus.select(
+            "okey",
+            "cust",
+            "cents",
+            "od",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+        )
+        .select(
+            "okey",
+            "cust",
+            "cents",
+            "od",
+            (F.expr("cents div 100") + F.col("off")).alias("bin"),
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("foff"),
+        )
+        .select(
+            "okey",
+            "cust",
+            "cents",
+            "od",
+            "bin",
+            (epoch_day.cast("long") / 14).cast("long").alias("fbin0"),
+            "foff",
+        )
+        .select(
+            "okey", "cust", "cents", "od", "bin",
+            (F.col("fbin0") + F.col("foff")).alias("fbin"),
+        )
+    )
+    build = corpus.select(
         "okey",
         "cust",
         "cents",
         "od",
-        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
-    ).select(
-        "okey", "cust", "cents", "od", (F.expr("cents div 100") + F.col("off")).alias("bin")
-    )
-    build = corpus.select(
-        "okey", "cust", "cents", "od", F.expr("cents div 100").alias("bin")
+        F.expr("cents div 100").alias("bin"),
+        (epoch_day.cast("long") / 14).cast("long").alias("fbin"),
     )
     a, b = probe.alias("a"), build.alias("b")
     return (
@@ -203,6 +240,7 @@ def dedup_fuzzy_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.cust") == F.col("b.cust"))
             & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.fbin") == F.col("b.fbin"))
             & (F.col("a.okey") < F.col("b.okey")),
         )
         .filter(

@@ -16,10 +16,20 @@ from us_stock_data_pipeline_spark.registry import register
 # --------------------------------------------------------------------------
 
 _LINK_TOPN = 20
+_LINK_HOT_CAP = 40  # drop parts with more suppliers than this (~p99)
 
 _LINK_ORACLE = f"""
-WITH edges AS (
+WITH edges0 AS (
   SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+hot AS (
+  SELECT p FROM edges0 GROUP BY p HAVING count(*) > {_LINK_HOT_CAP}
+),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hot FROM hot
+),
+edges AS (
+  SELECT * FROM edges0 WHERE p NOT IN (SELECT p FROM hot)
 ),
 deg AS (
   SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY s
@@ -38,7 +48,8 @@ scored AS (
   JOIN deg da ON da.s = c.s1
   JOIN deg db ON db.s = c.s2
 )
-SELECT s1, s2, n_common, deg1, deg2, jaccard
+SELECT s1, s2, n_common, deg1, deg2, jaccard,
+       (SELECT n_hot FROM audit) AS n_hot_parts_dropped
 FROM scored
 ORDER BY jaccard DESC, s1, s2
 LIMIT {_LINK_TOPN}
@@ -57,14 +68,27 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     candidates exist ONLY for pairs sharing >= 1 part, never all
     supplier pairs — followed by two broadcast-sized degree joins;
     Jaccard = c/(d1+d2-c) from exact ints with one terminal division.
-    At 100 TB the hot-part skew (a part sold by thousands of
-    suppliers) is the known hazard: cap or sample per-part neighbor
-    lists (the standard frequent-neighbor cutoff) — the same guard
-    `skew_heavy_hitters` exists to diagnose."""
+    The 100 TB hot-part hazard (a part sold by thousands of suppliers
+    contributes C(k,2) pairs from ONE key) is guarded by the standard
+    frequent-neighbor cutoff: parts with more than {_LINK_HOT_CAP}
+    suppliers are dropped from the edge set BEFORE degree and pair
+    enumeration (so Jaccard denominators stay consistent with the
+    pairs actually enumerated), and the number of dropped parts rides
+    out as an `n_hot_parts_dropped` audit column — the same skew
+    `skew_heavy_hitters` exists to diagnose. This bounds the
+    per-key pair fan-out at C(cap, 2) regardless of data skew."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
+    edges0 = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
+    hot = (
+        edges0.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > _LINK_HOT_CAP)
+        .select("p")
+    )
+    audit = hot.agg(F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped"))
+    edges = edges0.join(F.broadcast(hot), "p", "left_anti")
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a, b = edges.alias("a"), edges.alias("b")
     common = (
@@ -94,7 +118,11 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(_LINK_TOPN)
+    return (
+        scored.orderBy(F.col("jaccard").desc(), "s1", "s2")
+        .limit(_LINK_TOPN)
+        .crossJoin(F.broadcast(audit))
+    )
 
 
 # --------------------------------------------------------------------------
