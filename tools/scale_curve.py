@@ -99,8 +99,13 @@ def _inflate(spark, name):
             for r in range(N_REP)
         ]
     elif name == "orders":
+        # Shift the date axis too (like events): a warehouse grows over
+        # TIME, so replicas must not stack onto the same calendar window
+        # — otherwise every date-tolerance self-join's TRUE answer grows
+        # quadratically and no blocking scheme can look sub-linear.
         reps = [
             src.withColumn("o_orderkey", F.col("o_orderkey") + r * 10_000_000_000)
+            .withColumn("o_orderdate", F.date_add("o_orderdate", r * 97))
             for r in range(N_REP)
         ]
     elif name == "documents":

@@ -55,6 +55,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops16,
     llm_ops17,
     llm_ops18,
+    llm_ops19,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
@@ -73,9 +74,12 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops16,
     analytics_ops17,
     analytics_ops18,
+    analytics_ops19,
+    analytics_ops20,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,
+    ml_eval_ops3,
     sketch_ops,
     udf_ops,
     relational8,
@@ -93,6 +97,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational20,
     relational21,
     relational22,
+    relational23,
     streaming_ops,
     streaming_ops2,
     streaming_ops3,

@@ -124,7 +124,7 @@ ORDER BY nation, o_year DESC
 """
 
 
-@register("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "agg", "tpch"))
+@register("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "agg", "tpch"), bench=True)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-type profit (TPC-H Q9 shape, adapted: unit cost = 60%
     of extended price in lieu of ps_supplycost). Preserves Q9's

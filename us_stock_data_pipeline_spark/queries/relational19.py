@@ -244,7 +244,7 @@ ORDER BY symbol, day
 """
 
 
-@register("window_sliding_median", oracle=_SLIDE_MED_ORACLE, tags=("window", "timeseries"))
+@register("window_sliding_median", oracle=_SLIDE_MED_ORACLE, tags=("window", "timeseries"), bench=True)
 def window_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding exact median smoother: the {_SLIDE_N}-day rolling LOWER
     median of daily revenue — the robust trend line that ignores

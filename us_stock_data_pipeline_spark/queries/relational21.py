@@ -104,7 +104,7 @@ FROM events
 """
 
 
-@register("agg_multi_distinct_expand", oracle=_MULTI_DISTINCT_ORACLE, tags=("agg", "relational"))
+@register("agg_multi_distinct_expand", oracle=_MULTI_DISTINCT_ORACLE, tags=("agg", "relational"), bench=True)
 def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple exact COUNT(DISTINCT) over DIFFERENT keys in one
     statement — the cardinality panel every dataset intake prints.
