@@ -56,6 +56,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops17,
     llm_ops18,
     llm_ops19,
+    llm_ops20,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
@@ -76,6 +77,8 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops18,
     analytics_ops19,
     analytics_ops20,
+    analytics_ops21,
+    analytics_ops22,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,
@@ -98,13 +101,16 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     relational21,
     relational22,
     relational23,
+    relational24,
     streaming_ops,
     streaming_ops2,
     streaming_ops3,
+    streaming_ops4,
     source_formats,
     source_formats2,
     source_formats3,
     extensibility_ops,
+    extensibility_ops2,
     modern_sql_ops,
     modern_sql_ops2,
 )
