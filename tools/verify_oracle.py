@@ -39,6 +39,11 @@ def _norm_cell(v) -> str:
         # here too (this leniency is how the bars_atr r05 FAIL shipped).
         # Round to 10 significant digits first so 2.0 and 2.0+1e-13
         # canonicalize identically, then re-mark integral floats with ".0".
+        # Negative zero canonicalizes to positive zero: DuckDB's round()
+        # yields -0.0 where Spark yields +0.0 for tiny negatives (seen at
+        # sf0.1 in round-6); they are numerically equal.
+        if v == 0.0:
+            v = 0.0
         s = f"{v:.10g}"
         if "." not in s and "e" not in s and "n" not in s:
             s += ".0"

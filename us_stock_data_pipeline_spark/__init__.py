@@ -57,6 +57,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops18,
     llm_ops19,
     llm_ops20,
+    llm_ops21,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
@@ -79,10 +80,12 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops20,
     analytics_ops21,
     analytics_ops22,
+    analytics_ops23,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,
     ml_eval_ops3,
+    ml_eval_ops4,
     sketch_ops,
     udf_ops,
     relational8,
@@ -109,10 +112,12 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     source_formats,
     source_formats2,
     source_formats3,
+    source_formats4,
     extensibility_ops,
     extensibility_ops2,
     modern_sql_ops,
     modern_sql_ops2,
+    modern_sql_ops3,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]

@@ -33,7 +33,7 @@ WITH keyed AS (
   FROM events
   WHERE value > 0
 )
-SELECT event_id, event_type, round(value, 2) AS w, round(k, 6) AS es_key
+SELECT event_id, event_type, round(value, 2) AS w, round(k, 6) + 0.0 AS es_key
 FROM keyed
 ORDER BY k DESC, event_id
 LIMIT 100
@@ -76,7 +76,9 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 2).alias("w"),
-            F.round("k", 6).alias("es_key"),
+            # + 0.0 folds IEEE negative zero to +0.0 (DuckDB's round()
+            # yields -0.0 for tiny negatives; Spark's yields +0.0)
+            (F.round("k", 6) + F.lit(0.0)).alias("es_key"),
         )
     )
 

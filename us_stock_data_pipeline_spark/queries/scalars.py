@@ -148,7 +148,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,
-  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
   round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
     AS l2_norm,
   round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS sum_first8,
@@ -168,7 +168,10 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (same fix as head_sorted below)
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias(
+            "first_val"
+        ),
         F.round(
             F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)), 4
         ).alias("l2_norm"),
@@ -318,7 +321,7 @@ SELECT
   round(CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[64] AS DOUBLE), 4)
     AS largest,
   CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
-  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 4) AS mean_val,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / 64, 4) + 0.0 AS mean_val,
   array_to_string(
     list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 2) + 0.0)), ','
   ) AS head_sorted
@@ -340,7 +343,10 @@ def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(srt, 1), 4).alias("smallest"),
         F.round(F.element_at(srt, 64), 4).alias("largest"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
-        F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / 64, 4).alias("mean_val"),
+        (
+            F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / 64, 4)
+            + F.lit(0.0)
+        ).alias("mean_val"),
         F.concat_ws(
             ",",
             F.transform(
