@@ -74,6 +74,13 @@ QUERIES = [
     "interval_union_coverage",
     "text_pmi_cooccurrence",
     "dedup_survivor_pick",
+    # round-9/10 heavy additions: token-class model join (NB), full
+    # text pass with HOF filters (datasheet), x64 bootstrap expansion,
+    # capped inverted-index pair join
+    "ml_naive_bayes_lang",
+    "corpus_datasheet",
+    "stats_bootstrap_ci",
+    "graph_link_prediction_jaccard",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -58,6 +58,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops19,
     llm_ops20,
     llm_ops21,
+    llm_ops22,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
@@ -81,6 +82,8 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops21,
     analytics_ops22,
     analytics_ops23,
+    analytics_ops24,
+    analytics_ops25,
     etl_quality,
     ml_eval_ops,
     ml_eval_ops2,
@@ -118,6 +121,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     modern_sql_ops,
     modern_sql_ops2,
     modern_sql_ops3,
+    modern_sql_ops4,
 )
 
 __all__ = ["registry", "get_spark", "TABLES", "load_table", "register_views"]
