@@ -59,6 +59,7 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     llm_ops20,
     llm_ops21,
     llm_ops22,
+    llm_ops23,
     analytics_ops,
     analytics_ops2,
     analytics_ops3,
@@ -84,7 +85,10 @@ from us_stock_data_pipeline_spark.queries import (  # noqa: F401
     analytics_ops23,
     analytics_ops24,
     analytics_ops25,
+    analytics_ops26,
+    aqe_ops,
     etl_quality,
+    etl_compliance_ops,
     ml_eval_ops,
     ml_eval_ops2,
     ml_eval_ops3,
