@@ -1,0 +1,241 @@
+"""Round-15 relational/finance, part 25: largest-remainder penny
+allocation and classical price indexes — the financial-exactness
+family where "close" is wrong by audit definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Largest-remainder (Hamilton) freight allocation across order lines
+# --------------------------------------------------------------------------
+
+# freight to allocate = whole-dollar part of the order total (a stand-in
+# order-level charge); allocated pro-rata by line extendedprice with the
+# largest-remainder method so the per-line pennies sum EXACTLY to the
+# order charge. rem_i = freight*ext_i mod ext_total is the integer
+# fractional part scaled by ext_total — ranking it descending (ties to
+# the lowest line number) IS ranking the fractional remainders.
+_LRM_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext
+  FROM lineitem
+),
+orders_f AS (
+  SELECT o_orderkey, CAST(round(o_totalprice) AS BIGINT) AS freight
+  FROM orders
+),
+alloc AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, o.freight,
+         l.ext,
+         sum(l.ext) OVER (PARTITION BY l.l_orderkey) AS ext_tot,
+         o.freight * l.ext // sum(l.ext) OVER (PARTITION BY l.l_orderkey) AS base,
+         (o.freight * l.ext) % sum(l.ext) OVER (PARTITION BY l.l_orderkey) AS rem
+  FROM lines l JOIN orders_f o ON o.o_orderkey = l.l_orderkey
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber) AS rr,
+         freight - sum(base) OVER (PARTITION BY l_orderkey) AS shortfall
+  FROM alloc
+),
+final AS (
+  SELECT l_orderkey, l_returnflag, freight,
+         base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS alloc_cents,
+         CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS bumped
+  FROM ranked
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(alloc_cents) AS BIGINT) AS allocated_cents,
+       CAST(sum(bumped) AS BIGINT) AS n_lines_bumped,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM final
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("lineitem_cost_allocation_lrm", oracle=_LRM_ORACLE, tags=("etl", "finance", "window"))
+def lineitem_cost_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: spread an order-level
+    charge across its lines pro-rata by value so the pennies SUM
+    EXACTLY to the charge — floor every share, then bump the lines
+    with the largest integer remainders (rem = freight*ext mod
+    ext_total, a pure-integer ranking with a line-number tiebreak)
+    by one cent each until the shortfall closes. This is the method
+    invoicing, tax apportionment, and seat-apportionment all mandate;
+    naive round(share) drifts by +-n/2 cents per order and fails
+    reconciliation (`lineitem_tax_reconciliation` is the audit that
+    would catch it). Everything — shares, remainders, shortfall,
+    ranking — is exact BIGINT; the checked rollup proves
+    sum(alloc) == sum(freight) per flag. Plan: one broadcast-joined
+    scan, three window functions sharing ONE orderkey shuffle, one
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice").cast("long").alias("freight")
+    )
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext"),
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    w_ord = Window.partitionBy("l_orderkey")
+    alloc = lines.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "freight",
+        "ext",
+        F.sum("ext").over(w_ord).alias("ext_tot"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "freight",
+        F.expr("freight * ext div ext_tot").alias("base"),
+        ((F.col("freight") * F.col("ext")) % F.col("ext_tot")).alias("rem"),
+    )
+    ranked = alloc.select(
+        "l_orderkey",
+        "l_returnflag",
+        "freight",
+        "base",
+        F.row_number()
+        .over(w_ord.orderBy(F.col("rem").desc(), F.col("l_linenumber")))
+        .alias("rr"),
+        (F.col("freight") - F.sum("base").over(w_ord)).alias("shortfall"),
+    )
+    final = ranked.select(
+        "l_orderkey",
+        "l_returnflag",
+        (F.col("base") + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)).alias(
+            "alloc_cents"
+        ),
+        F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0).alias("bumped"),
+    )
+    return (
+        final.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("alloc_cents").cast("long").alias("allocated_cents"),
+            F.sum("bumped").cast("long").alias("n_lines_bumped"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes (1995 -> 1996)
+# --------------------------------------------------------------------------
+
+_Y0, _Y1 = 1995, 1996
+
+# Per-part cross terms E1*Q0/Q1 are micro-quantized to integers BEFORE
+# the final sums, so the index is a ratio of exact integer totals —
+# no float summation order anywhere.
+_INDEX_ORACLE = f"""
+WITH py AS (
+  SELECT l_partkey, date_part('year', l_shipdate) AS y,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS e,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE date_part('year', l_shipdate) IN ({_Y0}, {_Y1})
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT a.l_partkey,
+         a.e AS e0, a.q AS q0, b.e AS e1, b.q AS q1
+  FROM py a JOIN py b ON b.l_partkey = a.l_partkey
+  WHERE a.y = {_Y0} AND b.y = {_Y1} AND a.q > 0 AND b.q > 0
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(e0) AS BIGINT) AS se0,
+         CAST(sum(e1) AS BIGINT) AS se1,
+         CAST(sum(CAST(floor(CAST(e1 AS DOUBLE) * q0 / q1 * 1000000) AS BIGINT))
+              AS BIGINT) AS l_num,
+         CAST(sum(CAST(floor(CAST(e0 AS DOUBLE) * q1 / q0 * 1000000) AS BIGINT))
+              AS BIGINT) AS p_den
+  FROM matched
+)
+SELECT n_parts,
+       floor(CAST(l_num AS DOUBLE) / 1000000 / se0 * 10000 + 0.5) / 10000 AS laspeyres,
+       floor(CAST(se1 AS DOUBLE) / (CAST(p_den AS DOUBLE) / 1000000) * 10000 + 0.5)
+         / 10000 AS paasche,
+       floor(sqrt(CAST(l_num AS DOUBLE) / 1000000 / se0
+                  * (CAST(se1 AS DOUBLE) / (CAST(p_den AS DOUBLE) / 1000000)))
+             * 10000 + 0.5) / 10000 AS fisher
+FROM terms
+"""
+
+
+@register("lineitem_price_index_laspeyres", oracle=_INDEX_ORACLE, tags=("analytics", "finance"))
+def lineitem_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical price indexes {_Y0}->{_Y1}: Laspeyres (base-period
+    basket: sum p1*q0 / sum p0*q0), Paasche (current basket), and
+    Fisher (their geometric mean — the 'ideal' index national
+    statistics agencies publish) over parts traded in BOTH years.
+    With per-part-year prices p = E/Q, the cross terms reduce to
+    E1*Q0/Q1; each part's term is micro-quantized to an exact
+    integer BEFORE summation, so the totals are order-insensitive
+    BIGINTs and each index is one terminal double ratio — the same
+    exactness discipline as `lineitem_pvm_bridge`, whose
+    price/volume decomposition these indexes summarize into one
+    number. Plan: one scan, one (part, year) groupBy, a self-join
+    on part (both sides already aggregated), one singleton rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = (
+        li.filter(F.year("l_shipdate").isin(_Y0, _Y1))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("e"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        )
+    )
+    a = py.filter((F.col("y") == _Y0) & (F.col("q") > 0)).select(
+        F.col("l_partkey").alias("pk"), F.col("e").alias("e0"), F.col("q").alias("q0")
+    )
+    b = py.filter((F.col("y") == _Y1) & (F.col("q") > 0)).select(
+        F.col("l_partkey").alias("pk2"), F.col("e").alias("e1"), F.col("q").alias("q1")
+    )
+    both = a.join(b, F.col("pk") == F.col("pk2"))
+    terms = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("e0").cast("long").alias("se0"),
+        F.sum("e1").cast("long").alias("se1"),
+        F.sum(
+            F.floor(F.col("e1").cast("double") * F.col("q0") / F.col("q1") * 1000000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("l_num"),
+        F.sum(
+            F.floor(F.col("e0").cast("double") * F.col("q1") / F.col("q0") * 1000000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / 1000000 / F.col("se0")
+    paas = F.col("se1").cast("double") / (F.col("p_den").cast("double") / 1000000)
+    return terms.select(
+        "n_parts",
+        (F.floor(lasp * 10000 + F.lit(0.5)) / 10000).alias("laspeyres"),
+        (F.floor(paas * 10000 + F.lit(0.5)) / 10000).alias("paasche"),
+        (F.floor(F.sqrt(lasp * paas) * 10000 + F.lit(0.5)) / 10000).alias("fisher"),
+    )
