@@ -77,7 +77,7 @@ ORDER BY symbol
 """
 
 
-@register("bars_turtle_backtest", oracle=_TURTLE_ORACLE, tags=("stock", "udf", "recursive"))
+@register("bars_turtle_backtest", oracle=_TURTLE_ORACLE, tags=("stock", "udf", "recursive"), bench=True)
 def bars_turtle_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turtle-style Donchian breakout backtest: enter long when the
     close breaks the prior {_ENTRY_N}-day high, exit when it breaks

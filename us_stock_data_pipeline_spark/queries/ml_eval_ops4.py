@@ -224,7 +224,7 @@ ORDER BY true_lang, pred_lang
 """
 
 
-@register("ml_naive_bayes_lang", oracle=_NB_ORACLE, tags=("ml", "train", "text"))
+@register("ml_naive_bayes_lang", oracle=_NB_ORACLE, tags=("ml", "train", "text"), bench=True)
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive Bayes trained in-engine: token-class counts
     with add-1 smoothing predict each document's language; output is

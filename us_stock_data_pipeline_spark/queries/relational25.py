@@ -63,7 +63,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("lineitem_cost_allocation_lrm", oracle=_LRM_ORACLE, tags=("etl", "finance", "window"))
+@register("lineitem_cost_allocation_lrm", oracle=_LRM_ORACLE, tags=("etl", "finance", "window"), bench=True)
 def lineitem_cost_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) allocation: spread an order-level
     charge across its lines pro-rata by value so the pennies SUM
