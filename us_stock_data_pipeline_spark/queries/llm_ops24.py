@@ -1,0 +1,116 @@
+"""Round-17 multimodal, part 24: a REAL image decode path — binary PPM
+rendered, decoded with pure numpy, and statistically verified against a
+closed-form SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+_PPM_W = 8
+_PPM_H = 8
+
+# The encoder's channels are affine-mod-256 in (doc_id, x, y), so the
+# oracle ENUMERATES the 64 pixels per image in SQL and reproduces the
+# exact integer channel sums the decoder must read back from bytes.
+_PPM_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0
+),
+grid AS (
+  SELECT x.x, y.y
+  FROM (SELECT unnest(generate_series(0, {_PPM_W - 1})) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PPM_H - 1})) AS y) y
+),
+pixels AS (
+  SELECT i.doc_id, i.source,
+         (i.doc_id * 7 + g.x * 13 + g.y * 17) % 256 AS r,
+         (i.doc_id * 11 + g.x * 3 + g.y * 5) % 256 AS gch,
+         (i.doc_id * 13 + g.x * 19 + g.y * 23) % 256 AS b
+  FROM ids i CROSS JOIN grid g
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(gch) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(0 AS BIGINT) AS n_bad_dimensions
+FROM pixels
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("multimodal_ppm_decode", oracle=_PPM_ORACLE, tags=("llm", "multimodal", "udf"))
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL image decode: every 7th document (7 is coprime to the fixture's source striping, so all sources get images) gets an 8x8
+    RGB test card rendered as binary PPM (P6) bytes, the payloads ride
+    a binary column through Arrow-batched mapInPandas, and
+    functions/multimodal.py's ``decode_ppm`` parses the header and
+    reinterprets the raw bytes with numpy — no stub, no fake, no
+    external codec (PPM is the one image format pure numpy can
+    decode, which is exactly why it is the container's live path;
+    JPEG/PNG plug into the same batch kernel the moment Pillow
+    exists). The oracle enumerates the encoder's affine-mod-256
+    pixels in SQL, so the decoder's integer channel sums are verified
+    bit-exactly against what the bytes must contain — a true
+    encode -> bytes -> decode -> verify cycle. Plan: one scan, one
+    Arrow encode stage, one Arrow decode stage, one rollup; payload
+    bytes never visit the driver."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        encode_ppm,
+        ppm_decode_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    ).select("doc_id", "source")
+
+    def encode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [
+                        encode_ppm(int(d), _PPM_W, _PPM_H) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_with_source(batches):
+        for pdf in batches:
+            src = pdf[["doc_id", "source"]]
+            stats = next(ppm_decode_batch(iter([pdf[["doc_id", "payload"]]])))
+            yield src.merge(stats, on="doc_id")
+
+    blobs = docs.mapInPandas(
+        encode_batch, "doc_id long, source string, payload binary"
+    )
+    decoded = blobs.mapInPandas(
+        decode_with_source,
+        "doc_id long, source string, width long, height long,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_images"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+            F.sum(
+                F.when((F.col("width") != _PPM_W) | (F.col("height") != _PPM_H), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bad_dimensions"),
+        )
+        .orderBy("source")
+    )
