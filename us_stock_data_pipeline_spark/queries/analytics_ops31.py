@@ -1,0 +1,439 @@
+"""Round-20 analytics, part 31: portfolio-accounting and market-model
+operators — FIFO realized-PnL lot matching, CAPM beta/alpha, Sharpe and
+Sortino ratios, and Donchian-channel breakouts.
+
+The centerpiece is FIFO lot matching WITHOUT a sequential loop: FIFO
+assigns sold units to bought units in cumulative-quantity order, so a
+buy lot and a sell fill match exactly where their intervals on the
+cumulative-units axis overlap — turning the classic row-by-row matcher
+into two prefix sums and one interval-overlap join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# FIFO realized PnL (cumulative-interval matching)
+# --------------------------------------------------------------------------
+
+_FIFO_ORACLE = """
+WITH trades AS (
+  SELECT l_partkey AS inst,
+         l_orderkey * 100 + l_linenumber AS seq,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           // CAST(round(l_quantity) AS BIGINT) AS px_cents,
+         l_returnflag = 'R' AS is_sell
+  FROM lineitem
+),
+buys AS (
+  SELECT inst, px_cents,
+         coalesce(sum(qty) OVER (PARTITION BY inst ORDER BY seq, px_cents, qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0,
+         sum(qty) OVER (PARTITION BY inst ORDER BY seq, px_cents, qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b1
+  FROM trades WHERE NOT is_sell
+),
+sells AS (
+  SELECT inst, px_cents,
+         coalesce(sum(qty) OVER (PARTITION BY inst ORDER BY seq, px_cents, qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0,
+         sum(qty) OVER (PARTITION BY inst ORDER BY seq, px_cents, qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+  FROM trades WHERE is_sell
+),
+matched AS (
+  SELECT b.inst,
+         least(b.b1, s.s1) - greatest(b.b0, s.s0) AS mq,
+         s.px_cents - b.px_cents AS unit_pnl
+  FROM buys b JOIN sells s
+    ON b.inst = s.inst AND b.b0 < s.s1 AND s.s0 < b.b1
+)
+SELECT inst,
+       CAST(sum(mq) AS BIGINT) AS matched_qty,
+       CAST(sum(mq * unit_pnl) AS BIGINT) AS realized_pnl_cents,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM matched
+GROUP BY inst
+ORDER BY inst
+"""
+
+
+@register("bars_fifo_pnl", oracle=_FIFO_ORACLE, tags=("stock", "join"))
+def bars_fifo_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO realized PnL — the tax-lot matcher every brokerage and
+    backtest runs — WITHOUT the sequential queue: FIFO consumes buy
+    lots in arrival order, so sold unit #u always matches bought unit
+    #u; a buy lot occupying (b0, b1] and a sell fill occupying
+    (s0, s1] on the per-instrument cumulative-units axis therefore
+    match over exactly max(0, min(b1,s1) - max(b0,s0)) units. Two
+    exclusive/inclusive prefix sums (one window each over the same
+    (inst, seq) sort) and one interval-overlap join replace the
+    row-at-a-time lot queue. Fills derive from lineitem: returnflag
+    'R' lines are sells, unit price is cents div quantity (integer
+    floor both engines), and the arrival order is the (orderkey,
+    linenumber, px, qty) sequence — the fixture duplicates some
+    (orderkey, linenumber) pairs, and the extra keys make the order a
+    deterministic total order (residual ties are full duplicates,
+    which no ordering can distinguish). All arithmetic is BIGINT. Short
+    tails (sell units beyond total buys) simply find no overlapping
+    buy interval — reported via matched_qty, never crashing the
+    matcher. Matching convention: the k-th sold unit pairs with the
+    k-th bought unit — the legs are independent arrival-ordered
+    streams (so a sell preceding any buy matches the first later
+    buy); a long-only variant adds a running-inventory gate on the
+    sell leg. Scale: the join is equi on instrument with a range
+    residual; per-instrument fill counts bound the pair fan-out, and
+    a 100 TB deployment adds a cumulative-axis band bucket to the
+    key exactly like join_range_banded does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    trades = li.select(
+        F.col("l_partkey").alias("inst"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("seq"),
+        qty.alias("qty"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " div CAST(round(l_quantity) AS BIGINT)"
+        ).alias("px_cents"),
+        (F.col("l_returnflag") == "R").alias("is_sell"),
+    )
+    # the synthetic fixture duplicates (orderkey, linenumber) pairs, so
+    # the arrival order must break residual ties deterministically:
+    # (seq, px, qty) — rows still tied after that are full duplicates,
+    # whose relative order cannot change any interval or match.
+    w = Window.partitionBy("inst").orderBy("seq", "px_cents", "qty")
+    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    def legs(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.select(
+            "inst",
+            "px_cents",
+            F.coalesce(F.sum("qty").over(w_excl), F.lit(0)).alias(lo),
+            F.sum("qty").over(w_incl).alias(hi),
+        )
+
+    buys = legs(trades.filter(~F.col("is_sell")), "b0", "b1")
+    sells = legs(trades.filter(F.col("is_sell")), "s0", "s1").withColumnsRenamed(
+        {"px_cents": "sell_px"}
+    )
+    matched = buys.join(
+        sells,
+        (buys.inst == sells.inst) & (buys.b0 < sells.s1) & (sells.s0 < buys.b1),
+    ).select(
+        buys.inst.alias("inst"),
+        (F.least("b1", "s1") - F.greatest("b0", "s0")).alias("mq"),
+        (F.col("sell_px") - F.col("px_cents")).alias("unit_pnl"),
+    )
+    return (
+        matched.groupBy("inst")
+        .agg(
+            F.sum("mq").cast("long").alias("matched_qty"),
+            F.sum(F.col("mq") * F.col("unit_pnl")).cast("long").alias(
+                "realized_pnl_cents"
+            ),
+            F.count("*").cast("long").alias("n_matches"),
+        )
+        .orderBy("inst")
+    )
+
+
+# --------------------------------------------------------------------------
+# CAPM beta / alpha (market model from exact power sums)
+# --------------------------------------------------------------------------
+
+_RET_SCALE = 1_000_000  # LOG returns quantized to 1e-6: |ln ratio| is
+# bounded (~20 even for a 1-cent -> millions move), so squared power
+# sums stay far inside BIGINT; simple returns are unbounded and a
+# penny-stock fixture day overflowed sum(r*r) at sf0.1
+
+_CAPM_ORACLE = f"""
+WITH closes AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS close_cents
+  FROM events GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol, day,
+         CAST(floor(ln(CAST(close_cents AS DOUBLE)
+                       / CAST(lag(close_cents) OVER w AS DOUBLE))
+                    * {_RET_SCALE} + 0.5) AS BIGINT) AS r
+  FROM closes
+  WINDOW w AS (PARTITION BY symbol ORDER BY day)
+),
+mkt AS (
+  SELECT day, CAST(sum(r) // count(*) AS BIGINT) AS m
+  FROM rets WHERE r IS NOT NULL GROUP BY day
+),
+joined AS (
+  SELECT r.symbol, r.r, m.m FROM rets r JOIN mkt m ON r.day = m.day
+  WHERE r.r IS NOT NULL
+),
+sums AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS sx, CAST(sum(r) AS BIGINT) AS sy,
+         CAST(sum(m * m) AS BIGINT) AS sxx, CAST(sum(m * r) AS BIGINT) AS sxy
+  FROM joined GROUP BY symbol
+)
+SELECT symbol, n AS n_days,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+         AS BIGINT) AS beta_e6,
+       CAST(floor((CAST(sy AS DOUBLE) / n
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / n) + 0.5) AS BIGINT) AS alpha_e6
+FROM sums
+ORDER BY symbol
+"""
+
+
+@register("bars_capm_beta", oracle=_CAPM_ORACLE, tags=("stock", "stats"))
+def bars_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-model (CAPM) beta and alpha per symbol: regress each
+    symbol's daily return on the equal-weight market return. Returns
+    are quantized to 1e-6 BIGINTs at birth; the market return is the
+    exact integer mean (sum div count) of those; and the OLS slope
+    beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is assembled purely from
+    BIGINT power sums with one double division at the end (alpha
+    reuses the same sums — mean(y) - beta*mean(x) — in one identical
+    expression per engine, already in 1e-6 units). Avoids the
+    engine-specific covar_pop/regr_slope pairing entirely.
+    Plan: daily rollup -> lag -> a tiny per-day aggregate that
+    broadcasts back onto returns -> one power-sum aggregate. At
+    100 TB the market table is O(days) — always broadcastable — so
+    the regression costs one fact-table pass."""
+    ev = load_table(spark, sf_dir, "events")
+    closes = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.max_by("value", "event_id") * 100).cast("long").alias("close_cents")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("close_cents").over(w)
+    rets = closes.select(
+        "symbol",
+        "day",
+        F.floor(
+            F.log(F.col("close_cents").cast("double") / prev.cast("double"))
+            * _RET_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = rets.groupBy("day").agg(
+        F.expr("CAST(sum(r) div count(*) AS BIGINT)").alias("m")
+    )
+    joined = rets.join(F.broadcast(mkt), "day")
+    sums = joined.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sx"),
+        F.sum("r").cast("long").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sxx"),
+        F.sum(F.col("m") * F.col("r")).cast("long").alias("sxy"),
+    )
+    beta_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    beta_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    beta_e6 = F.floor(beta_num / beta_den * 1_000_000 + F.lit(0.5)).cast("long")
+    alpha_e6 = F.floor(
+        (
+            F.col("sy").cast("double") / F.col("n")
+            - beta_num / beta_den * F.col("sx").cast("double") / F.col("n")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return sums.select(
+        "symbol", F.col("n").alias("n_days"), beta_e6.alias("beta_e6"),
+        alpha_e6.alias("alpha_e6"),
+    ).orderBy("symbol")
+
+
+# --------------------------------------------------------------------------
+# Sharpe / Sortino risk-adjusted return panel
+# --------------------------------------------------------------------------
+
+_ANNUALIZE = 252
+
+_SHARPE_ORACLE = f"""
+WITH closes AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS close_cents
+  FROM events GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol,
+         CAST(floor(ln(CAST(close_cents AS DOUBLE)
+                       / CAST(lag(close_cents) OVER w AS DOUBLE))
+                    * {_RET_SCALE} + 0.5) AS BIGINT) AS r
+  FROM closes
+  WINDOW w AS (PARTITION BY symbol ORDER BY day)
+),
+sums AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS s1,
+         CAST(sum(r * r) AS BIGINT) AS s2,
+         CAST(coalesce(sum(r * r) FILTER (WHERE r < 0), 0) AS BIGINT) AS sdown
+  FROM rets WHERE r IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n AS n_days,
+       CAST(floor(CAST(s1 AS DOUBLE) / n
+                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))
+                  * sqrt({_ANNUALIZE}) * 1000000 + 0.5) AS BIGINT) AS sharpe_e6,
+       CASE WHEN sdown > 0 THEN
+         CAST(floor(CAST(s1 AS DOUBLE) / n
+                    / sqrt(CAST(sdown AS DOUBLE) / n)
+                    * sqrt({_ANNUALIZE}) * 1000000 + 0.5) AS BIGINT)
+       ELSE NULL END AS sortino_e6
+FROM sums
+ORDER BY symbol
+"""
+
+
+@register("bars_sharpe_sortino", oracle=_SHARPE_ORACLE, tags=("stock", "stats"))
+def bars_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios per symbol (zero risk-free
+    rate). Sharpe divides mean daily return by the population stddev;
+    Sortino replaces the denominator with DOWNSIDE deviation
+    (sqrt of the mean squared NEGATIVE return) — the fix for Sharpe
+    penalizing upside volatility. Every moment comes from BIGINT
+    power sums of 1e-6-quantized returns (the downside sum is a
+    FILTERed power sum, still exact); the ratio is one identical
+    double expression per engine, annualized by sqrt({_ANNUALIZE})
+    and quantized to 1e-6. A symbol that never had a down day has an
+    undefined Sortino — NULL, not a division blowup. One daily
+    rollup, one lag, one aggregate: nothing beyond the (symbol, day)
+    shuffle every bars operator already shares."""
+    ev = load_table(spark, sf_dir, "events")
+    closes = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.max_by("value", "event_id") * 100).cast("long").alias("close_cents")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("close_cents").over(w)
+    rets = closes.select(
+        "symbol",
+        F.floor(
+            F.log(F.col("close_cents").cast("double") / prev.cast("double"))
+            * _RET_SCALE
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r"),
+    ).filter(F.col("r").isNotNull())
+    sums = rets.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+        F.coalesce(F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r"))), F.lit(0))
+        .cast("long")
+        .alias("sdown"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    ann = F.sqrt(F.lit(float(_ANNUALIZE)))
+    sharpe = F.floor(mean / F.sqrt(var) * ann * 1_000_000 + F.lit(0.5)).cast("long")
+    sortino = F.when(
+        F.col("sdown") > 0,
+        F.floor(
+            mean / F.sqrt(F.col("sdown").cast("double") / F.col("n")) * ann * 1_000_000
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return sums.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        sharpe.alias("sharpe_e6"),
+        sortino.alias("sortino_e6"),
+    ).orderBy("symbol")
+
+
+# --------------------------------------------------------------------------
+# Donchian channel breakouts
+# --------------------------------------------------------------------------
+
+_DONCHIAN_N = 20
+
+_DONCHIAN_ORACLE = f"""
+WITH ohlc AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(max(value) * 100) AS BIGINT) AS high_cents,
+         CAST(round(min(value) * 100) AS BIGINT) AS low_cents,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS close_cents
+  FROM events GROUP BY 1, 2
+),
+chan AS (
+  SELECT symbol, day, close_cents,
+         max(high_cents) OVER (PARTITION BY symbol ORDER BY day
+           ROWS BETWEEN {_DONCHIAN_N} PRECEDING AND 1 PRECEDING) AS upper_cents,
+         min(low_cents) OVER (PARTITION BY symbol ORDER BY day
+           ROWS BETWEEN {_DONCHIAN_N} PRECEDING AND 1 PRECEDING) AS lower_cents,
+         row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+  FROM ohlc
+)
+SELECT symbol, day, close_cents, upper_cents, lower_cents,
+       CASE WHEN close_cents > upper_cents THEN 1
+            WHEN close_cents < lower_cents THEN -1
+            ELSE 0 END AS breakout
+FROM chan
+WHERE rn > {_DONCHIAN_N}
+ORDER BY symbol, day
+"""
+
+
+@register("bars_donchian_breakout", oracle=_DONCHIAN_ORACLE, tags=("stock", "window"))
+def bars_donchian_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel ({_DONCHIAN_N}-day rolling high/low, EXCLUDING
+    today so the signal is tradable, not look-ahead) with breakout
+    flags: close above the prior {_DONCHIAN_N}-day high = +1 (the
+    turtle-trader entry), below the prior low = -1. Pure integer-cents
+    window min/max over the shared (symbol, day) sort — the
+    row_number warmup gate drops days whose channel window is not yet
+    full, the same convention bars_atr uses. Trivially exact; listed
+    because channel breakout is the canonical trend-following signal
+    a stock platform's signal library must have."""
+    ev = load_table(spark, sf_dir, "events")
+    ohlc = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.max("value") * 100).cast("long").alias("high_cents"),
+        F.round(F.min("value") * 100).cast("long").alias("low_cents"),
+        F.round(F.max_by("value", "event_id") * 100).cast("long").alias("close_cents"),
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    w_chan = w.rowsBetween(-_DONCHIAN_N, -1)
+    chan = ohlc.select(
+        "symbol",
+        "day",
+        "close_cents",
+        F.max("high_cents").over(w_chan).alias("upper_cents"),
+        F.min("low_cents").over(w_chan).alias("lower_cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        chan.filter(F.col("rn") > _DONCHIAN_N)
+        .select(
+            "symbol",
+            "day",
+            "close_cents",
+            "upper_cents",
+            "lower_cents",
+            F.when(F.col("close_cents") > F.col("upper_cents"), 1)
+            .when(F.col("close_cents") < F.col("lower_cents"), -1)
+            .otherwise(0)
+            .alias("breakout"),
+        )
+        .orderBy("symbol", "day")
+    )

@@ -236,25 +236,31 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains). Every log term is floor-quantized to a 1e-9 integer
     BEFORE summation (the `text_unigram_logprob` discipline), making
     the per-doc argmax an exact integer comparison with a
-    deterministic lexicographic tie-break. Plan: three groupBys build
-    the model (all map-side combinable), one broadcast of the
-    per-class constants, one shuffle join on token for the sparse
-    correction, one doc-level window for the argmax."""
+    deterministic lexicographic tie-break. Plan: ONE tokenize+groupBy
+    pass builds (doc, token, count) — persisted, since the model
+    (token-class counts), the doc lengths, and the scoring correction
+    all derive from it — the per-class constants and the vocab-sized
+    log-likelihood table both broadcast, and the argmax is a struct-
+    min hash aggregate (no window sort): min((-score, lang)) IS
+    "highest score, lexicographically-first language on ties"."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
-    )
-    doc_tok = tok.groupBy("doc_id", "w").agg(
-        F.max("lang").alias("true_lang"), F.count(F.lit(1)).cast("long").alias("c")
+    doc_tok = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.max("lang").alias("true_lang"), F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     doc_len = doc_tok.groupBy("doc_id").agg(
         F.max("true_lang").alias("true_lang"), F.sum("c").cast("long").alias("n_tok")
     )
-    cls = tok.groupBy("lang").agg(
+    # model-side counts all fold out of doc_tok / the raw docs table:
+    # t_lang = sum of per-doc counts; n_docs per lang needs no explode
+    # (split(' ') never yields zero tokens, so every doc tokenizes).
+    cls = doc_tok.groupBy(F.col("true_lang").alias("lang")).agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).cast("long").alias("t_lang"),
+        F.sum("c").cast("long").alias("t_lang"),
     )
-    vocab = tok.agg(
+    vocab = doc_tok.agg(
         F.countDistinct("w").cast("long").alias("v"),
         F.countDistinct("doc_id").cast("long").alias("n_all"),
     )
@@ -272,7 +278,9 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prior_e9"),
     )
-    wl = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wl = doc_tok.groupBy(F.col("true_lang").alias("lang"), "w").agg(
+        F.sum("c").cast("long").alias("cnt")
+    )
     ll = wl.join(F.broadcast(consts.select("lang", "t_lang", "v", "ll0_e9")), "lang").select(
         "lang",
         "w",
@@ -285,7 +293,7 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ll0_e9",
     )
     corr = (
-        doc_tok.join(ll, "w")
+        doc_tok.join(F.broadcast(ll), "w")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("c") * (F.col("ll_e9") - F.col("ll0_e9")))
@@ -307,12 +315,13 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_e9"),
         )
     )
-    w_doc = Window.partitionBy("doc_id").orderBy(F.col("score_e9").desc(), F.col("lang"))
-    pred = scorespace.withColumn("rn", F.row_number().over(w_doc)).filter(
-        F.col("rn") == 1
+    # argmax without a window sort: min((-score, lang)) over each doc's
+    # five candidate rows == row_number(score DESC, lang ASC) == 1.
+    pred = scorespace.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct((-F.col("score_e9")).alias("ns"), F.col("lang"))).alias("best")
     )
     return (
-        pred.groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        pred.groupBy("true_lang", F.col("best.lang").alias("pred_lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )

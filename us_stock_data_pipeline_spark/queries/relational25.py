@@ -88,7 +88,7 @@ def lineitem_cost_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext"),
-    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    ).join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
     w_ord = Window.partitionBy("l_orderkey")
     alloc = lines.select(
         "l_orderkey",
@@ -102,18 +102,32 @@ def lineitem_cost_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_returnflag",
         "freight",
+        "ext_tot",
         F.expr("freight * ext div ext_tot").alias("base"),
         ((F.col("freight") * F.col("ext")) % F.col("ext_tot")).alias("rem"),
+    )
+    # shortfall identity: freight*ext_tot = sum(freight*ext) =
+    # sum(base)*ext_tot + sum(rem), so freight - sum(base) =
+    # sum(rem) div ext_tot (exact — shortfall is an integer). Computing
+    # it as a full-frame sum in the SAME ordered window as row_number
+    # merges what would be a third Window pass into the second.
+    w_sorted = w_ord.orderBy(F.col("rem").desc(), F.col("l_linenumber"))
+    w_full = w_sorted.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = alloc.select(
         "l_orderkey",
         "l_returnflag",
-        "freight",
         "base",
-        F.row_number()
-        .over(w_ord.orderBy(F.col("rem").desc(), F.col("l_linenumber")))
-        .alias("rr"),
-        (F.col("freight") - F.sum("base").over(w_ord)).alias("shortfall"),
+        F.row_number().over(w_sorted).alias("rr"),
+        F.sum("rem").over(w_full).alias("rem_sum"),
+        "ext_tot",
+    ).select(
+        "l_orderkey",
+        "l_returnflag",
+        "base",
+        "rr",
+        F.expr("rem_sum div ext_tot").alias("shortfall"),
     )
     final = ranked.select(
         "l_orderkey",

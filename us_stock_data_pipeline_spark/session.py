@@ -62,6 +62,15 @@ def get_spark(app_name: str = "us-stock-data-pipeline-spark", profile: str = "lo
         # clusters): tiny post-shuffle stages collapse to few tasks
         # instead of fanning out scheduler overhead.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Advisory post-shuffle partition size. The 64m Spark default
+        # collapses the sf0.1 window/join stages (10-30 MB) to a single
+        # task, serializing the heaviest queries; 8m keeps them 2-4-way
+        # parallel while trivial stages still coalesce to one task.
+        # Env-tunable so the bench can A/B it without a code change.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PART", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
