@@ -81,6 +81,12 @@ QUERIES = [
     "corpus_datasheet",
     "stats_bootstrap_ci",
     "graph_link_prediction_jaccard",
+    # round-18/19/20 heavy additions: per-doc winnowing window +
+    # hash-count join, interval-overlap lot matching, per-trade
+    # prefix-sum bar construction
+    "doc_winnowing_fingerprint",
+    "bars_fifo_pnl",
+    "bars_volume_bars",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
