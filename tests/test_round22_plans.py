@@ -1,0 +1,77 @@
+"""Plan-shape assertions for the round-18..22 operators: the physical
+properties their 100 TB docstrings claim."""
+
+from __future__ import annotations
+
+from us_stock_data_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(spark, name):
+    df = registry.queries()[name](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_skyline_no_self_join(spark):
+    """The window rewrite must not fall back to the O(n^2) join."""
+    plan = _executed(spark, "orders_pareto_skyline")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_fifo_legs_join_on_instrument_not_cartesian(spark):
+    """The lot match must be an EQUI join on instrument with the range
+    residual as a post-condition (AQE may broadcast the smaller leg at
+    toy scale; at cluster scale it becomes sort-merge on the same key).
+    A cartesian/nested-loop pair explosion is the failure mode."""
+    plan = _executed(spark, "bars_fifo_pnl")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join [inst" in plan or "Join [coalesce(inst" in plan or "HashJoin [inst" in plan
+
+
+def test_fellegi_sunter_blocked_join_with_broadcast_weights(spark):
+    """The pair join must be KEY-blocked (hash join on nation+seg, not
+    nested-loop over all pairs); only the 1-row weight table may ride
+    a nested-loop broadcast."""
+    plan = _executed(spark, "dedup_fellegi_sunter")
+    assert "BroadcastHashJoin [nation" in plan
+    import re
+
+    # any nested-loop join must be the scalar weight cross join (Cross),
+    # never an Inner pair join
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) == "Cross"
+
+
+def test_naive_bayes_broadcasts_likelihood_table(spark):
+    plan = _executed(spark, "ml_naive_bayes_lang")
+    assert "BroadcastHashJoin" in plan
+    # the scoring correction must NOT shuffle doc_tok by token
+    assert "InMemoryTableScan" in plan  # persisted single tokenization
+
+
+def test_lrm_single_fact_exchange(spark):
+    """Broadcast dim join + all windows on one orderkey shuffle."""
+    plan = _executed(spark, "lineitem_cost_allocation_lrm")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # windows + final agg
+
+
+def test_capm_market_table_broadcasts(spark):
+    plan = _executed(spark, "bars_capm_beta")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_no_cartesian(spark):
+    plan = _executed(spark, "doc_winnowing_fingerprint")
+    assert "CartesianProduct" not in plan
+
+
+def test_bradley_terry_strengths_broadcast_back(spark):
+    plan = _executed(spark, "rlhf_bradley_terry")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
