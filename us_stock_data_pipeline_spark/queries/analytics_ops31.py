@@ -64,7 +64,7 @@ ORDER BY inst
 """
 
 
-@register("bars_fifo_pnl", oracle=_FIFO_ORACLE, tags=("stock", "join"))
+@register("bars_fifo_pnl", oracle=_FIFO_ORACLE, tags=("stock", "join"), bench=True)
 def bars_fifo_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO realized PnL — the tax-lot matcher every brokerage and
     backtest runs — WITHOUT the sequential queue: FIFO consumes buy
@@ -123,7 +123,11 @@ def bars_fifo_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sells = legs(trades.filter(F.col("is_sell")), "s0", "s1").withColumnsRenamed(
         {"px_cents": "sell_px"}
     )
-    matched = buys.join(
+    # both legs are window outputs over the SAME inst-keyed shuffle, so
+    # a sort-merge join reuses their partitioning; AQE's alternative —
+    # broadcasting a 300k-row leg — serializes on the driver and is the
+    # wrong strategy the moment legs outgrow memory
+    matched = buys.hint("merge").join(
         sells,
         (buys.inst == sells.inst) & (buys.b0 < sells.s1) & (sells.s0 < buys.b1),
     ).select(

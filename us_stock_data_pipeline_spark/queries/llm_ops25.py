@@ -71,7 +71,7 @@ ORDER BY f.doc_id
 """
 
 
-@register("doc_winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("llm", "dedup"))
+@register("doc_winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("llm", "dedup"), bench=True)
 def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (the MOSS algorithm): hash every
     char {_WIN_K}-gram, slide a window of {_WIN_W} consecutive hashes,
@@ -89,9 +89,21 @@ def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup signal). At 100 TB the plan is explode -> one doc-keyed window
     -> distinct -> one hash-keyed count join: all shuffles are on
     doc_id or the 40-bit hash, both uniform keys."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the fixture lands as ONE parquet split, so the ~300x explode +
+    # per-gram md5 below would run on a single core; spreading the doc
+    # rows first parallelizes the fan-out (at 100 TB the scan has
+    # thousands of splits and this exchange is a no-op by comparison)
+    # an explicit width, because AQE would coalesce a 3 MB exchange
+    # back to one partition — the width here must reflect the WORK
+    # (1.4M md5 calls) not the bytes
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 2)
+    docs = load_table(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     grams = docs.select(
         "doc_id",
+        # the last window START is p = len-k+1-(w-1); deriving the gate
+        # from length() directly removes what was a second
+        # (partition-only max) window pass over the exploded grams
+        (F.length("text") - (_WIN_K - 1) - (_WIN_W - 1)).alias("last_start"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(text) - {_WIN_K - 1}),"
@@ -100,31 +112,34 @@ def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos0", "gram"),
     ).select(
         "doc_id",
+        "last_start",
         (F.col("pos0") + 1).alias("p"),
         F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long").alias("h"),
     )
-    w_doc = Window.partitionBy("doc_id")
     keyed = grams.select(
         "doc_id",
         "p",
+        "last_start",
         (F.col("h") * _POS_MOD + (F.lit(_POS_MOD - 1) - F.col("p"))).alias("key"),
-        F.max("p").over(w_doc).alias("max_p"),
     )
-    w_sel = w_doc.orderBy("p").rowsBetween(0, _WIN_W - 1)
+    w_sel = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WIN_W - 1)
     fps = (
         keyed.withColumn("sel", F.min("key").over(w_sel))
-        .filter(F.col("p") <= F.col("max_p") - (_WIN_W - 1))
+        .filter(F.col("p") <= F.col("last_start"))
         .select("doc_id", F.expr(f"sel div {_POS_MOD}").alias("h"))
         .distinct()
     )
-    shared = fps.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # cross-doc sharing via ONE window over the hash key instead of a
+    # groupBy + self-join: fps is consumed once, so nothing recomputes
+    # and nothing needs caching
+    w_h = Window.partitionBy("h")
+    flagged = fps.withColumn("h_docs", F.count(F.lit(1)).over(w_h))
     return (
-        fps.join(shared, "h")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_fingerprints"),
             F.sum("h").cast("long").alias("fp_checksum"),
-            F.count(F.when(F.col("n_docs") > 1, 1)).cast("long").alias("n_shared_fp"),
+            F.count(F.when(F.col("h_docs") > 1, 1)).cast("long").alias("n_shared_fp"),
         )
         .orderBy("doc_id")
     )

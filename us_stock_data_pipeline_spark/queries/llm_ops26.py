@@ -68,7 +68,7 @@ ORDER BY strength_e6 DESC, suppkey
 """
 
 
-@register("rlhf_bradley_terry", oracle=_BT_ORACLE, tags=("llm", "rlhf", "ml"))
+@register("rlhf_bradley_terry", oracle=_BT_ORACLE, tags=("llm", "rlhf", "ml"), bench=True)
 def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference strengths — the model under every
     pairwise-preference reward fit (RLHF reward models, chatbot-arena
@@ -88,7 +88,7 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext"),
     )
-    a, b = li.alias("a"), li.alias("b")
+    a, b = li.alias("a").hint("merge"), li.alias("b")
     prefs = (
         a.join(
             b,
@@ -98,6 +98,8 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.l_suppkey").alias("wi"), F.col("b.l_suppkey").alias("li"))
         .agg(F.count("*").cast("long").alias("n"))
+        .persist()  # feeds games AND wins — without this the order-key
+        # self-join (the expensive stage) runs twice
     )
     games = (
         prefs.select(F.col("wi").alias("i"), F.col("li").alias("j"), "n")
