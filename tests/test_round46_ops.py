@@ -34,3 +34,16 @@ def test_integrity_detects_single_row_change(spark):
     d0 = next(iter(sums))
     perturbed = sums[d0] + 1
     assert perturbed != sums[d0]
+
+
+def test_sql_unpivot_triples_conserved(spark):
+    rows = registry.queries()["sql_unpivot_clause"](spark, SF).collect()
+    nations = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_nationkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == nations * 3
+    metrics = {r.metric for r in rows}
+    assert metrics == {"n_customers", "total_bal_cents", "max_bal_cents"}
