@@ -1,0 +1,248 @@
+"""Round-52 analytics, part 51: Ljung-Box portmanteau test on daily
+returns and Adamic-Adar link prediction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Ljung-Box Q test for serial correlation in daily returns
+# --------------------------------------------------------------------------
+
+_LB_MAXLAG = 5
+
+_LB_ORACLE = f"""
+WITH closes AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS close_cents
+  FROM events GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol, day,
+         CAST(floor((close_cents - lag(close_cents) OVER w) * 10000.0
+                    / lag(close_cents) OVER w + 0.5) AS BIGINT) AS ret_bp
+  FROM closes WINDOW w AS (PARTITION BY symbol ORDER BY day)
+  QUALIFY lag(close_cents) OVER w IS NOT NULL
+),
+tot AS (
+  SELECT symbol, CAST(count(*) AS HUGEINT) AS n, CAST(sum(ret_bp) AS HUGEINT) AS s
+  FROM rets GROUP BY symbol
+),
+dev AS (
+  SELECT r.symbol, row_number() OVER (PARTITION BY r.symbol ORDER BY r.day) AS i,
+         t.n * r.ret_bp - t.s AS d, t.n AS n
+  FROM rets r JOIN tot t ON t.symbol = r.symbol
+),
+lagged AS (
+  SELECT a.symbol, lag.lag_k AS lag, CAST(sum(a.d * b.d) AS HUGEINT) AS num
+  FROM dev a
+  JOIN (SELECT unnest(generate_series(1, {_LB_MAXLAG})) AS lag_k) lag ON true
+  JOIN dev b ON b.symbol = a.symbol AND b.i = a.i - lag.lag_k
+  GROUP BY 1, 2
+),
+den AS (
+  SELECT symbol, CAST(sum(d * d) AS HUGEINT) AS den, any_value(n) AS n
+  FROM dev GROUP BY symbol
+),
+rho AS (
+  SELECT l.symbol, l.lag,
+         CAST(l.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS r,
+         CAST(d.n AS DOUBLE) AS n
+  FROM lagged l JOIN den d ON d.symbol = l.symbol
+)
+SELECT symbol, CAST(lag AS BIGINT) AS lag,
+       CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rho_e6,
+       CAST(floor(sum(n * (n + 2.0) * r * r / (n - lag)) OVER (
+              PARTITION BY symbol ORDER BY lag
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5)
+         AS BIGINT) AS q_e4
+FROM rho
+ORDER BY symbol, lag
+"""
+
+
+@register("stats_ljung_box", oracle=_LB_ORACLE, tags=("stats", "timeseries"))
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily simple returns, lags 1..5 —
+    the "are these returns white noise?" gate run before fitting any
+    ARMA/vol model (`timeseries_acf` reports the raw correlogram of
+    REVENUE; this tests RETURNS and accumulates the chi-square Q
+    statistic that makes the correlogram a decision). Determinism: the
+    series is mean-centered without a float mean (d_t = n*x_t - S,
+    exact DECIMAL(38,0)/HUGEINT), each rho_k is one double division,
+    and Q's running sum is a window in ascending-lag order, so both
+    engines add the same five terms in the same sequence. Plan:
+    daily rollup, one per-symbol window for returns, a dense-index
+    lag equi-join (5 lags x days — linear, never quadratic), two tiny
+    per-symbol aggregates, one ordered window for Q."""
+    ev = load_table(spark, sf_dir, "events")
+    closes = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.max_by("value", "event_id") * 100).cast("long").alias("close_cents")
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("close_cents").over(w)
+    rets = (
+        closes.select("symbol", "day", prev.alias("prev_c"), F.col("close_cents").alias("c"))
+        .filter(F.col("prev_c").isNotNull())
+        .select(
+            "symbol",
+            "day",
+            F.floor((F.col("c") - F.col("prev_c")) * 10000.0 / F.col("prev_c") + F.lit(0.5))
+            .cast("long")
+            .alias("ret_bp"),
+        )
+    )
+    tot = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("ret_bp").cast("decimal(38,0)").alias("s"),
+    )
+    dev = rets.join(F.broadcast(tot), "symbol").select(
+        "symbol",
+        F.row_number().over(w).alias("i"),
+        (F.col("n") * F.col("ret_bp") - F.col("s")).alias("d"),
+        "n",
+    )
+    lags = spark.range(1, _LB_MAXLAG + 1).select(F.col("id").alias("lag"))
+    a = dev.alias("a")
+    b = dev.select(
+        F.col("symbol").alias("symbol_b"), F.col("i").alias("ib"), F.col("d").alias("db")
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("symbol_b") == F.col("symbol"))
+            & (F.col("ib") == F.col("i") - F.col("lag")),
+        )
+        .groupBy("symbol", "lag")
+        .agg(F.sum(F.col("d") * F.col("db")).cast("decimal(38,0)").alias("num"))
+    )
+    den = dev.groupBy("symbol").agg(
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("den"),
+        F.first("n").cast("double").alias("nd"),
+    )
+    rho = lagged.join(F.broadcast(den), "symbol").select(
+        "symbol",
+        "lag",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("r"),
+        F.col("nd").alias("n"),
+    )
+    w_q = (
+        Window.partitionBy("symbol")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    term = F.col("n") * (F.col("n") + 2.0) * F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+    return rho.select(
+        "symbol",
+        F.col("lag").cast("long").alias("lag"),
+        F.floor(F.col("r") * 1_000_000 + F.lit(0.5)).cast("long").alias("rho_e6"),
+        F.floor(F.sum(term).over(w_q) * 10_000 + F.lit(0.5)).cast("long").alias("q_e4"),
+    ).orderBy("symbol", "lag")
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (log-damped common neighbors)
+# --------------------------------------------------------------------------
+
+_AA_TOPN = 20
+_AA_HOT_CAP = 40  # same p99 hot-part cap as graph_link_prediction_jaccard
+
+_AA_ORACLE = f"""
+WITH edges0 AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+hot AS (
+  SELECT p FROM edges0 GROUP BY p HAVING count(*) > {_AA_HOT_CAP}
+),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hot FROM hot
+),
+edges AS (
+  SELECT * FROM edges0 WHERE p NOT IN (SELECT p FROM hot)
+),
+pdeg AS (
+  -- part-side degree; ln(1) = 0 would blow up the weight, and a part
+  -- with a single supplier can never be a COMMON neighbor anyway.
+  SELECT p, CAST(count(*) AS BIGINT) AS dp FROM edges GROUP BY p HAVING count(*) >= 2
+),
+weights AS (
+  SELECT p, CAST(floor(1000000000.0 / ln(CAST(dp AS DOUBLE)) + 0.5) AS BIGINT) AS w_e9
+  FROM pdeg
+),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w.w_e9) AS BIGINT) AS aa_e9
+  FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+  JOIN weights w ON w.p = a.p
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, n_common, aa_e9,
+       (SELECT n_hot FROM audit) AS n_hot_parts_dropped
+FROM pairs
+ORDER BY aa_e9 DESC, s1, s2
+LIMIT {_AA_TOPN}
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE, tags=("graph", "similarity"))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the supplier-part bipartite
+    graph: score supplier pairs by sum(1/ln(deg(p))) over common
+    parts — the log-damped refinement of common-neighbor counting
+    where a rare shared part says far more than a commodity one
+    (`graph_link_prediction_jaccard` normalizes by union size; AA
+    weights EACH witness by its informativeness). Determinism: each
+    part's weight quantizes to an integer e9 BEFORE the pair sum, so
+    the distributed aggregation adds exact integers in any order.
+    Scale: the same {_AA_HOT_CAP}-supplier hot-part cap as the
+    Jaccard twin (audited in `n_hot_parts_dropped`) bounds the
+    inverted-index fan-out at C(cap,2) per part regardless of skew;
+    weights join broadcast-sized. Cites the candidate-generation
+    shape of reference ingest (`1m-seesion-pipeline/utils.py` builds
+    per-key sessions the same inverted way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    hot = edges0.groupBy("p").agg(F.count(F.lit(1)).alias("dp")).filter(
+        F.col("dp") > _AA_HOT_CAP
+    ).select("p")
+    audit = hot.agg(F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped"))
+    edges = edges0.join(F.broadcast(hot), "p", "left_anti")
+    weights = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
+        .filter(F.col("dp") >= 2)
+        .select(
+            "p",
+            F.floor(1_000_000_000.0 / F.log(F.col("dp").cast("double")) + F.lit(0.5))
+            .cast("long")
+            .alias("w_e9"),
+        )
+    )
+    a = edges.select("p", F.col("s").alias("s1"))
+    b = edges.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("pb") == F.col("p")) & (F.col("s1") < F.col("s2")))
+        .join(F.broadcast(weights), "p")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_e9").cast("long").alias("aa_e9"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(audit))
+        .select("s1", "s2", "n_common", "aa_e9", "n_hot_parts_dropped")
+        .orderBy(F.desc("aa_e9"), "s1", "s2")
+        .limit(_AA_TOPN)
+    )
