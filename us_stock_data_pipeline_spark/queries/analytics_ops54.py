@@ -164,15 +164,13 @@ per_hr AS (
   SELECT symbol, hr, CAST(count(*) AS BIGINT) AS n_moves,
          CAST(sum(mv) AS BIGINT) AS abs_move_cents
   FROM moves GROUP BY 1, 2
-),
-tot AS (
-  SELECT symbol, CAST(sum(n_moves) AS BIGINT) AS n_all FROM per_hr GROUP BY symbol
 )
-SELECT p.symbol, p.hr, p.n_moves, p.abs_move_cents,
-       CAST(p.n_moves * 1000000 // t.n_all AS BIGINT) AS tick_share_e6,
-       CAST(p.abs_move_cents // p.n_moves AS BIGINT) AS mean_abs_move_cents
-FROM per_hr p JOIN tot t ON t.symbol = p.symbol
-ORDER BY p.symbol, p.hr
+SELECT symbol, hr, n_moves, abs_move_cents,
+       CAST(n_moves * 1000000 // sum(n_moves) OVER (PARTITION BY symbol)
+         AS BIGINT) AS tick_share_e6,
+       CAST(abs_move_cents // n_moves AS BIGINT) AS mean_abs_move_cents
+FROM per_hr
+ORDER BY symbol, hr
 """
 
 
@@ -187,9 +185,10 @@ def bars_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer FLOOR divisions (never a float division crossing
     engines). Plan: one per-symbol tape-ordered window, one
     (symbol, hour) aggregate with map-side combine, one broadcast
-    join against the per-symbol total — at 100 TB the tape window
-    range-partitions by (symbol, ts) and everything downstream is
-    24 rows per symbol."""
+    window over the 24-rows-per-symbol aggregate for the share
+    denominator (a join back would recompute the tape window) — at
+    100 TB the tape window range-partitions by (symbol, ts) and
+    everything downstream is 24 rows per symbol."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     cents = F.round(F.col("value") * 100).cast("long")
@@ -206,9 +205,11 @@ def bars_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_moves"),
         F.sum("mv").cast("long").alias("abs_move_cents"),
     )
-    tot = per_hr.groupBy("symbol").agg(F.sum("n_moves").cast("long").alias("n_all"))
+    # per-symbol total as a window over the 24-rows-per-symbol aggregate:
+    # avoids a self-referencing join that would recompute the tape window
+    w_tot = Window.partitionBy("symbol")
     return (
-        per_hr.join(F.broadcast(tot), "symbol")
+        per_hr.withColumn("n_all", F.sum("n_moves").over(w_tot))
         .select(
             "symbol",
             "hr",
