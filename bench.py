@@ -143,12 +143,11 @@ def main() -> None:
         # that only adds GC churn to the measurement).
         spark.catalog.clearCache()
         t0 = time.time()
-        # 10 workers measured fastest under LPT ordering (round-6 sweep:
-        # 10w=1.62s, 12w=1.68s, 14w=1.80s, 18w=1.94s, 21w=1.95s). LPT
-        # moved the optimum DOWN from round-5's 14w: once the long poles
-        # start first, extra workers only add core contention against
-        # them instead of hiding a bad schedule.
-        with ThreadPoolExecutor(max_workers=10) as pool:
+        # Pool size re-swept when the headline set grew 21 -> 30 queries
+        # (driver-round-6: 8w=7.9s, 10w=7.8s, 12w=6.7s, 14w=6.5s,
+        # 16w=6.7s): more concurrent queries need more in-flight jobs to
+        # keep the long poles company; past ~14 the scheduler thrashes.
+        with ThreadPoolExecutor(max_workers=14) as pool:
             list(pool.map(lambda fn: _run(fn, spark, sf_dir), ok_fns))
         concurrent_wall = min(concurrent_wall, round(time.time() - t0, 3))
 

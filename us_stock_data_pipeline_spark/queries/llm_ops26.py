@@ -83,12 +83,21 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out), two small aggregates over the supplier-pair table, one
     self-join of the strength vector onto the games table (suppliers
     are a dimension — broadcastable at any corpus scale)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext"),
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext"),
+        )
+        # explicit-width repartition: AQE's byte-based coalescing shrinks
+        # this row-small/CPU-heavy self-join to ~3 tasks, serializing the
+        # duel fan-out on 3 of 32 cores (driver-round-6: join+agg 2.2s ->
+        # 1.3s). An explicit numbered repartition is exempt from AQE
+        # coalescing, and the self-join reuses the one exchange.
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
-    a, b = li.alias("a").hint("merge"), li.alias("b")
+    a, b = li.alias("a"), li.alias("b")
     prefs = (
         a.join(
             b,
