@@ -1,0 +1,181 @@
+"""Source formats, part 8: RFC-4180 CSV dialect handling (quoted
+newlines, embedded commas, doubled quotes) and frame-exclusion window
+emulation.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# RFC-4180 dialect roundtrip: multiline quoted fields, doubled quotes
+# --------------------------------------------------------------------------
+
+# The note embeds a comma, a newline, and a double-quoted token — the three
+# constructs that break naive line-oriented CSV ingestion. The oracle
+# recomputes the aggregate straight from the customer table with the same
+# note construction, so a parser that splits on raw newlines or mishandles
+# doubled quotes diverges immediately.
+_NOTE_SQL = "'n,' || c_name || chr(10) || '\"' || CAST(c_custkey AS VARCHAR) || '\"'"
+
+_DIALECT_ORACLE = f"""
+WITH noted AS (
+  SELECT c_custkey, c_name, {_NOTE_SQL} AS note FROM customer
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
+       CAST(sum(CASE WHEN contains(note, chr(10)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multiline_notes,
+       CAST(sum(length(note)) AS BIGINT) AS total_note_chars
+FROM noted
+"""
+
+
+def _stage_dialect_csv(spark: SparkSession, sf_dir: str) -> str:
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "us_sdps_landing", key, "dialect_csv")
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "customer.parquet")
+    if os.path.exists(marker) and os.stat(marker).st_mtime < os.stat(src).st_mtime:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        with open(os.path.join(path, "part-0.csv"), "w", newline="") as f:
+            wr = csv.writer(f, quoting=csv.QUOTE_MINIMAL, doublequote=True)
+            wr.writerow(["c_custkey", "c_name", "note"])
+            for r in rows:
+                note = f'n,{r.c_name}\n"{r.c_custkey}"'
+                wr.writerow([r.c_custkey, r.c_name, note])
+        open(marker, "w").close()
+    return path
+
+
+@register("source_csv_dialect", oracle=_DIALECT_ORACLE, tags=("source", "csv"))
+def source_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV dialect roundtrip: fields containing embedded
+    commas, QUOTED NEWLINES, and doubled double-quotes — the three
+    constructs that break line-splitting ingestion (`source_csv_scan`
+    covers the well-behaved headered case; `source_csv_corrupt_records`
+    the PERMISSIVE failure path; this one proves the parser handles
+    the legal-but-hostile dialect). Spark needs `multiLine=true`
+    (files can no longer be split on raw newlines — a real 100 TB
+    trade-off worth this op documenting: multiline CSV files are
+    one-task-per-file, so landing zones should cap file size) and
+    `escape='"'` for RFC quote doubling. The staged file is written
+    once by Python's csv module (RFC-4180 reference writer) in
+    custkey order; the oracle recomputes the aggregate directly from
+    the customer table, so any parse divergence shows up as a value
+    mismatch, not a flaky file diff."""
+    path = _stage_dialect_csv(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_custkey"),
+        F.sum(F.when(F.col("note").contains("\n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_multiline_notes"),
+        F.sum(F.length("note")).cast("long").alias("total_note_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame-exclusion emulation: leave-one-out rolling mean
+# --------------------------------------------------------------------------
+
+_LOO_HALF = 3  # +-3 rows around the current day
+
+_LOO_ORACLE = f"""
+WITH closes AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+framed AS (
+  SELECT symbol, day, c,
+         sum(c) OVER w AS fsum, count(*) OVER w AS fcnt
+  FROM closes
+  WINDOW w AS (PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN {_LOO_HALF} PRECEDING AND {_LOO_HALF} FOLLOWING)
+)
+SELECT symbol, day, c,
+       CAST((fsum - c) // (fcnt - 1) AS BIGINT) AS loo_mean_cents
+FROM framed
+WHERE fcnt > 1
+ORDER BY symbol, day
+"""
+
+
+@register("window_loo_rolling_mean", oracle=_LOO_ORACLE, tags=("window",))
+def window_loo_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out rolling mean: the +-{_LOO_HALF}-row neighborhood
+    average EXCLUDING the current row — SQL:2011's `EXCLUDE CURRENT
+    ROW` frame clause, which Spark does not implement, emulated
+    exactly as (frame_sum - current)/(frame_count - 1) over one
+    ordinary frame (`feature_target_encoding_loo` does the same
+    algebra per GROUP; this does it per time WINDOW — the standard
+    local-outlier baseline "how far is today from its neighbors").
+    Cents are exact integers and prices positive, so the LOO mean is
+    a positive integer floor-divide, engine-identical. Plan: daily
+    rollup plus ONE bounded-frame window; the subtraction trick
+    needs no second pass, no self-join, no EXCLUDE support."""
+    ev = load_table(spark, sf_dir, "events")
+    closes = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.round(F.max_by("value", "event_id") * 100).cast("long").alias("c"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("day")
+        .rowsBetween(-_LOO_HALF, _LOO_HALF)
+    )
+    framed = closes.select(
+        "symbol",
+        "day",
+        "c",
+        F.sum("c").over(w).alias("fsum"),
+        F.count(F.lit(1)).over(w).alias("fcnt"),
+    )
+    return (
+        framed.filter(F.col("fcnt") > 1)
+        .select(
+            "symbol",
+            "day",
+            "c",
+            F.floor((F.col("fsum") - F.col("c")) / (F.col("fcnt") - 1))
+            .cast("long")
+            .alias("loo_mean_cents"),
+        )
+        .orderBy("symbol", "day")
+    )
