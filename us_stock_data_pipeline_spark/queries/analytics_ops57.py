@@ -68,11 +68,17 @@ def embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle of the build side at this size), rank window keyed by
     src, then an edge-keyed equi-join at k*n scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # the corpus lands as ONE parquet split; without an explicit fan-out the
+    # O(n^2) scoring stage runs on a single task (measured 61 s at sf0.1 ->
+    # ~4 s at 32-way). Broadcast the build side (the corpus is dimension-
+    # sized); stream side repartitions to the executor width.
+    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("src"), F.col("label").alias("src_label"),
         F.col("embedding").alias("ea"),
     )
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    b = F.broadcast(
+        emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    )
     prod = F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
     norm_a = F.sqrt(
