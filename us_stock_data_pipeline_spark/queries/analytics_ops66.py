@@ -193,7 +193,12 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary curve — the trick that makes this one shuffle per
     aggregate instead of a quadratic distinct-over-prefix. Checkpoint
     ranks, token counts, and type counts are exact integers; the OLS
-    runs over {_HEAPS_POINTS} fixed points. Plan: tokenize once, two
+    runs over {_HEAPS_POINTS} fixed points. On the synthetic fixture
+    the fit reports beta = 0 exactly: the generator draws from a
+    CLOSED ~31-type vocabulary, so the curve saturates at the first
+    checkpoint — precisely the degenerate-corpus signal this
+    diagnostic exists to catch (real web text sits near beta ~ 0.5).
+    Plan: tokenize once, two
     wordcount aggregates, one doc-grain cumulative window, a
     constant-size fit."""
     docs = load_table(spark, sf_dir, "documents")
