@@ -87,6 +87,13 @@ QUERIES = [
     "doc_winnowing_fingerprint",
     "bars_fifo_pnl",
     "bars_volume_bars",
+    # driver-round-6 heavy additions: shingle-pair calibration join,
+    # broadcast O(n^2) embedding graph, Bradley-Terry duel self-join,
+    # order-key co-purchase modularity
+    "dedup_lsh_scurve",
+    "embedding_mutual_knn",
+    "rlhf_bradley_terry",
+    "graph_modularity",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
