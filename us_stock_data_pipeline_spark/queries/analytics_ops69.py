@@ -1,0 +1,158 @@
+"""Round-70 analytics, part 69: propensity-score matching (ATT with
+caliper, nearest-neighbor with replacement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+_PSM_CALIPER_CENTS = 10_000  # max |acctbal gap| for a valid match
+_PSM_SEGMENT = "BUILDING"
+
+_PSM_ORACLE = f"""
+WITH units AS (
+  SELECT c.c_custkey AS cust,
+         CASE WHEN c.c_mktsegment = '{_PSM_SEGMENT}' THEN 1 ELSE 0 END AS treated,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS score,
+         CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+           AS outcome
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+ordered AS (
+  SELECT *,
+         last_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+           OVER w AS prev_score,
+         last_value(CASE WHEN treated = 0 THEN cust END IGNORE NULLS)
+           OVER w AS prev_cust,
+         first_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+           OVER w2 AS next_score,
+         first_value(CASE WHEN treated = 0 THEN cust END IGNORE NULLS)
+           OVER w2 AS next_cust
+  FROM units
+  WINDOW w AS (ORDER BY score, cust ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         w2 AS (ORDER BY score, cust ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+matched AS (  -- nearest control; ties prefer the BACKWARD neighbor
+  SELECT cust, score, outcome,
+         CASE WHEN prev_score IS NULL AND next_score IS NULL THEN NULL
+              WHEN prev_score IS NULL THEN next_cust
+              WHEN next_score IS NULL THEN prev_cust
+              WHEN score - prev_score <= next_score - score THEN prev_cust
+              ELSE next_cust END AS m_cust,
+         CASE WHEN prev_score IS NULL AND next_score IS NULL THEN NULL
+              WHEN prev_score IS NULL THEN next_score - score
+              WHEN next_score IS NULL THEN score - prev_score
+              WHEN score - prev_score <= next_score - score THEN score - prev_score
+              ELSE next_score - score END AS dist
+  FROM ordered WHERE treated = 1
+),
+paired AS (
+  SELECT m.cust, m.outcome AS y1, u.outcome AS y0, m.dist
+  FROM matched m JOIN units u ON u.cust = m.m_cust
+  WHERE m.dist IS NOT NULL AND m.dist <= {_PSM_CALIPER_CENTS}
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_treated FROM matched
+)
+SELECT c.n_treated,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(c.n_treated - count(*) AS BIGINT) AS n_caliper_dropped,
+       CAST(floor(avg(CAST(p.y1 - p.y0 AS DOUBLE)) + 0.5) AS BIGINT) AS att_cents,
+       CAST(p2.md AS BIGINT) AS max_match_dist_cents
+FROM paired p CROSS JOIN counts c
+CROSS JOIN (SELECT max(dist) AS md FROM paired) p2
+GROUP BY c.n_treated, p2.md
+"""
+
+
+@register("causal_psm_att", oracle=_PSM_ORACLE, tags=("ml", "stats", "causal"))
+def causal_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching ATT: each '{_PSM_SEGMENT}'-segment
+    customer (treated) matches its nearest control by account-balance
+    score (with replacement, {_PSM_CALIPER_CENTS}-cent caliper), and
+    ATT = mean(outcome_treated - outcome_matched_control) on total
+    order spend — the matching-based causal estimate that pairs with
+    `causal_ipw_ate` (IPW reweights EVERYONE; PSM compares
+    look-alikes and drops off-support units, reported in
+    n_caliper_dropped). The nearest-control search is a SWEEP-LINE:
+    one global (score, custkey) sort with IGNORE-NULLS last/first
+    window values — no pairwise join, O(n log n) at any scale, the
+    same trick the as-of joins use on time. Backward neighbor wins
+    distance ties (deterministic); scores and distances are exact
+    integer cents; only the final mean is one double expression.
+    Plan: one customer-grain aggregate, one global sort window, a
+    custkey equi-join back for control outcomes."""
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    units = (
+        cust.join(od, cust.c_custkey == od.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("cust"),
+            F.when(F.col("c_mktsegment") == _PSM_SEGMENT, 1).otherwise(0).alias("treated"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("score"),
+        )
+        .agg(
+            F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("outcome")
+        )
+    )
+    w_prev = Window.orderBy("score", "cust").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("score", "cust").rowsBetween(1, Window.unboundedFollowing)
+    ctrl_score = F.when(F.col("treated") == 0, F.col("score"))
+    ctrl_cust = F.when(F.col("treated") == 0, F.col("cust"))
+    ordered = units.select(
+        "cust",
+        "treated",
+        "score",
+        "outcome",
+        F.last(ctrl_score, ignorenulls=True).over(w_prev).alias("prev_score"),
+        F.last(ctrl_cust, ignorenulls=True).over(w_prev).alias("prev_cust"),
+        F.first(ctrl_score, ignorenulls=True).over(w_next).alias("next_score"),
+        F.first(ctrl_cust, ignorenulls=True).over(w_next).alias("next_cust"),
+    )
+    t = ordered.filter(F.col("treated") == 1)
+    back_wins = (F.col("score") - F.col("prev_score")) <= (F.col("next_score") - F.col("score"))
+    m_cust = (
+        F.when(F.col("prev_score").isNull() & F.col("next_score").isNull(), F.lit(None))
+        .when(F.col("prev_score").isNull(), F.col("next_cust"))
+        .when(F.col("next_score").isNull(), F.col("prev_cust"))
+        .when(back_wins, F.col("prev_cust"))
+        .otherwise(F.col("next_cust"))
+    )
+    dist = (
+        F.when(F.col("prev_score").isNull() & F.col("next_score").isNull(), F.lit(None))
+        .when(F.col("prev_score").isNull(), F.col("next_score") - F.col("score"))
+        .when(F.col("next_score").isNull(), F.col("score") - F.col("prev_score"))
+        .when(back_wins, F.col("score") - F.col("prev_score"))
+        .otherwise(F.col("next_score") - F.col("score"))
+    )
+    matched = t.select("cust", "outcome", m_cust.alias("m_cust"), dist.alias("dist"))
+    ctrl_out = units.select(F.col("cust").alias("m_cust"), F.col("outcome").alias("y0"))
+    paired = (
+        matched.filter(F.col("dist").isNotNull() & (F.col("dist") <= _PSM_CALIPER_CENTS))
+        .join(ctrl_out, "m_cust")
+    )
+    counts = matched.agg(F.count(F.lit(1)).cast("long").alias("n_treated"))
+    return (
+        paired.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.floor(F.avg((F.col("outcome") - F.col("y0")).cast("double")) + F.lit(0.5))
+            .cast("long")
+            .alias("att_cents"),
+            F.max("dist").cast("long").alias("max_match_dist_cents"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_treated",
+            "n_matched",
+            (F.col("n_treated") - F.col("n_matched")).cast("long").alias("n_caliper_dropped"),
+            "att_cents",
+            "max_match_dist_cents",
+        )
+    )
