@@ -1,0 +1,218 @@
+"""Round-86 analytics, part 80: Heikin-Ashi smoothed candles
+(integer-exact recursion) and circular statistics of intraday timing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Heikin-Ashi candles: ha_open recursion carried at 4x exact integer
+# --------------------------------------------------------------------------
+
+_HA_ORACLE = """
+WITH RECURSIVE bars0 AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_min(value, event_id) * 100) AS BIGINT) AS o,
+         CAST(round(max(value) * 100) AS BIGINT) AS h,
+         CAST(round(min(value) * 100) AS BIGINT) AS l,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT symbol, day, o, h, l, c,
+         row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+  FROM bars0
+),
+-- state carried at 4x cents: ha_close4 = o+h+l+c (exact); the open
+-- recursion halves with truncating integer division, identical in both
+-- engines for the positive values here
+ha(symbol, day, rn, o, h, l, c, ha_open4, ha_close4) AS (
+  SELECT symbol, day, rn, o, h, l, c, (o + c) * 2, o + h + l + c
+  FROM bars WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.day, b.rn, b.o, b.h, b.l, b.c,
+         (p.ha_open4 + p.ha_close4) // 2,
+         b.o + b.h + b.l + b.c
+  FROM bars b JOIN ha p ON b.symbol = p.symbol AND b.rn = p.rn + 1
+)
+SELECT symbol, day,
+       CAST(ha_open4 AS BIGINT) AS ha_open4,
+       CAST(ha_close4 AS BIGINT) AS ha_close4,
+       CAST(greatest(h * 4, ha_open4, ha_close4) AS BIGINT) AS ha_high4,
+       CAST(least(l * 4, ha_open4, ha_close4) AS BIGINT) AS ha_low4,
+       CAST(CASE WHEN ha_close4 > ha_open4 THEN 1
+                 WHEN ha_close4 < ha_open4 THEN -1 ELSE 0 END AS BIGINT)
+         AS ha_trend
+FROM ha
+ORDER BY symbol, day
+"""
+
+
+@register("bars_heikin_ashi", oracle=_HA_ORACLE, tags=("stock", "udf", "recursive"))
+def bars_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles: ha_close = (O+H+L+C)/4 and
+    ha_open = (prev ha_open + prev ha_close)/2 — the trend-smoothing
+    transform chartists use to suppress single-bar noise, and another
+    genuinely recursive indicator (ha_open feeds back on itself, so
+    window frames can't express it — the `bars_ema` escape-hatch
+    family). Exactness: everything carries at 4x cents so ha_close is
+    EXACT; the open recursion halves with truncating integer division,
+    keeping kernel and recursive-CTE oracle bit-identical at any
+    horizon. ha_high/low fold the raw extremes against both HA lines
+    (all at 4x, no division). The day's open proxies as the value at
+    the smallest event_id (arg_min), the close as arg_max — the same
+    convention the OHLCV resample pins. One shuffle on symbol; each
+    series is one Arrow batch in the applyInPandas kernel."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.min_by("value", "event_id") * 100).cast("long").alias("o"),
+        F.round(F.max("value") * 100).cast("long").alias("h"),
+        F.round(F.min("value") * 100).cast("long").alias("l"),
+        F.round(F.max_by("value", "event_id") * 100).cast("long").alias("c"),
+    )
+
+    def ha_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        opens, closes = [], []
+        for i, row in pdf.iterrows():
+            o, h, l, c = int(row.o), int(row.h), int(row.l), int(row.c)
+            cl4 = o + h + l + c
+            op4 = (o + c) * 2 if i == 0 else (opens[-1] + closes[-1]) // 2
+            opens.append(op4)
+            closes.append(cl4)
+        pdf["ha_open4"] = opens
+        pdf["ha_close4"] = closes
+        return pdf[["symbol", "day", "o", "h", "l", "c", "ha_open4", "ha_close4"]]
+
+    out_schema = (
+        "symbol string, day date, o long, h long, l long, c long, "
+        "ha_open4 long, ha_close4 long"
+    )
+    ha = bars.groupBy("symbol").applyInPandas(ha_kernel, out_schema)
+    return ha.select(
+        "symbol",
+        "day",
+        "ha_open4",
+        "ha_close4",
+        F.greatest(F.col("h") * 4, F.col("ha_open4"), F.col("ha_close4"))
+        .cast("long")
+        .alias("ha_high4"),
+        F.least(F.col("l") * 4, F.col("ha_open4"), F.col("ha_close4"))
+        .cast("long")
+        .alias("ha_low4"),
+        F.when(F.col("ha_close4") > F.col("ha_open4"), 1)
+        .when(F.col("ha_close4") < F.col("ha_open4"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ha_trend"),
+    ).orderBy("symbol", "day")
+
+
+# --------------------------------------------------------------------------
+# Circular statistics: mean direction + resultant length of event timing
+# --------------------------------------------------------------------------
+
+_CIRC_ORACLE = """
+WITH hours AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+-- per-bin unit vectors on the 24-hour circle, scaled by EXACT counts and
+-- quantized to integer micro per bin BEFORE the sum: the cross-bin
+-- aggregation is order-free integer arithmetic (24 bins max)
+vecs AS (
+  SELECT event_type, hr, n,
+         CAST(floor(cos(2 * pi() * hr / 24) * n * 1000000 + 0.5) AS BIGINT) AS cx,
+         CAST(floor(sin(2 * pi() * hr / 24) * n * 1000000 + 0.5) AS BIGINT) AS cy
+  FROM hours
+),
+agg AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(cx) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy
+  FROM vecs GROUP BY event_type
+)
+SELECT event_type, n_events, sx AS sum_cos_micro, sy AS sum_sin_micro,
+       -- resultant length R in micro (0 = uniform, 1e6 = fully peaked)
+       CAST(floor(sqrt(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy)
+                  / n_events + 0.5) AS BIGINT) AS resultant_micro,
+       -- mean direction in milli-hours on [0, 24000)
+       CAST(floor(((atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) + 2 * pi())
+                   / (2 * pi())) * 24000 + 0.5) AS BIGINT) % 24000
+         AS mean_hour_milli
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register("events_circular_timing_stats", oracle=_CIRC_ORACLE, tags=("stats", "analytics"))
+def events_circular_timing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of intraday event timing per type: hours map
+    to angles on the 24-hour circle, and the resultant vector gives the
+    MEAN DIRECTION (peak hour) and concentration R (0 = uniform, 1 =
+    all events in one hour) — the correct average for cyclic data,
+    where a naive mean of {23h, 1h} says noon and the circular mean
+    says midnight (`events_seasonality_chisq` tests non-uniformity;
+    this measures WHERE the mass points and how hard). Exactness: the
+    tape first collapses to a 24-bin exact histogram; each bin's unit
+    vector scales by its exact count and quantizes to integer micro,
+    so the cross-bin sums are order-free BIGINT; one atan2 + one sqrt
+    assemble the outputs. Plan: one groupBy to (type, hour) — 24 rows
+    per type no matter the tape — then a tiny second aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    two_pi = 2 * 3.141592653589793
+    vecs = hours.select(
+        "event_type",
+        "n",
+        F.floor(F.cos(F.lit(two_pi) * F.col("hr") / 24) * F.col("n") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.sin(F.lit(two_pi) * F.col("hr") / 24) * F.col("n") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cy"),
+    )
+    agg = vecs.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("cx").cast("long").alias("sx"),
+        F.sum("cy").cast("long").alias("sy"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.col("sx").alias("sum_cos_micro"),
+        F.col("sy").alias("sum_sin_micro"),
+        F.floor(
+            F.sqrt(
+                F.col("sx").cast("double") * F.col("sx")
+                + F.col("sy").cast("double") * F.col("sy")
+            )
+            / F.col("n_events")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("resultant_micro"),
+        (
+            F.floor(
+                (
+                    (F.atan2(F.col("sy").cast("double"), F.col("sx").cast("double"))
+                     + F.lit(two_pi))
+                    / F.lit(two_pi)
+                )
+                * 24000
+                + F.lit(0.5)
+            ).cast("long")
+            % 24000
+        ).alias("mean_hour_milli"),
+    ).orderBy("event_type")
