@@ -32,7 +32,7 @@ def test_fixed_width_roundtrip_lossless(spark):
 
 def test_fixed_width_line_layout(spark):
     # the staged file really is fixed width: every line exactly 40 chars
-    from us_stock_data_pipeline_spark.queries.source_formats4 import _stage_fixed_width
+    from us_stock_data_pipeline_spark.queries.source_formats9 import _stage_fixed_width
 
     path = _stage_fixed_width(spark, SF)
     lens = (
