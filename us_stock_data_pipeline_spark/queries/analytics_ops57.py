@@ -25,7 +25,7 @@ WITH sample AS (
   -- O(n^2) and measured 107x wall at 10x data before this cap)
   SELECT vec_id, label, embedding FROM (
     SELECT *, row_number() OVER (
-      ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS hrank
+      ORDER BY ((vec_id % 1048576) * 2654435761) % 2147483648, vec_id) AS hrank
     FROM embeddings
   ) WHERE hrank <= {_MKNN_SAMPLE}
 ),
@@ -83,7 +83,7 @@ def embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, then an edge-keyed equi-join at k*s scale."""
     emb_all = load_table(spark, sf_dir, "embeddings")
     w_sample = Window.orderBy(
-        (F.col("vec_id") * 2654435761) % 2147483648, F.col("vec_id")
+        ((F.col("vec_id") % 1048576) * 2654435761) % 2147483648, F.col("vec_id")
     )
     emb = (
         emb_all.withColumn("hrank", F.row_number().over(w_sample))
