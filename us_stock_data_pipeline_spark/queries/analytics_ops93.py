@@ -160,8 +160,10 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHEN_ORACLE = """
 WITH pts AS (
+  -- whole dollars (exact cents div 100): d is unit-invariant, and the
+  -- squared power sums stay inside int64 at sf0.1 and beyond
   SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS g,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
   FROM orders
 ),
 sums AS (
@@ -207,7 +209,7 @@ def stats_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     pts = o.select(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("g"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").alias("v"),
     )
     sums = pts.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
