@@ -52,7 +52,7 @@ def test_mutual_knn_sample_is_bounded(spark):
 def test_multiblock_prefilter_before_levenshtein(spark):
     """The length-difference prefilter must appear in the plan (it
     prunes before the O(n*m) edit-distance DP)."""
-    df = registry.queries()["dedup_multiblock_union"](SF and spark, SF)
+    df = registry.queries()["dedup_multiblock_union"](spark, SF)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "levenshtein" in plan
     assert "abs(" in plan and "length(" in plan
