@@ -40,65 +40,49 @@ _REGISTRY: dict[str, Query] = {}
 
 # The correctness driver verifies ``queries()`` in iteration order and has a
 # bounded per-round budget (~50/round), so iteration order IS verification
-# priority. Round 6 ordering (judge r5 item 3): (a) queries whose latest
-# official row is red but whose fix already landed, (b) queries whose
-# result or oracle changed this round, (c) the never-officially-checked
-# backlog in registration order, then everything green re-verifies after.
+# priority. Round 7 ordering (judge r6 item 1b): the full never-driver-sampled
+# backlog (349 queries as of r6) in registration order, so every future round's
+# ~50 driver checks land on first-time queries until the backlog retires; the
+# cumulative 263 already-green queries re-verify after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # --- red-latest official rows (fixes landed; re-verify first) ---
-    "bars_atr",
-    "window_range_frame",
-    "bars_ohlcv_resample",
-    # --- results/oracles changed in round 6 ---
-    "lineitem_pvm_bridge",
-    "dedup_fuzzy_transactions",
-    "graph_link_prediction_jaccard",
-    # --- never officially checked (registration order; backlog retires
-    # --- at ~50/round, remainder rolls to the next round) ---
-    "sample_weighted_reservoir",
-    "agg_count_min_sketch",
-    "events_attribution_last_touch",
-    "agg_weighted_median",
-    "embedding_quantize_int8",
-    "ann_pq_adc",
-    "curriculum_difficulty_stages",
-    "graph_pagerank_trade",
-    "pipeline_quality_classifier",
-    "dedup_containment_ngram",
-    "events_ab_test_lift",
-    "text_bigram_lm",
-    "dedup_url_canonical",
-    "tokenizer_vocab_coverage",
-    "embedding_effective_dim",
-    "etl_cdc_changelog_apply",
-    "data_shard_manifest",
-    "multimodal_audio_chunk_plan",
-    "text_keyword_rake",
-    "embedding_matryoshka_recall",
-    "sft_loss_mask_spans",
-    "rlhf_preference_pairs",
-    "kmeans_lloyd_exact",
-    "dedup_semdedup",
-    "dsir_importance_weights",
-    "multimodal_image_tile_plan",
-    "embedding_pca_power_iteration",
-    "text_source_similarity_matrix",
-    "embedding_quantization_sweep",
-    "agg_higher_moments",
-    "events_pareto_gini",
-    "text_zipf_slope",
-    "events_seasonality_chisq",
-    "orders_market_basket",
-    "customer_rfm_segments",
-    "events_path_analysis",
-    "events_interarrival_fit",
-    "customer_ltv_cohort",
-    "orders_fulfillment_leadtime",
-    "bars_max_drawdown",
-    "bars_rsi_cutler",
-    "stats_mannwhitney_u",
-    "stats_welch_ttest",
-    "events_concurrency_peak",
+    # --- round 7: the 349 queries never driver-sampled in r1-r6, in
+    # --- registration order, go first so each round of ~50 driver checks
+    # --- maximizes first-time coverage (judge r6 item 1b).
+    "knn_hard_negatives",
+    "embedding_random_projection_jl",
+    "text_kneser_ney_bigram",
+    "ml_auc_roc",
+    "ml_confusion_matrix",
+    "ml_calibration_bins",
+    "corpus_truncation_loss",
+    "text_lexicon_hit_rate",
+    "ml_brier_decomposition",
+    "corpus_datasheet",
+    "multimodal_ahash_neardup",
+    "compliance_luhn_checksum",
+    "text_readability_flesch",
+    "multimodal_ppm_decode",
+    "doc_winnowing_fingerprint",
+    "corpus_prefix_sharing",
+    "rlhf_bradley_terry",
+    "corpus_raking_ipf",
+    "text_bm25_scoring",
+    "text_stupid_backoff",
+    "contrastive_negative_sampling",
+    "rlhf_best_of_n_curve",
+    "moe_load_balance_audit",
+    "dedup_content_defined_chunking",
+    "corpus_temperature_mixing",
+    "multimodal_ppm_downsample",
+    "dedup_normalized_exact",
+    "audit_last_digit_uniformity",
+    "dedup_lsh_scurve",
+    "text_dunning_collocations",
+    "agg_bowley_skewness",
+    "corpus_canary_scan",
+    "ml_forecast_blend_weight",
+    "dedup_ladder_waterfall",
+    "stats_sign_test",
     "timeseries_acf",
     "timeseries_changepoint_cusum",
     "stats_ks_two_sample",
@@ -124,9 +108,203 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "embedding_shard_plan",
     "supplier_weighted_scorecard",
     "events_growth_accounting",
-    "ml_auc_roc",
-    "ml_confusion_matrix",
-    "ml_calibration_bins",
+    "bars_bollinger_bands",
+    "bars_beta_capm",
+    "timeseries_ou_half_life",
+    "stats_kendall_tau",
+    "stats_kruskal_wallis",
+    "supply_chain_bullwhip",
+    "compliance_k_anonymity",
+    "stats_jarque_bera",
+    "stats_benjamini_hochberg",
+    "bars_candlestick_patterns",
+    "bars_gap_followthrough",
+    "timeseries_symbolic_sax",
+    "stats_bootstrap_ci",
+    "bars_event_study",
+    "timeseries_stl_lite",
+    "timeseries_lttb_downsample",
+    "bars_pairs_spread",
+    "bars_kelly_sizing",
+    "bars_turtle_backtest",
+    "stats_anova_oneway",
+    "anomaly_ensemble_vote",
+    "graph_bfs_reachability",
+    "orders_economic_order_quantity",
+    "bars_tick_rule_signing",
+    "bars_volume_bars",
+    "bars_roll_spread",
+    "bars_amihud_illiquidity",
+    "orders_pareto_skyline",
+    "stats_cohen_kappa",
+    "ml_mrr_retrieval",
+    "bars_fifo_pnl",
+    "bars_capm_beta",
+    "bars_sharpe_sortino",
+    "bars_donchian_breakout",
+    "etl_split_adjustment",
+    "dedup_fellegi_sunter",
+    "causal_ipw_ate",
+    "events_shapley_attribution",
+    "ml_conformal_prediction",
+    "timeseries_stl_decompose",
+    "join_strategy_hints",
+    "bars_kyle_lambda",
+    "bars_vpin",
+    "timeseries_quadratic_trend",
+    "bars_hmm_regime",
+    "ml_kfold_cv",
+    "feature_hashing_collisions",
+    "stats_cmh_odds_ratio",
+    "portfolio_min_variance_pairs",
+    "bandit_replay_eval",
+    "bars_equal_weight_index",
+    "bars_momentum_backtest",
+    "causal_diff_in_diff",
+    "join_size_estimator",
+    "stats_power_analysis",
+    "orders_price_elasticity",
+    "events_markov_matrix_power",
+    "embedding_hubness_audit",
+    "finance_amortization_schedule",
+    "text_char_entropy",
+    "stats_mann_kendall",
+    "stats_runs_test",
+    "timeseries_periodogram",
+    "events_decay_engagement",
+    "stats_jackknife_ratio",
+    "events_position_bias",
+    "bars_volume_profile",
+    "anomaly_iqr_fences",
+    "bars_overnight_intraday",
+    "part_price_dispersion",
+    "orders_per_customer_histogram",
+    "bars_range_volatility",
+    "bars_var_expected_shortfall",
+    "stats_cramers_v",
+    "stats_ljung_box",
+    "graph_adamic_adar",
+    "timeseries_cross_correlation",
+    "text_yules_k",
+    "timeseries_hurst_exponent",
+    "stats_brown_forsythe",
+    "ml_ridge_normal_equations",
+    "bars_intraday_seasonality",
+    "bars_losing_streaks",
+    "events_burstiness",
+    "ml_cost_threshold_sweep",
+    "orders_xyz_variability",
+    "supplier_lead_time_scorecard",
+    "embedding_mutual_knn",
+    "events_entropy_rate",
+    "bars_ulcer_index",
+    "text_bigram_entropy",
+    "stats_dickey_fuller",
+    "forecast_theil_u2",
+    "agg_bitmap_distinct",
+    "stats_kupiec_var_backtest",
+    "stats_power_law_mle",
+    "ml_auc_delong_ci",
+    "timeseries_changepoint_binseg",
+    "timeseries_permutation_entropy",
+    "graph_modularity",
+    "agg_theil_decomposition",
+    "udf_grouped_ols_trend",
+    "events_ab_cuped",
+    "customer_vendor_switching",
+    "ml_shapley_r2_features",
+    "corpus_heaps_law",
+    "stats_variance_ratio",
+    "timeseries_haar_energy",
+    "graph_label_propagation",
+    "orders_growth_contribution",
+    "causal_psm_att",
+    "stats_hodges_lehmann",
+    "stats_siegel_slope",
+    "survival_nelson_aalen",
+    "survival_logrank_test",
+    "graph_hits_hubs_authorities",
+    "bars_aroon",
+    "stats_chow_break_test",
+    "bars_adl_chaikin_cmf",
+    "bars_money_flow_index",
+    "stats_mcnemar_paired",
+    "stats_partial_correlation",
+    "events_littles_law_audit",
+    "timeseries_dtw_distance",
+    "agg_atkinson_index",
+    "join_grid_box_containment",
+    "bars_riskmetrics_ewma_var",
+    "bars_ichimoku_cloud",
+    "portfolio_risk_parity_weights",
+    "bars_vortex_indicator",
+    "stats_bhattacharyya_distance",
+    "bars_heikin_ashi",
+    "events_circular_timing_stats",
+    "stats_fisher_z_corr_ci",
+    "orders_safety_stock_rop",
+    "text_damerau_levenshtein",
+    "events_kleinberg_burst",
+    "causal_regression_discontinuity",
+    "causal_instrumental_wald",
+    "timeseries_granger_causality",
+    "ml_qini_uplift_curve",
+    "agg_median_two_pass",
+    "timeseries_spectral_entropy",
+    "bars_relative_rotation",
+    "privacy_t_closeness_emd",
+    "bars_omega_ratio",
+    "stats_cochran_armitage_trend",
+    "stats_wilcoxon_signed_rank",
+    "bars_trin_arms_index",
+    "etl_scd3_prior_value",
+    "dedup_multiblock_union",
+    "finance_irr_bisection",
+    "bars_drawdown_duration",
+    "scalar_ipv4_cidr",
+    "timeseries_holt_winters_additive",
+    "events_peak_to_average",
+    "stats_friedman_test",
+    "stats_cohens_d_effect",
+    "bars_volatility_cones",
+    "window_rank_policy_pin",
+    "stats_durbin_watson",
+    "graph_rich_club",
+    "forecast_croston_intermittent",
+    "join_using_coalesced_keys",
+    "timeseries_strength_indices",
+    "stats_bartlett_test",
+    "supplier_jain_fairness",
+    "bars_updown_capture",
+    "bars_nr7_contraction",
+    "data_loader_interleave_plan",
+    "etl_golden_record_merge",
+    "stats_odds_risk_ratio",
+    "timeseries_kalman_local_level",
+    "bars_treynor_ratio",
+    "graph_edge_triangle_support",
+    "forecast_theil_mse_decomposition",
+    "orders_bcg_growth_share",
+    "stats_turning_point_test",
+    "events_mix_surprise_days",
+    "events_session_bounce_depth",
+    "agg_hdr_log2_histogram",
+    "window_resettable_watermark",
+    "join_aqe_runtime_broadcast",
+    "join_aqe_skew_handled",
+    "etl_subject_access_extract",
+    "privacy_k_anonymity",
+    "privacy_dp_counts",
+    "ml_pr_auc",
+    "ml_ndcg_quantized",
+    "ml_decision_stump",
+    "ml_naive_bayes_lang",
+    "ml_boosting_round",
+    "ml_isotonic_calibration",
+    "ml_walk_forward_cv",
+    "embedding_triplet_violations",
+    "ml_population_stability_index",
+    "agg_hll_native_sketch",
     "agg_mode_exact",
     "agg_pythagorean_means",
     "join_asof_forward",
@@ -158,21 +336,67 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "window_percent_of_parent",
     "scalar_try_arithmetic",
     "events_segment_transition",
+    "etl_compaction_bins",
+    "lineitem_discount_elasticity",
+    "layout_zonemap_skipping",
+    "etl_row_drift_monitor",
+    "lineitem_cost_allocation_lrm",
+    "lineitem_price_index_laspeyres",
+    "etl_bitemporal_pit",
+    "orders_capacity_allocation",
+    "graph_kcore_decomposition",
+    "orders_newsvendor_level",
+    "events_run_length_encoding",
+    "agg_session_window_batch",
+    "agg_sliding_window_batch",
+    "graph_assortativity",
+    "sql_pivot_clause",
+    "etl_row_hash_integrity",
+    "sql_unpivot_clause",
+    "agg_count_if_every_any",
+    "embedding_pairwise_cosine_histogram",
     "stream_ohlcv_bars",
     "stream_trending_topk",
     "stream_static_enrich_join",
+    "stream_transform_with_state",
+    "stream_dedup_within_watermark",
+    "stream_checkpoint_restart",
+    "stream_chained_window_agg",
+    "stream_stream_left_outer_join",
     "etl_schema_evolution",
     "source_partitioned_scan",
     "etl_quarantine_validation",
     "source_binaryfile_scan",
     "source_text_regex_parse",
+    "join_dynamic_partition_pruning",
+    "source_xml_roundtrip",
+    "source_csv_corrupt_records",
+    "etl_snapshot_retention_gc",
+    "source_recursive_lookup",
+    "sort_null_ordering_pin",
+    "source_csv_dialect",
+    "window_loo_rolling_mean",
+    "source_fixed_width_parse",
+    "window_count_distinct_rewrite",
     "udtf_installment_expand",
     "source_python_datasource",
+    "sql_udf_scalar",
+    "udf_arrow_optimized",
+    "udf_map_in_arrow",
+    "udf_apply_in_arrow",
     "sql_recursive_hierarchy",
     "scalar_variant_props",
     "sql_lateral_topn",
     "text_boilerplate_spans",
     "bpe_merge_step",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "sql_group_by_all",
+    "sql_execute_immediate",
+    "sql_identifier_clause",
+    "sql_lateral_column_alias",
+    "scalar_collation",
+    "sql_named_parameters",
 )
 
 
