@@ -42,6 +42,10 @@ def _norm_cell(v) -> str:
         # Negative zero canonicalizes to positive zero: DuckDB's round()
         # yields -0.0 where Spark yields +0.0 for tiny negatives (seen at
         # sf0.1 in round-6); they are numerically equal.
+        # Round first, THEN fold negative zero, so the fold applies to
+        # the value that is actually formatted (a pre-round -0.0 check
+        # misses values that only become -0.0 after rounding).
+        v = float(f"{v:.10g}")
         if v == 0.0:
             v = 0.0
         s = f"{v:.10g}"
