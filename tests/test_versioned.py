@@ -1,0 +1,135 @@
+"""Versioned parquet table: atomic commit, snapshot isolation, manifest
+pruning, optimistic concurrency, time travel, vacuum."""
+
+from __future__ import annotations
+
+import posixpath
+
+import pytest
+
+from us_stock_data_pipeline_spark.etl import versioned as V
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("symbol", "ts", "px").collect())
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "symbol string, ts int, px double")
+
+
+@pytest.fixture
+def root(tmp_path):
+    return str(tmp_path / "bars_v")
+
+
+def test_merge_insert_update_keep(spark, root):
+    v1 = V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 1, 10.0), ("AAPL", 2, 11.0), ("MSFT", 1, 20.0)]),
+        root,
+        key_cols=("symbol", "ts"),
+    )
+    assert v1 == 1
+    # update one key, insert one, leave MSFT partition entirely untouched
+    v2 = V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 2, 99.0), ("AAPL", 3, 12.0)]),
+        root,
+        key_cols=("symbol", "ts"),
+    )
+    assert v2 == 2
+    assert _rows(V.read_versioned(spark, root)) == [
+        ("AAPL", 1, 10.0),
+        ("AAPL", 2, 99.0),
+        ("AAPL", 3, 12.0),
+        ("MSFT", 1, 20.0),
+    ]
+
+
+def test_untouched_partition_not_rewritten(spark, root):
+    """The scale property: merging one symbol must NOT rewrite others —
+    the untouched partition stays owned by its original version dir."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 2, 11.0)]), root, ("symbol", "ts"))
+    m = V.read_manifest(spark, root, 2)
+    assert m["symbol=MSFT"] == "versions/v00000001"
+    assert m["symbol=AAPL"] == "versions/v00000002"
+
+
+def test_reader_sees_old_snapshot_until_rename(spark, root):
+    """Atomicity boundary: everything a merge writes before the manifest
+    rename (scratch, the new version dir, the .tmp manifest) is invisible
+    — a reader resolving the table mid-merge gets the complete OLD
+    snapshot. Simulated by materializing exactly the pre-rename state."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    old = _rows(V.read_versioned(spark, root))
+    # Pre-rename state of an in-flight merge: version dir + tmp manifest.
+    upd = _mk(spark, [("AAPL", 1, 77.0)])
+    abs_ver = posixpath.join(root, "versions", "v00000002")
+    upd.write.partitionBy("symbol").parquet(abs_ver)
+    V._write_file(
+        spark, posixpath.join(root, "manifests", ".tmp_inflight.json"), "{}"
+    )
+    assert V.current_version(spark, root) == 1
+    assert _rows(V.read_versioned(spark, root)) == old  # complete old view
+    # The rename IS the commit: one filesystem op flips readers to the
+    # complete new view.
+    body = '{"version": 2, "partitions": {"symbol=AAPL": "versions/v00000002", "symbol=MSFT": "versions/v00000001"}}'
+    tmp = posixpath.join(root, "manifests", ".tmp_c.json")
+    V._write_file(spark, tmp, body)
+    assert V._rename(spark, tmp, posixpath.join(root, "manifests", "v00000002.json"))
+    assert _rows(V.read_versioned(spark, root)) == [
+        ("AAPL", 1, 77.0),
+        ("MSFT", 1, 20.0),
+    ]
+
+
+def test_commit_race_loser_does_not_clobber(spark, root):
+    """_rename refuses an existing destination: the loser of a commit
+    race cannot overwrite the winner's manifest."""
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    dst = posixpath.join(root, "manifests", "v00000001.json")
+    tmp = posixpath.join(root, "manifests", ".tmp_loser.json")
+    V._write_file(spark, tmp, "{}")
+    assert not V._rename(spark, tmp, dst)
+    assert V.read_manifest(spark, root, 1)  # winner's manifest intact
+
+
+def test_time_travel_and_vacuum(spark, root):
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 11.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 12.0)]), root, ("symbol", "ts"))
+    assert _rows(V.read_versioned(spark, root, version=1)) == [("AAPL", 1, 10.0)]
+    assert _rows(V.read_versioned(spark, root, version=3)) == [("AAPL", 1, 12.0)]
+    deleted = V.vacuum_versions(spark, root, keep_last=2)
+    assert deleted >= 2  # manifest v1 + version dir v1
+    assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 12.0)]
+    assert _rows(V.read_versioned(spark, root, version=2)) == [("AAPL", 1, 11.0)]
+
+
+def test_multi_column_partitioning(spark, root):
+    df = spark.createDataFrame(
+        [("AAPL", 2024, 1, 10.0), ("AAPL", 2024, 2, 11.0), ("MSFT", 2025, 1, 20.0)],
+        "symbol string, yr int, ts int, px double",
+    )
+    V.versioned_merge_upsert(
+        spark, df, root, key_cols=("symbol", "yr", "ts"), partition_cols=("symbol", "yr")
+    )
+    m = V.read_manifest(spark, root, 1)
+    assert set(m) == {"symbol=AAPL/yr=2024", "symbol=MSFT/yr=2025"}
+    got = sorted(
+        tuple(r)
+        for r in V.read_versioned(spark, root)
+        .select("symbol", "yr", "ts", "px")
+        .collect()
+    )
+    assert got == [
+        ("AAPL", 2024, 1, 10.0),
+        ("AAPL", 2024, 2, 11.0),
+        ("MSFT", 2025, 1, 20.0),
+    ]

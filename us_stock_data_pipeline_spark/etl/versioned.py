@@ -1,0 +1,306 @@
+"""Versioned parquet table with ATOMIC commits and snapshot-isolated
+readers — the pure-parquet answer to the reference's Delta dependency
+(parity K2, `ingest_1m_session.py:273-293`) when no Delta/Iceberg jars
+exist in the environment.
+
+Design (a minimal Iceberg/Delta-log hybrid):
+
+    root/
+      versions/v00000001/symbol=AAPL/part-*.parquet   # data, immutable
+      versions/v00000002/symbol=MSFT/part-*.parquet   # only TOUCHED parts
+      manifests/v00000001.json   # {partition dir -> owning version dir}
+      manifests/v00000002.json
+
+- A **manifest** maps every live partition to the version directory that
+  owns its current data. A merge writes ONLY the touched partitions into
+  a new version directory and copies the rest of the mapping forward —
+  at 100 TB, upserting one symbol rewrites one symbol, never the table.
+- The **commit point** is a single filesystem rename of a temp file to
+  `manifests/v{N}.json`. Rename-to-a-fresh-name is atomic on POSIX and
+  HDFS (and maps to the conditional/if-none-match PUT on object stores);
+  readers resolve max(v*.json), so they observe the OLD snapshot or the
+  NEW snapshot, never a torn mix. A crash mid-merge leaves an orphan
+  version dir and maybe a `.tmp` manifest — both invisible to readers
+  and reclaimed by `vacuum_versions`.
+- **Optimistic concurrency** falls out of the same rename: two writers
+  racing to commit version N — exactly one rename to the fresh name
+  succeeds; the loser re-reads the new current manifest and retries at
+  N+1 (Delta's _delta_log protocol, re-expressed on plain parquet).
+- Old manifests stay readable => **time travel** (`read_versioned(...,
+  version=N)`) until vacuumed.
+
+This retires the torn-read gap `merge_upsert` (etl/sinks.py) documents:
+its dynamic-partition-overwrite commit deletes and rewrites partition
+directories in place, so a concurrent reader can list a half-swapped
+table. Here nothing under a committed version directory is ever mutated.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VERSIONS = "versions"
+_MANIFESTS = "manifests"
+
+
+# --------------------------------------------------------------------------
+# Hadoop FileSystem helpers (work on local FS, HDFS, and object stores)
+# --------------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p, jvm
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return fs.exists(p)
+
+
+def _mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def _write_file(spark: SparkSession, path: str, body: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_file(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # IOUtils.toByteArray reads the stream fully JVM-side.
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic publish primitive: rename src -> dst, failing (False) if
+    dst already exists — the loser of a commit race must NOT clobber the
+    winner's manifest."""
+    fs, psrc, jvm = _fs(spark, src)
+    pdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(pdst):
+        return False
+    return bool(fs.rename(psrc, pdst))
+
+
+def _list_names(spark: SparkSession, path: str) -> list[str]:
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _leaf_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
+    """Relative `col=value[/col2=value2...]` dirs exactly `depth` levels
+    under `base` — the partition dir names as Spark's own writer escaped
+    them (so they match byte-for-byte across versions)."""
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            cur = posixpath.join(base, rel) if rel else base
+            for name in _list_names(spark, cur):
+                if "=" in name:  # skip _SUCCESS / stray files
+                    nxt.append(posixpath.join(rel, name) if rel else name)
+        rels = nxt
+    return sorted(rels)
+
+
+# --------------------------------------------------------------------------
+# Manifest resolution
+# --------------------------------------------------------------------------
+
+
+def _manifest_version(name: str) -> int | None:
+    if name.startswith("v") and name.endswith(".json"):
+        try:
+            return int(name[1:-5])
+        except ValueError:
+            return None
+    return None
+
+
+def current_version(spark: SparkSession, root: str) -> int:
+    """Highest committed manifest number (0 = table does not exist yet)."""
+    best = 0
+    for name in _list_names(spark, posixpath.join(root, _MANIFESTS)):
+        v = _manifest_version(name)
+        if v is not None and v > best:
+            best = v
+    return best
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict[str, str]:
+    """{relative partition dir -> relative owning version dir}."""
+    body = _read_file(
+        spark, posixpath.join(root, _MANIFESTS, f"v{version:08d}.json")
+    )
+    return json.loads(body)["partitions"]
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve the manifest (current, or a pinned version
+    for time travel), then scan each owning version directory's touched
+    partitions with basePath set to that version dir so the partition
+    columns materialize. One read per distinct owning version (bounded
+    by versions retained, not partitions), unioned by name."""
+    if version is None:
+        version = current_version(spark, root)
+    if version == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    manifest = read_manifest(spark, root, version)
+    by_ver: dict[str, list[str]] = {}
+    for part_dir, ver_dir in manifest.items():
+        by_ver.setdefault(ver_dir, []).append(part_dir)
+    pieces = []
+    for ver_dir, part_dirs in sorted(by_ver.items()):
+        base = posixpath.join(root, ver_dir)
+        paths = [posixpath.join(base, d) for d in sorted(part_dirs)]
+        pieces.append(spark.read.option("basePath", base).parquet(*paths))
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+# MERGE with atomic commit
+# --------------------------------------------------------------------------
+
+
+def versioned_merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = ("symbol",),
+    max_commit_retries: int = 5,
+) -> int:
+    """Upsert `updates` into the versioned table at `root`; returns the
+    committed version number.
+
+    Protocol (crash-safe at every step boundary):
+      1. Stage the update batch to a scratch dir partitioned the same
+         way — its leaf dir names ARE the touched-partition set, in
+         Spark's own escaping (no hand-rolled value quoting to drift).
+      2. Read ONLY the touched partitions of the current snapshot
+         (manifest-pruned — the unit of work is the update batch, never
+         the table), anti-join on the keys, union the updates.
+      3. Write the merged rows to versions/v{N}/ (invisible: no
+         manifest references it yet).
+      4. Build manifest N = manifest N-1 with touched partitions
+         repointed to v{N}, and publish it by atomic rename. If another
+         writer claimed N first, recompute against their manifest and
+         retry at N+1 (optimistic concurrency).
+
+    Steps 1-3 write only to never-before-referenced paths, so a crash
+    anywhere before the rename leaves readers on the old snapshot with
+    zero cleanup required for correctness (vacuum reclaims the orphans).
+    """
+    from us_stock_data_pipeline_spark.etl.sinks import _layout_for_write
+
+    _mkdirs(spark, posixpath.join(root, _MANIFESTS))
+    scratch = posixpath.join(root, f"_scratch_{uuid.uuid4().hex}")
+    _layout_for_write(updates, partition_cols).write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(scratch)
+    try:
+        touched = _leaf_partition_dirs(spark, scratch, len(partition_cols))
+        staged = spark.read.option("basePath", scratch).parquet(scratch)
+        for attempt in range(max_commit_retries):
+            base_ver = current_version(spark, root)
+            new_ver = base_ver + 1
+            ver_dir = posixpath.join(_VERSIONS, f"v{new_ver:08d}")
+            manifest = (
+                read_manifest(spark, root, base_ver) if base_ver else {}
+            )
+            # Existing rows of touched partitions only (manifest prune).
+            old_touched = {d: manifest[d] for d in touched if d in manifest}
+            merged = staged
+            if old_touched:
+                by_ver: dict[str, list[str]] = {}
+                for d, v in old_touched.items():
+                    by_ver.setdefault(v, []).append(d)
+                keys = updates.select(*key_cols).dropDuplicates()
+                for v, dirs in sorted(by_ver.items()):
+                    base = posixpath.join(root, v)
+                    old = spark.read.option("basePath", base).parquet(
+                        *[posixpath.join(base, d) for d in sorted(dirs)]
+                    )
+                    keep = old.join(F.broadcast(keys), list(key_cols), "left_anti")
+                    merged = merged.unionByName(keep.select(*updates.columns))
+            abs_ver = posixpath.join(root, ver_dir)
+            _layout_for_write(merged, partition_cols).write.mode(
+                "overwrite"
+            ).partitionBy(*partition_cols).parquet(abs_ver)
+            new_manifest = dict(manifest)
+            for d in _leaf_partition_dirs(spark, abs_ver, len(partition_cols)):
+                new_manifest[d] = ver_dir
+            body = json.dumps(
+                {"version": new_ver, "partitions": new_manifest}, sort_keys=True
+            )
+            tmp = posixpath.join(
+                root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json"
+            )
+            final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+            _write_file(spark, tmp, body)
+            if _rename(spark, tmp, final):
+                return new_ver
+            # Lost the race: another writer committed new_ver first.
+            _delete(spark, tmp)
+            _delete(spark, abs_ver)
+        raise RuntimeError(
+            f"versioned commit lost {max_commit_retries} races at {root}"
+        )
+    finally:
+        _delete(spark, scratch)
+
+
+def vacuum_versions(spark: SparkSession, root: str, keep_last: int = 2) -> int:
+    """Reclaim version dirs no retained manifest references and manifests
+    older than the last `keep_last`. Never touches the current snapshot;
+    returns the number of paths deleted. (On a live table you'd also age
+    by timestamp so in-flight readers of a just-expired snapshot finish;
+    that horizon is an operational knob, not a protocol change.)"""
+    cur = current_version(spark, root)
+    keep_manifest_vers = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+    live_dirs: set[str] = set()
+    for v in keep_manifest_vers:
+        live_dirs.update(read_manifest(spark, root, v).values())
+    deleted = 0
+    for name in _list_names(spark, posixpath.join(root, _MANIFESTS)):
+        v = _manifest_version(name)
+        if (v is not None and v not in keep_manifest_vers) or name.startswith(
+            ".tmp_"
+        ):
+            _delete(spark, posixpath.join(root, _MANIFESTS, name))
+            deleted += 1
+    for name in _list_names(spark, posixpath.join(root, _VERSIONS)):
+        if posixpath.join(_VERSIONS, name) not in live_dirs:
+            _delete(spark, posixpath.join(root, _VERSIONS, name))
+            deleted += 1
+    return deleted

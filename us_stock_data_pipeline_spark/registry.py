@@ -45,6 +45,9 @@ _REGISTRY: dict[str, Query] = {}
 # ~50 driver checks land on first-time queries until the backlog retires; the
 # cumulative 263 already-green queries re-verify after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
+    # --- new in round 7 (never sampled by construction) ---
+    "etl_versioned_merge",
+    "etl_versioned_time_travel",
     # --- round 7: the 349 queries never driver-sampled in r1-r6, in
     # --- registration order, go first so each round of ~50 driver checks
     # --- maximizes first-time coverage (judge r6 item 1b).
