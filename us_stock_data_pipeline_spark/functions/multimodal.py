@@ -2,13 +2,13 @@
 
 Payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes move
-driver-free in columnar batches. One codec path is fully REAL — binary
-PPM (P6), parsed with pure numpy, no external libraries
-(encode_ppm / decode_ppm / ppm_decode_batch, exercised end-to-end by
-`multimodal_ppm_decode`). Compressed formats (JPEG/PNG/audio) remain
-gated behind ``decode_image`` — those codecs are not in this container —
-but their plumbing (schema, partitioning, batch shape) is identical to
-the live PPM path.
+driver-free in columnar batches. Two codec paths are fully REAL with
+zero external libraries: binary PPM (P6; pure numpy) and non-interlaced
+8-bit RGB PNG (stdlib zlib inflate + numpy unfiltering of all five PNG
+filter types) — exercised end-to-end by `multimodal_ppm_decode` /
+`multimodal_png_decode`. JPEG/audio remain gated behind ``decode_image``
+(no codecs in this container), but their plumbing (schema, partitioning,
+batch shape) is identical to the live paths.
 """
 
 from __future__ import annotations
@@ -26,9 +26,12 @@ def decode_image(payload: bytes) -> "object":
     real via :func:`decode_ppm`."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed-image codecs unavailable in this environment; PPM (P6) "
-        "decodes via decode_ppm, other formats need Pillow"
+        "JPEG/audio codecs unavailable in this environment; PPM (P6) and "
+        "non-interlaced RGB8 PNG decode for real (decode_ppm/decode_png), "
+        "other formats need Pillow"
     )
 
 
@@ -54,18 +57,27 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header = magic, whitespace-separated width/height/maxval, one ws
+    # Every scan is bounded by len(payload): a truncated/corrupt blob
+    # must raise, not spin an executor task forever (advisor r6 find —
+    # b'' is neither whitespace nor a newline, so unbounded scans never
+    # terminate past the end).
+    n = len(payload)
     parts: list[int] = []
     i = 2
     while len(parts) < 3:
-        while i < len(payload) and payload[i : i + 1].isspace():
+        while i < n and payload[i : i + 1].isspace():
             i += 1
+        if i >= n:
+            raise ValueError("truncated PPM header")
         if payload[i : i + 1] == b"#":  # comment line
-            while payload[i : i + 1] != b"\n":
+            while i < n and payload[i : i + 1] != b"\n":
                 i += 1
             continue
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < n and not payload[j : j + 1].isspace():
             j += 1
+        if j == i or j >= n:
+            raise ValueError("truncated PPM header")
         parts.append(int(payload[i:j]))
         i = j
     i += 1  # single whitespace after maxval
@@ -74,6 +86,169 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("only 8-bit PPM supported")
     data = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
     return data.reshape(height, width, 3)
+
+
+def encode_png(doc_id: int, width: int = 8, height: int = 8) -> bytes:
+    """Render the SAME deterministic test card as :func:`encode_ppm` and
+    encode it as a real non-interlaced 8-bit RGB PNG — pure stdlib
+    ``zlib`` + struct, no Pillow. Each scanline uses filter (row % 5),
+    so a round-trip exercises every PNG filter type (None/Sub/Up/
+    Average/Paeth), not just the trivial one."""
+    import struct
+    import zlib
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    r = (doc_id * 7 + xs * 13 + ys * 17) % 256
+    g = (doc_id * 11 + xs * 3 + ys * 5) % 256
+    b = (doc_id * 13 + xs * 19 + ys * 23) % 256
+    img = np.dstack([r, g, b]).astype(np.uint8)
+
+    raw = bytearray()
+    prev = np.zeros(width * 3, dtype=np.uint8)
+    for y in range(height):
+        row = img[y].reshape(-1)
+        ftype = y % 5
+        raw.append(ftype)
+        raw.extend(_png_filter_row(row, prev, ftype).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(row: np.ndarray, prev: np.ndarray, ftype: int) -> np.ndarray:
+    """Apply PNG filter `ftype` to a raw scanline (bpp=3)."""
+    cur = row.astype(np.int32)
+    up = prev.astype(np.int32)
+    left = np.concatenate([[0, 0, 0], cur[:-3]])
+    ul = np.concatenate([[0, 0, 0], up[:-3]])
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - (left + up) // 2
+    else:  # Paeth
+        out = cur - _paeth(left, up, ul)
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for non-interlaced 8-bit RGB PNG (color type 2):
+    chunk walk -> zlib inflate -> per-scanline unfilter, all stdlib +
+    numpy. Sub/Average/Paeth have a left-neighbor data dependency, so
+    they reconstruct pixel-by-pixel along the (short) row; None/Up are
+    fully vectorized. Raises ValueError on truncation or unsupported
+    layouts — never spins (same bounded-scan contract as decode_ppm)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    n = len(payload)
+    i = 8
+    width = height = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    else:
+        raise ValueError("truncated PNG: no IEND")
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = (line + prev) % 256
+        elif ftype == 1:
+            # Sub: recon[x] = filt[x] + recon[x-3] — a per-lane running
+            # sum mod 256: cumsum over pixels within each RGB lane.
+            rec = np.cumsum(line.reshape(width, 3), axis=0).reshape(-1) % 256
+        elif ftype in (3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - 3] if x >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        img[y] = rec.astype(np.uint8)
+        prev = rec
+    return img.reshape(height, width, 3)
+
+
+def png_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode stage: (doc_id, payload: PNG bytes) -> per-image pixel
+    statistics, integer-exact — the same output contract as
+    ppm_decode_batch, so the two codecs are drop-in interchangeable
+    behind one mapInPandas kernel."""
+    for pdf in batches:
+        out: dict[str, list] = {"width": [], "height": [], "sum_r": [], "sum_g": [], "sum_b": []}
+        for payload in pdf["payload"]:
+            img = decode_png(bytes(payload))
+            h, w, _ = img.shape
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64")}
+            | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
 
 
 def ppm_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
