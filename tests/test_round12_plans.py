@@ -19,8 +19,8 @@ SF = "/root/testdata/sf0.001"
 def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     """Initial plan: shuffle join (static broadcast disabled). Final
     plan: broadcast join (AQE saw the dim's runtime row count)."""
-    with _conf_bracket(spark, _AQE_BCAST_CONFS):
-        df = _build_runtime_broadcast_join(spark, SF)
+    with _conf_bracket(spark, _AQE_BCAST_CONFS) as iso:
+        df = _build_runtime_broadcast_join(iso, SF)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
@@ -34,8 +34,8 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
 def test_aqe_splits_skewed_partition(spark):
     """The hot key-0 partition crosses the lowered threshold and the
     join node reports skew=true."""
-    with _conf_bracket(spark, _AQE_SKEW_CONFS):
-        df = _build_skew_join(spark, SF)
+    with _conf_bracket(spark, _AQE_SKEW_CONFS) as iso:
+        df = _build_skew_join(iso, SF)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan

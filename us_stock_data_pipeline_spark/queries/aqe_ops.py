@@ -1,15 +1,15 @@
 """Round-12: Adaptive Query Execution demonstrations — runtime
 sort-merge-to-broadcast conversion and automatic skew-join splitting.
 
-Both queries materialize through ``localCheckpoint`` inside a
-set-conf / restore-conf bracket: the interesting planning happens at
-materialization time under the documented conf, and the returned
-DataFrame reads the checkpoint — so the conf changes NEVER leak into
-the session that other queries share (ensure_session_confs would not
-reset `autoBroadcastJoinThreshold=-1`, and leaking that would flip
-every subsequent broadcast plan in the process). The executable plan
-assertions live in tests/test_round12_plans.py, which rebuilds the
-raw joins via the exposed _build_* helpers under the same bracket.
+Both queries materialize through ``localCheckpoint`` on an ISOLATED
+``spark.newSession()`` carrying the demonstration confs: SQLConf is
+per-session, so the lowered thresholds never exist in the shared
+session at any instant — neither leaked afterward nor visible to a
+query planning concurrently on another thread (bench.py's thread pool;
+advisor-r6 find). The returned DataFrame reads the checkpoint blocks,
+which are session-independent. The executable plan assertions live in
+tests/test_round12_plans.py, which rebuilds the raw joins via the
+exposed _build_* helpers under the same bracket.
 """
 
 from __future__ import annotations
@@ -21,21 +21,22 @@ from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
 from us_stock_data_pipeline_spark.registry import register
+from us_stock_data_pipeline_spark.session import ensure_session_confs
 
 
 @contextmanager
 def _conf_bracket(spark: SparkSession, confs: dict[str, str]):
-    old = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    """Yield an ISOLATED SparkSession (same SparkContext, own SQLConf)
+    with `confs` applied. newSession() gives per-session planning state,
+    so a concurrently-running query on the shared session can never see
+    the lowered thresholds — set/restore on the shared conf had a race
+    window for the bracket's whole duration (advisor r6 find). The
+    isolated session is discarded on exit; nothing to restore."""
+    iso = spark.newSession()
+    ensure_session_confs(iso)
+    for k, v in confs.items():
+        iso.conf.set(k, v)
+    yield iso
 
 
 # --------------------------------------------------------------------------
@@ -100,11 +101,11 @@ def join_aqe_runtime_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism that saves a 100 TB fact shuffle when a dim filter turns
     out selective at runtime: without AQE the plan picked at compile
     time is final, and the conservative choice shuffles everything.
-    Results are the plain join the oracle computes; the conf bracket
-    + localCheckpoint keeps the demonstration conf from leaking into
-    the shared session."""
-    with _conf_bracket(spark, _AQE_BCAST_CONFS):
-        return _build_runtime_broadcast_join(spark, sf_dir).localCheckpoint(eager=True)
+    Results are the plain join the oracle computes; the bracket runs
+    the demonstration on an isolated newSession() (per-session SQLConf)
+    so the conf can't leak into — or race against — the shared session."""
+    with _conf_bracket(spark, _AQE_BCAST_CONFS) as iso:
+        return _build_runtime_broadcast_join(iso, sf_dir).localCheckpoint(eager=True)
 
 
 # --------------------------------------------------------------------------
@@ -194,7 +195,7 @@ def join_aqe_skew_handled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matching dim rows (`skew=true` on the join node — asserted in
     tests/test_round12_plans.py) — the automatic counterpart of
     `join_salted_skew`'s manual salting, with zero query rewrite. The
-    conf bracket + localCheckpoint keeps the lowered thresholds out of
-    the shared session."""
-    with _conf_bracket(spark, _AQE_SKEW_CONFS):
-        return _build_skew_join(spark, sf_dir).localCheckpoint(eager=True)
+    bracket runs on an isolated newSession() so the lowered thresholds
+    never exist in the shared session's SQLConf, even mid-flight."""
+    with _conf_bracket(spark, _AQE_SKEW_CONFS) as iso:
+        return _build_skew_join(iso, sf_dir).localCheckpoint(eager=True)
