@@ -91,48 +91,71 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances and nothing quadratic; iteration count is a fixed small
     constant (production k-means on embeddings converges in ~10
     passes, each this same plan). `ann_ivf_cosine` consumes exactly
-    this centroid table shape as its coarse quantizer."""
+    this centroid table shape as its coarse quantizer.
+
+    Scale plan (round-7 rewrite; the r6 sweep measured 3.64x wall at
+    10x data): the old shape exploded points to (vec, dim) rows and
+    joined centroids on the 64-value dim key — a 64x row inflation
+    before a x_K fan-out, then a groupBy AND a per-vec window, i.e.
+    TWO shuffles of n*K rows. Now the points stay as quantized
+    ARRAYS, the K*64 centroid table broadcasts as K rows of array
+    columns, the whole distance evaluation is ONE map-side zip_with/
+    aggregate fold, and the argmin is min(struct(dist, j, ...)) — a
+    map-side-combinable aggregate whose shuffle carries <= n rows
+    (not n*K) and sorts nothing. The only explode left feeds the
+    centroid RECOMPUTE, whose map-side combine emits <= K*64 rows
+    per task regardless of n."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "val")
-    ).select(
+    corpus = emb.select(
         "vec_id",
-        "d",
         # cast float -> double BEFORE the scale-up: float*int stays single
         # precision in one engine and promotes in the other (sf0.1 find)
-        F.round(F.col("val").cast("double") * 10000).cast("long").alias("x"),
+        F.transform(
+            "embedding", lambda v: F.round(v.cast("double") * 10000).cast("long")
+        ).alias("q"),
     ).persist()
-    c0 = pts.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("j"), "d", F.col("x").alias("s"), F.lit(1).cast("long").alias("n")
+    c0 = corpus.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("j"),
+        F.col("q").alias("s_arr"),
+        F.lit(1).cast("long").alias("n"),
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        d = (
-            pts.join(cents, "d")
-            .groupBy("vec_id", "j")
-            .agg(
-                F.sum(
-                    (F.col("n") * F.col("x") - F.col("s"))
-                    * (F.col("n") * F.col("x") - F.col("s"))
-                )
-                .cast("long")
-                .alias("a"),
-                F.max("n").alias("n"),
+        # |n*x - s|^2 summed over dims: exact int64 fold, zero shuffles.
+        a_num = F.aggregate(
+            F.zip_with(F.col("q"), F.col("s_arr"), lambda x, s: F.col("n") * x - s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        )
+        scored = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("a", a_num)
+            .withColumn(
+                "dist", F.col("a").cast("double") / (F.col("n") * F.col("n"))
             )
         )
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(
-                F.col("a").cast("double") / (F.col("n") * F.col("n")), F.col("j")
-            )
+        # argmin as a plain aggregate: struct compares (dist, j) exactly
+        # like the oracle's ORDER BY dist, j; map-side combine collapses
+        # each task's K candidates per vec before the exchange.
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "j", "a", "n")).alias("m"))
+            .select("vec_id", "m.j", "m.a", "m.n")
         )
-        return d.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "j", "a", "n")
 
     a1 = assign(c0)
     c1 = (
         a1.select("vec_id", "j")
-        .join(pts, "vec_id")
+        .join(corpus, "vec_id")
+        .select("j", F.posexplode("q").alias("d", "x"))
         .groupBy("j", "d")
-        .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("j")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"),
+            F.max("cnt").alias("n"),
+        )
+        .select("j", F.col("ds.s").alias("s_arr"), "n")
     )
     a2 = assign(c1)
     return (
@@ -287,17 +310,22 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("q"), F.col("qc"), lambda p, c: p - c),
         F.zip_with(F.col("q"), F.col("qc"), lambda p, c: p - c),
     )
+    # Argmin as min(struct(d2, j)) instead of a per-vec window: the
+    # n*K candidate rows stay MAP-SIDE (combine collapses them to one
+    # row per vec per task before the exchange), so the shuffle carries
+    # <= n rows — the r6 sweep showed the old window shuffling all n*K
+    # rows, and with K growing as n/256 that exchange was the 3.49x-at-
+    # 10x tail. q/n2 are constant per vec_id, so any_value is exact.
     asg = (
         withnorm.crossJoin(F.broadcast(seeds))
         .withColumn("d2", d2)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("j"))
-            ),
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "j")).alias("m"),
+            F.any_value("q").alias("q"),
+            F.any_value("n2").alias("n2"),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "n2", "j")
+        .select("vec_id", "q", "n2", F.col("m.j").alias("j"))
         .persist()
     )
     # Salt-tile the within-cell pair join: with only K cells, a plain
