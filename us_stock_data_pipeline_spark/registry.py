@@ -49,6 +49,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_versioned_merge",
     "etl_versioned_time_travel",
     "multimodal_png_decode",
+    "dedup_exact_substring",
+    "ml_bleu_ngram_precision",
     # --- round 7: the 349 queries never driver-sampled in r1-r6, in
     # --- registration order, go first so each round of ~50 driver checks
     # --- maximizes first-time coverage (judge r6 item 1b).
