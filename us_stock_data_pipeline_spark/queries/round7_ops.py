@@ -1,12 +1,13 @@
 """Round-7 additions: character-level exact-substring dedup (the
 suffix-array dedup of Lee et al. 2022, re-expressed as a rolling
-window-bucket join) and corpus BLEU with clipped modified n-gram
-precision.
+window-bucket join), corpus BLEU with clipped modified n-gram
+precision, b-bit minwise hashing (compressed MinHash sketches), and
+DPO implicit-reward margins.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
@@ -245,4 +246,295 @@ def ml_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ref_len",
         )
         .orderBy("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# b-bit minwise hashing (compressed MinHash signatures)
+# --------------------------------------------------------------------------
+
+_BB_PERMS = 30  # 30 perms x 2 bits = 60 bits: stays clear of the int64 sign bit in BOTH engines
+_BB_BITS = 2
+_BB_MERSENNE = (1 << 31) - 1
+# deterministic odd multipliers / offsets (interpolated into the oracle)
+_BB_A = [(2_654_435_761 * (p + 1)) % _BB_MERSENNE | 1 for p in range(_BB_PERMS)]
+_BB_B = [(2_246_822_519 * (p + 7)) % _BB_MERSENNE for p in range(_BB_PERMS)]
+_BB_PLANT_MOD = 20
+_BB_PLANT_OFFSET = 4_000_000_000
+_BB_MUT_STRIDE = 11
+
+_BB_MIN_EXPRS = ",\n         ".join(
+    f"min(({a} * (h % {_BB_MERSENNE}) + {b}) % {_BB_MERSENNE}) AS mh{p}"
+    for p, (a, b) in enumerate(zip(_BB_A, _BB_B))
+)
+_BB_PACK = " + ".join(
+    f"((mh{p} & {(1 << _BB_BITS) - 1}) << {p * _BB_BITS})" for p in range(_BB_PERMS)
+)
+_BB_COLL = " + ".join(
+    f"CASE WHEN ((x >> {p * _BB_BITS}) & {(1 << _BB_BITS) - 1}) = 0 THEN 1 ELSE 0 END"
+    for p in range(_BB_PERMS)
+)
+
+_BBIT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+mutated AS (
+  SELECT doc_id + {_BB_PLANT_OFFSET} AS doc_id,
+         list_transform(list_zip(ws, range(1, len(ws) + 1)),
+                        z -> CASE WHEN z[2] % {_BB_MUT_STRIDE} = 0
+                                  THEN 'X' ELSE z[1] END) AS ws
+  FROM base WHERE doc_id % {_BB_PLANT_MOD} = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mutated),
+tg AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(array_to_string(list_slice(ws, i.g, i.g + 2), ' ')), 1, 15))::BIGINT AS h
+  FROM corpus, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 2))) AS g) i
+),
+sig AS (
+  SELECT doc_id,
+         {_BB_MIN_EXPRS}
+  FROM tg GROUP BY doc_id
+),
+packed AS (
+  SELECT doc_id, {_BB_PACK} AS sig64 FROM sig
+),
+pairs AS (
+  SELECT a.doc_id, xor(a.sig64, b.sig64) AS x
+  FROM packed a JOIN packed b ON b.doc_id = a.doc_id + {_BB_PLANT_OFFSET}
+),
+coll AS (
+  SELECT doc_id, CAST({_BB_COLL} AS BIGINT) AS n_coll FROM pairs
+),
+exact AS (
+  SELECT a.doc_id, count(*) FILTER (WHERE b.h IS NOT NULL) AS ns,
+         count(*) + (SELECT count(*) FROM tg t2
+                     WHERE t2.doc_id = a.doc_id + {_BB_PLANT_OFFSET}) AS tot
+  FROM tg a LEFT JOIN tg b
+    ON b.doc_id = a.doc_id + {_BB_PLANT_OFFSET} AND b.h = a.h
+  WHERE a.doc_id < {_BB_PLANT_OFFSET} AND a.doc_id % {_BB_PLANT_MOD} = 0
+  GROUP BY a.doc_id
+)
+SELECT c.doc_id, c.n_coll,
+       round(greatest((CAST(c.n_coll AS DOUBLE) / {_BB_PERMS} - 0.25) / 0.75, 0.0), 4)
+         AS jaccard_bbit,
+       round(CAST(e.ns AS DOUBLE) / (e.tot - e.ns), 4) AS jaccard_exact
+FROM coll c JOIN exact e USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_minhash_b_bit", oracle=_BBIT_ORACLE, tags=("llm", "dedup", "approx", "sketch"))
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & Konig 2010): keep only the lowest
+    b=2 bits of each of 30 MinHash permutations, packing a whole
+    signature into ONE int64 — 8 bytes per document where classic
+    16x64-bit MinHash ships 128 (and 16 perms of 60-bit values ~96), the storage/bandwidth compression
+    that makes fleet-wide near-dup estimation affordable at 100 TB
+    (the sketch table for a trillion docs fits a broadcast tier).
+    Collision rate over the 30 two-bit lanes estimates Jaccard via the
+    paper's small-signature limit J = (rate - 2^-b) / (1 - 2^-b);
+    planted mutated copies (every 11th word -> 'X') give each estimate
+    an exact-Jaccard twin so the estimator's bias is measurable
+    per-pair. Plan: signatures are ONE map-side-combinable groupBy
+    (30 min aggregates) on the shingle shuffle; packing is bit
+    arithmetic; the planted-pair join is a key self-join; the XOR +
+    lane-popcount comparison is pure map-side integer work — the
+    same kernel a production dedup runs pairwise inside LSH buckets."""
+    from us_stock_data_pipeline_spark.queries.llm_ops import exploded_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % _BB_PLANT_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_BB_PLANT_OFFSET)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", " "),
+                lambda t, i: F.when((i + 1) % _BB_MUT_STRIDE == 0, F.lit("X")).otherwise(t),
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(mutated.select(*docs.columns))
+    tg = exploded_shingle_hashes(corpus)
+    mins = [
+        F.min(
+            (F.lit(a) * F.pmod(F.col("h"), F.lit(_BB_MERSENNE)) + F.lit(b))
+            % F.lit(_BB_MERSENNE)
+        ).alias(f"mh{p}")
+        for p, (a, b) in enumerate(zip(_BB_A, _BB_B))
+    ]
+    sig = tg.groupBy("doc_id").agg(*mins)
+    pack = None
+    for p in range(_BB_PERMS):
+        lane = F.shiftleft(
+            F.col(f"mh{p}").bitwiseAND(F.lit((1 << _BB_BITS) - 1)), p * _BB_BITS
+        )
+        pack = lane if pack is None else pack + lane
+    packed = sig.select("doc_id", pack.alias("sig64"))
+    orig = packed.filter(F.col("doc_id") < _BB_PLANT_OFFSET).alias("a")
+    plant = packed.alias("b")
+    x = F.col("a.sig64").bitwiseXOR(F.col("b.sig64"))
+    n_coll = None
+    for p in range(_BB_PERMS):
+        lane_ok = F.when(
+            F.shiftright(x, p * _BB_BITS).bitwiseAND(F.lit((1 << _BB_BITS) - 1)) == 0, 1
+        ).otherwise(0)
+        n_coll = lane_ok if n_coll is None else n_coll + lane_ok
+    pairs = orig.join(
+        plant, F.col("b.doc_id") == F.col("a.doc_id") + _BB_PLANT_OFFSET
+    ).select(F.col("a.doc_id").alias("doc_id"), n_coll.cast("long").alias("n_coll"))
+    # exact Jaccard on the shingle sets of each planted pair
+    ta = tg.filter(
+        (F.col("doc_id") < _BB_PLANT_OFFSET) & (F.col("doc_id") % _BB_PLANT_MOD == 0)
+    ).alias("ta")
+    tb = tg.filter(F.col("doc_id") >= _BB_PLANT_OFFSET).select(
+        (F.col("doc_id") - F.lit(_BB_PLANT_OFFSET)).alias("doc_id"), F.col("h").alias("hb")
+    ).alias("tb")
+    exact = (
+        ta.join(tb, (F.col("ta.doc_id") == F.col("tb.doc_id")) & (F.col("ta.h") == F.col("hb")), "left")
+        .groupBy(F.col("ta.doc_id").alias("doc_id"))
+        .agg(F.count("hb").alias("ns"), F.count(F.lit(1)).alias("na"))
+        .join(
+            tg.filter(F.col("doc_id") >= _BB_PLANT_OFFSET)
+            .groupBy((F.col("doc_id") - F.lit(_BB_PLANT_OFFSET)).alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("nb")),
+            "doc_id",
+        )
+    )
+    rate = F.col("n_coll").cast("double") / _BB_PERMS
+    return (
+        pairs.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "n_coll",
+            F.round(F.greatest((rate - 0.25) / 0.75, F.lit(0.0)), 4).alias("jaccard_bbit"),
+            F.round(
+                F.col("ns").cast("double") / (F.col("na") + F.col("nb") - F.col("ns")), 4
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# DPO implicit reward margins over preference pairs
+# --------------------------------------------------------------------------
+
+_DPO_BETA_MILLI = 100  # beta = 0.1, carried as exact milli-units
+
+_DPO_ORACLE = f"""
+WITH scored AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+lp AS (
+  -- deterministic stand-in log-probs in exact MILLI-nats: policy and
+  -- reference disagree through different odd multipliers, so margins
+  -- are nonzero integers both engines compute identically
+  SELECT *,
+         -((cents * 2654435761) % 4000) - 1000 AS lp_pol_milli,
+         -((cents * 2246822519) % 4000) - 1000 AS lp_ref_milli
+  FROM scored
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cents DESC, event_id DESC) AS rn_top,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cents ASC, event_id ASC) AS rn_bot,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM lp
+),
+pairs AS (
+  SELECT w.user_id, w.event_type AS chosen_type,
+         (w.lp_pol_milli - w.lp_ref_milli)
+           - (l.lp_pol_milli - l.lp_ref_milli) AS margin_milli
+  FROM (SELECT * FROM ranked WHERE rn_top = 1 AND n >= 2) w
+  JOIN (SELECT * FROM ranked WHERE rn_bot = 1) l USING (user_id)
+)
+SELECT chosen_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(CASE WHEN margin_milli > 0 THEN 1.0 ELSE 0.0 END), 4)
+         AS dpo_accuracy,
+       round(CAST(sum(margin_milli) AS BIGINT) * {_DPO_BETA_MILLI}
+             / 1000.0 / 1000.0 / count(*), 4) AS mean_implicit_reward_margin
+FROM pairs
+GROUP BY chosen_type
+ORDER BY chosen_type
+"""
+
+
+@register("rlhf_dpo_implicit_reward", oracle=_DPO_ORACLE, tags=("llm", "rlhf", "window"))
+def rlhf_dpo_implicit_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO's training-time readout: the implicit reward margin
+    beta * [(logpi(yw) - logref(yw)) - (logpi(yl) - logref(yl))] per
+    preference pair, and the preference accuracy (fraction of pairs
+    the policy already orders correctly) — the two curves every DPO
+    run monitors (Rafailov et al. 2023). Pairs derive from events
+    (per-user best/worst by value with deterministic tiebreaks —
+    `rlhf_preference_pairs`'s construction); log-probs are
+    deterministic integer-milli-nat stand-ins (real ones arrive as a
+    logprob column from the inference fleet; the DATAFLOW — pair
+    windows, margin arithmetic, cohort rollup — is what the engine
+    owns, and it is identical for real columns). Exact-int margins
+    make the accuracy flag and the sums engine-exact; the only
+    doubles are the final averaged readouts. Plan: both extreme-row
+    picks share ONE user-keyed window shuffle; the pair join is a
+    key join on user_id; the rollup is map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lp = scored.select(
+        "*",
+        (-((F.col("cents") * 2654435761) % 4000) - 1000).alias("lp_pol_milli"),
+        (-((F.col("cents") * 2246822519) % 4000) - 1000).alias("lp_ref_milli"),
+    )
+    w_user = Window.partitionBy("user_id")
+    ranked = lp.select(
+        "*",
+        F.row_number()
+        .over(w_user.orderBy(F.col("cents").desc(), F.col("event_id").desc()))
+        .alias("rn_top"),
+        F.row_number()
+        .over(w_user.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rn_bot"),
+        F.count(F.lit(1)).over(w_user).alias("n"),
+    )
+    winners = ranked.filter((F.col("rn_top") == 1) & (F.col("n") >= 2)).select(
+        "user_id",
+        F.col("event_type").alias("chosen_type"),
+        (F.col("lp_pol_milli") - F.col("lp_ref_milli")).alias("dw"),
+    )
+    losers = ranked.filter(F.col("rn_bot") == 1).select(
+        "user_id", (F.col("lp_pol_milli") - F.col("lp_ref_milli")).alias("dl")
+    )
+    pairs = winners.join(losers, "user_id").select(
+        "chosen_type", (F.col("dw") - F.col("dl")).alias("margin_milli")
+    )
+    return (
+        pairs.groupBy("chosen_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.avg(F.when(F.col("margin_milli") > 0, 1.0).otherwise(0.0)), 4
+            ).alias("dpo_accuracy"),
+            F.round(
+                F.sum("margin_milli").cast("long")
+                * _DPO_BETA_MILLI
+                / 1000.0
+                / 1000.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_implicit_reward_margin"),
+        )
+        .orderBy("chosen_type")
     )

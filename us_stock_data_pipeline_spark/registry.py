@@ -51,6 +51,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "multimodal_png_decode",
     "dedup_exact_substring",
     "ml_bleu_ngram_precision",
+    "dedup_minhash_b_bit",
+    "rlhf_dpo_implicit_reward",
     # --- round 7: the 349 queries never driver-sampled in r1-r6, in
     # --- registration order, go first so each round of ~50 driver checks
     # --- maximizes first-time coverage (judge r6 item 1b).
