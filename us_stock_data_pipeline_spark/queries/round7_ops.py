@@ -538,3 +538,90 @@ def rlhf_dpo_implicit_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chosen_type")
     )
+
+
+# --------------------------------------------------------------------------
+# GDPR crypto-shredding audit (real AES round-trip)
+# --------------------------------------------------------------------------
+
+_SHRED_MOD = 13  # users with user_id % 13 == 0 exercised their erasure right
+
+_SHRED_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN user_id % {_SHRED_MOD} = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_readable,
+       CAST(sum(CASE WHEN user_id % {_SHRED_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shredded,
+       CAST(count(DISTINCT CASE WHEN user_id % {_SHRED_MOD} = 0
+                                THEN user_id END) AS BIGINT) AS n_erased_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "compliance_crypto_shredding",
+    oracle=_SHRED_ORACLE,
+    tags=("etl", "compliance", "security"),
+)
+def compliance_crypto_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten via CRYPTO-SHREDDING, the only
+    erasure that scales: personal payloads are AES-encrypted with a
+    PER-USER key held in a small key table; "forgetting" a user
+    deletes ONE key row, never touching the 100 TB fact store —
+    immutable parquet/versioned snapshots stay bit-identical, yet the
+    user's payloads are unrecoverable. This audit proves both
+    directions with a REAL AES-GCM round-trip (Spark's built-in
+    aes_encrypt / try_aes_decrypt): every event's payload is
+    encrypted under its user's key, the key table then drops erased
+    users (user_id % 13 = 0), and the audit left-joins facts to
+    surviving keys — try_aes_decrypt yields the original payload
+    where a key survives (verified by comparison, counted as
+    readable) and NULL where it was shredded. The oracle recomputes
+    the readable/shredded census from erasure-set membership, so a
+    broken key join, a wrong-key decrypt, or a corrupted ciphertext
+    all break the hash. Plan: key table is |users| rows (broadcast
+    tier); encrypt/decrypt are map-side codegen expressions; one
+    groupBy rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.coalesce("props", F.lit("{}")).alias("payload")
+    )
+    # per-user 16-byte AES key (first 16 hex chars of a salted md5)
+    all_keys = ev.select("user_id").dropDuplicates().select(
+        "user_id",
+        F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":k7"))), 1, 16).alias("key"),
+    )
+    encrypted = ev.join(F.broadcast(all_keys), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "payload",
+        F.expr("aes_encrypt(payload, key, 'GCM')").alias("ciphertext"),
+    )
+    surviving = all_keys.filter(F.col("user_id") % _SHRED_MOD != 0)
+    audited = encrypted.join(F.broadcast(surviving), "user_id", "left").select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(try_aes_decrypt(ciphertext, key, 'GCM') AS STRING)").alias("decrypted"),
+        "payload",
+    )
+    return (
+        audited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("decrypted") == F.col("payload"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_readable"),
+            F.sum(F.when(F.col("decrypted").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shredded"),
+            F.countDistinct(
+                F.when(F.col("decrypted").isNull(), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("n_erased_users"),
+        )
+        .orderBy("event_type")
+    )

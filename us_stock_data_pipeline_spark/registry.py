@@ -53,6 +53,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "ml_bleu_ngram_precision",
     "dedup_minhash_b_bit",
     "rlhf_dpo_implicit_reward",
+    "source_xml_scan",
+    "compliance_crypto_shredding",
     # --- round 7: the 349 queries never driver-sampled in r1-r6, in
     # --- registration order, go first so each round of ~50 driver checks
     # --- maximizes first-time coverage (judge r6 item 1b).
