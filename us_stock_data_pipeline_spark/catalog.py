@@ -82,17 +82,23 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
-# DataFrame handles memoized per (session, file): building one costs
+# DataFrame handles memoized per (SESSION, file): building one costs
 # ~90 ms of driver-side footer/schema reads, paid by EVERY query for
 # EVERY table it touches (a 6-table join re-read 6 footers per call).
 # DataFrames are immutable lazy plans, so reuse is safe; the cache is
 # the engine's catalog — at cluster scale this is exactly what a
-# metastore-backed table lookup amortizes. The key carries (a) the
-# session's applicationId + startTime — unlike id(spark), never reused
-# after a stopped session is garbage-collected — and (b) the file's
-# size + mtime, so a regenerated fixture self-heals instead of serving
-# a stale file listing (same policy as the streaming stage).
-_TABLE_CACHE: dict[tuple[str, int, str, int, int], DataFrame] = {}
+# metastore-backed table lookup amortizes. The OUTER key is the
+# SparkSession itself (weakly referenced, so stopped/discarded sessions
+# drop their entries): a DataFrame is BOUND to the session that created
+# it and plans under that session's SQLConf, so serving one session's
+# handle to another silently applies the wrong conf — round 7 hit
+# exactly this when the AQE demos moved to isolated newSession()s and
+# kept receiving main-session DataFrames whose planner ignored the
+# bracket confs. The inner key carries the file's size + mtime, so a
+# regenerated fixture self-heals instead of serving a stale listing.
+from weakref import WeakKeyDictionary
+
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -101,15 +107,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
     st = os.stat(path)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sc.startTime, path, st.st_size, st.st_mtime_ns)
-    df = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (path, st.st_size, st.st_mtime_ns)
+    df = per_session.get(key)
     if df is None:
         df = spark.read.parquet(path)
         if name == "events":
             df = fix_nanos_ts(df)
         df = normalize_timestamps(df)
-        _TABLE_CACHE[key] = df
+        per_session[key] = df
     return df
 
 

@@ -280,6 +280,53 @@ def versioned_merge_upsert(
         _delete(spark, scratch)
 
 
+def compact_table(spark: SparkSession, root: str) -> int:
+    """Rewrite the CURRENT snapshot into one fresh version and commit it
+    with the same atomic-rename protocol; returns the new version.
+
+    After many merges a snapshot's partitions scatter across many
+    version directories (each partition is owned by the last version
+    that touched it), so a full read fans out one scan per distinct
+    owning version. Compaction collapses that to one directory — run it
+    as routine maintenance off the write path, exactly like small-file
+    compaction on Delta/Iceberg. Readers are never disturbed: the
+    rewrite lands in a never-referenced directory and becomes visible
+    only at the manifest rename; older snapshots stay readable until
+    vacuumed."""
+    from us_stock_data_pipeline_spark.etl.sinks import _layout_for_write
+
+    cur = current_version(spark, root)
+    if cur == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    snapshot = read_versioned(spark, root, cur)
+    manifest = read_manifest(spark, root, cur)
+    # partition depth = segments of any manifest key ("a=1/b=2" -> 2)
+    depth = next(iter(manifest)).count("/") + 1
+    part_cols = [seg.split("=", 1)[0] for seg in next(iter(manifest)).split("/")]
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        new_ver = base_ver + 1
+        ver_dir = posixpath.join(_VERSIONS, f"v{new_ver:08d}")
+        abs_ver = posixpath.join(root, ver_dir)
+        _layout_for_write(snapshot, tuple(part_cols)).write.mode(
+            "overwrite"
+        ).partitionBy(*part_cols).parquet(abs_ver)
+        new_manifest = {
+            d: ver_dir for d in _leaf_partition_dirs(spark, abs_ver, depth)
+        }
+        body = json.dumps(
+            {"version": new_ver, "partitions": new_manifest}, sort_keys=True
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+        _delete(spark, abs_ver)
+    raise RuntimeError(f"compaction lost 5 commit races at {root}")
+
+
 def vacuum_versions(spark: SparkSession, root: str, keep_last: int = 2) -> int:
     """Reclaim version dirs no retained manifest references and manifests
     older than the last `keep_last`. Never touches the current snapshot;
