@@ -133,3 +133,24 @@ def test_multi_column_partitioning(spark, root):
         ("AAPL", 2024, 2, 11.0),
         ("MSFT", 2025, 1, 20.0),
     ]
+
+
+def test_compact_collapses_owning_versions(spark, root):
+    for i in range(1, 4):
+        V.versioned_merge_upsert(
+            spark, _mk(spark, [("AAPL", i, float(i)), ("MSFT", i, float(i))]), root, ("symbol", "ts")
+        )
+    before = _rows(V.read_versioned(spark, root))
+    # 3 merges touched both partitions each time, but a table that
+    # accumulated per-partition ownership across versions reads fan-out;
+    # compaction rewrites the head into ONE version dir
+    v = V.compact_table(spark, root)
+    assert v == 4
+    m = V.read_manifest(spark, root, v)
+    assert set(m.values()) == {"versions/v00000004"}
+    assert _rows(V.read_versioned(spark, root)) == before
+    # old snapshots still readable until vacuumed
+    assert _rows(V.read_versioned(spark, root, version=1)) == [
+        ("AAPL", 1, 1.0),
+        ("MSFT", 1, 1.0),
+    ]
