@@ -625,3 +625,172 @@ def compliance_crypto_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Binary-sign Hamming ANN (1-bit quantized retrieval)
+# --------------------------------------------------------------------------
+
+_HAM_K = 5
+_HAM_QUERIES = 8  # vec_id 0..7 are the probe set
+
+_HAMMING_ORACLE = f"""
+WITH sig AS (
+  -- two 32-bit halves: bit63 left-shifts overflow BOTH engines' signed
+  -- 64-bit ints, so the 64 sign bits pack as (lo: dims 1-32, hi: 33-64)
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+                       THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(33, 65),
+             i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+                       THEN 1::BIGINT << (i - 33) ELSE 0 END)) AS BIGINT) AS hi
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < {_HAM_QUERIES}),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         bit_count(xor(q.qlo, s.lo)) + bit_count(xor(q.qhi, s.hi)) AS hamming
+  FROM q JOIN sig s ON s.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, CAST(hamming AS BIGINT) AS hamming, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_HAM_K}
+ORDER BY qid, rank
+"""
+
+
+@register("ann_hamming_binary", oracle=_HAMMING_ORACLE, tags=("llm", "ann", "embedding"))
+def ann_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT quantized retrieval: binarize each 64-dim embedding to its
+    sign bits packed in two 32-bit halves (bit63 shifts overflow signed
+    int64 in both engines), then retrieve top-k neighbors by
+    Hamming distance (bit_count of XOR) — the coarsest, fastest rung
+    of the quantization ladder (below int8 and PQ), and the standard
+    first-pass filter in binary-embedding retrieval (sign random
+    projections make cos similarity ~ 1 - hamming*pi/64). 32x smaller
+    than float32 vectors: at 100 TB the whole corpus index is 8 bytes/vec
+    that scan at memory bandwidth with ONE popcount instruction per
+    candidate — this plan broadcasts the probe signatures and streams
+    the corpus map-side, shuffling only (qid, k) survivors for the
+    per-query top-k window (same corpus-never-shuffles shape as
+    knn_bruteforce_cosine). Exact-oracle-checked: both engines pack
+    identical bits, so ranks match bit-for-bit with a (distance,
+    vec_id) tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def half(lo_dim: int) -> F.Column:
+        # unrolled 32-term sum: each bit weight is a plain literal, so
+        # the whole pack stays one codegen expression
+        terms = [
+            F.when(
+                F.element_at("embedding", lo_dim + i).cast("double") >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    sig = emb.select("vec_id", half(1).alias("lo"), half(33).alias("hi"))
+    q = sig.filter(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    scored = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("hamming"), F.col("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rn.cast("long"))
+        .filter(F.col("rank") <= _HAM_K)
+        .orderBy("qid", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B sample-ratio-mismatch (SRM) guardrail
+# --------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH assigned AS (
+  -- deterministic 50/50 assignment by user-id hash (the production
+  -- bucketing function), exposure = first event per user
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM events
+),
+counts AS (
+  SELECT count(*) FILTER (WHERE arm = 'control') AS n_c,
+         count(*) FILTER (WHERE arm = 'treatment') AS n_t
+  FROM assigned
+)
+SELECT CAST(n_c AS BIGINT) AS n_control,
+       CAST(n_t AS BIGINT) AS n_treatment,
+       round(CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t), 4)
+         AS chi2_stat,
+       CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t) > 3.841 AS srm_flag
+FROM counts
+"""
+
+
+@register("events_ab_srm_check", oracle=_SRM_ORACLE, tags=("analytics", "experimentation"))
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch — the experimentation guardrail that runs
+    BEFORE any lift metric is believed: with a 50/50 split, the
+    observed arm counts must fit chi-square(1); chi2 = (n_c - n_t)^2 /
+    (n_c + n_t) for equal expected halves, flagged at the 0.05
+    critical value 3.841. An SRM fire means the assignment, logging,
+    or filtering pipeline is biased and every downstream readout is
+    invalid (the single most common silent A/B failure). Assignment
+    replays the production scheme — a deterministic hash of user_id —
+    so both engines bucket identically; exposure dedup is one DISTINCT
+    on (user, arm). Plan: one hash-dedup shuffle, one global count —
+    at 100 TB the DISTINCT's map-side combine makes the shuffle
+    |users|-bounded, and the chi-square is driver-free arithmetic on
+    two BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 2
+            == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("arm"),
+    ).dropDuplicates(["user_id"])
+    counts = assigned.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).cast("long").alias("n_t"),
+    )
+    diff2 = (F.col("n_c") - F.col("n_t")) * (F.col("n_c") - F.col("n_t"))
+    chi2 = diff2.cast("double") / (F.col("n_c") + F.col("n_t"))
+    return counts.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(chi2, 4).alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
