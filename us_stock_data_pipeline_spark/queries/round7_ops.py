@@ -794,3 +794,195 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2_stat"),
         (chi2 > 3.841).alias("srm_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style corpus quality rule battery
+# --------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH rules AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              w -> length(w))) AS BIGINT) AS sum_wlen,
+         CAST(list_sum(list_transform(string_split(text, ' '), w -> CASE WHEN w IN
+             ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END))
+             AS BIGINT) AS n_stop,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+           AS n_ellipsis
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         n_words BETWEEN 50 AND 100000 AS ok_word_count,
+         CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 3 AND 10 AS ok_mean_wlen,
+         n_stop >= 2 AS ok_stopwords,
+         CAST(n_hash AS DOUBLE) / n_words <= 0.1 AS ok_symbol_ratio,
+         CAST(n_ellipsis AS DOUBLE) / n_words <= 0.3 AS ok_ellipsis
+  FROM rules
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ok_word_count THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+       CAST(sum(CASE WHEN ok_mean_wlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_wlen,
+       CAST(sum(CASE WHEN ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+       CAST(sum(CASE WHEN ok_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol_ratio,
+       CAST(sum(CASE WHEN ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS pass_ellipsis,
+       CAST(sum(CASE WHEN ok_word_count AND ok_mean_wlen AND ok_stopwords
+                      AND ok_symbol_ratio AND ok_ellipsis THEN 1 ELSE 0 END)
+            AS BIGINT) AS pass_all
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_gopher_quality_rules", oracle=_GOPHER_ORACLE, tags=("llm", "text", "quality"))
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText rule battery (Rae et al. 2021, the rule
+    set C4/FineWeb descend from): word-count bounds, mean-word-length
+    band [3, 10], required stopword presence, symbol-to-word ratio cap
+    (# as the symbol proxy), ellipsis-line cap — each documented as a
+    SEPARATE pass count per source plus the conjunction, because the
+    marginal yield of each rule (not just the final keep rate) is what
+    a curation run tunes. Every feature is one map-side pass over the
+    text (split + HOF folds, no UDF); the rollup is one small groupBy.
+    At 100 TB this is the cheapest stage of the curation funnel and
+    runs FIRST, ahead of dedup and model scoring
+    (`pipeline_corpus_curation` sequences the stages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    sum_wlen = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = F.aggregate(
+        F.transform(ws, lambda w: F.when(w.isin(*stops), 1).otherwise(0)),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    feat = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_stop.alias("n_stop"),
+        n_hash.cast("long").alias("n_hash"),
+        n_ellipsis.cast("long").alias("n_ellipsis"),
+    )
+    okc = F.col("n_words").between(50, 100000)
+    okw = (F.col("sum_wlen").cast("double") / F.col("n_words")).between(3, 10)
+    oks = F.col("n_stop") >= 2
+    okr = F.col("n_hash").cast("double") / F.col("n_words") <= 0.1
+    oke = F.col("n_ellipsis").cast("double") / F.col("n_words") <= 0.3
+    cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(n)  # noqa: E731
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(okc, "pass_word_count"),
+            cnt(okw, "pass_mean_wlen"),
+            cnt(oks, "pass_stopwords"),
+            cnt(okr, "pass_symbol_ratio"),
+            cnt(oke, "pass_ellipsis"),
+            cnt(okc & okw & oks & okr & oke, "pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# PSI feature-drift monitor
+# --------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH windows AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS win,
+         least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 9) AS bucket
+  FROM events
+),
+counts AS (
+  SELECT event_type, bucket,
+         count(*) FILTER (WHERE win = 'ref') AS n_ref,
+         count(*) FILTER (WHERE win = 'cur') AS n_cur
+  FROM windows GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM counts GROUP BY event_type
+),
+terms AS (
+  -- Laplace +1 on counts so empty buckets stay finite; each bucket term
+  -- quantized to exact micro-nats BEFORE summation (cross-engine ulp armor)
+  SELECT c.event_type,
+         CAST(round(
+           (CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + 10)
+            - CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + 10))
+           * ln((CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + 10))
+                / (CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + 10)))
+           * 1000000) AS BIGINT) AS q
+  FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(q) AS BIGINT) AS psi_micro,
+       round(CAST(sum(q) AS BIGINT) / 1000000.0, 4) AS psi,
+       CAST(sum(q) AS BIGINT) >= 200000 AS drift_flag
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ml_psi_feature_drift", oracle=_PSI_ORACLE, tags=("ml", "monitoring", "drift"))
+def ml_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE production feature-drift
+    monitor (credit-risk heritage, now standard MLOps): bucket a
+    feature identically in a reference window and the current window,
+    then PSI = sum over buckets of (p_cur - p_ref) * ln(p_cur/p_ref);
+    0.1/0.2 are the industry watch/act thresholds (flagged here at
+    0.2). Laplace-smoothed so newly-empty buckets stay finite. Each
+    bucket's term quantizes to exact integer micro-nats BEFORE the
+    per-feature summation, so the flag decision is engine-exact (the
+    same milli/micro-nat armor as the DSIR and naive-Bayes scorers).
+    Plan: one scan, one (feature, bucket, window) map-side-combinable
+    count, one tiny per-feature rollup — at 100 TB the shuffle is
+    |features x buckets| rows, independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref").otherwise("cur")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)), F.lit(9)
+    )
+    counts = (
+        ev.select("event_type", win.alias("win"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10)
+    q = F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000).cast("long")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select("event_type", q.alias("q"))
+        .groupBy("event_type")
+        .agg(F.sum("q").cast("long").alias("psi_micro"))
+        .select(
+            "event_type",
+            "psi_micro",
+            F.round(F.col("psi_micro") / 1000000.0, 4).alias("psi"),
+            (F.col("psi_micro") >= 200000).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
