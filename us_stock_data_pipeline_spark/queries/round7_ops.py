@@ -986,3 +986,220 @@ def ml_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Bitemporal as-of (valid time x transaction time)
+# --------------------------------------------------------------------------
+
+_BITEMPORAL_ORACLE = """
+WITH ledger AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS valid_date,
+         CAST(o_orderdate AS DATE) AS recorded_at,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE),
+         CAST(o_orderdate AS DATE) + 10,
+         CAST(round(o_totalprice * 110) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE),
+         CAST(o_orderdate AS DATE) + 20,
+         CAST(round(o_totalprice * 120) AS BIGINT)
+  FROM orders WHERE o_orderkey % 21 = 0
+),
+knowledge AS (
+  SELECT unnest([DATE '1996-01-05', DATE '1998-01-05']) AS know_at
+),
+effective AS (
+  SELECT l.o_orderkey, l.o_orderstatus, k.know_at, l.cents,
+         row_number() OVER (PARTITION BY l.o_orderkey, k.know_at
+                            ORDER BY l.recorded_at DESC) AS rn
+  FROM ledger l JOIN knowledge k ON l.recorded_at <= k.know_at
+  WHERE l.valid_date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+)
+SELECT o_orderstatus, know_at,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM effective WHERE rn = 1
+GROUP BY o_orderstatus, know_at
+ORDER BY o_orderstatus, know_at
+"""
+
+
+@register("etl_bitemporal_asof", oracle=_BITEMPORAL_ORACLE, tags=("etl", "temporal", "window"))
+def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL query — the two-axis time model regulated reporting
+    requires (what did 1995's book say, AS KNOWN on date K?): every
+    fact row carries a VALID date (when it was true) and a RECORDED
+    date (when the system learned it); restatements append new
+    recorded versions without touching history. The as-of read picks,
+    per key and knowledge date, the latest recorded row at or before
+    K — so the same 1995 cohort reports different totals at the 1996
+    and 1998 knowledge points as corrections land (every 7th order
+    restated +10%, every 21st again +20%). This is `etl_scd2`'s
+    missing second axis and the query pattern behind audit replays
+    and restatement diffing. Plan: the ledger is one union of
+    projections; the knowledge dates broadcast (2 rows); one
+    (key, know_at) window picks the effective version; the rollup is
+    map-side-combinable. At 100 TB the ledger partitions by
+    recorded_at month so an as-of K prunes all later partitions."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_date"),
+        F.col("o_orderdate").alias("recorded_at"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    corr1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_date"),
+            F.date_add("o_orderdate", 10).alias("recorded_at"),
+            F.round(F.col("o_totalprice") * 110).cast("long").alias("cents"),
+        )
+    )
+    corr2 = (
+        o.filter(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_date"),
+            F.date_add("o_orderdate", 20).alias("recorded_at"),
+            F.round(F.col("o_totalprice") * 120).cast("long").alias("cents"),
+        )
+    )
+    ledger = base.unionByName(corr1).unionByName(corr2).filter(
+        F.col("valid_date").between("1995-01-01", "1995-12-31")
+    )
+    knowledge = spark.createDataFrame(
+        [("1996-01-05",), ("1998-01-05",)], "know_at string"
+    ).select(F.col("know_at").cast("date"))
+    from pyspark.sql import Window as W
+
+    joined = ledger.join(
+        F.broadcast(knowledge), F.col("recorded_at") <= F.col("know_at")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_orderkey", "know_at").orderBy(F.col("recorded_at").desc())
+    )
+    return (
+        joined.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("o_orderstatus", "know_at")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus", "know_at")
+    )
+
+
+# --------------------------------------------------------------------------
+# SPRT sequential A/B decision
+# --------------------------------------------------------------------------
+
+# ln(p1/p0), ln((1-p1)/(1-p0)) for p0=0.5, p1=0.6, in exact milli-nats
+_SPRT_UP = 182  # round(ln(1.2)*1000)
+_SPRT_DOWN = -223  # round(ln(0.8)*1000)
+_SPRT_BOUND = 2944  # round(ln(19)*1000); alpha = beta = 0.05
+
+_SPRT_ORACLE = f"""
+WITH trials AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN CAST(round(value * 100) AS BIGINT) % 2 = 0
+              THEN {_SPRT_UP} ELSE {_SPRT_DOWN} END AS step
+  FROM events
+),
+walk AS (
+  SELECT event_type,
+         row_number() OVER w AS n,
+         sum(step) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS llr
+  FROM trials
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+crossings AS (
+  SELECT event_type, n, llr,
+         row_number() OVER (PARTITION BY event_type ORDER BY n) AS cross_rank
+  FROM walk WHERE llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+),
+verdicts AS (
+  SELECT event_type, n AS n_at_decision, llr AS llr_milli,
+         CASE WHEN llr >= {_SPRT_BOUND} THEN 'accept_h1' ELSE 'accept_h0' END
+           AS decision
+  FROM crossings WHERE cross_rank = 1
+),
+totals AS (SELECT event_type, count(*) AS n_total FROM trials GROUP BY event_type)
+SELECT t.event_type,
+       coalesce(v.decision, 'continue') AS decision,
+       CAST(coalesce(v.n_at_decision, t.n_total) AS BIGINT) AS n_at_decision,
+       CAST(coalesce(v.llr_milli, 0) AS BIGINT) AS llr_milli
+FROM totals t LEFT JOIN verdicts v USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+@register("stats_sprt_sequential", oracle=_SPRT_ORACLE, tags=("stats", "experimentation", "window"))
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT — the sequential test that lets an experiment STOP
+    EARLY the moment evidence suffices (H0: p=0.5 vs H1: p=0.6,
+    alpha=beta=0.05): the log-likelihood ratio walks +ln(1.2) per
+    success / +ln(0.8) per failure and the FIRST crossing of
+    +-ln(19) decides; never crossing means keep collecting. Streaming
+    A/B platforms run exactly this walk per metric. Steps are exact
+    integer milli-nats, so the crossing row — the decision — is
+    engine-exact (a double cumsum could cross a boundary by a ulp).
+    Plan: one event-ordered window cumsum per type (ONE shuffle),
+    crossing pick via a second window over the filtered crossings
+    sharing the same partitioning, and a tiny left join for the
+    never-crossed verdict. At 100 TB the walk partitions by
+    experiment and the cumsum is the same single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    step = F.when(
+        F.round(F.col("value") * 100).cast("long") % 2 == 0, _SPRT_UP
+    ).otherwise(_SPRT_DOWN)
+    trials = ev.select("event_type", "ts", "event_id", step.alias("step"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = trials.select(
+        "event_type",
+        F.row_number().over(w).alias("n"),
+        F.sum("step").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("llr"),
+    )
+    crossings = walk.filter(
+        (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND)
+    )
+    first = (
+        crossings.withColumn(
+            "cross_rank",
+            F.row_number().over(W.partitionBy("event_type").orderBy("n")),
+        )
+        .filter(F.col("cross_rank") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_at_decision"),
+            F.col("llr").alias("llr_milli"),
+            F.when(F.col("llr") >= _SPRT_BOUND, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+    )
+    totals = trials.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(first, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("decision", F.lit("continue")).alias("decision"),
+            F.coalesce("n_at_decision", F.col("n_total")).cast("long").alias("n_at_decision"),
+            F.coalesce("llr_milli", F.lit(0)).cast("long").alias("llr_milli"),
+        )
+        .orderBy("event_type")
+    )
