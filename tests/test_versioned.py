@@ -154,3 +154,23 @@ def test_compact_collapses_owning_versions(spark, root):
         ("AAPL", 1, 1.0),
         ("MSFT", 1, 1.0),
     ]
+
+
+def test_manifest_level_partition_pruning(spark, root):
+    V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0), ("GOOG", 1, 30.0)]),
+        root,
+        ("symbol", "ts"),
+    )
+    pruned = V.read_versioned(
+        spark, root, partition_filter=lambda p: p["symbol"] == "MSFT"
+    )
+    assert _rows(pruned) == [("MSFT", 1, 20.0)]
+    # the prune happens at the manifest: the scan plan reads ONE directory
+    assert "symbol=MSFT" in pruned.inputFiles()[0]
+    assert len({f.rsplit("/", 2)[1] for f in pruned.inputFiles()}) == 1
+    import pytest
+
+    with pytest.raises(LookupError):
+        V.read_versioned(spark, root, partition_filter=lambda p: False)

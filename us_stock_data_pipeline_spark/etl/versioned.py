@@ -160,19 +160,47 @@ def read_manifest(spark: SparkSession, root: str, version: int) -> dict[str, str
     return json.loads(body)["partitions"]
 
 
+def _parse_partition_values(part_dir: str) -> dict[str, str]:
+    """'symbol=AAPL/yr=2024' -> {'symbol': 'AAPL', 'yr': '2024'} (values
+    as the writer escaped them — callers match on raw strings)."""
+    out: dict[str, str] = {}
+    for seg in part_dir.split("/"):
+        k, _, v = seg.partition("=")
+        out[k] = v
+    return out
+
+
 def read_versioned(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    partition_filter=None,
 ) -> DataFrame:
     """Snapshot read: resolve the manifest (current, or a pinned version
     for time travel), then scan each owning version directory's touched
     partitions with basePath set to that version dir so the partition
     columns materialize. One read per distinct owning version (bounded
-    by versions retained, not partitions), unioned by name."""
+    by versions retained, not partitions), unioned by name.
+
+    ``partition_filter`` (optional: dict of partition values -> bool)
+    prunes AT THE MANIFEST, before any filesystem listing or scan is
+    planned — the Iceberg-style metadata prune. A driver-side predicate
+    over a dict of partition values costs microseconds per entry; at
+    100 TB it is the difference between planning one symbol's files and
+    listing a million directories."""
     if version is None:
         version = current_version(spark, root)
     if version == 0:
         raise FileNotFoundError(f"no committed version under {root}")
     manifest = read_manifest(spark, root, version)
+    if partition_filter is not None:
+        manifest = {
+            d: v
+            for d, v in manifest.items()
+            if partition_filter(_parse_partition_values(d))
+        }
+        if not manifest:
+            raise LookupError("partition_filter pruned every partition")
     by_ver: dict[str, list[str]] = {}
     for part_dir, ver_dir in manifest.items():
         by_ver.setdefault(ver_dir, []).append(part_dir)
