@@ -1203,3 +1203,232 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# KS / Gini scorecard (credit-risk model discrimination readout)
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, max(lang) AS lang,
+         CAST(sum(CASE WHEN w IN ('the', 'of', 'and', 'to', 'in', 'is', 'that', 'for')
+                  THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS score_milli,
+         CASE WHEN max(lang) = 'en' THEN 1 ELSE 0 END AS y
+  FROM tok GROUP BY doc_id
+),
+support AS (
+  SELECT score_milli,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM scored GROUP BY score_milli
+),
+cum AS (
+  SELECT score_milli,
+         sum(pos) OVER (ORDER BY score_milli) AS cpos,
+         sum(neg) OVER (ORDER BY score_milli) AS cneg
+  FROM support
+),
+tots AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM scored
+),
+ks_pick AS (
+  SELECT c.score_milli,
+         abs(c.cpos * t.n_neg - c.cneg * t.n_pos) AS sep,
+         row_number() OVER (ORDER BY abs(c.cpos * t.n_neg - c.cneg * t.n_pos) DESC,
+                            c.score_milli) AS rn
+  FROM cum c, tots t
+),
+ranked AS (
+  SELECT y,
+         2 * rank() OVER (ORDER BY score_milli)
+           + count(*) OVER (PARTITION BY score_milli) - 1 AS rank2
+  FROM scored
+),
+auc AS (
+  SELECT CAST(sum(CASE WHEN y = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS r1x2
+  FROM ranked
+)
+SELECT t.n_pos, t.n_neg,
+       CAST(k.score_milli AS BIGINT) AS ks_at_score_milli,
+       floor(CAST(k.sep AS DOUBLE) / (CAST(t.n_pos AS DOUBLE) * t.n_neg)
+             * 1000000 + 0.5) / 1000000 AS ks_stat,
+       floor(((a.r1x2 - t.n_pos * (t.n_pos + 1))
+              / (CAST(t.n_pos AS DOUBLE) * t.n_neg) - 1.0)
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM tots t, auc a, (SELECT * FROM ks_pick WHERE rn = 1) k
+"""
+
+
+@register("ml_gini_ks_scorecard", oracle=_KS_ORACLE, tags=("ml", "eval"))
+def ml_gini_ks_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credit-scorecard discrimination pair: KS statistic (max
+    separation between the positive and negative score CDFs, with the
+    threshold WHERE it peaks) and the Gini coefficient (2*AUC - 1, via
+    the same exact rank-sum as `ml_auc_roc`). KS drives cutoff
+    placement, Gini is the regulatory headline — risk teams quote
+    both. Exactness: cumulative counts stay integers, and the argmax
+    compares |cpos*n_neg - cneg*n_pos| (the cross-multiplied
+    separation) so the threshold pick can never straddle a double
+    rounding; divisions happen once, on the final readouts. Plan: the
+    score support table (distinct score values) is tiny at any corpus
+    size — the cumulative window and the argmax run on |support|
+    rows, the same value-compression the KS two-sample test uses."""
+    from pyspark.sql import Window as W
+
+    from us_stock_data_pipeline_spark.queries.ml_eval_ops import _scored
+
+    scored = _scored(spark, sf_dir).persist()
+    support = scored.groupBy("score_milli").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    wcum = W.orderBy("score_milli").rowsBetween(W.unboundedPreceding, 0)
+    cum = support.select(
+        "score_milli",
+        F.sum("pos").over(wcum).alias("cpos"),
+        F.sum("neg").over(wcum).alias("cneg"),
+    )
+    tots = scored.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+    )
+    sep = F.abs(F.col("cpos") * F.col("n_neg") - F.col("cneg") * F.col("n_pos"))
+    ks_pick = (
+        cum.crossJoin(F.broadcast(tots))
+        .withColumn("sep", sep)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("sep").desc(), F.col("score_milli"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("score_milli", "sep")
+    )
+    rank2 = (
+        F.lit(2) * F.rank().over(W.orderBy("score_milli"))
+        + F.count(F.lit(1)).over(W.partitionBy("score_milli"))
+        - 1
+    )
+    auc = scored.select("y", rank2.alias("rank2")).agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rank2")).otherwise(0))
+        .cast("long")
+        .alias("r1x2")
+    )
+    ks_stat = F.floor(
+        F.col("sep").cast("double")
+        / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    gini = F.floor(
+        (
+            (F.col("r1x2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+            - 1.0
+        )
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return (
+        tots.crossJoin(auc)
+        .crossJoin(ks_pick)
+        .select(
+            "n_pos",
+            "n_neg",
+            F.col("score_milli").cast("long").alias("ks_at_score_milli"),
+            ks_stat.alias("ks_stat"),
+            gini.alias("gini"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Kimball accumulating-snapshot fact table
+# --------------------------------------------------------------------------
+
+_ACCUM_ORACLE = """
+WITH milestones AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CAST(o.o_orderdate AS DATE) AS placed,
+         min(CAST(l.l_shipdate AS DATE)) AS first_ship,
+         max(CAST(l.l_shipdate AS DATE)) AS last_ship,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderdate
+),
+snap AS (
+  SELECT o_orderstatus,
+         date_diff('day', placed, first_ship) AS d_place_ship,
+         date_diff('day', first_ship, last_ship) AS d_ship_spread,
+         n_lines
+  FROM milestones
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(d_place_ship) AS BIGINT) AS sum_days_to_first_ship,
+       CAST(max(d_place_ship) AS BIGINT) AS max_days_to_first_ship,
+       CAST(sum(d_ship_spread) AS BIGINT) AS sum_ship_spread_days,
+       CAST(sum(n_lines) AS BIGINT) AS total_lines
+FROM snap
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("etl_accumulating_snapshot", oracle=_ACCUM_ORACLE, tags=("etl", "dimensional"))
+def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball's ACCUMULATING SNAPSHOT fact table: one row per order
+    that gathers its lifecycle milestones (placed -> first ship ->
+    last ship) as they land, with lag columns between consecutive
+    milestones — the dimensional model for any pipeline-shaped process
+    (fulfillment, claims, loan origination), and the third fact-table
+    type next to the transaction grain (lineitem itself) and the
+    periodic snapshot (`bars_ohlcv_resample`). The milestone gather is
+    one groupBy over the line facts joined to the order header; lags
+    are map-side date arithmetic; the readout rolls up lag totals per
+    status. At 100 TB the snapshot maintains incrementally: only
+    orders with NEW line events re-aggregate (the per-key watermark
+    pattern, `etl_watermark_per_key`), everything else is untouched —
+    which is exactly why Kimball mandates updates-in-place for this
+    table type, here expressed as `etl_versioned_merge`'s
+    touched-partition MERGE."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    milestones = (
+        li.select("l_orderkey", F.col("l_shipdate").cast("date").alias("ship"))
+        .join(
+            o.select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_orderdate").cast("date").alias("placed"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderstatus", "placed")
+        .agg(
+            F.min("ship").alias("first_ship"),
+            F.max("ship").alias("last_ship"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    return (
+        milestones.select(
+            "o_orderstatus",
+            F.datediff("first_ship", "placed").alias("d_place_ship"),
+            F.datediff("last_ship", "first_ship").alias("d_ship_spread"),
+            "n_lines",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("d_place_ship").cast("long").alias("sum_days_to_first_ship"),
+            F.max("d_place_ship").cast("long").alias("max_days_to_first_ship"),
+            F.sum("d_ship_spread").cast("long").alias("sum_ship_spread_days"),
+            F.sum("n_lines").cast("long").alias("total_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )

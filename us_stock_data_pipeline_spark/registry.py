@@ -61,6 +61,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "ml_psi_feature_drift",
     "etl_bitemporal_asof",
     "stats_sprt_sequential",
+    "ml_gini_ks_scorecard",
+    "etl_accumulating_snapshot",
     # --- round 7: the 349 queries never driver-sampled in r1-r6, in
     # --- registration order, go first so each round of ~50 driver checks
     # --- maximizes first-time coverage (judge r6 item 1b).
