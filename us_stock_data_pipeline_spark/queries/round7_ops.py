@@ -1432,3 +1432,48 @@ def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDF ladder: Arrow-optimized scalar UDF + mapInArrow
+# --------------------------------------------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN contains(props, '"k"') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("udf_arrow_python", oracle=_ARROW_UDF_ORACLE, tags=("udf", "arrow"))
+def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ARROW-OPTIMIZED Python UDF (`@udf(useArrow=True)`): the
+    middle rung of the Python ladder — same row-at-a-time authoring as
+    a classic pickled UDF, but arguments/results move in Arrow batches
+    (~2x the pickled path; pandas_udf's columnar kernels remain the
+    top rung, `pandas_udf_vowel_stats`). The kernel flags whether a
+    JSON props payload mentions key "k" — trivially expressible with
+    built-ins (the oracle does), which is the point: the row verifies
+    the UDF TRANSPORT is faithful, while the docstring records the
+    policy (built-ins > pandas_udf > arrow UDF > pickled UDF, in that
+    order, and only the first two belong in 100 TB hot paths)."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def has_k(props: str) -> int:
+        return 1 if props is not None and '"k"' in props else 0
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", has_k("props").alias("hk"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("hk").cast("long").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
