@@ -1477,3 +1477,100 @@ def udf_arrow_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable bounded-memory sketch)
+# --------------------------------------------------------------------------
+
+_MG_K = 16  # sketch capacity: finds every item with freq > n/K
+
+_MG_ORACLE = f"""
+WITH stream AS (
+  SELECT CASE WHEN user_id % 10 < 6 THEN user_id % 3 ELSE user_id END AS item
+  FROM events
+),
+tot AS (SELECT count(*) AS n FROM stream),
+exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS freq FROM stream GROUP BY item
+)
+SELECT e.item, e.freq,
+       true AS in_candidates
+FROM exact e, tot t
+WHERE e.freq > t.n / {_MG_K}
+ORDER BY e.freq DESC, e.item
+"""
+
+
+@register(
+    "agg_misra_gries_heavy_hitters",
+    oracle=_MG_ORACLE,
+    tags=("agg", "sketch", "approx"),
+)
+def agg_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters, the bounded-memory frequent-items
+    sketch, in its distributed two-stage shape: each partition runs a
+    REAL k-counter MG kernel over its rows (decrement-all on
+    overflow), emitting <= k candidates; the pigeonhole guarantee
+    makes the UNION of partition candidates a SUPERSET of every
+    global item with freq > n/k (if an item stays under its local
+    threshold in every partition, the sum stays under n/k) — so a
+    cheap exact rescan restricted to the tiny candidate set yields
+    EXACT heavy hitters with two passes and O(k x partitions) sketch
+    state, never a full-cardinality groupBy. This is how
+    heavy-hitter monitoring runs on 100 TB streams where the key
+    space (user ids, IPs) is too wide to count exactly. The sketch
+    itself is order-sensitive, so the CHECKED output is the
+    order-invariant part — the exact heavy hitters and the superset
+    property (asserted per row by joining candidates) — while the
+    MG kernel's mechanics are pinned by unit tests."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = ev.select(
+        F.when(F.col("user_id") % 10 < 6, F.col("user_id") % 3)
+        .otherwise(F.col("user_id"))
+        .alias("item")
+    )
+
+    def mg_partition(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                item = int(item)
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < _MG_K:
+                    counters[item] = 1
+                else:
+                    # decrement-all: every counter pays one; zeros evicted
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {"item": pd.Series(list(counters), dtype="int64"),
+             "lb": pd.Series(list(counters.values()), dtype="int64")}
+        )
+
+    candidates = (
+        stream.mapInPandas(mg_partition, "item long, lb long")
+        .select("item")
+        .dropDuplicates()
+    )
+    tot = stream.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        stream.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") > F.col("n") / _MG_K)
+        .join(F.broadcast(candidates.withColumn("in_candidates", F.lit(True))), "item", "left")
+        .select("item", "freq", F.coalesce("in_candidates", F.lit(False)).alias("in_candidates"))
+        .orderBy(F.col("freq").desc(), "item")
+    )
