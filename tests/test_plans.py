@@ -146,3 +146,21 @@ def test_lrm_orders_join_not_broadcast(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_kmeans_assignment_has_no_window(spark):
+    """Round-7 rewrite: the Lloyd argmin must be a map-side struct-min
+    aggregate, not a per-vec window — a window here shuffles n*K rows
+    and sorts them (the r6 scale-curve 3.64x tail)."""
+    plan = _executed(spark, "kmeans_lloyd_exact")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "min(" in plan
+
+
+def test_semdedup_assignment_has_no_window(spark):
+    """Same contract for SemDeDup's cell assignment (K grows with the
+    corpus, so a window shuffle here is quadratic): the only windows
+    allowed in the plan are none at all — argmin is min(struct),
+    dup-pair logic is joins + aggregates."""
+    plan = _executed(spark, "dedup_semdedup")
+    assert "Window" not in plan
