@@ -1574,3 +1574,96 @@ def agg_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("item", "freq", F.coalesce("in_candidates", F.lit(False)).alias("in_candidates"))
         .orderBy(F.col("freq").desc(), "item")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern mining via regex over ordered event strings
+# --------------------------------------------------------------------------
+
+_SEQPAT_ORACLE = """
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS ch
+  FROM events
+),
+journeys AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY ts, event_id) AS journey
+  FROM coded GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, length(journey) AS n_events,
+         len(regexp_extract_all(journey, 'v[^p]*?p')) AS n_conversions,
+         len(regexp_extract_all(journey, 'ee+')) AS n_error_bursts,
+         contains(journey, 'vcp') AS has_strict_funnel
+  FROM journeys
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_conversions) AS BIGINT) AS total_conversions,
+       CAST(sum(CASE WHEN n_conversions > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_converted,
+       CAST(sum(n_error_bursts) AS BIGINT) AS total_error_bursts,
+       CAST(sum(CASE WHEN has_strict_funnel THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_strict_funnel
+FROM scored
+"""
+
+
+@register(
+    "events_sequence_pattern_regex",
+    oracle=_SEQPAT_ORACLE,
+    tags=("analytics", "sequence", "funnel"),
+)
+def events_sequence_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: encode each user's event journey as ONE
+    ordered character string (one letter per event), then mine
+    sequence patterns with plain regex — lazy conversions
+    ('v[^p]*?p': a view later closed by a purchase, non-overlapping
+    exactly like MATCH_RECOGNIZE's AFTER MATCH SKIP PAST), error
+    bursts ('ee+'), strict funnels ('vcp'). This is the standard
+    journey-mining trick where full MATCH_RECOGNIZE is unavailable
+    (Spark has no row pattern matching; `events_funnel_3step` does
+    the join formulation — regex handles patterns joins cannot,
+    like bounded gaps and repetitions, in one pass). Determinism:
+    the journey string is built from an array_sort over
+    (ts, event_id, ch) structs, the same total order as the
+    oracle's ORDER BY inside string_agg. Scale: one user-keyed
+    shuffle builds journeys (a user's history fits a string); the
+    regex runs map-side per journey; the rollup is one tiny agg —
+    at 100 TB you'd cap journey length at ingest, exactly like
+    `events_path_analysis` does."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    journeys = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("x")), lambda s: s.ch)
+            ).alias("journey")
+        )
+    )
+    scored = journeys.select(
+        F.regexp_count("journey", F.lit("v[^p]*?p")).alias("n_conversions"),
+        F.regexp_count("journey", F.lit("ee+")).alias("n_error_bursts"),
+        F.col("journey").contains("vcp").alias("has_strict_funnel"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_conversions").cast("long").alias("total_conversions"),
+        F.sum(F.when(F.col("n_conversions") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("users_converted"),
+        F.sum("n_error_bursts").cast("long").alias("total_error_bursts"),
+        F.sum(F.when(F.col("has_strict_funnel"), 1).otherwise(0))
+        .cast("long")
+        .alias("users_strict_funnel"),
+    )
