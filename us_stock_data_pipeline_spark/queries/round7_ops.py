@@ -71,9 +71,11 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     and finds duplicated windows with ONE groupBy on the window text —
     the same O(total_chars) work as the suffix-array scan, shuffled on
     a uniformly-distributed key (no skew by construction: windows are
-    near-unique except actual duplicates). 100 TB notes: window rows
-    carry only (hash, doc, source) — the 40-char gram itself can hash
-    to 16 bytes map-side (kept as text here for oracle parity); stride
+    near-unique except actual duplicates). 100 TB notes: windows hash
+    to md5 MAP-SIDE, so shuffle rows carry (hash, doc, source) and
+    never the text — at production gram lengths (50-token spans) the
+    hash is the only sane key, and both engines compute the identical
+    digest so counts stay value-exact; stride
     >1 plus window-anchor selection (doc_winnowing_fingerprint, the
     sibling operator) is the standard bandwidth/recall dial; the
     second pass joining spans back to duplicated grams reuses the same
@@ -96,7 +98,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("text") - (_SUB_L - 1)),
-                    lambda p: F.col("text").substr(p, F.lit(_SUB_L)),
+                    lambda p: F.md5(F.col("text").substr(p, F.lit(_SUB_L))),
                 )
             ).alias("gram"),
         )
