@@ -140,3 +140,35 @@ def test_accumulating_snapshot_nonnegative_lags(spark):
     for r in rows:
         assert r["sum_ship_spread_days"] >= 0
         assert r["total_lines"] >= r["n_orders"]
+
+
+def test_misra_gries_kernel_guarantees():
+    """Pure-kernel MG contract: heavy items survive, lbs are lower
+    bounds, summary never exceeds k counters."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.queries.round7_ops import _MG_K, _mg_partition
+
+    import random
+
+    rng = random.Random(7)
+    # 3 planted heavies (freq ~ n/4 each) in a sea of unique ids
+    stream = [0] * 2500 + [1] * 2000 + [2] * 1500 + [10_000 + i for i in range(4000)]
+    rng.shuffle(stream)
+    (out,) = list(_mg_partition(iter([pd.DataFrame({"item": stream})])))
+    assert len(out) <= _MG_K
+    exact = {0: 2500, 1: 2000, 2: 1500}
+    n = len(stream)
+    got = dict(zip(out["item"], out["lb"]))
+    for item, freq in exact.items():
+        if freq > n / _MG_K:
+            assert item in got, f"heavy item {item} must survive"
+    for item, lb in got.items():
+        assert lb <= exact.get(int(item), 1)  # lb is a lower bound
+
+
+def test_misra_gries_query_superset_property(spark):
+    rows = _run(spark, "agg_misra_gries_heavy_hitters")
+    assert rows  # the skewed synthetic stream always produces heavies
+    for r in rows:
+        assert r["in_candidates"] is True  # superset guarantee held

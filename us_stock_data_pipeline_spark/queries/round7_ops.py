@@ -1504,6 +1504,37 @@ ORDER BY e.freq DESC, e.item
 """
 
 
+def _mg_partition(batches):
+    """REAL Misra-Gries kernel over one partition's Arrow batches:
+    k counters, decrement-all on overflow, zero-count eviction.
+    Guarantee (unit-tested): every item with partition frequency
+    > n_partition / k survives in the emitted summary, and each
+    emitted lb is a LOWER bound on the item's true partition count."""
+    import pandas as pd
+
+    counters: dict[int, int] = {}
+    for pdf in batches:
+        for item in pdf["item"]:
+            item = int(item)
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < _MG_K:
+                counters[item] = 1
+            else:
+                # decrement-all: every counter pays one; zeros evicted
+                dead = []
+                for k in counters:
+                    counters[k] -= 1
+                    if counters[k] == 0:
+                        dead.append(k)
+                for k in dead:
+                    del counters[k]
+    yield pd.DataFrame(
+        {"item": pd.Series(list(counters), dtype="int64"),
+         "lb": pd.Series(list(counters.values()), dtype="int64")}
+    )
+
+
 @register(
     "agg_misra_gries_heavy_hitters",
     oracle=_MG_ORACLE,
@@ -1526,40 +1557,14 @@ def agg_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     order-invariant part — the exact heavy hitters and the superset
     property (asserted per row by joining candidates) — while the
     MG kernel's mechanics are pinned by unit tests."""
-    import pandas as pd
-
     ev = load_table(spark, sf_dir, "events")
     stream = ev.select(
         F.when(F.col("user_id") % 10 < 6, F.col("user_id") % 3)
         .otherwise(F.col("user_id"))
         .alias("item")
     )
-
-    def mg_partition(batches):
-        counters: dict[int, int] = {}
-        for pdf in batches:
-            for item in pdf["item"]:
-                item = int(item)
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < _MG_K:
-                    counters[item] = 1
-                else:
-                    # decrement-all: every counter pays one; zeros evicted
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame(
-            {"item": pd.Series(list(counters), dtype="int64"),
-             "lb": pd.Series(list(counters.values()), dtype="int64")}
-        )
-
     candidates = (
-        stream.mapInPandas(mg_partition, "item long, lb long")
+        stream.mapInPandas(_mg_partition, "item long, lb long")
         .select("item")
         .dropDuplicates()
     )
