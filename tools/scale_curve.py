@@ -94,6 +94,14 @@ QUERIES = [
     "embedding_mutual_knn",
     "rlhf_bradley_terry",
     "graph_modularity",
+    # driver-round-7 heavy additions: stride-1 character-window dedup
+    # (grams linear in corpus chars), three manifest-committed MERGEs +
+    # snapshot read (write-path scaling), within-pair b-bit sketch
+    # compare, journey-string regex mining (one user-keyed shuffle)
+    "dedup_exact_substring",
+    "etl_versioned_merge",
+    "dedup_minhash_b_bit",
+    "events_sequence_pattern_regex",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
