@@ -235,7 +235,10 @@ def main():
     print("`norm ratio` = wall ratio / max(rows ratio, 1): divides out answer")
     print("growth, so output-volume-bound tails (near-dup pairs, fingerprints)")
     print("are distinguishable from plan defects — judge the PLAN by norm,")
-    print("the OUTPUT by rows ratio.\n")
+    print("the OUTPUT by rows ratio. For input-bound aggregating queries")
+    print("(constant output, 10x input work) the wall ratio itself is the")
+    print("sub-linearity measure — a fixed pool absorbing 10x input below")
+    print("10x wall.\n")
     print(
         "| query | base sec | 10x sec | wall ratio | base rows | 10x rows |"
         " rows ratio | norm ratio |"
