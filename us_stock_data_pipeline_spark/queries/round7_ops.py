@@ -61,7 +61,7 @@ ORDER BY s.source
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-substring dedup (Lee et al. 2022, "Deduplicating Training
-    Data Makes Language Models Better"): find every {L}-char substring
+    Data Makes Language Models Better"): find every 40-char substring
     that appears in >= 2 distinct documents — the character-level
     counterpart of doc-level MinHash, catching boilerplate, licenses,
     and re-posted excerpts that whole-doc similarity misses. Planted
