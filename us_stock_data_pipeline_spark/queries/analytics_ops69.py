@@ -101,9 +101,21 @@ def causal_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("outcome")
         )
+        .persist()  # feeds the sweep-line AND the control-outcome join
     )
+    # Both neighbor searches are RUNNING `last ignorenulls` frames
+    # (unboundedPreceding .. -1): the forward pass on ascending
+    # (score, cust), the backward pass on DESCENDING order — "last
+    # preceding control in descending order" IS the nearest following
+    # control in ascending order. A `first(...) over (1 FOLLOWING ..
+    # UNBOUNDED)` frame computes the same value but Spark re-scans the
+    # remaining frame per row — O(n^2) in the partition, measured 9.5s
+    # at sf0.1 (15k customers) and fatal at real scale; two running
+    # frames are two O(n log n) sorts with O(1) per-row state.
     w_prev = Window.orderBy("score", "cust").rowsBetween(Window.unboundedPreceding, -1)
-    w_next = Window.orderBy("score", "cust").rowsBetween(1, Window.unboundedFollowing)
+    w_next = Window.orderBy(F.col("score").desc(), F.col("cust").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     ctrl_score = F.when(F.col("treated") == 0, F.col("score"))
     ctrl_cust = F.when(F.col("treated") == 0, F.col("cust"))
     ordered = units.select(
@@ -113,8 +125,8 @@ def causal_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outcome",
         F.last(ctrl_score, ignorenulls=True).over(w_prev).alias("prev_score"),
         F.last(ctrl_cust, ignorenulls=True).over(w_prev).alias("prev_cust"),
-        F.first(ctrl_score, ignorenulls=True).over(w_next).alias("next_score"),
-        F.first(ctrl_cust, ignorenulls=True).over(w_next).alias("next_cust"),
+        F.last(ctrl_score, ignorenulls=True).over(w_next).alias("next_score"),
+        F.last(ctrl_cust, ignorenulls=True).over(w_next).alias("next_cust"),
     )
     t = ordered.filter(F.col("treated") == 1)
     back_wins = (F.col("score") - F.col("prev_score")) <= (F.col("next_score") - F.col("score"))
