@@ -217,7 +217,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dp") > _AA_HOT_CAP
     ).select("p")
     audit = hot.agg(F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped"))
-    edges = edges0.join(F.broadcast(hot), "p", "left_anti")
+    # persist: the capped edge set feeds the weight table AND both pair
+    # sides — unshared, the lineitem scan + distinct + anti-join runs 3x
+    # (the same fix measured 8.7s -> 2.2s on the Jaccard twin)
+    edges = edges0.join(F.broadcast(hot), "p", "left_anti").persist()
     weights = (
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("dp"))
