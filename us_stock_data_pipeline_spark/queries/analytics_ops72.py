@@ -100,7 +100,10 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.sum(F.col("w") * F.col("h")).cast("long").alias("s"))
     )
-    a2n = norm(a2, "p", "a")
+    # a2n feeds BOTH the final authority ranking and the h2 half-step;
+    # unpersisted, its whole 4-aggregate lineage re-runs for the second
+    # consumer (|parts| rows — cheap to cache, expensive to rebuild)
+    a2n = norm(a2, "p", "a").persist()
     h2 = (
         edges.join(a2n, "p")
         .groupBy("c")
