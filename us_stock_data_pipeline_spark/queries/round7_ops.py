@@ -1674,3 +1674,166 @@ def events_sequence_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("users_strict_funnel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language
+# --------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(text, ' ') AS words,
+         length(text) AS n_chars
+  FROM documents
+),
+counts AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS n_words,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         -- whitespace+punct proxy tokenizer: every word contributes
+         -- ceil(len(word)/4) subword tokens (the 4-chars-per-token
+         -- rule of thumb a real BPE replaces)
+         CAST(sum(list_sum(list_transform(words,
+              w -> (length(w) + 3) // 4))) AS BIGINT) AS n_subwords
+  FROM toks GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_subwords,
+       round(CAST(n_subwords AS DOUBLE) / n_words, 4) AS fertility,
+       round(CAST(n_chars AS DOUBLE) / n_subwords, 4) AS chars_per_token
+FROM counts
+ORDER BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE, tags=("llm", "tokenizer"))
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (subword tokens per word) and compression
+    (chars per token) broken down by language — the metric pair that
+    decides whether a tokenizer underserves a language (high fertility
+    = more tokens per sentence = less effective context and higher
+    serving cost; the multilingual-equity number every tokenizer
+    paper reports). The subword proxy is the ceil(len/4) rule of
+    thumb — a real deployment swaps in tokenizer counts landed as a
+    column by the inference fleet, and the DATAFLOW (one map-side HOF
+    fold per doc, one language rollup) is unchanged. All counts are
+    exact BIGINTs; fertility/compression are terminal divisions. At
+    100 TB: single pass, no shuffle beyond the |languages|-row
+    rollup's map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    subwords = F.aggregate(
+        F.transform(words, lambda w: F.floor((F.length(w) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    counts = (
+        docs.select(
+            "lang",
+            F.size(words).cast("long").alias("w"),
+            F.length("text").cast("long").alias("c"),
+            subwords.alias("sw"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum("sw").cast("long").alias("n_subwords"),
+        )
+    )
+    return counts.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 4).alias("fertility"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_subwords"), 4).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection (corpus routing filter)
+# --------------------------------------------------------------------------
+
+_CODE_ORACLE = """
+WITH feat AS (
+  SELECT doc_id, source,
+         length(text) AS n,
+         length(text) - length(replace(text, '{', ''))
+           + length(text) - length(replace(text, '}', ''))
+           + length(text) - length(replace(text, ';', '')) AS n_codechars,
+         length(text) - length(replace(text, '=', '')) AS n_equals,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST(n_codechars * 1000 // n AS BIGINT) AS code_permille,
+         CAST(n_equals * 1000 // n AS BIGINT) AS eq_permille,
+         (n_codechars * 1000 // n) >= 5 OR (n_equals * 1000 // n) >= 10
+           AS looks_like_code
+  FROM feat WHERE n > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN looks_like_code THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code_docs,
+       CAST(sum(code_permille) AS BIGINT) AS sum_code_permille,
+       CAST(max(code_permille) AS BIGINT) AS max_code_permille
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_code_detection", oracle=_CODE_ORACLE, tags=("llm", "text", "quality"))
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing: flag documents whose brace/semicolon and
+    assignment-operator densities (exact integer permille of chars)
+    cross code-like thresholds — the cheap first-pass router that
+    splits a web crawl into code and natural-language streams BEFORE
+    language-specific pipelines run (code goes to dedup-by-AST-ish
+    paths and code-quality filters; prose to the Gopher battery —
+    `text_gopher_quality_rules`). Pure map-side character counting
+    via replace-diff (no regex engine in the hot path), exact integer
+    permilles so the routing decision is engine-exact, one small
+    rollup per source. At 100 TB this is a scan-speed pass, which is
+    the whole point of running it first."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def chr_count(c: str):
+        return F.length("text") - F.length(F.regexp_replace("text", "\\" + c, ""))
+
+    raw = docs.filter(F.length("text") > 0).select(
+        "source",
+        F.length("text").cast("long").alias("n"),
+        (chr_count("{") + chr_count("}") + chr_count(";")).cast("long").alias("nc"),
+        chr_count("=").cast("long").alias("ne"),
+    )
+    scored = raw.select(
+        "source",
+        F.expr("nc * 1000 div n").alias("code_permille"),
+        F.expr("ne * 1000 div n").alias("eq_permille"),
+    ).select(
+        "source",
+        "code_permille",
+        ((F.col("code_permille") >= 5) | (F.col("eq_permille") >= 10)).alias(
+            "looks_like_code"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("looks_like_code"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_code_docs"),
+            F.sum("code_permille").cast("long").alias("sum_code_permille"),
+            F.max("code_permille").cast("long").alias("max_code_permille"),
+        )
+        .orderBy("source")
+    )

@@ -67,6 +67,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "udf_arrow_python",
     "agg_misra_gries_heavy_hitters",
     "events_sequence_pattern_regex",
+    "tokenizer_fertility_by_lang",
+    "text_code_detection",
     # --- round 7: the 349 queries never driver-sampled in r1-r6, in
     # --- registration order, go first so each round of ~50 driver checks
     # --- maximizes first-time coverage (judge r6 item 1b).
