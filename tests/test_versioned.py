@@ -174,3 +174,48 @@ def test_manifest_level_partition_pruning(spark, root):
 
     with pytest.raises(LookupError):
         V.read_versioned(spark, root, partition_filter=lambda p: False)
+
+
+def test_concurrent_reader_never_sees_torn_snapshot(spark, root):
+    """REAL concurrency (not the simulated boundary test above): a
+    writer thread commits full-table restatements v=1..6 where every
+    row of version k carries px == k; reader threads hammer
+    read_versioned concurrently and assert every snapshot they observe
+    is internally CONSISTENT — all 20 keys present, all carrying the
+    same px (a mix of two versions = a torn read, which the atomic
+    manifest rename makes impossible)."""
+    import threading
+
+    keys = [("AAPL", i) for i in range(10)] + [("MSFT", i) for i in range(10)]
+
+    def batch(k):
+        return _mk(spark, [(s, t, float(k)) for s, t in keys])
+
+    V.versioned_merge_upsert(spark, batch(1), root, ("symbol", "ts"))
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            rows = V.read_versioned(spark, root).select("symbol", "ts", "px").collect()
+            if len(rows) != len(keys):
+                errors.append(f"saw {len(rows)} rows")
+                return
+            vals = {r.px for r in rows}
+            if len(vals) != 1:
+                errors.append(f"torn snapshot: mixed versions {sorted(vals)}")
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for k in range(2, 7):
+            V.versioned_merge_upsert(spark, batch(k), root, ("symbol", "ts"))
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors
+    final = V.read_versioned(spark, root).select("px").distinct().collect()
+    assert [r.px for r in final] == [6.0]
