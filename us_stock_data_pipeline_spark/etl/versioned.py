@@ -6,8 +6,8 @@ exist in the environment.
 Design (a minimal Iceberg/Delta-log hybrid):
 
     root/
-      versions/v00000001/symbol=AAPL/part-*.parquet   # data, immutable
-      versions/v00000002/symbol=MSFT/part-*.parquet   # only TOUCHED parts
+      versions/v00000001-3fa9c1d2/symbol=AAPL/part-*.parquet  # immutable
+      versions/v00000002-8be04a77/symbol=MSFT/part-*.parquet  # TOUCHED parts
       manifests/v00000001.json   # {partition dir -> owning version dir}
       manifests/v00000002.json
 
@@ -23,9 +23,17 @@ Design (a minimal Iceberg/Delta-log hybrid):
   version dir and maybe a `.tmp` manifest — both invisible to readers
   and reclaimed by `vacuum_versions`.
 - **Optimistic concurrency** falls out of the same rename: two writers
-  racing to commit version N — exactly one rename to the fresh name
-  succeeds; the loser re-reads the new current manifest and retries at
-  N+1 (Delta's _delta_log protocol, re-expressed on plain parquet).
+  racing to commit version N — exactly one publish of the fresh manifest
+  name succeeds; the loser re-reads the new current manifest and retries
+  at N+1 (Delta's _delta_log protocol, re-expressed on plain parquet).
+  Each commit ATTEMPT stages its data under a race-proof unique dir
+  (`versions/v{N}-{uuid}`) so two racers can never write, reference, or
+  reclaim each other's bytes; a lost race leaves an orphan dir that only
+  `vacuum_versions` (age-gated) removes. On the local filesystem, where
+  Hadoop's rename maps to rename(2) and silently REPLACES the target,
+  the publish primitive is link(2) (`java.nio Files.createLink`) — a
+  true compare-and-swap that fails EEXIST instead of clobbering; on
+  HDFS/object stores the native no-replace rename contract is used.
 - Old manifests stay readable => **time travel** (`read_versioned(...,
   version=N)`) until vacuumed.
 
@@ -95,14 +103,47 @@ def _read_file(spark: SparkSession, path: str) -> str:
 
 
 def _rename(spark: SparkSession, src: str, dst: str) -> bool:
-    """Atomic publish primitive: rename src -> dst, failing (False) if
-    dst already exists — the loser of a commit race must NOT clobber the
-    winner's manifest."""
+    """Atomic publish primitive: make `dst` appear with `src`'s (fully
+    written) contents, failing (False) if dst already exists — the loser
+    of a commit race must NOT clobber the winner's manifest.
+
+    On the local filesystem an exists()-then-rename check is NOT a CAS:
+    RawLocalFileSystem.rename maps to rename(2), which silently replaces
+    an existing destination, so two racers could both pass the exists
+    check and the second would overwrite the first's committed manifest.
+    link(2) is the true exclusive-publish primitive there — it fails
+    EEXIST atomically and never replaces. HDFS's own rename contract
+    already refuses an existing destination (returns false), and object
+    stores map this to a conditional/if-none-match PUT, so the plain
+    rename path is a real CAS everywhere except file://."""
     fs, psrc, jvm = _fs(spark, src)
     pdst = jvm.org.apache.hadoop.fs.Path(dst)
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "file"):
+        nio_src = jvm.java.io.File(psrc.toUri().getPath()).toPath()
+        nio_dst = jvm.java.io.File(pdst.toUri().getPath()).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(nio_dst, nio_src)
+        except Exception as exc:  # py4j surfaces the Java class in str()
+            if "FileAlreadyExistsException" in str(exc):
+                return False
+            raise
+        fs.delete(psrc, False)
+        return True
     if fs.exists(pdst):
         return False
     return bool(fs.rename(psrc, pdst))
+
+
+def _mtime_ms(spark: SparkSession, path: str) -> int:
+    fs, p, _ = _fs(spark, path)
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
+def _now_ms(spark: SparkSession) -> int:
+    # The JVM clock, so age comparisons use the same clock that stamped
+    # the FileStatus modification times.
+    return int(spark.sparkContext._jvm.java.lang.System.currentTimeMillis())
 
 
 def _list_names(spark: SparkSession, path: str) -> list[str]:
@@ -238,16 +279,24 @@ def versioned_merge_upsert(
       2. Read ONLY the touched partitions of the current snapshot
          (manifest-pruned — the unit of work is the update batch, never
          the table), anti-join on the keys, union the updates.
-      3. Write the merged rows to versions/v{N}/ (invisible: no
-         manifest references it yet).
+      3. Write the merged rows to versions/v{N}-{uuid}/ (invisible: no
+         manifest references it yet). The uuid suffix makes the attempt
+         dir PRIVATE to this writer: two racers computing the same N can
+         never write into — or, on losing, delete — each other's data.
       4. Build manifest N = manifest N-1 with touched partitions
-         repointed to v{N}, and publish it by atomic rename. If another
-         writer claimed N first, recompute against their manifest and
-         retry at N+1 (optimistic concurrency).
+         repointed to this attempt's dir, and publish it by the atomic
+         CAS in `_rename`. If another writer claimed N first, leave the
+         orphan attempt dir for `vacuum_versions` (its unique name can
+         never be referenced by anyone else's manifest), recompute
+         against the winner's manifest and retry at N+1.
 
     Steps 1-3 write only to never-before-referenced paths, so a crash
-    anywhere before the rename leaves readers on the old snapshot with
+    anywhere before the publish leaves readers on the old snapshot with
     zero cleanup required for correctness (vacuum reclaims the orphans).
+    The anti-join delete-key set is computed from the MATERIALIZED
+    staging copy (not the caller's plan) so a nondeterministic source
+    re-evaluated at join time cannot make the deleted keys diverge from
+    the rows actually inserted.
     """
     from us_stock_data_pipeline_spark.etl.sinks import _layout_for_write
 
@@ -262,7 +311,12 @@ def versioned_merge_upsert(
         for attempt in range(max_commit_retries):
             base_ver = current_version(spark, root)
             new_ver = base_ver + 1
-            ver_dir = posixpath.join(_VERSIONS, f"v{new_ver:08d}")
+            # Unique per ATTEMPT: a racer computing the same new_ver
+            # writes a different dir, so a lost race can never clobber
+            # (or later reclaim) the winner's committed data.
+            ver_dir = posixpath.join(
+                _VERSIONS, f"v{new_ver:08d}-{uuid.uuid4().hex[:8]}"
+            )
             manifest = (
                 read_manifest(spark, root, base_ver) if base_ver else {}
             )
@@ -273,14 +327,17 @@ def versioned_merge_upsert(
                 by_ver: dict[str, list[str]] = {}
                 for d, v in old_touched.items():
                     by_ver.setdefault(v, []).append(d)
-                keys = updates.select(*key_cols).dropDuplicates()
+                # Keys from the MATERIALIZED staging copy, so the delete
+                # set and the insert set come from the same snapshot even
+                # when the caller's `updates` plan is nondeterministic.
+                keys = staged.select(*key_cols).dropDuplicates()
                 for v, dirs in sorted(by_ver.items()):
                     base = posixpath.join(root, v)
                     old = spark.read.option("basePath", base).parquet(
                         *[posixpath.join(base, d) for d in sorted(dirs)]
                     )
                     keep = old.join(F.broadcast(keys), list(key_cols), "left_anti")
-                    merged = merged.unionByName(keep.select(*updates.columns))
+                    merged = merged.unionByName(keep.select(*staged.columns))
             abs_ver = posixpath.join(root, ver_dir)
             _layout_for_write(merged, partition_cols).write.mode(
                 "overwrite"
@@ -299,8 +356,10 @@ def versioned_merge_upsert(
             if _rename(spark, tmp, final):
                 return new_ver
             # Lost the race: another writer committed new_ver first.
+            # Delete only OUR tmp manifest; the attempt's data dir is
+            # left as an orphan for the age-gated vacuum — its unique
+            # name guarantees no other writer's manifest references it.
             _delete(spark, tmp)
-            _delete(spark, abs_ver)
         raise RuntimeError(
             f"versioned commit lost {max_commit_retries} races at {root}"
         )
@@ -334,7 +393,10 @@ def compact_table(spark: SparkSession, root: str) -> int:
     for attempt in range(5):
         base_ver = current_version(spark, root)
         new_ver = base_ver + 1
-        ver_dir = posixpath.join(_VERSIONS, f"v{new_ver:08d}")
+        # Unique attempt dir + orphan-on-loss, same as the merge path.
+        ver_dir = posixpath.join(
+            _VERSIONS, f"v{new_ver:08d}-{uuid.uuid4().hex[:8]}"
+        )
         abs_ver = posixpath.join(root, ver_dir)
         _layout_for_write(snapshot, tuple(part_cols)).write.mode(
             "overwrite"
@@ -351,31 +413,53 @@ def compact_table(spark: SparkSession, root: str) -> int:
         if _rename(spark, tmp, final):
             return new_ver
         _delete(spark, tmp)
-        _delete(spark, abs_ver)
     raise RuntimeError(f"compaction lost 5 commit races at {root}")
 
 
-def vacuum_versions(spark: SparkSession, root: str, keep_last: int = 2) -> int:
+def vacuum_versions(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    grace_seconds: float = 86400.0,
+) -> int:
     """Reclaim version dirs no retained manifest references and manifests
     older than the last `keep_last`. Never touches the current snapshot;
-    returns the number of paths deleted. (On a live table you'd also age
-    by timestamp so in-flight readers of a just-expired snapshot finish;
-    that horizon is an operational knob, not a protocol change.)"""
+    returns the number of paths deleted.
+
+    An UNREFERENCED path is reclaimed only if it is older than
+    ``grace_seconds`` (default 24h): a concurrent writer's fully-written
+    but not-yet-committed attempt dir (and its .tmp manifest) is by
+    construction brand-new, so the age horizon guarantees vacuum can
+    never delete data whose manifest publish is still in flight — the
+    same safety rule as Delta's VACUUM retention vs. open transactions.
+    Superseded NUMBERED manifests (committed, merely expired from the
+    retention window) carry no such risk and are removed regardless of
+    age; the age gate protects only never-committed paths and the data
+    dirs themselves (which in-flight readers of a just-expired snapshot
+    may still be scanning). Pass ``grace_seconds=0`` only when no writer
+    or reader can be concurrent (tests, single-process maintenance)."""
     cur = current_version(spark, root)
     keep_manifest_vers = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
     live_dirs: set[str] = set()
     for v in keep_manifest_vers:
         live_dirs.update(read_manifest(spark, root, v).values())
+    horizon_ms = _now_ms(spark) - int(grace_seconds * 1000)
+
+    def _old_enough(path: str) -> bool:
+        return _mtime_ms(spark, path) <= horizon_ms
+
     deleted = 0
     for name in _list_names(spark, posixpath.join(root, _MANIFESTS)):
         v = _manifest_version(name)
-        if (v is not None and v not in keep_manifest_vers) or name.startswith(
-            ".tmp_"
-        ):
-            _delete(spark, posixpath.join(root, _MANIFESTS, name))
+        path = posixpath.join(root, _MANIFESTS, name)
+        expired_committed = v is not None and v not in keep_manifest_vers
+        stale_tmp = name.startswith(".tmp_") and _old_enough(path)
+        if expired_committed or stale_tmp:
+            _delete(spark, path)
             deleted += 1
     for name in _list_names(spark, posixpath.join(root, _VERSIONS)):
-        if posixpath.join(_VERSIONS, name) not in live_dirs:
-            _delete(spark, posixpath.join(root, _VERSIONS, name))
+        path = posixpath.join(root, _VERSIONS, name)
+        if posixpath.join(_VERSIONS, name) not in live_dirs and _old_enough(path):
+            _delete(spark, path)
             deleted += 1
     return deleted
