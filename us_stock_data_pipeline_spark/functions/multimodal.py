@@ -2,12 +2,14 @@
 
 Payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes move
-driver-free in columnar batches. Two codec paths are fully REAL with
-zero external libraries: binary PPM (P6; pure numpy) and non-interlaced
+driver-free in columnar batches. Three codec paths are fully REAL with
+zero external libraries: binary PPM (P6; pure numpy), non-interlaced
 8-bit RGB PNG (stdlib zlib inflate + numpy unfiltering of all five PNG
-filter types) — exercised end-to-end by `multimodal_ppm_decode` /
-`multimodal_png_decode`. JPEG/audio remain gated behind ``decode_image``
-(no codecs in this container), but their plumbing (schema, partitioning,
+filter types), and mono PCM16 RIFF/WAVE audio (stdlib struct + numpy
+chunk walk) — exercised end-to-end by `multimodal_ppm_decode` /
+`multimodal_png_decode` / `multimodal_wav_pcm_decode`. JPEG and
+compressed audio (MP3/OGG) remain gated behind ``decode_image`` (no
+codecs in this container), but their plumbing (schema, partitioning,
 batch shape) is identical to the live paths.
 """
 
@@ -274,6 +276,90 @@ def ppm_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["sum_b"].append(int(sums[2]))
         yield pd.DataFrame(
             {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+def encode_wav_pcm16(doc_id: int, n_samples: int = 64, rate: int = 8000) -> bytes:
+    """Render a deterministic mono PCM16 clip as a REAL RIFF/WAVE file —
+    canonical 44-byte header (RIFF size, fmt chunk with PCM tag 1,
+    mono, 16-bit, byte rate/block align, data chunk), samples little-
+    endian int16. Sample t is affine-mod of (doc_id, t) centered near
+    zero so sums/energies have a closed form a SQL oracle enumerates:
+    ``s_t = (doc_id*31 + t*97) % 2001 - 1000``."""
+    import struct
+
+    t = np.arange(n_samples, dtype=np.int64)
+    samples = ((doc_id * 31 + t * 97) % 2001 - 1000).astype(np.int16)
+    data = samples.tobytes()
+    byte_rate = rate * 2  # mono * 16-bit
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL decoder for mono PCM16 RIFF/WAVE: walk the RIFF chunks
+    (tolerating extra chunks like LIST before data), validate the fmt
+    chunk, and reinterpret the data chunk as int16 samples with numpy —
+    zero external codecs (PCM *is* the uncompressed audio path, exactly
+    as PPM is for images; MP3/OGG plug into the same batch kernel when
+    a codec library exists). Returns (sample_rate, samples). Bounded
+    scans: truncation raises, never spins."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    n = len(payload)
+    i = 12
+    rate = None
+    samples = None
+    while i + 8 <= n:
+        ctype = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated WAV chunk")
+        if ctype == b"fmt ":
+            fmt_tag, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError("only mono 16-bit PCM WAV supported")
+        elif ctype == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(rate), samples
+
+
+def wav_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real audio decode stage: (doc_id, payload: WAV bytes) -> integer-
+    exact per-clip statistics (n_samples, sum, sum of |s|, energy) plus
+    the sample rate — the audio twin of ppm/png_decode_batch, same
+    drop-in mapInPandas kernel contract."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "sample_rate": [], "n_samples": [], "sum_s": [], "sum_abs": [], "energy": []
+        }
+        for payload in pdf["payload"]:
+            rate, s = decode_wav_pcm16(bytes(payload))
+            s64 = s.astype(np.int64)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(int(s64.size))
+            out["sum_s"].append(int(s64.sum()))
+            out["sum_abs"].append(int(np.abs(s64).sum()))
+            out["energy"].append(int((s64 * s64).sum()))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64")}
+            | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
         )
 
 
