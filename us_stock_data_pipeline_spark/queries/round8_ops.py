@@ -383,3 +383,341 @@ def finance_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(floor((spot * {nd1} - strike * exp(-0.005) * {nd2}"
         " - spot + strike * exp(-0.005)) * 1e4 + 0.5) AS BIGINT) AS put_e4",
     ).orderBy("symbol")
+
+
+# --------------------------------------------------------------------------
+# bars: Corwin-Schultz high-low spread estimator
+# --------------------------------------------------------------------------
+
+_HILO_SQL = """
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(max(value) * 100) AS BIGINT) AS h,
+         CAST(round(min(value) * 100) AS BIGINT) AS l
+  FROM events GROUP BY 1, 2
+"""
+
+# One fixed double tree from exact integer (h, l, hp, lp); k = 3-2*sqrt(2).
+_CS_S = (
+    "(2.0 * (exp("
+    "(sqrt(2.0 * (ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
+    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
+    " - sqrt(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
+    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
+    " / (3.0 - 2.0 * sqrt(2.0))"
+    " - sqrt((ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE))"
+    " * ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE)))"
+    " / (3.0 - 2.0 * sqrt(2.0)))"
+    ") - 1.0) / (1.0 + exp("
+    "(sqrt(2.0 * (ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
+    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
+    " - sqrt(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
+    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
+    " / (3.0 - 2.0 * sqrt(2.0))"
+    " - sqrt((ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE))"
+    " * ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE)))"
+    " / (3.0 - 2.0 * sqrt(2.0)))"
+    ")))"
+)
+
+_CS_ORACLE = f"""
+WITH hilo AS ({_HILO_SQL}),
+pairs AS (
+  SELECT symbol, day, h, l,
+         lag(h) OVER w AS hp, lag(l) OVER w AS lp
+  FROM hilo WINDOW w AS (PARTITION BY symbol ORDER BY day)
+),
+est AS (
+  SELECT symbol,
+         CAST(floor({_CS_S} * 1e9 + 0.5) AS BIGINT) AS s_e9
+  FROM pairs
+  WHERE hp IS NOT NULL AND l > 0 AND lp > 0 AND h >= l AND hp >= lp
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(floor(CAST(sum(s_e9) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+         AS mean_spread_e9,
+       CAST(sum(CASE WHEN s_e9 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM est
+GROUP BY symbol
+ORDER BY symbol
+"""
+
+
+@register("bars_corwin_schultz_spread", oracle=_CS_ORACLE, tags=("bars", "finance", "microstructure"))
+def bars_corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz (2012) bid-ask spread estimator from daily
+    high/low ranges alone — the microstructure complement to
+    `bars_roll_spread` (serial-covariance family): the high-low ratio
+    embeds both variance AND spread, and two-day overlapping ranges
+    let the closed form separate them (beta from two single-day
+    ranges, gamma from the two-day range, alpha via the
+    3-2*sqrt(2) identity, spread = 2(e^a-1)/(1+e^a)). Negative daily
+    estimates are kept (reported via n_negative) and averaged, per the
+    paper's baseline treatment. Floats: h/l are exact integer cents,
+    each day's estimate is ONE shared double tree quantized to 1e-9
+    BEFORE the per-symbol mean (integer sums, no sum-order drift).
+    Plan: daily rollup -> one lag window -> per-symbol aggregate; one
+    shuffle on symbol end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    hilo = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.max("value") * 100).cast("long").alias("h"),
+        F.round(F.min("value") * 100).cast("long").alias("l"),
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    pairs = hilo.withColumn("hp", F.lag("h").over(w)).withColumn(
+        "lp", F.lag("l").over(w)
+    )
+    est = pairs.filter(
+        "hp IS NOT NULL AND l > 0 AND lp > 0 AND h >= l AND hp >= lp"
+    ).selectExpr("symbol", f"CAST(floor({_CS_S} * 1e9 + 0.5) AS BIGINT) AS s_e9")
+    return (
+        est.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "CAST(floor(CAST(sum(s_e9) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+            ).alias("mean_spread_e9"),
+            F.sum(F.when(F.col("s_e9") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .orderBy("symbol")
+    )
+
+
+# --------------------------------------------------------------------------
+# bars: triple-barrier labeling (Lopez de Prado)
+# --------------------------------------------------------------------------
+
+_TB_H = 5  # horizon days
+_TB_LABEL = (
+    "CASE "
+    + " ".join(
+        f"WHEN c{k} * 100 >= c * 102 THEN 1 WHEN c{k} * 100 <= c * 98 THEN -1"
+        for k in range(1, _TB_H + 1)
+    )
+    + " ELSE 0 END"
+)
+_TB_DAYS = (
+    "CASE "
+    + " ".join(
+        f"WHEN c{k} * 100 >= c * 102 OR c{k} * 100 <= c * 98 THEN {k}"
+        for k in range(1, _TB_H + 1)
+    )
+    + f" ELSE {_TB_H} END"
+)
+_TB_LEADS_SQL = ", ".join(
+    f"lead(c, {k}) OVER w AS c{k}" for k in range(1, _TB_H + 1)
+)
+
+_TB_ORACLE = f"""
+WITH closes AS ({_CLOSES_SQL}),
+leads AS (
+  SELECT symbol, day, c, {_TB_LEADS_SQL}
+  FROM closes WINDOW w AS (PARTITION BY symbol ORDER BY day)
+),
+labeled AS (
+  SELECT symbol, {_TB_LABEL} AS label, {_TB_DAYS} AS days
+  FROM leads WHERE c{_TB_H} IS NOT NULL
+)
+SELECT symbol, CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST((sum(days) * 100) // count(*) AS BIGINT) AS avg_days_e2
+FROM labeled
+GROUP BY symbol, label
+ORDER BY symbol, label
+"""
+
+
+@register("bars_triple_barrier_label", oracle=_TB_ORACLE, tags=("bars", "llm", "labeling"))
+def bars_triple_barrier_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier labeling (Lopez de Prado, *Advances in Financial
+    ML*) — THE standard way to turn raw bars into supervised-learning
+    targets: every day is an entry; the label is which barrier the
+    close touches FIRST over the next {H} days — profit-take at +2%
+    (+1), stop-loss at -2% (-1), or the time barrier (0) — plus the
+    realized holding period. Barrier tests are pure integer-cents
+    inequalities (c_k*100 vs c*102 / c*98: no division, no doubles
+    anywhere), the horizon unrolls to {H} lead() columns on ONE
+    symbol-ordered window, and the first-touch CASE evaluates
+    day-by-day in order, so label and days come from the same scan.
+    At 100 TB this is one shuffle on symbol and a fixed 5-column
+    widening — no self-join, no fan-out; entries without a full
+    horizon are dropped (standard embargo).""".replace("{H}", str(_TB_H))
+    closes = _daily_closes(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("day")
+    leads = closes.select(
+        "symbol",
+        "c",
+        *[F.lead("c", k).over(w).alias(f"c{k}") for k in range(1, _TB_H + 1)],
+    )
+    labeled = leads.filter(F.col(f"c{_TB_H}").isNotNull()).selectExpr(
+        "symbol", f"{_TB_LABEL} AS label", f"{_TB_DAYS} AS days"
+    )
+    return (
+        labeled.groupBy("symbol", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entries"),
+            F.expr("CAST((sum(days) * 100) div count(*) AS BIGINT)").alias(
+                "avg_days_e2"
+            ),
+        )
+        .withColumn("label", F.col("label").cast("long"))
+        .orderBy("symbol", "label")
+    )
+
+
+# --------------------------------------------------------------------------
+# bars: Engle-Granger two-step cointegration test on symbol pairs
+# --------------------------------------------------------------------------
+
+# Step 1: OLS y~x from exact integer moments. Step 2: residuals
+# quantized to millicents, then the same drift-free Dickey-Fuller
+# moment algebra as stats_dickey_fuller on the residual series.
+_EG_ORACLE = f"""
+WITH closes AS ({_CLOSES_SQL}),
+pairs AS (
+  SELECT a.symbol AS sym_x, b.symbol AS sym_y, a.day,
+         a.c AS x, b.c AS y
+  FROM closes a JOIN closes b ON a.day = b.day AND a.symbol < b.symbol
+),
+mom AS (
+  SELECT sym_x, sym_y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY sym_x, sym_y
+),
+fit AS (
+  SELECT sym_x, sym_y, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+         (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS alpha
+  FROM mom
+  WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AND n > 3
+),
+resid AS (
+  SELECT p.sym_x, p.sym_y, p.day, f.n, f.beta, f.alpha,
+         CAST(floor((CAST(p.y AS DOUBLE) - f.alpha - f.beta * CAST(p.x AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS e
+  FROM pairs p JOIN fit f ON p.sym_x = f.sym_x AND p.sym_y = f.sym_y
+),
+dfp AS (
+  SELECT sym_x, sym_y, n, beta,
+         lag(e) OVER w AS xl, e - lag(e) OVER w AS d
+  FROM resid WINDOW w AS (PARTITION BY sym_x, sym_y ORDER BY day)
+  QUALIFY lag(e) OVER w IS NOT NULL
+),
+dfm AS (
+  SELECT sym_x, sym_y, beta,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(xl) AS BIGINT) AS sxl, CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(xl * xl) AS BIGINT) AS sxx2, CAST(sum(xl * d) AS BIGINT) AS sxd,
+         CAST(sum(d * d) AS BIGINT) AS sdd
+  FROM dfp GROUP BY sym_x, sym_y, beta
+),
+dft AS (
+  SELECT sym_x, sym_y, beta, m, sxx2,
+         CAST(sxd AS DOUBLE) / CAST(sxx2 AS DOUBLE) AS g,
+         (CAST(sdd AS DOUBLE) - (CAST(sxd AS DOUBLE) / CAST(sxx2 AS DOUBLE)) * CAST(sxd AS DOUBLE))
+           / (CAST(m AS DOUBLE) - 1.0) AS s2
+  FROM dfm WHERE sxx2 > 0 AND m > 2
+)
+SELECT sym_x, sym_y, CAST(m + 1 AS BIGINT) AS n_days,
+       CAST(floor(beta * 1e6 + 0.5) AS BIGINT) AS beta_e6,
+       CAST(floor(g / sqrt(s2 / CAST(sxx2 AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS df_t_e4
+FROM dft
+WHERE s2 > 0
+ORDER BY sym_x, sym_y
+"""
+
+
+@register("bars_engle_granger_pairs", oracle=_EG_ORACLE, tags=("bars", "stats", "timeseries"))
+def bars_engle_granger_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test over every symbol
+    pair — the statistical gate for `bars_pairs_spread` trading: step 1
+    fits the long-run hedge ratio by OLS (closed form from exact
+    integer moments), step 2 runs a drift-free Dickey-Fuller regression
+    on the residual spread (same moment algebra as
+    `stats_dickey_fuller`) — a strongly negative t on the residuals
+    means the pair co-moves and the spread mean-reverts. Float
+    discipline: prices are integer cents, OLS beta/alpha is one fixed
+    double tree, each residual is quantized to millicents BEFORE the DF
+    moments (which are then exact BIGINT sums). Plan: one daily rollup,
+    one day-aligned self-join (pairs of a ~thousands-row dim at any
+    scale: symbols x days, never raw events), two symbol-pair windows,
+    two moment aggregates. The pair fan-out is quadratic in SYMBOL
+    count only — at a production universe you band it by sector, never
+    by row count."""
+    closes = _daily_closes(spark, sf_dir)
+    a = closes.select(
+        F.col("symbol").alias("sym_x"), "day", F.col("c").alias("x")
+    )
+    b = closes.select(
+        F.col("symbol").alias("sym_y"), "day", F.col("c").alias("y")
+    )
+    pairs = a.join(b, "day").filter(F.col("sym_x") < F.col("sym_y"))
+    mom = pairs.groupBy("sym_x", "sym_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    fit = (
+        mom.filter(
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AND n > 3"
+        )
+        .selectExpr(
+            "sym_x",
+            "sym_y",
+            "n",
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta",
+            "(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) AS alpha",
+        )
+    )
+    resid = pairs.join(F.broadcast(fit), ["sym_x", "sym_y"]).selectExpr(
+        "sym_x",
+        "sym_y",
+        "day",
+        "beta",
+        "CAST(floor((CAST(y AS DOUBLE) - alpha - beta * CAST(x AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS e",
+    )
+    w = Window.partitionBy("sym_x", "sym_y").orderBy("day")
+    dfp = (
+        resid.withColumn("xl", F.lag("e").over(w))
+        .withColumn("d", F.col("e") - F.col("xl"))
+        .filter("xl IS NOT NULL")
+    )
+    dfm = dfp.groupBy("sym_x", "sym_y", "beta").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("xl").cast("long").alias("sxl"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx2"),
+        F.sum(F.col("xl") * F.col("d")).cast("long").alias("sxd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    dft = dfm.filter("sxx2 > 0 AND m > 2").selectExpr(
+        "sym_x",
+        "sym_y",
+        "beta",
+        "m",
+        "sxx2",
+        "CAST(sxd AS DOUBLE) / CAST(sxx2 AS DOUBLE) AS g",
+        "(CAST(sdd AS DOUBLE) - (CAST(sxd AS DOUBLE) / CAST(sxx2 AS DOUBLE)) * CAST(sxd AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) - 1.0) AS s2",
+    )
+    return dft.filter("s2 > 0").selectExpr(
+        "sym_x",
+        "sym_y",
+        "CAST(m + 1 AS BIGINT) AS n_days",
+        "CAST(floor(beta * 1e6 + 0.5) AS BIGINT) AS beta_e6",
+        "CAST(floor(g / sqrt(s2 / CAST(sxx2 AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS df_t_e4",
+    ).orderBy("sym_x", "sym_y")
