@@ -296,6 +296,60 @@ def test_vacuum_grace_protects_inflight_writer(spark, root):
     assert _rows(V.read_versioned(spark, root)) == [("AAPL", 2, 20.0)]
 
 
+def test_deletion_vector_merge_on_read(spark, root):
+    """versioned_delete commits only a key list; the head read hides the
+    rows, time travel still sees them, a later upsert RE-INSERTING a
+    deleted key wins over the old tombstone (version-scoped DVs), a
+    merge touching the partition materializes the delete, and
+    compaction clears every DV."""
+    V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 1, 10.0), ("AAPL", 2, 11.0), ("MSFT", 1, 20.0)]),
+        root,
+        ("symbol", "ts"),
+    )
+    v2 = V.versioned_delete(
+        spark,
+        spark.createDataFrame([("AAPL", 2), ("MSFT", 1)], "symbol string, ts int"),
+        root,
+        ("symbol", "ts"),
+    )
+    assert v2 == 2
+    assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 10.0)]
+    # time travel to the pre-delete snapshot
+    assert len(_rows(V.read_versioned(spark, root, version=1))) == 3
+    assert V.read_deletion_vectors(spark, root, 2)[0]["version"] == 2
+    # re-insert one tombstoned key: the new row postdates the DV
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("MSFT", 1, 99.0)]), root, ("symbol", "ts")
+    )
+    assert _rows(V.read_versioned(spark, root)) == [
+        ("AAPL", 1, 10.0),
+        ("MSFT", 1, 99.0),
+    ]
+    # merge touching AAPL materializes the AAPL tombstone; DV list is
+    # carried forward but no longer matches any surviving row
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 3, 12.0)]), root, ("symbol", "ts")
+    )
+    assert _rows(V.read_versioned(spark, root)) == [
+        ("AAPL", 1, 10.0),
+        ("AAPL", 3, 12.0),
+        ("MSFT", 1, 99.0),
+    ]
+    # compaction rewrites everything and clears the DV list
+    v5 = V.compact_table(spark, root)
+    assert V.read_deletion_vectors(spark, root, v5) == []
+    assert _rows(V.read_versioned(spark, root)) == [
+        ("AAPL", 1, 10.0),
+        ("AAPL", 3, 12.0),
+        ("MSFT", 1, 99.0),
+    ]
+    # vacuum with no grace reclaims the now-unreferenced DV dir
+    V.vacuum_versions(spark, root, keep_last=1, grace_seconds=0)
+    assert V._list_names(spark, posixpath.join(root, "dvs")) == []
+
+
 def test_rename_is_exclusive_under_contention(spark, tmp_path):
     """The publish primitive is a true CAS: N threads all trying to
     publish the same destination — exactly one wins, and the winner's

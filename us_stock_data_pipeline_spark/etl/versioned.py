@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 _VERSIONS = "versions"
 _MANIFESTS = "manifests"
+_DVS = "dvs"
 
 
 # --------------------------------------------------------------------------
@@ -193,12 +194,52 @@ def current_version(spark: SparkSession, root: str) -> int:
     return best
 
 
-def read_manifest(spark: SparkSession, root: str, version: int) -> dict[str, str]:
-    """{relative partition dir -> relative owning version dir}."""
+def _read_manifest_doc(spark: SparkSession, root: str, version: int) -> dict:
     body = _read_file(
         spark, posixpath.join(root, _MANIFESTS, f"v{version:08d}.json")
     )
-    return json.loads(body)["partitions"]
+    return json.loads(body)
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict[str, str]:
+    """{relative partition dir -> relative owning version dir}."""
+    return _read_manifest_doc(spark, root, version)["partitions"]
+
+
+def read_deletion_vectors(
+    spark: SparkSession, root: str, version: int
+) -> list[dict]:
+    """The manifest's live deletion vectors: [{"dir": relative dv dir,
+    "version": commit version}] — empty for pre-DV manifests."""
+    return _read_manifest_doc(spark, root, version).get("deletion_vectors", [])
+
+
+def _dir_version(ver_dir: str) -> int:
+    """'versions/v00000002-8be04a77' (or legacy 'versions/v00000002')
+    -> 2: the commit version that wrote a data directory."""
+    name = ver_dir.rsplit("/", 1)[-1]
+    return int(name[1:9])
+
+
+def _apply_dvs(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    dvs: list[dict],
+    data_version: int,
+) -> DataFrame:
+    """Filter `df` (rows owned by a dir committed at `data_version`)
+    through every deletion vector that POSTDATES it. Version scoping is
+    what makes merge-on-read deletes composable with later upserts: a
+    DV committed at D tombstones only rows written at versions <= D, so
+    a key re-inserted at D+1 (which lands in a v{D+1} dir) is NOT
+    swallowed by the old tombstone. Each DV is a tiny key parquet —
+    broadcast anti-joins, no shuffle on the data side."""
+    for dv in dvs:
+        if dv["version"] >= data_version:
+            keys = spark.read.parquet(posixpath.join(root, dv["dir"]))
+            df = df.join(F.broadcast(keys), list(keys.columns), "left_anti")
+    return df
 
 
 def _parse_partition_values(part_dir: str) -> dict[str, str]:
@@ -233,7 +274,9 @@ def read_versioned(
         version = current_version(spark, root)
     if version == 0:
         raise FileNotFoundError(f"no committed version under {root}")
-    manifest = read_manifest(spark, root, version)
+    doc = _read_manifest_doc(spark, root, version)
+    manifest = doc["partitions"]
+    dvs = doc.get("deletion_vectors", [])
     if partition_filter is not None:
         manifest = {
             d: v
@@ -249,7 +292,8 @@ def read_versioned(
     for ver_dir, part_dirs in sorted(by_ver.items()):
         base = posixpath.join(root, ver_dir)
         paths = [posixpath.join(base, d) for d in sorted(part_dirs)]
-        pieces.append(spark.read.option("basePath", base).parquet(*paths))
+        piece = spark.read.option("basePath", base).parquet(*paths)
+        pieces.append(_apply_dvs(spark, root, piece, dvs, _dir_version(ver_dir)))
     out = pieces[0]
     for df in pieces[1:]:
         out = out.unionByName(df)
@@ -317,9 +361,11 @@ def versioned_merge_upsert(
             ver_dir = posixpath.join(
                 _VERSIONS, f"v{new_ver:08d}-{uuid.uuid4().hex[:8]}"
             )
-            manifest = (
-                read_manifest(spark, root, base_ver) if base_ver else {}
+            doc = (
+                _read_manifest_doc(spark, root, base_ver) if base_ver else {}
             )
+            manifest = doc.get("partitions", {})
+            dvs = doc.get("deletion_vectors", [])
             # Existing rows of touched partitions only (manifest prune).
             old_touched = {d: manifest[d] for d in touched if d in manifest}
             merged = staged
@@ -336,6 +382,10 @@ def versioned_merge_upsert(
                     old = spark.read.option("basePath", base).parquet(
                         *[posixpath.join(base, d) for d in sorted(dirs)]
                     )
+                    # Honor live deletion vectors while rewriting: the
+                    # rewrite MATERIALIZES deletes for touched partitions
+                    # (their survivors move above every DV's horizon).
+                    old = _apply_dvs(spark, root, old, dvs, _dir_version(v))
                     keep = old.join(F.broadcast(keys), list(key_cols), "left_anti")
                     merged = merged.unionByName(keep.select(*staged.columns))
             abs_ver = posixpath.join(root, ver_dir)
@@ -346,7 +396,14 @@ def versioned_merge_upsert(
             for d in _leaf_partition_dirs(spark, abs_ver, len(partition_cols)):
                 new_manifest[d] = ver_dir
             body = json.dumps(
-                {"version": new_ver, "partitions": new_manifest}, sort_keys=True
+                {
+                    "version": new_ver,
+                    "partitions": new_manifest,
+                    # Carried forward: DVs still gate UNTOUCHED partitions'
+                    # older dirs; rewritten dirs are above their horizon.
+                    "deletion_vectors": dvs,
+                },
+                sort_keys=True,
             )
             tmp = posixpath.join(
                 root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json"
@@ -365,6 +422,53 @@ def versioned_merge_upsert(
         )
     finally:
         _delete(spark, scratch)
+
+
+def versioned_delete(
+    spark: SparkSession,
+    keys: DataFrame,
+    root: str,
+    key_cols: tuple[str, ...],
+    max_commit_retries: int = 5,
+) -> int:
+    """Merge-on-read DELETE: commit a **deletion vector** — just the
+    keys, written once to a private `dvs/dv-{uuid}` parquet — instead
+    of rewriting any data. Readers anti-join the (tiny, broadcast) key
+    set against data dirs the DV postdates; later merges progressively
+    materialize the delete partition-by-partition as they rewrite, and
+    `compact_table` clears it entirely. At 100 TB this turns "delete
+    3 users" from a table rewrite into a kilobyte commit — Delta/
+    Iceberg's DV/positional-delete idea on plain parquet (key-scoped
+    rather than file-positional, which plain parquet can't address).
+    Returns the committed version. Same optimistic-concurrency shape
+    as merge: private staged dir, manifest CAS, orphan-on-loss."""
+    _mkdirs(spark, posixpath.join(root, _MANIFESTS))
+    dv_dir = posixpath.join(_DVS, f"dv-{uuid.uuid4().hex}")
+    keys.select(*key_cols).dropDuplicates().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(root, dv_dir))
+    for attempt in range(max_commit_retries):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        new_ver = base_ver + 1
+        doc = _read_manifest_doc(spark, root, base_ver)
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "partitions": doc["partitions"],
+                "deletion_vectors": doc.get("deletion_vectors", [])
+                + [{"dir": dv_dir, "version": new_ver}],
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"delete commit lost {max_commit_retries} races at {root}")
 
 
 def compact_table(spark: SparkSession, root: str) -> int:
@@ -404,8 +508,15 @@ def compact_table(spark: SparkSession, root: str) -> int:
         new_manifest = {
             d: ver_dir for d in _leaf_partition_dirs(spark, abs_ver, depth)
         }
+        # Every partition was rewritten from the DV-filtered snapshot,
+        # so all deletion vectors are materialized: clear the list.
         body = json.dumps(
-            {"version": new_ver, "partitions": new_manifest}, sort_keys=True
+            {
+                "version": new_ver,
+                "partitions": new_manifest,
+                "deletion_vectors": [],
+            },
+            sort_keys=True,
         )
         tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
         final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
@@ -441,8 +552,11 @@ def vacuum_versions(
     cur = current_version(spark, root)
     keep_manifest_vers = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
     live_dirs: set[str] = set()
+    live_dvs: set[str] = set()
     for v in keep_manifest_vers:
-        live_dirs.update(read_manifest(spark, root, v).values())
+        doc = _read_manifest_doc(spark, root, v)
+        live_dirs.update(doc["partitions"].values())
+        live_dvs.update(dv["dir"] for dv in doc.get("deletion_vectors", []))
     horizon_ms = _now_ms(spark) - int(grace_seconds * 1000)
 
     def _old_enough(path: str) -> bool:
@@ -460,6 +574,11 @@ def vacuum_versions(
     for name in _list_names(spark, posixpath.join(root, _VERSIONS)):
         path = posixpath.join(root, _VERSIONS, name)
         if posixpath.join(_VERSIONS, name) not in live_dirs and _old_enough(path):
+            _delete(spark, path)
+            deleted += 1
+    for name in _list_names(spark, posixpath.join(root, _DVS)):
+        path = posixpath.join(root, _DVS, name)
+        if posixpath.join(_DVS, name) not in live_dvs and _old_enough(path):
             _delete(spark, path)
             deleted += 1
     return deleted

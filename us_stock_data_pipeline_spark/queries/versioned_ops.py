@@ -133,3 +133,81 @@ def etl_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("px"), 2).alias("sum_v3"))
     )
     return v2.join(v3, "event_type").orderBy("event_type")
+
+
+_DV_ORACLE = """
+WITH final AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 14 = 0 THEN round(round(value, 4) * 5, 4)
+              ELSE round(value, 4) END AS px
+  FROM events
+  WHERE event_id % 7 <> 0 OR event_id % 14 = 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 14 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reinserted,
+       round(sum(px), 2) AS sum_px
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "etl_versioned_deletion_vectors",
+    oracle=_DV_ORACLE,
+    tags=("etl", "sink", "merge", "compliance"),
+)
+def etl_versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: ingest the fixture
+    into a versioned table, `versioned_delete` every 7th event_id (the
+    commit writes ONLY a key parquet — a kilobyte tombstone instead of
+    a table rewrite; at 100 TB this is the difference between a GDPR
+    erasure costing one manifest swap and costing a full rewrite),
+    then re-insert every 14th event_id (a subset of the tombstoned
+    keys) with a x5 restated px. Version-scoped DVs make the re-insert
+    win: the tombstone at version 2 gates only data written at
+    versions <= 2, so the version-3 rows pass the reader's broadcast
+    anti-join. The head read must therefore show: non-deleted rows
+    unchanged, odd-multiple-of-7 keys gone, multiples of 14 present at
+    the restated price — which the oracle recomputes closed-form from
+    the raw fixture with zero knowledge of the version machinery."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 4).alias("px")
+    )
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="us_sdps_versioned_dv_")
+    versioned_merge_upsert(
+        spark, ev, root, key_cols=("event_id",), partition_cols=("event_type",)
+    )
+    from us_stock_data_pipeline_spark.etl.versioned import versioned_delete
+
+    versioned_delete(
+        spark,
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id"),
+        root,
+        key_cols=("event_id",),
+    )
+    versioned_merge_upsert(
+        spark,
+        ev.filter(F.col("event_id") % 14 == 0).withColumn(
+            "px", F.round(F.col("px") * 5, 4)
+        ),
+        root,
+        key_cols=("event_id",),
+        partition_cols=("event_type",),
+    )
+    head = read_versioned(spark, root)
+    return (
+        head.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("event_id") % 14 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_reinserted"),
+            F.round(F.sum("px"), 2).alias("sum_px"),
+        )
+        .orderBy("event_type")
+    )
