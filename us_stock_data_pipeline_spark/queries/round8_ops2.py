@@ -1,0 +1,307 @@
+"""Round-8 operators, part 2: l-diversity privacy audit, MATTR lexical
+diversity, URL parsing batteries, market-basket association lift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# privacy: l-diversity (completes the k-anonymity / t-closeness trio)
+# --------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+WITH qi AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) % 7 AS dow,
+         user_id % 10 AS sensitive
+  FROM events
+),
+grp AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct
+  FROM qi GROUP BY event_type, dow
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n_rows, l_distinct,
+       CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS meets_l3
+FROM grp
+ORDER BY event_type, dow
+"""
+
+
+@register("privacy_l_diversity", oracle=_LDIV_ORACLE, tags=("privacy", "compliance"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — the missing third of the anonymization trio
+    (`privacy_k_anonymity` bounds group SIZE, `privacy_t_closeness_emd`
+    bounds distribution DISTANCE; l-diversity bounds the count of
+    DISTINCT sensitive values per quasi-identifier group, the defense
+    against homogeneity attacks where a k-anonymous group leaks because
+    every member shares one sensitive value). QI = (event_type,
+    day-of-week via epoch-day arithmetic — portable across engines'
+    dow conventions), sensitive = a 10-bucket user attribute. One
+    groupBy with a count-distinct per group; at 100 TB this is a single
+    shuffle on the QI key, partially aggregated map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        (
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")) % 7
+        ).alias("dow"),
+        (F.col("user_id") % 10).alias("sensitive"),
+    )
+    return (
+        qi.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("sensitive").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            "n_rows",
+            "l_distinct",
+            F.when(F.col("l_distinct") >= 3, 1).otherwise(0).cast("int").alias("meets_l3"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# --------------------------------------------------------------------------
+# text: MATTR (moving-average type-token ratio)
+# --------------------------------------------------------------------------
+
+_MATTR_W = 20
+
+_MATTR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+wins AS (
+  SELECT doc_id, lang,
+         (len(list_distinct(list_slice(ws, i.g, i.g + {_MATTR_W - 1}))) * 1000000)
+           // {_MATTR_W} AS ttr_e6
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_MATTR_W - 2})) AS g) i
+  WHERE len(ws) >= {_MATTR_W}
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(floor(CAST(sum(ttr_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mattr_e6
+  FROM wins GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(CAST(sum(mattr_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_mattr_e6,
+       CAST(min(mattr_e6) AS BIGINT) AS min_mattr_e6,
+       CAST(max(mattr_e6) AS BIGINT) AS max_mattr_e6
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_mattr_lexical_diversity", oracle=_MATTR_ORACLE, tags=("llm", "text"))
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (moving-average type-token ratio, Covington & McFall
+    2010) — the length-robust lexical-diversity score corpus-quality
+    filters use where raw TTR would punish long documents (TTR decays
+    with length by Heaps' law; `text_yules_k` and `text_hapax_legomena`
+    measure the same axis globally, MATTR measures it locally): slide a
+    {W}-token window over each document, take distinct/W per window,
+    average per document. Window TTRs are exact integer ratios
+    (distinct*1e6 // W) so the per-doc and per-lang means never sum
+    raw doubles. Plan: ONE split per document (the array is
+    materialized before the lambda — the `transform(sequence)`
+    re-split hazard from llm_ops.py does not apply to a bound array
+    column), per-window distinct via slice+array_distinct inside a
+    single projection, two grouped means; everything stays JVM-side,
+    no UDF. Work is O(tokens x W) map-side — embarrassingly parallel
+    at any corpus size.""".replace("{W}", str(_MATTR_W))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    wins = (
+        docs.filter(F.size("ws") >= _MATTR_W)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {_MATTR_W - 1}),"
+                    f" i -> (size(array_distinct(slice(ws, i, {_MATTR_W}))) * 1000000)"
+                    f" div {_MATTR_W})"
+                )
+            ).alias("ttr_e6"),
+        )
+    )
+    per_doc = wins.groupBy("doc_id", "lang").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(ttr_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+        ).alias("mattr_e6")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(floor(CAST(sum(mattr_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT)"
+            ).alias("mean_mattr_e6"),
+            F.min("mattr_e6").cast("long").alias("min_mattr_e6"),
+            F.max("mattr_e6").cast("long").alias("max_mattr_e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar: URL parsing battery (parse_url vs regexp oracle)
+# --------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT 'https://www.' || event_type || '.example.com/u/' || user_id
+         || '/p?q=' || event_id || '&ref=' || (user_id % 5) AS url
+  FROM events
+),
+parsed AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '\\?(.*)$', 1) AS query,
+         CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref
+  FROM u
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(sum(ref) AS BIGINT) AS sum_ref,
+       CAST(max(length(query)) AS BIGINT) AS max_query_len
+FROM parsed
+GROUP BY host
+ORDER BY host
+"""
+
+
+@register("scalar_url_parse", oracle=_URL_ORACLE, tags=("scalar", "text"))
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition battery on Spark's native `parse_url`
+    (HOST / PATH / QUERY plus keyed query-parameter extraction) — the
+    workhorse of web-corpus curation (dedup_url_canonical normalizes;
+    this EXTRACTS structure: host for per-site quotas, path for
+    document identity, query params for tracking-junk detection). URLs
+    are synthesized deterministically from event columns so the oracle
+    can re-parse the identical strings with regexps. parse_url compiles
+    to a JVM intrinsic (no Python UDF); the rollup is one groupBy on
+    host. At 100 TB host extraction feeds the per-domain quota sampler
+    map-side, no extra shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        F.concat(
+            F.lit("https://www."),
+            F.col("event_type"),
+            F.lit(".example.com/u/"),
+            F.col("user_id"),
+            F.lit("/p?q="),
+            F.col("event_id"),
+            F.lit("&ref="),
+            F.col("user_id") % 5,
+        ).alias("url")
+    )
+    parsed = u.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).cast("long").alias("ref"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("path").cast("long").alias("n_paths"),
+            F.sum("ref").cast("long").alias("sum_ref"),
+            F.max(F.length("query")).cast("long").alias("max_query_len"),
+        )
+        .orderBy("host")
+    )
+
+
+# --------------------------------------------------------------------------
+# orders: market-basket association lift
+# --------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item
+  FROM lineitem
+),
+n_baskets AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS nb FROM items),
+item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY item),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT CAST(p.item_a AS BIGINT) AS item_a, CAST(p.item_b AS BIGINT) AS item_b,
+       p.n_ab, ia.n AS n_a, ib.n AS n_b,
+       CAST(floor(CAST(p.n_ab AS DOUBLE) * CAST(nb.nb AS DOUBLE)
+                  / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) * 1e6 + 0.5)
+         AS BIGINT) AS lift_e6
+FROM pair_n p
+JOIN item_n ia ON p.item_a = ia.item
+JOIN item_n ib ON p.item_b = ib.item
+CROSS JOIN n_baskets nb
+WHERE p.n_ab >= 5
+ORDER BY lift_e6 DESC, item_a, item_b
+"""
+
+
+@register("orders_market_basket_lift", oracle=_BASKET_ORACLE, tags=("orders", "ml"))
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: per-order item sets (orders
+    are baskets, items are 50 part classes), pair co-occurrence via a
+    basket self-join, and LIFT = P(a,b)/(P(a)P(b)) — the support/
+    confidence/lift core of recommender candidate generation, computed
+    exactly. The self-join fans out only WITHIN a basket (TPC-H orders
+    hold <=7 lines, so <=21 pairs per basket — bounded fan-out, the same
+    blocking argument as dedup's band joins; a production run would
+    additionally cap or sample mega-baskets). Counts are exact
+    integers; lift is one double tree quantized to 1e6. Plan: distinct
+    -> one shuffle on basket for the pair join -> one shuffle on pair
+    for the count -> two broadcast joins for the marginals (item dim is
+    50 rows) -> deterministic full ordering, min-support 5."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 50).alias("item"),
+    ).dropDuplicates()
+    nb = items.select("basket").distinct().count()
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pair_n = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .selectExpr(
+            "CAST(item_a AS BIGINT) AS item_a",
+            "CAST(item_b AS BIGINT) AS item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            f"CAST(floor(CAST(n_ab AS DOUBLE) * CAST({nb} AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6 + 0.5)"
+            " AS BIGINT) AS lift_e6",
+        )
+        .orderBy(F.desc("lift_e6"), "item_a", "item_b")
+    )
