@@ -45,60 +45,21 @@ _REGISTRY: dict[str, Query] = {}
 # ~50 driver checks land on first-time queries until the backlog retires; the
 # cumulative 263 already-green queries re-verify after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
-    # --- new in round 7 (never sampled by construction) ---
-    "etl_versioned_merge",
-    "etl_versioned_time_travel",
-    "multimodal_png_decode",
-    "dedup_exact_substring",
-    "ml_bleu_ngram_precision",
-    "dedup_minhash_b_bit",
-    "rlhf_dpo_implicit_reward",
-    "source_xml_scan",
-    "compliance_crypto_shredding",
-    "ann_hamming_binary",
-    "events_ab_srm_check",
-    "text_gopher_quality_rules",
-    "ml_psi_feature_drift",
-    "etl_bitemporal_asof",
-    "stats_sprt_sequential",
-    "ml_gini_ks_scorecard",
-    "etl_accumulating_snapshot",
-    "stream_versioned_upsert",
-    "udf_arrow_python",
-    "agg_misra_gries_heavy_hitters",
-    "events_sequence_pattern_regex",
-    "tokenizer_fertility_by_lang",
-    "text_code_detection",
-    # --- round 7: the 349 queries never driver-sampled in r1-r6, in
-    # --- registration order, go first so each round of ~50 driver checks
-    # --- maximizes first-time coverage (judge r6 item 1b).
-    "knn_hard_negatives",
-    "embedding_random_projection_jl",
-    "text_kneser_ney_bigram",
-    "ml_auc_roc",
-    "ml_confusion_matrix",
-    "ml_calibration_bins",
-    "corpus_truncation_loss",
-    "text_lexicon_hit_rate",
-    "ml_brier_decomposition",
-    "corpus_datasheet",
-    "multimodal_ahash_neardup",
-    "compliance_luhn_checksum",
-    "text_readability_flesch",
-    "multimodal_ppm_decode",
-    "doc_winnowing_fingerprint",
-    "corpus_prefix_sharing",
-    "rlhf_bradley_terry",
-    "corpus_raking_ipf",
-    "text_bm25_scoring",
-    "text_stupid_backoff",
-    "contrastive_negative_sampling",
-    "rlhf_best_of_n_curve",
-    "moe_load_balance_audit",
-    "dedup_content_defined_chunking",
-    "corpus_temperature_mixing",
-    "multimodal_ppm_downsample",
-    "dedup_normalized_exact",
+    # --- new in round 8 (never sampled by construction) ---
+    "etl_versioned_deletion_vectors",
+    "multimodal_wav_pcm_decode",
+    "etl_zorder_clustering",
+    "finance_black_scholes",
+    "bars_corwin_schultz_spread",
+    "bars_triple_barrier_label",
+    "bars_engle_granger_pairs",
+    "privacy_l_diversity",
+    "text_mattr_lexical_diversity",
+    "scalar_url_parse",
+    "orders_market_basket_lift",
+    # --- backlog: still never driver-sampled after r1-r7 (the ~50/round
+    # --- driver budget keeps landing on first-time queries until this
+    # --- retires; cumulatively 313 of 635 r7 queries carry a green row) ---
     "audit_last_digit_uniformity",
     "dedup_lsh_scurve",
     "text_dunning_collocations",
