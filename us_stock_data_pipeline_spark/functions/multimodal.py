@@ -279,6 +279,82 @@ def ppm_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def encode_bmp24(doc_id: int, width: int = 7, height: int = 5) -> bytes:
+    """Render the SAME deterministic test card as :func:`encode_ppm` as
+    a real 24-bit uncompressed Windows BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER): rows stored BOTTOM-UP, pixels in BGR order, each
+    row padded to a 4-byte boundary — the three quirks that make BMP a
+    genuinely distinct decode exercise from PPM's top-down packed RGB.
+    Default width 7 gives 21-byte rows (3 bytes padding), so the
+    padding path is always exercised."""
+    import struct
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    r = (doc_id * 7 + xs * 13 + ys * 17) % 256
+    g = (doc_id * 11 + xs * 3 + ys * 5) % 256
+    b = (doc_id * 13 + xs * 19 + ys * 23) % 256
+    bgr = np.dstack([b, g, r]).astype(np.uint8)
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bgr[y].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    data = bytes(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return file_hdr + info + data
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP: parse both headers,
+    honor the data offset, strip per-row padding, flip bottom-up rows,
+    and swap BGR -> RGB — stdlib struct + numpy only. Returns an
+    (h, w, 3) uint8 RGB array; raises ValueError on truncation or
+    unsupported layouts (bounded scans, never spins)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, width, height, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    if height <= 0 or width <= 0:
+        raise ValueError("top-down or degenerate BMP unsupported")
+    stride = (width * 3 + 3) & ~3
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, np.uint8, stride * height, data_off)
+    rows = raw.reshape(height, stride)[:, : width * 3]
+    bgr = rows.reshape(height, width, 3)[::-1]  # bottom-up -> top-down
+    return bgr[..., ::-1].copy()  # BGR -> RGB
+
+
+def bmp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode stage for BMP payloads — same output contract as
+    ppm/png_decode_batch, drop-in behind the one mapInPandas kernel."""
+    for pdf in batches:
+        out: dict[str, list] = {"width": [], "height": [], "sum_r": [], "sum_g": [], "sum_b": []}
+        for payload in pdf["payload"]:
+            img = decode_bmp24(bytes(payload))
+            h, w, _ = img.shape
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64")}
+            | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
 def encode_wav_pcm16(doc_id: int, n_samples: int = 64, rate: int = 8000) -> bytes:
     """Render a deterministic mono PCM16 clip as a REAL RIFF/WAVE file —
     canonical 44-byte header (RIFF size, fmt chunk with PCM tag 1,

@@ -305,3 +305,207 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift_e6"), "item_a", "item_b")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: REAL 24-bit BMP decode (4th live codec)
+# --------------------------------------------------------------------------
+
+_BMP_W = 7
+_BMP_H = 5
+
+_BMP_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 9 = 0
+),
+grid AS (
+  SELECT x.x, y.y
+  FROM (SELECT unnest(generate_series(0, {_BMP_W - 1})) AS x) x
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BMP_H - 1})) AS y) y
+),
+pixels AS (
+  SELECT i.doc_id, i.source,
+         (i.doc_id * 7 + g.x * 13 + g.y * 17) % 256 AS r,
+         (i.doc_id * 11 + g.x * 3 + g.y * 5) % 256 AS gch,
+         (i.doc_id * 13 + g.x * 19 + g.y * 23) % 256 AS b
+  FROM ids i CROSS JOIN grid g
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(gch) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(0 AS BIGINT) AS n_bad_dimensions
+FROM pixels
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("multimodal_bmp_decode", oracle=_BMP_ORACLE, tags=("llm", "multimodal", "udf"))
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL **BMP** decode — fourth live codec (after PPM,
+    PNG, PCM-WAV), chosen because its on-disk quirks are the OPPOSITE
+    of PPM's: rows bottom-up, pixels BGR, rows padded to 4 bytes (width
+    7 -> 3 pad bytes every row, so the padding path always runs). Every
+    9th document gets the same affine-mod-256 test card encoded by
+    functions/multimodal.py's ``encode_bmp24`` and decoded by
+    ``decode_bmp24`` (struct headers + numpy flip/swap — no external
+    codec). The oracle enumerates the generator in SQL, so the decoded
+    channel sums prove the row-flip and BGR swap happened (a decoder
+    that forgot either would swap/garble channel sums and hash-fail).
+    Same plan as the codec twins: scan -> Arrow encode -> Arrow decode
+    -> rollup, payloads never at the driver."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        bmp_decode_batch,
+        encode_bmp24,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", "source")
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [
+                        encode_bmp24(int(d), _BMP_W, _BMP_H) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_with_source(batches):
+        for pdf in batches:
+            src = pdf[["doc_id", "source"]]
+            stats = next(bmp_decode_batch(iter([pdf[["doc_id", "payload"]]])))
+            yield src.merge(stats, on="doc_id")
+
+    blobs = docs.mapInPandas(
+        encode_batch, "doc_id long, source string, payload binary"
+    )
+    decoded = blobs.mapInPandas(
+        decode_with_source,
+        "doc_id long, source string, width long, height long,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_images"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+            F.sum(
+                F.when(
+                    (F.col("width") != _BMP_W) | (F.col("height") != _BMP_H), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bad_dimensions"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# stats: Chatterjee's xi rank correlation
+# --------------------------------------------------------------------------
+
+_XI_ORACLE = """
+WITH closes AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT symbol, day, c AS x, lead(c) OVER w AS y
+  FROM closes WINDOW w AS (PARTITION BY symbol ORDER BY day)
+  QUALIFY lead(c) OVER w IS NOT NULL
+),
+ranked AS (
+  SELECT symbol, x, day,
+         CAST(count(*) OVER (PARTITION BY symbol ORDER BY y, day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS r
+  FROM pairs
+),
+adj AS (
+  SELECT symbol, r,
+         lag(r) OVER (PARTITION BY symbol ORDER BY x, day) AS rp
+  FROM ranked
+),
+s AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(abs(r - rp)) AS BIGINT) AS sum_adj
+  FROM adj WHERE rp IS NOT NULL
+  GROUP BY symbol
+)
+SELECT symbol, n + 1 AS n_pairs,
+       CAST(floor((1.0 - 3.0 * CAST(sum_adj AS DOUBLE)
+                   / (CAST(n + 1 AS DOUBLE) * CAST(n + 1 AS DOUBLE) - 1.0)) * 1e6 + 0.5)
+         AS BIGINT) AS xi_e6
+FROM s
+ORDER BY symbol
+"""
+
+
+@register("stats_chatterjee_xi", oracle=_XI_ORACLE, tags=("stats", "timeseries"))
+def stats_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi (2020) — the modern rank-correlation that
+    detects ARBITRARY functional dependence, not just monotone trends
+    (Spearman/Kendall, both implemented, score a parabola ~0; xi scores
+    it high): sort pairs by x, rank the y values, and measure how
+    wildly adjacent y-ranks jump — xi = 1 - 3*sum|r_{i+1}-r_i|/(n^2-1).
+    Applied per symbol to (close_t, close_{t+1}) as a nonlinear
+    predictability probe. Ties in both x and y are broken by the
+    deterministic day column, so both engines rank identically; ranks
+    and adjacent-jump sums are exact integers, the final xi is one
+    quantized double tree. Plan: daily rollup + three windows over the
+    SAME symbol partition (one shuffle) + one aggregate — rank-based
+    statistics without ever leaving the JVM."""
+    closes = _daily_closes_xi(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("symbol").orderBy("day")
+    pairs = (
+        closes.withColumn("y", F.lead("c").over(w))
+        .filter("y IS NOT NULL")
+        .select("symbol", "day", F.col("c").alias("x"), "y")
+    )
+    wy = W.partitionBy("symbol").orderBy("y", "day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = pairs.withColumn("r", F.count(F.lit(1)).over(wy).cast("long"))
+    wx = W.partitionBy("symbol").orderBy("x", "day")
+    adj = ranked.withColumn("rp", F.lag("r").over(wx))
+    s = (
+        adj.filter("rp IS NOT NULL")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.abs(F.col("r") - F.col("rp"))).cast("long").alias("sum_adj"),
+        )
+    )
+    return s.selectExpr(
+        "symbol",
+        "n + 1 AS n_pairs",
+        "CAST(floor((1.0 - 3.0 * CAST(sum_adj AS DOUBLE)"
+        " / (CAST(n + 1 AS DOUBLE) * CAST(n + 1 AS DOUBLE) - 1.0)) * 1e6 + 0.5)"
+        " AS BIGINT) AS xi_e6",
+    ).orderBy("symbol")
+
+
+def _daily_closes_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.round(F.max_by("value", "event_id") * 100).cast("long").alias("c"))

@@ -46,6 +46,8 @@ _REGISTRY: dict[str, Query] = {}
 # cumulative 263 already-green queries re-verify after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 8 (never sampled by construction) ---
+    "multimodal_bmp_decode",
+    "stats_chatterjee_xi",
     "etl_versioned_deletion_vectors",
     "multimodal_wav_pcm_decode",
     "etl_zorder_clustering",
