@@ -350,6 +350,30 @@ def test_deletion_vector_merge_on_read(spark, root):
     assert V._list_names(spark, posixpath.join(root, "dvs")) == []
 
 
+def test_schema_evolution_add_column(spark, root):
+    """A later merge may ADD a column: old dirs read it as NULL (both
+    in the head read and inside the merge's own rewrite), new rows
+    carry it — Delta/Iceberg add-column semantics on plain parquet."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    upd = spark.createDataFrame(
+        [("AAPL", 2, 11.0, "nasdaq")], "symbol string, ts int, px double, venue string"
+    )
+    V.versioned_merge_upsert(spark, upd, root, ("symbol", "ts"))
+    got = sorted(
+        tuple(r)
+        for r in V.read_versioned(spark, root)
+        .select("symbol", "ts", "px", "venue")
+        .collect()
+    )
+    assert got == [
+        ("AAPL", 1, 10.0, None),
+        ("AAPL", 2, 11.0, "nasdaq"),
+        ("MSFT", 1, 20.0, None),
+    ]
+
+
 def test_rename_is_exclusive_under_contention(spark, tmp_path):
     """The publish primitive is a true CAS: N threads all trying to
     publish the same destination — exactly one wins, and the winner's

@@ -296,7 +296,11 @@ def read_versioned(
         pieces.append(_apply_dvs(spark, root, piece, dvs, _dir_version(ver_dir)))
     out = pieces[0]
     for df in pieces[1:]:
-        out = out.unionByName(df)
+        # allowMissingColumns = schema evolution across commits: a dir
+        # written before a column was added simply reads it as NULL,
+        # exactly Delta/Iceberg's add-column semantics (drops/renames
+        # still require a rewrite, as there).
+        out = out.unionByName(df, allowMissingColumns=True)
     return out
 
 
@@ -387,7 +391,10 @@ def versioned_merge_upsert(
                     # (their survivors move above every DV's horizon).
                     old = _apply_dvs(spark, root, old, dvs, _dir_version(v))
                     keep = old.join(F.broadcast(keys), list(key_cols), "left_anti")
-                    merged = merged.unionByName(keep.select(*staged.columns))
+                    # allowMissingColumns: an update batch may ADD columns
+                    # (schema evolution) — surviving old rows read them as
+                    # NULL, mirroring read_versioned's union semantics.
+                    merged = merged.unionByName(keep, allowMissingColumns=True)
             abs_ver = posixpath.join(root, ver_dir)
             _layout_for_write(merged, partition_cols).write.mode(
                 "overwrite"

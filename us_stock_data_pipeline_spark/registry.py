@@ -46,6 +46,9 @@ _REGISTRY: dict[str, Query] = {}
 # cumulative 263 already-green queries re-verify after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 8 (never sampled by construction) ---
+    "etl_versioned_schema_evolution",
+    "corpus_soft_dedup_weights",
+    "join_runtime_bloom_filter",
     "multimodal_bmp_decode",
     "stats_chatterjee_xi",
     "etl_versioned_deletion_vectors",
