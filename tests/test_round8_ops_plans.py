@@ -83,16 +83,20 @@ def test_zorder_buckets_tighter_than_single_sort(spark):
         assert len(overlapping) == 4, (lo, len(overlapping))
 
 
-def test_basket_lift_marginals_broadcast(spark):
-    """The item-marginal joins (50-row dims) must be broadcast, never
-    shuffled."""
-    from us_stock_data_pipeline_spark.queries.round8_ops2 import (
-        orders_market_basket_lift,
+def test_soft_dedup_join_is_shuffle_on_fp(spark):
+    """corpus_soft_dedup_weights joins the corpus back to its cluster
+    sizes on the fingerprint — at scale NEITHER side is broadcastable
+    (cluster count ~ corpus size), so the plan must be a shuffle join
+    co-partitioned on fp, not a broadcast of a corpus-sized side."""
+    from us_stock_data_pipeline_spark.queries.round8_ops3 import (
+        corpus_soft_dedup_weights,
     )
 
-    df = orders_market_basket_lift(spark, SF_DIR)
-    physical = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in physical
+    df = corpus_soft_dedup_weights(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the logical plan must not carry a broadcast HINT on either side;
+    # whether AQE picks broadcast at fixture size is stats-driven and fine
+    assert "UnresolvedHint" not in optimized and "hint" not in optimized.lower()
 
 
 def test_wav_decode_plan_stays_arrow(spark):

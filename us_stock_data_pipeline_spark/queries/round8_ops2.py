@@ -1,5 +1,5 @@
 """Round-8 operators, part 2: l-diversity privacy audit, MATTR lexical
-diversity, URL parsing batteries, market-basket association lift.
+diversity, URL parsing batteries, BMP decode, Chatterjee's xi.
 """
 
 from __future__ import annotations
@@ -225,85 +225,6 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("query")).cast("long").alias("max_query_len"),
         )
         .orderBy("host")
-    )
-
-
-# --------------------------------------------------------------------------
-# orders: market-basket association lift
-# --------------------------------------------------------------------------
-
-_BASKET_ORACLE = """
-WITH items AS (
-  SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item
-  FROM lineitem
-),
-n_baskets AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS nb FROM items),
-item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY item),
-pair_n AS (
-  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
-  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
-  GROUP BY a.item, b.item
-)
-SELECT CAST(p.item_a AS BIGINT) AS item_a, CAST(p.item_b AS BIGINT) AS item_b,
-       p.n_ab, ia.n AS n_a, ib.n AS n_b,
-       CAST(floor(CAST(p.n_ab AS DOUBLE) * CAST(nb.nb AS DOUBLE)
-                  / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) * 1e6 + 0.5)
-         AS BIGINT) AS lift_e6
-FROM pair_n p
-JOIN item_n ia ON p.item_a = ia.item
-JOIN item_n ib ON p.item_b = ib.item
-CROSS JOIN n_baskets nb
-WHERE p.n_ab >= 5
-ORDER BY lift_e6 DESC, item_a, item_b
-"""
-
-
-@register("orders_market_basket_lift", oracle=_BASKET_ORACLE, tags=("orders", "ml"))
-def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association mining: per-order item sets (orders
-    are baskets, items are 50 part classes), pair co-occurrence via a
-    basket self-join, and LIFT = P(a,b)/(P(a)P(b)) — the support/
-    confidence/lift core of recommender candidate generation, computed
-    exactly. The self-join fans out only WITHIN a basket (TPC-H orders
-    hold <=7 lines, so <=21 pairs per basket — bounded fan-out, the same
-    blocking argument as dedup's band joins; a production run would
-    additionally cap or sample mega-baskets). Counts are exact
-    integers; lift is one double tree quantized to 1e6. Plan: distinct
-    -> one shuffle on basket for the pair join -> one shuffle on pair
-    for the count -> two broadcast joins for the marginals (item dim is
-    50 rows) -> deterministic full ordering, min-support 5."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"),
-        (F.col("l_partkey") % 50).alias("item"),
-    ).dropDuplicates()
-    nb = items.select("basket").distinct().count()
-    item_n = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = items.select("basket", F.col("item").alias("item_a"))
-    b = items.select("basket", F.col("item").alias("item_b"))
-    pair_n = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= 5)
-    )
-    ia = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
-    ib = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
-    return (
-        pair_n.join(F.broadcast(ia), "item_a")
-        .join(F.broadcast(ib), "item_b")
-        .selectExpr(
-            "CAST(item_a AS BIGINT) AS item_a",
-            "CAST(item_b AS BIGINT) AS item_b",
-            "n_ab",
-            "n_a",
-            "n_b",
-            f"CAST(floor(CAST(n_ab AS DOUBLE) * CAST({nb} AS DOUBLE)"
-            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6 + 0.5)"
-            " AS BIGINT) AS lift_e6",
-        )
-        .orderBy(F.desc("lift_e6"), "item_a", "item_b")
     )
 
 

@@ -208,3 +208,57 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# scalar: VARIANT semi-structured type (Spark 4)
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM v
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("scalar_variant_json", oracle=_VARIANT_ORACLE, tags=("scalar", "json", "spark4"))
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type — the engine-native semi-structured
+    column (SPARK-45891, same idea as Snowflake VARIANT / Databricks'
+    shredded JSON): `parse_json` converts the props payload ONCE into a
+    binary-encoded variant, then `try_variant_get` extracts typed paths
+    without re-parsing text per access — versus `get_json_object`,
+    which re-tokenizes the string for every path (the more paths a
+    query touches, the wider the gap; at 100 TB of event payloads,
+    parse-once-access-many is the difference between one and N string
+    scans per row). Extraction failures yield NULL (try_ semantics),
+    mirroring the oracle's CAST(json_extract(...)). Plan: one
+    projection, one groupBy — the variant machinery is entirely
+    expression-level, fully codegen'd."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.selectExpr(
+        "event_type",
+        "try_variant_get(parse_json(props), '$.k', 'bigint') AS k",
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

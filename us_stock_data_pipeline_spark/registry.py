@@ -47,6 +47,7 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 8 (never sampled by construction) ---
     "etl_versioned_schema_evolution",
+    "scalar_variant_json",
     "corpus_soft_dedup_weights",
     "join_runtime_bloom_filter",
     "multimodal_bmp_decode",
@@ -61,7 +62,6 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity",
     "text_mattr_lexical_diversity",
     "scalar_url_parse",
-    "orders_market_basket_lift",
     # --- backlog: still never driver-sampled after r1-r7 (the ~50/round
     # --- driver budget keeps landing on first-time queries until this
     # --- retires; cumulatively 313 of 635 r7 queries carry a green row) ---
