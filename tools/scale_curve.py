@@ -102,6 +102,13 @@ QUERIES = [
     "etl_versioned_merge",
     "dedup_minhash_b_bit",
     "events_sequence_pattern_regex",
+    # driver-round-8 heavy additions: O(tokens x W) sliding-distinct
+    # windows, corpus-wide fingerprint self-join, two-stage Arrow codec
+    # pipeline, DV-committed delete + re-insert on the versioned table
+    "text_mattr_lexical_diversity",
+    "corpus_soft_dedup_weights",
+    "multimodal_wav_pcm_decode",
+    "etl_versioned_deletion_vectors",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
