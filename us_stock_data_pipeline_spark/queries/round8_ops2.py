@@ -104,7 +104,7 @@ ORDER BY lang
 """
 
 
-@register("text_mattr_lexical_diversity", oracle=_MATTR_ORACLE, tags=("llm", "text"))
+@register("text_mattr_lexical_diversity", oracle=_MATTR_ORACLE, tags=("llm", "text"), bench=True)
 def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATTR (moving-average type-token ratio, Covington & McFall
     2010) — the length-robust lexical-diversity score corpus-quality

@@ -118,7 +118,7 @@ ORDER BY source
 """
 
 
-@register("corpus_soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE, tags=("llm", "dedup", "corpus"))
+@register("corpus_soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE, tags=("llm", "dedup", "corpus"), bench=True)
 def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT deduplication (RefinedWeb / Dolma-style): instead of
     dropping duplicates (`dedup_exact`), DOWNWEIGHT them — every doc in
