@@ -270,7 +270,7 @@ _BS_COMMON = """
                   - (CAST(s1 AS DOUBLE) / 1e10) * (CAST(s1 AS DOUBLE) / 1e10)
                     / CAST(n AS DOUBLE))
                  / (CAST(n AS DOUBLE) - 1.0)) * 252.0) AS sig
-    FROM sel WHERE n > 2
+    FROM sel WHERE n > 2 AND last_c >= 50
   ),
   d AS (
     SELECT symbol, n, spot, strike, sig,
@@ -352,7 +352,7 @@ def finance_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr("max_by(c, day)").cast("long").alias("last_c"),
     )
-    params = sel.filter("n > 2").selectExpr(
+    params = sel.filter("n > 2 AND last_c >= 50").selectExpr(
         "symbol",
         "n",
         "CAST(last_c AS DOUBLE) / 100.0 AS spot",
