@@ -125,7 +125,10 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = tg0.groupBy("h").agg(F.count(F.lit(1)).alias("dc")).filter(
         F.col("dc") > _HOT_SHINGLE_CAP
     ).select("h")
-    tg = tg0.join(F.broadcast(hot), "h", "left_anti")
+    # tg feeds FOUR consumers (counts, both pair legs, the signature
+    # aggregate) — without persist each one re-runs scan+explode+anti-join
+    # (the round-7 multi-consumer rule).
+    tg = tg0.join(F.broadcast(hot), "h", "left_anti").persist()
     counts = tg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     ta = tg.select(F.col("doc_id").alias("a"), "h")
     tb = tg.select(F.col("doc_id").alias("b"), F.col("h").alias("hb"))
@@ -148,7 +151,8 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decile"),
         )
     )
-    sig = tg.groupBy("doc_id").agg(*minhash_agg_exprs())
+    # sig fans into one frame per band and then both join legs.
+    sig = tg.groupBy("doc_id").agg(*minhash_agg_exprs()).persist()
     band_frames = []
     for band in range(_N_BANDS):
         cols = [F.col(f"mh{band * _BAND_ROWS + r}").alias(f"m{r}") for r in range(_BAND_ROWS)]
