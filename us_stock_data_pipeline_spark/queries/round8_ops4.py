@@ -1,0 +1,293 @@
+"""Round-8 operators, part 4: IRLS logistic step, k-fold target
+encoding, weight-of-evidence binning — the feature-engineering /
+trainer layer of a tabular ML pipeline, each with exact-integer moment
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# ml: one IRLS (Newton) step of logistic regression
+# --------------------------------------------------------------------------
+
+_IRLS_ORACLE = """
+WITH rows_ AS (
+  SELECT l_linestatus AS grp,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1 * x1) AS BIGINT) AS sxx,
+         CAST(sum(x1 * x2) AS BIGINT) AS sxy,
+         CAST(sum(x2 * x2) AS BIGINT) AS syy,
+         CAST(sum(x1 * (2 * y - 1)) AS BIGINT) AS g1x2,
+         CAST(sum(x2 * (2 * y - 1)) AS BIGINT) AS g2x2
+  FROM rows_ GROUP BY grp
+),
+step AS (
+  SELECT grp, n,
+         CAST(sxx AS DOUBLE) AS a, CAST(sxy AS DOUBLE) AS b,
+         CAST(syy AS DOUBLE) AS d,
+         CAST(g1x2 AS DOUBLE) / 2.0 AS g1,
+         CAST(g2x2 AS DOUBLE) / 2.0 AS g2
+  FROM mom
+)
+SELECT grp, n,
+       CAST(floor(4.0 * (d * g1 - b * g2) / (a * d - b * b) * 1e9 + 0.5) AS BIGINT) AS beta1_e9,
+       CAST(floor(4.0 * (a * g2 - b * g1) / (a * d - b * b) * 1e9 + 0.5) AS BIGINT) AS beta2_e9
+FROM step
+WHERE a * d > b * b
+ORDER BY grp
+"""
+
+
+@register("ml_logistic_irls_step", oracle=_IRLS_ORACLE, tags=("ml", "trainer"))
+def ml_logistic_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IRLS (Newton-Raphson) step of LOGISTIC regression from the
+    zero vector — the distributed-trainer primitive that
+    `ml_ridge_normal_equations` is for linear models: at beta=0 every
+    p_i = 1/2, so the working weights are the constant 1/4 and the
+    Newton step collapses to the closed form 4*(X'X)^-1 X'(y - 1/2) —
+    one Gram-matrix aggregation and a 2x2 inverse, no iteration state.
+    (Full training = this step repeated with reweighted moments; every
+    subsequent step is the same one-shuffle Gram shape, which is how
+    Spark MLlib's LogisticRegression actually distributes.) Predicting
+    returns from quantity and discount per line status: all moments
+    are exact integer sums (the gradient vector X'(y-1/2) is kept
+    integer by accumulating 2y-1 and halving in the double tree), the
+    solve is one fixed expression. At 100 TB: one map-side-combined
+    shuffle carrying 6 numbers per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    mom = rows_.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sxx"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("syy"),
+        F.sum(F.col("x1") * (2 * F.col("y") - 1)).cast("long").alias("g1x2"),
+        F.sum(F.col("x2") * (2 * F.col("y") - 1)).cast("long").alias("g2x2"),
+    )
+    step = mom.selectExpr(
+        "grp",
+        "n",
+        "CAST(sxx AS DOUBLE) AS a",
+        "CAST(sxy AS DOUBLE) AS b",
+        "CAST(syy AS DOUBLE) AS d",
+        "CAST(g1x2 AS DOUBLE) / 2.0 AS g1",
+        "CAST(g2x2 AS DOUBLE) / 2.0 AS g2",
+    )
+    return (
+        step.filter("a * d > b * b")
+        .selectExpr(
+            "grp",
+            "n",
+            "CAST(floor(4.0 * (d * g1 - b * g2) / (a * d - b * b) * 1e9 + 0.5) AS BIGINT) AS beta1_e9",
+            "CAST(floor(4.0 * (a * g2 - b * g1) / (a * d - b * b) * 1e9 + 0.5) AS BIGINT) AS beta2_e9",
+        )
+        .orderBy("grp")
+    )
+
+
+# --------------------------------------------------------------------------
+# ml: leakage-safe k-fold target encoding
+# --------------------------------------------------------------------------
+
+_TENC_ORACLE = """
+WITH rows_ AS (
+  SELECT l_partkey % 50 AS cat, l_orderkey % 5 AS fold,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+cat_tot AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS n_cat, CAST(sum(y) AS BIGINT) AS s_cat
+  FROM rows_ GROUP BY cat
+),
+cat_fold AS (
+  SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_cf, CAST(sum(y) AS BIGINT) AS s_cf
+  FROM rows_ GROUP BY cat, fold
+),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_g, CAST(sum(y) AS BIGINT) AS s_g FROM rows_
+),
+enc AS (
+  SELECT r.cat, r.fold, r.y,
+         CASE WHEN t.n_cat - f.n_cf > 0
+              THEN (t.s_cat - f.s_cf) * 1000000 // (t.n_cat - f.n_cf)
+              ELSE g.s_g * 1000000 // g.n_g END AS enc_e6,
+         CASE WHEN t.n_cat - f.n_cf > 0 THEN 0 ELSE 1 END AS used_prior
+  FROM rows_ r
+  JOIN cat_tot t ON r.cat = t.cat
+  JOIN cat_fold f ON r.cat = f.cat AND r.fold = f.fold
+  CROSS JOIN gtot g
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(enc_e6) // count(*) AS BIGINT) AS mean_enc_e6,
+       CAST(sum(CASE WHEN y = 1 THEN enc_e6 ELSE 0 END)
+            // greatest(sum(y), 1) AS BIGINT) AS mean_enc_pos_e6,
+       CAST(sum(used_prior) AS BIGINT) AS n_prior_fallback
+FROM enc
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+@register("ml_target_encoding_kfold", oracle=_TENC_ORACLE, tags=("ml", "feature"))
+def ml_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE k-fold target encoding — the highest-leverage (and
+    most dangerous) categorical feature in tabular ML: each row's
+    category is replaced by the target mean of that category computed
+    WITHOUT the row's own fold, enc = (sum_cat - sum_fold)/(n_cat -
+    n_fold), so a row never sees its own label (naive full-data target
+    means leak and overfit catastrophically on rare categories).
+    Categories living entirely inside one fold fall back to the global
+    prior (counted in n_prior_fallback). The subtract-own-fold identity
+    is what makes this SCALE: two grouped aggregates (category,
+    category x fold) + one broadcast-sized join back — never a per-fold
+    re-aggregation of the table, which is the naive k-pass
+    implementation. The positive-row mean per fold (mean_enc_pos) is
+    the separation diagnostic: encoded values on positives must sit
+    above the overall mean or the feature carries nothing. All
+    encodings are exact integer floor-divides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        (F.col("l_partkey") % 50).alias("cat"),
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cat_tot = rows_.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("y").cast("long").alias("s_cat"),
+    )
+    cat_fold = rows_.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cf"),
+        F.sum("y").cast("long").alias("s_cf"),
+    )
+    g = rows_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+    )
+    enc = (
+        rows_.join(F.broadcast(cat_tot), "cat")
+        .join(F.broadcast(cat_fold), ["cat", "fold"])
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "fold",
+            "y",
+            "CASE WHEN n_cat - n_cf > 0"
+            " THEN (s_cat - s_cf) * 1000000 div (n_cat - n_cf)"
+            " ELSE s_g * 1000000 div n_g END AS enc_e6",
+            "CASE WHEN n_cat - n_cf > 0 THEN 0 ELSE 1 END AS used_prior",
+        )
+    )
+    return (
+        enc.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("CAST(sum(enc_e6) div count(*) AS BIGINT)").alias("mean_enc_e6"),
+            F.expr(
+                "CAST(sum(CASE WHEN y = 1 THEN enc_e6 ELSE 0 END)"
+                " div greatest(sum(y), 1) AS BIGINT)"
+            ).alias("mean_enc_pos_e6"),
+            F.sum("used_prior").cast("long").alias("n_prior_fallback"),
+        )
+        .withColumn("fold", F.col("fold").cast("long"))
+        .orderBy("fold")
+    )
+
+
+# --------------------------------------------------------------------------
+# ml: weight-of-evidence binning + information value
+# --------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH rows_ AS (
+  SELECT least(CAST(l_quantity AS BIGINT) // 10, 4) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem
+),
+bins AS (
+  SELECT bin,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM rows_ GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS g_tot, CAST(sum(n_bad) AS BIGINT) AS b_tot
+  FROM bins
+)
+SELECT CAST(b.bin AS BIGINT) AS bin, b.n_good, b.n_bad,
+       CAST(floor(ln((CAST(b.n_good AS DOUBLE) / CAST(t.g_tot AS DOUBLE))
+                     / (CAST(b.n_bad AS DOUBLE) / CAST(t.b_tot AS DOUBLE))) * 1e6 + 0.5)
+         AS BIGINT) AS woe_e6,
+       CAST(floor((CAST(b.n_good AS DOUBLE) / CAST(t.g_tot AS DOUBLE)
+                   - CAST(b.n_bad AS DOUBLE) / CAST(t.b_tot AS DOUBLE))
+                  * ln((CAST(b.n_good AS DOUBLE) / CAST(t.g_tot AS DOUBLE))
+                       / (CAST(b.n_bad AS DOUBLE) / CAST(t.b_tot AS DOUBLE))) * 1e9 + 0.5)
+         AS BIGINT) AS iv_term_e9
+FROM bins b CROSS JOIN tot t
+WHERE b.n_good > 0 AND b.n_bad > 0
+ORDER BY bin
+"""
+
+
+@register("ml_woe_binning_iv", oracle=_WOE_ORACLE, tags=("ml", "feature", "stats"))
+def ml_woe_binning_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value — the credit-
+    scorecard feature transform (`ml_gini_ks_scorecard` EVALUATES a
+    score; WoE BUILDS the feature): quantity bins of width 10, WoE =
+    ln((good%)/(bad%)) per bin, IV term = (good% - bad%)*WoE, summing
+    to the feature's total predictive power (rule of thumb: IV < 0.02
+    useless, > 0.5 suspicious). Counts are exact integers; each WoE/IV
+    value is one shared double tree over the bin's exact counts and
+    the (scalar) totals. Plan: one groupBy over 5 bins, a scalar
+    cross-join for totals — entirely map-side at any scale, the
+    canonical 'tiny aggregate over huge input' shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.least(F.col("l_quantity").cast("long") / F.lit(10), F.lit(4))
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    bins = rows_.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = bins.agg(
+        F.sum("n_good").cast("long").alias("g_tot"),
+        F.sum("n_bad").cast("long").alias("b_tot"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .filter("n_good > 0 AND n_bad > 0")
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "n_good",
+            "n_bad",
+            "CAST(floor(ln((CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE))"
+            " / (CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE))) * 1e6 + 0.5)"
+            " AS BIGINT) AS woe_e6",
+            "CAST(floor((CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE)"
+            " - CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE))"
+            " * ln((CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE))"
+            " / (CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE))) * 1e9 + 0.5)"
+            " AS BIGINT) AS iv_term_e9",
+        )
+        .orderBy("bin")
+    )

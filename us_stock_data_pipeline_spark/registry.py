@@ -47,6 +47,9 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 8 (never sampled by construction) ---
     "etl_versioned_schema_evolution",
+    "ml_logistic_irls_step",
+    "ml_target_encoding_kfold",
+    "ml_woe_binning_iv",
     "scalar_variant_json",
     "corpus_soft_dedup_weights",
     "join_runtime_bloom_filter",
