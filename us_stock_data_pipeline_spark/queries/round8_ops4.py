@@ -291,3 +291,258 @@ def ml_woe_binning_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# bars: Cornish-Fisher adjusted VaR (skew/kurtosis-aware tail risk)
+# --------------------------------------------------------------------------
+
+# z = 1.645 (95%); one shared tree over exact integer return moments.
+_CF_ORACLE = """
+WITH closes AS (
+  SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol,
+         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(lag_c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS r
+  FROM (SELECT symbol, c, lag(c) OVER (PARTITION BY symbol ORDER BY day) AS lag_c FROM closes)
+  WHERE lag_c IS NOT NULL AND lag_c > 0 AND c > 0
+),
+mom AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS s1,
+         CAST(sum(CAST(floor((r / 1e8) * (r / 1e8) * 1e13 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(sum(CAST(floor((r / 1e8) * (r / 1e8) * (r / 1e8) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(sum(CAST(floor((r / 1e8) * (r / 1e8) * (r / 1e8) * (r / 1e8) * 1e11 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+  FROM rets GROUP BY symbol
+),
+std AS (
+  SELECT symbol, n,
+         CAST(s1 AS DOUBLE) / 1e8 / CAST(n AS DOUBLE) AS mu,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / 1e13 / CAST(n AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / 1e8 / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)), 1e-18)) AS sd,
+         CAST(s3 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) AS m3_raw,
+         CAST(s4 AS DOUBLE) / 1e11 / CAST(n AS DOUBLE) AS m4_raw
+  FROM mom WHERE n > 3
+),
+sk AS (
+  SELECT symbol, n, mu, sd,
+         (m3_raw - 3.0 * mu * sd * sd - mu * mu * mu) / (sd * sd * sd) AS skew,
+         (m4_raw - 4.0 * mu * m3_raw + 6.0 * mu * mu * (sd * sd + mu * mu)
+          - 3.0 * mu * mu * mu * mu) / (sd * sd * sd * sd) - 3.0 AS exkurt
+  FROM std WHERE sd > 0
+)
+SELECT symbol, n AS n_days,
+       CAST(floor(sd * 1e8 + 0.5) AS BIGINT) AS sd_e8,
+       CAST(floor(skew * 1e6 + 0.5) AS BIGINT) AS skew_e6,
+       CAST(floor(exkurt * 1e6 + 0.5) AS BIGINT) AS exkurt_e6,
+       CAST(floor((mu - (1.645 + (1.645 * 1.645 - 1.0) * skew / 6.0
+                         + (1.645 * 1.645 * 1.645 - 3.0 * 1.645) * exkurt / 24.0
+                         - (2.0 * 1.645 * 1.645 * 1.645 - 5.0 * 1.645) * skew * skew / 36.0)
+                        * sd) * 1e8 + 0.5) AS BIGINT) AS var95_cf_e8,
+       CAST(floor((mu - 1.645 * sd) * 1e8 + 0.5) AS BIGINT) AS var95_normal_e8
+FROM sk
+ORDER BY symbol
+"""
+
+
+@register("bars_cornish_fisher_var", oracle=_CF_ORACLE, tags=("bars", "finance", "stats"))
+def bars_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cornish-Fisher adjusted Value-at-Risk — the tail-risk estimate
+    that respects the return distribution's ACTUAL shape where
+    `bars_var_expected_shortfall` (historical) needs a long window and
+    `bars_riskmetrics_ewma_var` assumes normality: expand the 95%
+    normal quantile with the skewness/excess-kurtosis correction
+    z_cf = z + (z^2-1)S/6 + (z^3-3z)K/24 - (2z^3-5z)S^2/36, reported
+    against the plain-normal VaR so the shape premium is visible.
+    Float discipline: log returns quantize to 1e-8 per row, each raw
+    power (r^2, r^3, r^4) quantizes per row to an integer at a scale
+    (1e13/1e12/1e11) sized so the largest fixture |ln return| (~8.4)
+    keeps the per-row value and a few-thousand-row sum inside int64, and the central-moment algebra + CF expansion is one
+    shared tree. Plan: daily rollup, lag window, one moment aggregate
+    per symbol — the Gram shape again."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    closes = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.round(F.max_by("value", "event_id") * 100).cast("long").alias("c"))
+    w = W.partitionBy("symbol").orderBy("day")
+    rets = (
+        closes.withColumn("lag_c", F.lag("c").over(w))
+        .filter("lag_c IS NOT NULL AND lag_c > 0 AND c > 0")
+        .selectExpr(
+            "symbol",
+            "CAST(floor(ln(CAST(c AS DOUBLE) / CAST(lag_c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS r",
+        )
+    )
+    mom = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.expr("sum(CAST(floor((r / 1e8) * (r / 1e8) * 1e13 + 0.5) AS BIGINT))")
+        .cast("long")
+        .alias("s2"),
+        F.expr("sum(CAST(floor((r / 1e8) * (r / 1e8) * (r / 1e8) * 1e12 + 0.5) AS BIGINT))")
+        .cast("long")
+        .alias("s3"),
+        F.expr(
+            "sum(CAST(floor((r / 1e8) * (r / 1e8) * (r / 1e8) * (r / 1e8) * 1e11 + 0.5) AS BIGINT))"
+        )
+        .cast("long")
+        .alias("s4"),
+    )
+    std = mom.filter("n > 3").selectExpr(
+        "symbol",
+        "n",
+        "CAST(s1 AS DOUBLE) / 1e8 / CAST(n AS DOUBLE) AS mu",
+        "sqrt(greatest(CAST(s2 AS DOUBLE) / 1e13 / CAST(n AS DOUBLE)"
+        " - (CAST(s1 AS DOUBLE) / 1e8 / CAST(n AS DOUBLE))"
+        "   * (CAST(s1 AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)), 1e-18)) AS sd",
+        "CAST(s3 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) AS m3_raw",
+        "CAST(s4 AS DOUBLE) / 1e11 / CAST(n AS DOUBLE) AS m4_raw",
+    )
+    sk = std.filter("sd > 0").selectExpr(
+        "symbol",
+        "n",
+        "mu",
+        "sd",
+        "(m3_raw - 3.0 * mu * sd * sd - mu * mu * mu) / (sd * sd * sd) AS skew",
+        "(m4_raw - 4.0 * mu * m3_raw + 6.0 * mu * mu * (sd * sd + mu * mu)"
+        " - 3.0 * mu * mu * mu * mu) / (sd * sd * sd * sd) - 3.0 AS exkurt",
+    )
+    return sk.selectExpr(
+        "symbol",
+        "n AS n_days",
+        "CAST(floor(sd * 1e8 + 0.5) AS BIGINT) AS sd_e8",
+        "CAST(floor(skew * 1e6 + 0.5) AS BIGINT) AS skew_e6",
+        "CAST(floor(exkurt * 1e6 + 0.5) AS BIGINT) AS exkurt_e6",
+        "CAST(floor((mu - (1.645 + (1.645 * 1.645 - 1.0) * skew / 6.0"
+        " + (1.645 * 1.645 * 1.645 - 3.0 * 1.645) * exkurt / 24.0"
+        " - (2.0 * 1.645 * 1.645 * 1.645 - 5.0 * 1.645) * skew * skew / 36.0)"
+        " * sd) * 1e8 + 0.5) AS BIGINT) AS var95_cf_e8",
+        "CAST(floor((mu - 1.645 * sd) * 1e8 + 0.5) AS BIGINT) AS var95_normal_e8",
+    ).orderBy("symbol")
+
+
+# --------------------------------------------------------------------------
+# graph: two-hop neighborhood size (friend-of-friend reach)
+# --------------------------------------------------------------------------
+
+_TWOHOP_ORACLE = """
+WITH pair_cnt AS MATERIALIZED (
+  SELECT c.c_nationkey AS a, s.s_nationkey AS b, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+strong AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, b) AS rk
+    FROM pair_cnt
+  ) WHERE rk <= 3
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM strong UNION SELECT b, a FROM strong
+),
+twohop AS (
+  SELECT DISTINCT e1.a AS src, e2.b AS dst
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+  WHERE e2.b <> e1.a
+),
+reach AS (
+  SELECT t.src, t.dst
+  FROM twohop t
+  LEFT JOIN edges d ON t.src = d.a AND t.dst = d.b
+  WHERE d.a IS NULL
+),
+deg AS (SELECT a AS src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY a)
+SELECT n.n_name AS nation,
+       d.degree,
+       CAST(coalesce(r.n2, 0) AS BIGINT) AS two_hop_only
+FROM deg d
+LEFT JOIN (SELECT src, CAST(count(*) AS BIGINT) AS n2 FROM reach GROUP BY src) r
+  ON d.src = r.src
+JOIN nation n ON d.src = n.n_nationkey
+ORDER BY nation
+"""
+
+
+@register("graph_two_hop_neighborhood", oracle=_TWOHOP_ORACLE, tags=("graph",))
+def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop (friend-of-friend) neighborhood size on the STRONG-trade
+    nation graph — the reach primitive behind contact expansion and
+    recommendation candidate pools that no existing graph op computes
+    (BFS gives seed reachability, Adamic-Adar scores given pairs; this
+    counts DISTINCT 2-hop-ONLY neighbors per node, direct neighbors and
+    self excluded). The raw trade graph is near-complete (every nation
+    trades with every nation somewhere in TPC-H), so the graph is first
+    SPARSIFIED to each nation's top-3 partners by line count
+    (deterministic tiebreak on partner key) — both the realistic
+    formulation ("strong ties") and what makes the 2-hop set
+    non-degenerate. Plan: one fact-join groupBy for pair counts, a
+    top-k window, one mid-vertex self-join + anti-join against direct
+    edges. Per-node cost is bounded by the top-k cap — the same hub
+    discipline the dedup blocks use; on a power-law graph the cap IS
+    the scale guarantee. All exact integer counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window as W
+
+    pair_cnt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = W.partitionBy("a").orderBy(F.desc("cnt"), "b")
+    strong = (
+        pair_cnt.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("a", "b")
+    )
+    edges = (
+        strong.union(strong.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("a").alias("src"), F.col("b").alias("mid"))
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("dst"))
+    twohop = (
+        e1.join(e2, "mid")
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+    )
+    direct = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    reach = twohop.join(direct, ["src", "dst"], "left_anti")
+    n2 = reach.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("two_hop_only"))
+    deg = edges.groupBy(F.col("a").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        deg.join(n2, "src", "left")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("src"), F.col("n_name").alias("nation"))),
+            "src",
+        )
+        .select(
+            "nation",
+            "degree",
+            F.coalesce(F.col("two_hop_only"), F.lit(0)).cast("long").alias("two_hop_only"),
+        )
+        .orderBy("nation")
+    )
