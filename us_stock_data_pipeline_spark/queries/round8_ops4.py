@@ -546,3 +546,85 @@ def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup: C4-style exact line-level dedup across the corpus
+# --------------------------------------------------------------------------
+
+_LINE_W = 8
+
+_LINE_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+lines_ AS (
+  SELECT doc_id, source, i.g AS pos,
+         md5(array_to_string(list_slice(ws, i.g * {_LINE_W} + 1, i.g * {_LINE_W} + {_LINE_W}), ' ')) AS h
+  FROM w, LATERAL (SELECT unnest(range(0, len(ws) // {_LINE_W})) AS g) i
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM lines_
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS removed_ppm
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dedup_exact_lines", oracle=_LINE_DEDUP_ORACLE, tags=("llm", "dedup", "text"))
+def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style EXACT LINE-level deduplication — the other axis of
+    exact dedup (`dedup_exact` drops whole documents;
+    `dedup_exact_substring` finds shared character spans; C4/Dolma's
+    most impactful rule removes REPEATED LINES across the whole corpus
+    — boilerplate headers, navigation text, license blocks). Lines here
+    are the fixture's analogue: non-overlapping {W}-token chunks. Each
+    line keeps only its FIRST occurrence in deterministic corpus order
+    (doc_id, position) — the canonical-survivor rule — and every later
+    copy is counted removed, reported per source as a ppm rate (exact
+    integer floor-div). Plan: one split per doc, one chunk explode, one
+    shuffle on the 128-bit line hash (the text itself never shuffles —
+    md5 map-side), one window rank, one rollup. Linear end to end; the
+    hash shuffle is the same shape as dedup_exact at any corpus
+    size.""".replace("{W}", str(_LINE_W))
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    lines_ = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ws) div {_LINE_W} - 1),"
+                f" i -> md5(array_join(slice(ws, i * {_LINE_W} + 1, {_LINE_W}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    rk = W.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = lines_.withColumn("rk", F.row_number().over(rk))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.countDistinct("h").cast("long").alias("n_unique"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -48,6 +48,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 8 (never sampled by construction) ---
     "etl_versioned_schema_evolution",
     "ml_logistic_irls_step",
+    "dedup_exact_lines",
     "ml_target_encoding_kfold",
     "ml_woe_binning_iv",
     "scalar_variant_json",
