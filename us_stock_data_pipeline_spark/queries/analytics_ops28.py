@@ -85,7 +85,9 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges0.join(F.broadcast(hot), "p", "left_anti")
     fwd = edges.select(F.col("s").alias("frm"), (-(F.col("p") + 1)).alias("node"))
     rev = edges.select((-(F.col("p") + 1)).alias("frm"), F.col("s").alias("node"))
-    adj = fwd.unionAll(rev)
+    # adj is consumed once per hop — persist or every iteration re-runs
+    # the scan + distinct + hot-cap anti-join (multi-consumer rule).
+    adj = fwd.unionAll(rev).persist()
     # iterative BFS: frontier/visited as (node, hop)
     visited = spark.createDataFrame([(_BFS_SEED, 0)], "node long, hop int")
     frontier = visited

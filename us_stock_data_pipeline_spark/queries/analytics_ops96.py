@@ -4,6 +4,7 @@ forecast and a USING-vs-ON outer-join semantics pin.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -91,17 +92,18 @@ def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame
                     "interval_milli", "rate_micro",
                 ]
             )
-        z = p = None
-        prev_day = None
-        for _, row in pdf.iterrows():
-            q = int(row.q)
-            gap = 0 if prev_day is None else (row.day - prev_day).days
-            if z is None:
-                z, p = q * 1000, 1000
-            else:
-                z = (q * 1000 + 4 * z) // 5
-                p = (gap * 1000 + 4 * p) // 5
-            prev_day = row.day
+        # plain-array loop, not iterrows(): the integer floor-div
+        # recursion is inherently sequential, but per-row pandas Series
+        # construction was ~10x the arithmetic cost
+        qs = pdf["q"].astype("int64").to_numpy()
+        days = pd.to_datetime(pdf["day"]).to_numpy()
+        gaps = np.concatenate(
+            [[0], ((days[1:] - days[:-1]) / np.timedelta64(1, "D")).astype("int64")]
+        )
+        z, p = int(qs[0]) * 1000, 1000
+        for q, gap in zip(qs[1:].tolist(), gaps[1:].tolist()):
+            z = (q * 1000 + 4 * z) // 5
+            p = (gap * 1000 + 4 * p) // 5
         return pd.DataFrame(
             {
                 "partkey": [int(pdf["part"].iloc[0])],
