@@ -374,6 +374,33 @@ def test_schema_evolution_add_column(spark, root):
     ]
 
 
+def test_read_changes_all_change_types(spark, root):
+    """Change data feed distinguishes insert / update_postimage /
+    delete between two snapshots, with post-image values (NULL for
+    deletes), and reports nothing for untouched keys."""
+    V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 1, 10.0), ("AAPL", 2, 11.0), ("MSFT", 1, 20.0)]),
+        root,
+        ("symbol", "ts"),
+    )
+    V.versioned_merge_upsert(  # v2: update AAPL/2, insert AAPL/3
+        spark, _mk(spark, [("AAPL", 2, 99.0), ("AAPL", 3, 12.0)]), root, ("symbol", "ts")
+    )
+    V.versioned_delete(  # v3: delete MSFT/1
+        spark, spark.createDataFrame([("MSFT", 1)], "symbol string, ts int"), root, ("symbol", "ts")
+    )
+    ch = V.read_changes(spark, root, 1, 3, key_cols=("symbol", "ts"))
+    got = sorted(
+        (r.symbol, r.ts, r.px, r._change_type) for r in ch.collect()
+    )
+    assert got == [
+        ("AAPL", 2, 99.0, "update_postimage"),
+        ("AAPL", 3, 12.0, "insert"),
+        ("MSFT", 1, None, "delete"),
+    ]
+
+
 def test_rename_is_exclusive_under_contention(spark, tmp_path):
     """The publish primitive is a true CAS: N threads all trying to
     publish the same destination — exactly one wins, and the winner's

@@ -478,6 +478,68 @@ def versioned_delete(
     raise RuntimeError(f"delete commit lost {max_commit_retries} races at {root}")
 
 
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """CHANGE DATA FEED: the row-level diff between two committed
+    snapshots — Delta's `table_changes` re-expressed on the manifest
+    protocol. Returns every key whose row differs between the
+    snapshots, tagged `_change_type` in {insert, update_postimage,
+    delete}; non-key columns carry the TO-snapshot values (NULL for
+    deletes). This is how downstream consumers subscribe incrementally
+    (sync a mart, invalidate a cache, feed a stream) without rescanning
+    the table: both snapshot reads are manifest-pruned and the diff is
+    one full-outer join on the keys, hash-partitioned on both sides —
+    no broadcast of anything table-sized. A production variant would
+    additionally prune to partitions whose owning version changed
+    between the manifests (driver-side dict compare — metadata only);
+    kept simple here because the fixture's partition count is small."""
+    lo = read_versioned(spark, root, from_version)
+    hi = read_versioned(spark, root, to_version)
+    keys = list(key_cols)
+    val_cols = [c for c in hi.columns if c not in keys]
+    l = lo.select(
+        *[F.col(k).alias(f"_lo_{k}") for k in keys],
+        *[F.col(c).alias(f"_lo_{c}") for c in val_cols if c in lo.columns],
+    )
+    h = hi.select(
+        *[F.col(k).alias(f"_hi_{k}") for k in keys],
+        *[F.col(c).alias(f"_hi_{c}") for c in val_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_lo_{k}") == F.col(f"_hi_{k}")
+        cond = c if cond is None else (cond & c)
+    j = l.join(h, cond, "full_outer")
+    hi_present = F.col(f"_hi_{keys[0]}").isNotNull()
+    lo_present = F.col(f"_lo_{keys[0]}").isNotNull()
+    # a row is an update only if some value column actually changed
+    diff = F.lit(False)
+    for c in val_cols:
+        if f"_lo_{c}" in l.columns:
+            diff = diff | ~(
+                F.col(f"_lo_{c}").eqNullSafe(F.col(f"_hi_{c}"))
+            )
+    change = (
+        F.when(~lo_present, F.lit("insert"))
+        .when(~hi_present, F.lit("delete"))
+        .when(diff, F.lit("update_postimage"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_hi_{k}"), F.col(f"_lo_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [F.col(f"_hi_{c}").alias(c) for c in val_cols]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_keys, *out_vals, "_change_type")
+    )
+
+
 def compact_table(spark: SparkSession, root: str) -> int:
     """Rewrite the CURRENT snapshot into one fresh version and commit it
     with the same atomic-rename protocol; returns the new version.

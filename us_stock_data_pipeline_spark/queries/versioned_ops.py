@@ -211,3 +211,66 @@ def etl_versioned_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+_CDF_ORACLE = """
+WITH v2 AS (
+  SELECT event_id,
+         round(round(value, 4) * CASE WHEN ts >= TIMESTAMP '2024-01-10' THEN 2 ELSE 1 END, 4) AS px
+  FROM events
+),
+v3 AS (
+  SELECT event_id,
+         round(round(value, 4) * CASE
+             WHEN ts >= TIMESTAMP '2024-01-25' THEN 3
+             WHEN ts >= TIMESTAMP '2024-01-10' THEN 2
+             ELSE 1 END, 4) AS px
+  FROM events
+),
+changes AS (
+  SELECT COALESCE(b.event_id, a.event_id) AS event_id, b.px AS px,
+         CASE WHEN a.event_id IS NULL THEN 'insert'
+              WHEN b.event_id IS NULL THEN 'delete'
+              WHEN a.px IS DISTINCT FROM b.px THEN 'update_postimage' END AS ct
+  FROM v2 a FULL OUTER JOIN v3 b ON a.event_id = b.event_id
+)
+SELECT ct AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(px), 2) AS sum_px_post
+FROM changes WHERE ct IS NOT NULL
+GROUP BY ct
+ORDER BY ct
+"""
+
+
+@register(
+    "etl_versioned_read_changes",
+    oracle=_CDF_ORACLE,
+    tags=("etl", "sink", "merge", "cdc"),
+)
+def etl_versioned_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between two committed snapshots — Delta's
+    `table_changes` on the manifest protocol: after the three-batch
+    ingest, diff version 2 -> 3 and report row counts + post-image
+    sums per change type. Version 3 restated every row with
+    ts >= Jan 25 (value x3 replacing x2), so the expected feed is pure
+    update_postimage rows for exactly that date range — which the
+    oracle recomputes closed-form from the raw fixture by building
+    both snapshot states and diffing them in SQL. Incremental
+    consumers read THIS instead of rescanning the table: two
+    manifest-pruned snapshot reads and one key-partitioned full-outer
+    join, nothing broadcast at table scale."""
+    from us_stock_data_pipeline_spark.etl.versioned import read_changes
+
+    root = _ingest_three_batches(spark, sf_dir)
+    ch = read_changes(
+        spark, root, from_version=2, to_version=3, key_cols=("event_id",)
+    )
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("px"), 2).alias("sum_px_post"),
+        )
+        .orderBy("change_type")
+    )

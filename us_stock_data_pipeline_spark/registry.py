@@ -47,6 +47,7 @@ _REGISTRY: dict[str, Query] = {}
 _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 8 (never sampled by construction) ---
     "etl_versioned_schema_evolution",
+    "etl_versioned_read_changes",
     "ml_logistic_irls_step",
     "dedup_exact_lines",
     "ml_target_encoding_kfold",
