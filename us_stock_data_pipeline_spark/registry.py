@@ -49,6 +49,8 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_versioned_schema_evolution",
     "etl_versioned_read_changes",
     "ml_logistic_irls_step",
+    "bars_cornish_fisher_var",
+    "graph_two_hop_neighborhood",
     "dedup_exact_lines",
     "ml_target_encoding_kfold",
     "ml_woe_binning_iv",
