@@ -99,6 +99,45 @@ def test_soft_dedup_join_is_shuffle_on_fp(spark):
     assert "UnresolvedHint" not in optimized and "hint" not in optimized.lower()
 
 
+def test_target_encoding_single_fact_pass(spark):
+    """ml_target_encoding_kfold must broadcast the two aggregate
+    lookup tables back onto the fact rows (category dim is 50 rows,
+    category x fold is 250) — one shuffle-free enrichment pass, never
+    a per-fold re-aggregation of the table."""
+    from us_stock_data_pipeline_spark.queries.round8_ops4 import (
+        ml_target_encoding_kfold,
+    )
+
+    df = ml_target_encoding_kfold(spark, SF_DIR)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("BroadcastHashJoin") >= 2
+    # the lineitem scan appears once per aggregate + once for the fact
+    # pass — but never 5x (one per fold), which is the naive shape
+    assert physical.count("Scan parquet") <= 4
+
+
+def test_black_scholes_single_symbol_shuffle(spark):
+    """finance_black_scholes is one daily rollup + one lag window + one
+    moment aggregate: every exchange hashes on the symbol axis; there
+    must be no join and no extra non-symbol exchange before the final
+    tiny sort."""
+    from us_stock_data_pipeline_spark.queries.round8_ops import (
+        finance_black_scholes,
+    )
+
+    df = finance_black_scholes(spark, SF_DIR)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in physical
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)\)", physical)
+    for kind, args in exchanges:
+        if kind == "hashpartitioning":
+            # the symbol axis appears pre-alias as event_type in the
+            # daily-rollup exchange
+            assert "symbol" in args or "event_type" in args, (kind, args)
+
+
 def test_wav_decode_plan_stays_arrow(spark):
     """The WAV pipeline must be scan -> two ArrowEvalPython-free
     mapInPandas stages -> one aggregate; payload bytes never hit a
