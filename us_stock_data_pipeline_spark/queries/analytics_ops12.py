@@ -5,6 +5,8 @@ concentration (HHI).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -161,25 +163,37 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benford first-digit audit
 # --------------------------------------------------------------------------
 
-_BENFORD_ORACLE = """
+# the nine log10(1+1/d) expectations are PYTHON double literals (repr
+# round-trips exactly, both engines parse the same bits) and the square
+# is explicit multiplication — no libm in any hashed column
+# (transcendental audit r9).
+_BENFORD_SHARES = [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+_BENFORD_VALUES = ", ".join(
+    f"({d}, CAST({bs!r} AS DOUBLE))" for d, bs in _BENFORD_SHARES
+)
+
+_BENFORD_ORACLE = f"""
 WITH digits AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
               AS INTEGER) AS digit
   FROM orders
   WHERE o_totalprice > 0
 ),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
-SELECT digit,
-       CAST(count(*) AS BIGINT) AS n_obs,
-       floor(CAST(count(*) AS DOUBLE) / max(tot.n) * 10000 + 0.5) / 10000
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs, max(tot.n) AS n
+  FROM digits, tot GROUP BY digit
+),
+bl AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS t(digit, bs))
+SELECT o.digit, o.n_obs,
+       floor(CAST(o.n_obs AS DOUBLE) / o.n * 10000 + 0.5) / 10000
          AS observed_share,
-       floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) / 10000 AS benford_share,
-       floor(power(count(*) - max(tot.n) * log10(1.0 + 1.0 / digit), 2)
-             / (max(tot.n) * log10(1.0 + 1.0 / digit)) * 10000 + 0.5) / 10000
+       floor(b.bs * 10000 + 0.5) / 10000 AS benford_share,
+       floor((o.n_obs - o.n * b.bs) * (o.n_obs - o.n * b.bs)
+             / (o.n * b.bs) * 10000 + 0.5) / 10000
          AS chi2_term
-FROM digits, tot
-GROUP BY digit
-ORDER BY digit
+FROM obs o JOIN bl b ON b.digit = o.digit
+ORDER BY o.digit
 """
 
 
@@ -203,22 +217,24 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-
-    def r4(c):
-        return F.floor(c * 10000 + F.lit(0.5)) / 10000
-
-    return (
+    obs = (
         digits.crossJoin(F.broadcast(tot))
         .groupBy("digit")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_obs"),
-            r4(F.count(F.lit(1)).cast("double") / F.max("n")).alias("observed_share"),
-            r4(exp_share).alias("benford_share"),
-            r4(
-                F.pow(F.count(F.lit(1)) - F.max("n") * exp_share, F.lit(2))
-                / (F.max("n") * exp_share)
-            ).alias("chi2_term"),
+            F.max("n").alias("n"),
+        )
+    )
+    bl = spark.createDataFrame(_BENFORD_SHARES, "digit int, bs double")
+    return (
+        obs.join(F.broadcast(bl), "digit")
+        .selectExpr(
+            "digit",
+            "n_obs",
+            "floor(CAST(n_obs AS DOUBLE) / n * 10000 + 0.5) / 10000 AS observed_share",
+            "floor(bs * 10000 + 0.5) / 10000 AS benford_share",
+            "floor((n_obs - n * bs) * (n_obs - n * bs) / (n * bs) * 10000 + 0.5)"
+            " / 10000 AS chi2_term",
         )
         .orderBy("digit")
     )
@@ -239,10 +255,15 @@ WITH rev AS (
   GROUP BY 1, 2
 ),
 tot AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS t FROM rev GROUP BY nation)
+-- sum of squared shares as EXACT integer sum-of-squares over t^2: no
+-- power() libm call, no double-sum order dependence (transcendental
+-- audit r9); the single terminal division is deterministic IEEE.
 SELECT rev.nation,
        CAST(count(*) AS BIGINT) AS n_suppliers,
        max(tot.t) AS total_cents,
-       floor(sum(power(CAST(rev.cents AS DOUBLE) / tot.t, 2)) * 10000 * 10000 + 0.5)
+       floor(CAST(sum(CAST(rev.cents AS HUGEINT) * rev.cents) AS DOUBLE)
+             / (CAST(max(tot.t) AS DOUBLE) * CAST(max(tot.t) AS DOUBLE))
+             * 10000 * 10000 + 0.5)
          / 10000 AS hhi
 FROM rev
 JOIN tot ON tot.nation = rev.nation
@@ -279,6 +300,7 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.groupBy("nation").agg(F.sum("cents").cast("long").alias("t"))
+    sq = F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
     return (
         rev.join(F.broadcast(tot), "nation")
         .groupBy("nation")
@@ -287,7 +309,8 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t").alias("total_cents"),
             (
                 F.floor(
-                    F.sum(F.pow(F.col("cents").cast("double") / F.col("t"), F.lit(2)))
+                    F.sum(sq).cast("double")
+                    / (F.max("t").cast("double") * F.max("t").cast("double"))
                     * 10000
                     * 10000
                     + F.lit(0.5)

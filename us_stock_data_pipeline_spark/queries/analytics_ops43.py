@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -17,28 +18,36 @@ from us_stock_data_pipeline_spark.registry import register
 _AMORT_MONTHS = 12
 _AMORT_RATE_BP = 100  # 1% per month
 
+# power() is libm territory (transcendental audit r9): precompute the
+# (1+r)^m ladder and the annuity factor r/(1-(1+r)^-n) as PYTHON double
+# literals — repr() round-trips exactly, so both engines parse the same
+# bits and the floor() quantization below can never straddle.
+_AMORT_R = _AMORT_RATE_BP / 10000.0
+_AMORT_AF = _AMORT_R / (1.0 - (1.0 + _AMORT_R) ** -_AMORT_MONTHS)
+_AMORT_POWS = [(m, (1.0 + _AMORT_R) ** m) for m in range(1, _AMORT_MONTHS + 1)]
+_AMORT_VALUES = ", ".join(
+    f"({m}, CAST({pw!r} AS DOUBLE))" for m, pw in _AMORT_POWS
+)
+
 _AMORT_ORACLE = f"""
 WITH loans AS (
   SELECT o_orderkey AS loan_id,
          CAST(round(o_totalprice * 100) AS BIGINT) AS principal_cents
   FROM orders WHERE o_orderkey % 1000 = 0
 ),
-months AS (SELECT unnest(generate_series(1, {_AMORT_MONTHS})) AS m),
+months AS (SELECT * FROM (VALUES {_AMORT_VALUES}) AS t(m, pw)),
 sched AS (
-  SELECT l.loan_id, l.principal_cents, m.m,
-         {_AMORT_RATE_BP} / 10000.0 AS r
+  SELECT l.loan_id, l.principal_cents, m.m, m.pw
   FROM loans l CROSS JOIN months m
 )
 SELECT loan_id, CAST(m AS BIGINT) AS month,
-       -- annuity payment: P*r / (1 - (1+r)^-n), quantized once
-       CAST(floor(principal_cents * r / (1.0 - power(1.0 + r, -{_AMORT_MONTHS}))
-                  + 0.5) AS BIGINT) AS payment_cents,
+       -- annuity payment: P * precomputed r/(1-(1+r)^-n), quantized once
+       CAST(floor(principal_cents * CAST({_AMORT_AF!r} AS DOUBLE) + 0.5) AS BIGINT) AS payment_cents,
        -- closed-form balance after m payments:
        -- B_m = P*(1+r)^m - pmt*((1+r)^m - 1)/r
-       CAST(floor(principal_cents * power(1.0 + r, m)
-                  - floor(principal_cents * r
-                          / (1.0 - power(1.0 + r, -{_AMORT_MONTHS})) + 0.5)
-                    * (power(1.0 + r, m) - 1.0) / r
+       CAST(floor(principal_cents * pw
+                  - floor(principal_cents * CAST({_AMORT_AF!r} AS DOUBLE) + 0.5)
+                    * (pw - 1.0) / CAST({_AMORT_R!r} AS DOUBLE)
                   + 0.5) AS BIGINT) AS balance_cents
 FROM sched
 ORDER BY loan_id, month
@@ -67,15 +76,11 @@ def finance_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("o_totalprice") * 100).cast("long").alias("principal_cents"),
         )
     )
-    months = spark.range(1, _AMORT_MONTHS + 1).select(F.col("id").alias("m"))
-    r = _AMORT_RATE_BP / 10000.0
-    pmt = F.floor(
-        F.col("principal_cents") * r / (1.0 - F.pow(F.lit(1.0 + r), -_AMORT_MONTHS))
-        + F.lit(0.5)
-    )
+    months = spark.createDataFrame(_AMORT_POWS, "m int, pw double")
+    pmt = F.floor(F.col("principal_cents") * F.lit(_AMORT_AF) + F.lit(0.5))
     bal = F.floor(
-        F.col("principal_cents") * F.pow(F.lit(1.0 + r), F.col("m"))
-        - pmt * (F.pow(F.lit(1.0 + r), F.col("m")) - 1.0) / r
+        F.col("principal_cents") * F.col("pw")
+        - pmt * (F.col("pw") - 1.0) / F.lit(_AMORT_R)
         + F.lit(0.5)
     )
     return (
@@ -94,7 +99,18 @@ def finance_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
 # Char-entropy compressibility
 # --------------------------------------------------------------------------
 
-_ENTROPY_ORACLE = """
+# ln(p) = ln(c) - ln(n) via the libm-free integer-ln kernel: identical
+# IEEE arithmetic in both engines, so the floor() quantization below can
+# never straddle differently (transcendental audit r9 tier-1 fix).
+_ENTROPY_STAGES = detmath.det_ln_int_stages("c", "ln_c") + detmath.det_ln_int_stages(
+    "n", "ln_n"
+)
+_ENTROPY_TERM = (
+    "CAST(floor(-(CAST(c AS DOUBLE) / n) * (ln_c - ln_n) / "
+    f"{detmath.LN2} * 1000000 + 0.5) AS BIGINT)"
+)
+
+_ENTROPY_ORACLE = f"""
 WITH chars AS (
   SELECT d.doc_id, substr(d.text, t.p, 1) AS ch
   FROM documents d,
@@ -107,11 +123,9 @@ lens AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freqs GROUP BY doc_id
 ),
 terms AS (
-  SELECT f.doc_id, l.n,
-         CAST(floor(-(CAST(f.c AS DOUBLE) / l.n)
-                    * ln(CAST(f.c AS DOUBLE) / l.n) / ln(2.0) * 1000000 + 0.5)
-           AS BIGINT) AS h_term_e6
-  FROM freqs f JOIN lens l ON l.doc_id = f.doc_id
+  SELECT doc_id, n, {_ENTROPY_TERM} AS h_term_e6
+  FROM {detmath.stages_to_select(_ENTROPY_STAGES,
+        "(SELECT f.doc_id, l.n, f.c FROM freqs f JOIN lens l ON l.doc_id = f.doc_id)")}
 )
 SELECT doc_id, n AS n_chars,
        CAST(sum(h_term_e6) AS BIGINT) AS entropy_bits_e6,
@@ -129,10 +143,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-garbage, base64 blobs, and degenerate repetition in a crawl
     (near-8-bit entropy = encoded junk; near-0 = spam padding; prose
     sits ~4.0-4.5). Each -p*log2(p) term is micro-quantized to 1e-6
-    BEFORE the per-doc sum (order-independence), and the estimated
-    compressed size is the exact integer ratio entropy/8. Plan: one
-    char explode (positions ladder, 1-char substrings), two
-    aggregates — all shuffles keyed on doc_id."""
+    BEFORE the per-doc sum (order-independence), with ln(p) =
+    ln(c) - ln(n) computed by the libm-free detmath kernel so both
+    engines produce bit-identical doubles and the floor() boundary is
+    moot. The estimated compressed size is the exact integer ratio
+    entropy/8. Plan: one char explode (positions ladder, 1-char
+    substrings), two aggregates — all shuffles keyed on doc_id."""
     n_parts = max(8, spark.sparkContext.defaultParallelism // 2)
     docs = load_table(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     chars = docs.select(
@@ -141,13 +157,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freqs = chars.groupBy("doc_id", "ch").agg(F.count("*").cast("long").alias("c"))
     lens = freqs.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
-    p = F.col("c").cast("double") / F.col("n")
-    terms = freqs.join(lens, "doc_id").select(
+    terms = detmath.apply_stages(freqs.join(lens, "doc_id"), _ENTROPY_STAGES).selectExpr(
         "doc_id",
         "n",
-        F.floor(-p * F.log(p) / F.log(F.lit(2.0)) * 1_000_000 + F.lit(0.5))
-        .cast("long")
-        .alias("h_term_e6"),
+        f"{_ENTROPY_TERM} AS h_term_e6",
     )
     return (
         terms.groupBy("doc_id", "n")

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -29,15 +30,16 @@ indexed AS (
   FROM closes
 ),
 ladder AS (SELECT unnest(ARRAY{list(_PERIODS)}) AS period),
+-- cos/sin come from the libm-free detmath kernels on the PHASE-reduced
+-- argument 2*pi*(t mod p)/p — bit-identical doubles in both engines
+-- (transcendental audit r9), so the 1e3 quantization cannot straddle.
 terms AS (
-  SELECT i.symbol, l.period,
-         CAST(floor((i.close_cents - i.mean_cents)
-                    * cos(2 * pi() * i.t / l.period) * 1000 + 0.5) AS BIGINT)
+  SELECT symbol, period,
+         CAST(floor((close_cents - mean_cents) * pg_cos * 1000 + 0.5) AS BIGINT)
            AS c_term_q,
-         CAST(floor((i.close_cents - i.mean_cents)
-                    * sin(2 * pi() * i.t / l.period) * 1000 + 0.5) AS BIGINT)
+         CAST(floor((close_cents - mean_cents) * pg_sin * 1000 + 0.5) AS BIGINT)
            AS s_term_q
-  FROM indexed i CROSS JOIN ladder l
+  FROM {{PG_STAGED}}
 )
 SELECT symbol, period,
        CAST(sum(c_term_q) AS BIGINT) AS cos_sum_q,
@@ -51,10 +53,23 @@ ORDER BY symbol, period
 """
 
 
+_PG_ARG = f"2.0 * {detmath.PI} * CAST(t % period AS DOUBLE) / CAST(period AS DOUBLE)"
+_PG_STAGES = (
+    [("pg_arg", _PG_ARG)]
+    + detmath.det_cos_stages("pg_arg", "pg_cos")
+    + detmath.det_sin_stages("pg_arg", "pg_sin")
+)
+
+
 def _periodogram_oracle() -> str:
     return _PERIODOGRAM_ORACLE.replace(
         "FROM closes_src",
         "FROM events GROUP BY 1, 2",
+    ).replace(
+        "{PG_STAGED}",
+        detmath.stages_to_select(
+            _PG_STAGES, "(SELECT i.*, l.period FROM indexed i CROSS JOIN ladder l)"
+        ),
     )
 
 
@@ -91,31 +106,20 @@ def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cents"),
     )
     ladder = F.array(*[F.lit(p) for p in _PERIODS])
-    terms = indexed.select(
-        "symbol",
-        "close_cents",
-        "t",
-        "mean_cents",
-        F.explode(ladder).alias("period"),
-    ).select(
+    terms = detmath.apply_stages(
+        indexed.select(
+            "symbol",
+            "close_cents",
+            "t",
+            "mean_cents",
+            F.explode(ladder).alias("period"),
+        ),
+        _PG_STAGES,
+    ).selectExpr(
         "symbol",
         "period",
-        F.floor(
-            (F.col("close_cents") - F.col("mean_cents"))
-            * F.cos(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period"))
-            * 1000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("c_term_q"),
-        F.floor(
-            (F.col("close_cents") - F.col("mean_cents"))
-            * F.sin(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period"))
-            * 1000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("s_term_q"),
+        "CAST(floor((close_cents - mean_cents) * pg_cos * 1000 + 0.5) AS BIGINT) AS c_term_q",
+        "CAST(floor((close_cents - mean_cents) * pg_sin * 1000 + 0.5) AS BIGINT) AS s_term_q",
     )
     return (
         terms.groupBy("symbol", F.col("period").cast("long").alias("period"))
@@ -149,15 +153,22 @@ def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECAY_HALF_LIFE_DAYS = 7
 
+# decay weight via the libm-free det_exp kernel on the clamped exponent
+# (below -40 the quantized term is exactly 0 in both engines anyway, and
+# the clamp keeps det_exp's power-of-two shift inside BIGINT).
+_DECAY_X = (
+    f"greatest(-{detmath.LN2} * ((age_us) / 86400000000.0)"
+    f" / {_DECAY_HALF_LIFE_DAYS}, -40.0)"
+)
+_DECAY_STAGES = [("dk_x", _DECAY_X)] + detmath.det_exp_stages("dk_x", "dk_w")
+_DECAY_TERM = "CAST(floor(dk_w * CAST(round(value * 100) AS BIGINT) * 1000 + 0.5) AS BIGINT)"
+
 _DECAY_ORACLE = f"""
 WITH head AS (SELECT max(ts) AS now FROM events),
 scored AS (
-  SELECT e.user_id,
-         CAST(floor(exp(-ln(2.0) * ((epoch_us(h.now) - epoch_us(e.ts)) / 86400000000.0)
-                        / {_DECAY_HALF_LIFE_DAYS})
-                    * CAST(round(e.value * 100) AS BIGINT) * 1000 + 0.5) AS BIGINT)
-           AS term_q
-  FROM events e CROSS JOIN head h
+  SELECT user_id, {_DECAY_TERM} AS term_q
+  FROM {detmath.stages_to_select(_DECAY_STAGES,
+    "(SELECT e.user_id, e.value, epoch_us(h.now) - epoch_us(e.ts) AS age_us FROM events e CROSS JOIN head h)")}
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -184,24 +195,13 @@ def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one 1-row head aggregate broadcast, one user rollup."""
     ev = load_table(spark, sf_dir, "events")
     head = ev.agg(F.max("ts").alias("now"))
-    import math
-
-    scored = ev.crossJoin(F.broadcast(head)).select(
+    aged = ev.crossJoin(F.broadcast(head)).select(
         "user_id",
-        F.floor(
-            F.exp(
-                -F.lit(math.log(2.0))
-                * (
-                    (F.unix_micros("now") - F.unix_micros("ts")) / 86400000000.0
-                )
-                / _DECAY_HALF_LIFE_DAYS
-            )
-            * F.round(F.col("value") * 100).cast("long")
-            * 1000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("term_q"),
+        "value",
+        (F.unix_micros("now") - F.unix_micros("ts")).alias("age_us"),
+    )
+    scored = detmath.apply_stages(aged, _DECAY_STAGES).selectExpr(
+        "user_id", f"{_DECAY_TERM} AS term_q"
     )
     return (
         scored.groupBy("user_id")

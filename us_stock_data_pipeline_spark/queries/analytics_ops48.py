@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -113,22 +114,30 @@ def anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Overnight vs intraday return decomposition
 # --------------------------------------------------------------------------
 
-_OVERNIGHT_ORACLE = """
+# log returns via the libm-free det_ln kernel (bit-identical doubles in
+# both engines — transcendental audit r9); NULL prev_close propagates
+# NULL through the stages identically on both sides.
+_OVERNIGHT_STAGES = detmath.det_ln_ratio_stages(
+    "open_cents", "prev_close", "on_lr"
+) + detmath.det_ln_ratio_stages("close_cents", "open_cents", "id_lr")
+
+_OVERNIGHT_ORACLE = f"""
 WITH ohlc AS (
   SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(round(arg_min(value, event_id) * 100) AS BIGINT) AS open_cents,
          CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS close_cents
   FROM events GROUP BY 1, 2
 ),
+lagged AS (
+  SELECT symbol, day, open_cents, close_cents,
+         lag(close_cents) OVER (PARTITION BY symbol ORDER BY day) AS prev_close
+  FROM ohlc
+),
 decomp AS (
   SELECT symbol, day,
-         CAST(floor(ln(CAST(open_cents AS DOUBLE)
-                       / CAST(lag(close_cents) OVER w AS DOUBLE))
-                    * 1000000 + 0.5) AS BIGINT) AS overnight_e6,
-         CAST(floor(ln(CAST(close_cents AS DOUBLE) / CAST(open_cents AS DOUBLE))
-                    * 1000000 + 0.5) AS BIGINT) AS intraday_e6
-  FROM ohlc
-  WINDOW w AS (PARTITION BY symbol ORDER BY day)
+         CAST(floor(on_lr * 1000000 + 0.5) AS BIGINT) AS overnight_e6,
+         CAST(floor(id_lr * 1000000 + 0.5) AS BIGINT) AS intraday_e6
+  FROM {detmath.stages_to_select(_OVERNIGHT_STAGES, "lagged")}
 )
 SELECT symbol,
        CAST(count(overnight_e6) AS BIGINT) AS n_days,
@@ -162,25 +171,16 @@ def bars_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", "event_id") * 100).cast("long").alias("close_cents"),
     )
     w = Window.partitionBy("symbol").orderBy("day")
-    decomp = ohlc.select(
+    lagged = ohlc.select(
         "symbol",
-        F.floor(
-            F.log(
-                F.col("open_cents").cast("double")
-                / F.lag("close_cents").over(w).cast("double")
-            )
-            * 1_000_000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("overnight_e6"),
-        F.floor(
-            F.log(F.col("close_cents").cast("double") / F.col("open_cents").cast("double"))
-            * 1_000_000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("intraday_e6"),
+        "open_cents",
+        "close_cents",
+        F.lag("close_cents").over(w).alias("prev_close"),
+    )
+    decomp = detmath.apply_stages(lagged, _OVERNIGHT_STAGES).selectExpr(
+        "symbol",
+        "CAST(floor(on_lr * 1000000 + 0.5) AS BIGINT) AS overnight_e6",
+        "CAST(floor(id_lr * 1000000 + 0.5) AS BIGINT) AS intraday_e6",
     ).filter(F.col("overnight_e6").isNotNull())
     return (
         decomp.groupBy("symbol")

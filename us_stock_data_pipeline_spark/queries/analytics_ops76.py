@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -168,7 +169,21 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Atkinson inequality index (epsilon = 1) of customer spend by segment
 # --------------------------------------------------------------------------
 
-_ATKINSON_ORACLE = """
+# ln/exp via the libm-free detmath kernels (bit-identical in both
+# engines — transcendental audit r9): per-customer ln(cents) quantizes
+# to micro-nats BEFORE the mean, and the geomean exp runs on the tiny
+# per-segment aggregate row.
+_ATK_LN_STAGES = detmath.det_ln_int_stages("cents", "atk_ln")
+_ATK_LQ = "CAST(round(atk_ln * 1000000) AS BIGINT)"
+_ATK_EXP_STAGES = [
+    ("atk_x", "CAST(sum_log_micro AS DOUBLE) / n_customers / 1000000")
+] + detmath.det_exp_stages("atk_x", "atk_g")
+_ATK_FINAL = (
+    "CAST(floor((1 - atk_g / (CAST(total_cents AS DOUBLE) / n_customers))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+_ATKINSON_ORACLE = f"""
 WITH spend AS (
   SELECT c.c_mktsegment AS segment,
          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -176,21 +191,18 @@ WITH spend AS (
   GROUP BY c.c_mktsegment, c.c_custkey
 ),
 logs AS (
-  -- per-customer log spend quantized to exact integer micro-nats BEFORE
-  -- the mean (the agg_product_logspace discipline)
-  SELECT segment, cents,
-         CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT) AS lq
-  FROM spend
+  SELECT segment, cents, {_ATK_LQ} AS lq
+  FROM {detmath.stages_to_select(_ATK_LN_STAGES, "spend")}
+),
+sums AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(sum(lq) AS BIGINT) AS sum_log_micro
+  FROM logs GROUP BY segment
 )
-SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(cents) AS BIGINT) AS total_cents,
-       CAST(sum(lq) AS BIGINT) AS sum_log_micro,
-       -- A(1) = 1 - geomean/mean, assembled in DOUBLE from the exact sums
-       CAST(floor((1 - exp(CAST(sum(lq) AS DOUBLE) / count(*) / 1000000)
-                       / (CAST(sum(cents) AS DOUBLE) / count(*))) * 1000000
-                  + 0.5) AS BIGINT) AS atkinson_micro
-FROM logs
-GROUP BY segment
+SELECT segment, n_customers, total_cents, sum_log_micro,
+       {_ATK_FINAL} AS atkinson_micro
+FROM {detmath.stages_to_select(_ATK_EXP_STAGES, "sums")}
 ORDER BY segment
 """
 
@@ -219,29 +231,22 @@ def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
         )
     )
-    logs = spend.select(
-        "segment",
-        "cents",
-        F.round(F.log(F.col("cents").cast("double")) * 1000000).cast("long").alias("lq"),
+    logs = detmath.apply_stages(spend, _ATK_LN_STAGES).selectExpr(
+        "segment", "cents", f"{_ATK_LQ} AS lq"
     )
-    n = F.count(F.lit(1))
+    sums = logs.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum("lq").cast("long").alias("sum_log_micro"),
+    )
     return (
-        logs.groupBy("segment")
-        .agg(
-            n.cast("long").alias("n_customers"),
-            F.sum("cents").cast("long").alias("total_cents"),
-            F.sum("lq").cast("long").alias("sum_log_micro"),
-            F.floor(
-                (
-                    1
-                    - F.exp(F.sum("lq").cast("double") / n / 1000000)
-                    / (F.sum("cents").cast("double") / n)
-                )
-                * 1000000
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("atkinson_micro"),
+        detmath.apply_stages(sums, _ATK_EXP_STAGES)
+        .selectExpr(
+            "segment",
+            "n_customers",
+            "total_cents",
+            "sum_log_micro",
+            f"{_ATK_FINAL} AS atkinson_micro",
         )
         .orderBy("segment")
     )

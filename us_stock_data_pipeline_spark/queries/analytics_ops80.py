@@ -4,11 +4,14 @@
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -121,20 +124,41 @@ def bars_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Circular statistics: mean direction + resultant length of event timing
 # --------------------------------------------------------------------------
 
-_CIRC_ORACLE = """
+# the 24 hour-bin unit vectors are PYTHON double literals (repr round-
+# trips exactly, so both engines parse the same bits), and the mean
+# direction runs through the libm-free det_atan2 kernel — no trig libm
+# anywhere in a hashed column (transcendental audit r9).
+_CIRC_TWO_PI = 2 * 3.141592653589793
+_CIRC_TRIG = [
+    (hr, math.cos(_CIRC_TWO_PI * hr / 24), math.sin(_CIRC_TWO_PI * hr / 24))
+    for hr in range(24)
+]
+_CIRC_VALUES = ", ".join(
+    f"({h}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))" for h, c, s in _CIRC_TRIG
+)
+_CIRC_AT_STAGES = detmath.det_atan2_stages(
+    "CAST(sy AS DOUBLE)", "CAST(sx AS DOUBLE)", "circ_at"
+)
+_CIRC_MEAN_HOUR = (
+    f"CAST(floor(((circ_at + {_CIRC_TWO_PI!r}) / {_CIRC_TWO_PI!r}) * 24000 + 0.5)"
+    " AS BIGINT) % 24000"
+)
+
+_CIRC_ORACLE = f"""
 WITH hours AS (
   SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
          CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2
 ),
+trig AS (SELECT * FROM (VALUES {_CIRC_VALUES}) AS t(hr, cosv, sinv)),
 -- per-bin unit vectors on the 24-hour circle, scaled by EXACT counts and
 -- quantized to integer micro per bin BEFORE the sum: the cross-bin
 -- aggregation is order-free integer arithmetic (24 bins max)
 vecs AS (
-  SELECT event_type, hr, n,
-         CAST(floor(cos(2 * pi() * hr / 24) * n * 1000000 + 0.5) AS BIGINT) AS cx,
-         CAST(floor(sin(2 * pi() * hr / 24) * n * 1000000 + 0.5) AS BIGINT) AS cy
-  FROM hours
+  SELECT event_type, h.hr, n,
+         CAST(floor(t.cosv * n * 1000000 + 0.5) AS BIGINT) AS cx,
+         CAST(floor(t.sinv * n * 1000000 + 0.5) AS BIGINT) AS cy
+  FROM hours h JOIN trig t ON t.hr = h.hr
 ),
 agg AS (
   SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
@@ -146,10 +170,8 @@ SELECT event_type, n_events, sx AS sum_cos_micro, sy AS sum_sin_micro,
        CAST(floor(sqrt(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy)
                   / n_events + 0.5) AS BIGINT) AS resultant_micro,
        -- mean direction in milli-hours on [0, 24000)
-       CAST(floor(((atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) + 2 * pi())
-                   / (2 * pi())) * 24000 + 0.5) AS BIGINT) % 24000
-         AS mean_hour_milli
-FROM agg
+       {_CIRC_MEAN_HOUR} AS mean_hour_milli
+FROM {detmath.stages_to_select(_CIRC_AT_STAGES, "agg")}
 ORDER BY event_type
 """
 
@@ -172,47 +194,28 @@ def events_circular_timing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = ev.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hr")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    two_pi = 2 * 3.141592653589793
-    vecs = hours.select(
+    trig = spark.createDataFrame(_CIRC_TRIG, "hr long, cosv double, sinv double")
+    vecs = hours.join(F.broadcast(trig), "hr").selectExpr(
         "event_type",
         "n",
-        F.floor(F.cos(F.lit(two_pi) * F.col("hr") / 24) * F.col("n") * 1000000 + F.lit(0.5))
-        .cast("long")
-        .alias("cx"),
-        F.floor(F.sin(F.lit(two_pi) * F.col("hr") / 24) * F.col("n") * 1000000 + F.lit(0.5))
-        .cast("long")
-        .alias("cy"),
+        "CAST(floor(cosv * n * 1000000 + 0.5) AS BIGINT) AS cx",
+        "CAST(floor(sinv * n * 1000000 + 0.5) AS BIGINT) AS cy",
     )
     agg = vecs.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.sum("cx").cast("long").alias("sx"),
         F.sum("cy").cast("long").alias("sy"),
     )
-    return agg.select(
-        "event_type",
-        "n_events",
-        F.col("sx").alias("sum_cos_micro"),
-        F.col("sy").alias("sum_sin_micro"),
-        F.floor(
-            F.sqrt(
-                F.col("sx").cast("double") * F.col("sx")
-                + F.col("sy").cast("double") * F.col("sy")
-            )
-            / F.col("n_events")
-            + F.lit(0.5)
+    return (
+        detmath.apply_stages(agg, _CIRC_AT_STAGES)
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "sx AS sum_cos_micro",
+            "sy AS sum_sin_micro",
+            "CAST(floor(sqrt(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy)"
+            " / n_events + 0.5) AS BIGINT) AS resultant_micro",
+            f"{_CIRC_MEAN_HOUR} AS mean_hour_milli",
         )
-        .cast("long")
-        .alias("resultant_micro"),
-        (
-            F.floor(
-                (
-                    (F.atan2(F.col("sy").cast("double"), F.col("sx").cast("double"))
-                     + F.lit(two_pi))
-                    / F.lit(two_pi)
-                )
-                * 24000
-                + F.lit(0.5)
-            ).cast("long")
-            % 24000
-        ).alias("mean_hour_milli"),
-    ).orderBy("event_type")
+        .orderBy("event_type")
+    )

@@ -97,7 +97,7 @@ _LENHIST_ORACLE = """
 WITH base AS (
   SELECT lang, n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket
+         CAST(length(bin(n_chars)) - 1 AS BIGINT) AS len_bucket
   FROM documents WHERE n_chars > 0
 )
 SELECT lang, len_bucket,
@@ -118,16 +118,19 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     intake, because truncation bugs and boilerplate floods show up as
     bucket-mass anomalies before any quality model sees the data
     (`etl_profile_table` profiles columns generically; this is the
-    corpus-shaped cut). floor(log2(n)) sits off every boundary except
-    exact powers of two, where both libms are exact, so bucketing is
-    deterministic. Pure map-side bucket + groupBy; the histogram is
-    langs x ~20 buckets regardless of corpus size."""
+    corpus-shaped cut). The log2 bucket is computed as the integer
+    BIT LENGTH (length(bin(n)) - 1) rather than floor(log2(n)) — at
+    exact powers of two a libm whose log2 is a hair under flips the
+    bucket, and bit-length is exact integer arithmetic in both engines
+    (transcendental audit r9 tier-1 fix). Pure map-side bucket +
+    groupBy; the histogram is langs x ~20 buckets regardless of
+    corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("n_chars") > 0).select(
         "lang",
         "n_chars",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.floor(F.log2("n_chars")).cast("long").alias("len_bucket"),
+        (F.length(F.bin("n_chars")) - 1).cast("long").alias("len_bucket"),
     )
     return (
         base.groupBy("lang", "len_bucket")

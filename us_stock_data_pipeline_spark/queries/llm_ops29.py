@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -138,16 +139,24 @@ def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFram
 
 _MIX_ALPHAS_E2 = (30, 70, 100)  # temperature exponents 0.3, 0.7, 1.0
 
+# n^alpha = det_exp(alpha * det_ln(n)) on the libm-free kernels:
+# bit-identical doubles in both engines (transcendental audit r9).
+_MIX_STAGES = (
+    detmath.det_ln_int_stages("n", "tm_ln")
+    + [("tm_x", "CAST(alpha_e2 AS DOUBLE) / 100.0 * tm_ln")]
+    + detmath.det_exp_stages("tm_x", "tm_p")
+)
+_MIX_WQ = "CAST(floor(tm_p * 1000000 + 0.5) AS BIGINT)"
+
 _MIX_ORACLE = f"""
 WITH counts AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
 ),
 ladder AS (SELECT unnest(ARRAY{list(_MIX_ALPHAS_E2)}) AS alpha_e2),
 powered AS (
-  SELECT l.alpha_e2, c.lang, c.n,
-         CAST(floor(exp(l.alpha_e2 / 100.0 * ln(CAST(c.n AS DOUBLE))) * 1000000 + 0.5)
-           AS BIGINT) AS w_q
-  FROM counts c CROSS JOIN ladder l
+  SELECT alpha_e2, lang, n, {_MIX_WQ} AS w_q
+  FROM {detmath.stages_to_select(_MIX_STAGES,
+    "(SELECT l.alpha_e2, c.lang, c.n FROM counts c CROSS JOIN ladder l)")}
 )
 SELECT alpha_e2, lang, n AS n_docs,
        CAST(w_q * 1000000 // sum(w_q) OVER (PARTITION BY alpha_e2) AS BIGINT)
@@ -177,20 +186,10 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     ladder = F.array(*[F.lit(a) for a in _MIX_ALPHAS_E2])
-    powered = counts.select(
-        "lang", "n", F.explode(ladder).alias("alpha_e2")
-    ).select(
-        "alpha_e2",
-        "lang",
-        "n",
-        F.floor(
-            F.exp(F.col("alpha_e2") / 100.0 * F.log(F.col("n").cast("double")))
-            * 1_000_000
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("w_q"),
-    )
+    powered = detmath.apply_stages(
+        counts.select("lang", "n", F.explode(ladder).alias("alpha_e2")),
+        _MIX_STAGES,
+    ).selectExpr("alpha_e2", "lang", "n", f"{_MIX_WQ} AS w_q")
     w_a = Window.partitionBy("alpha_e2")
     return powered.select(
         F.col("alpha_e2").cast("long").alias("alpha_e2"),

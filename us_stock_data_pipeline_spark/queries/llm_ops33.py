@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -41,22 +42,13 @@ cells AS (
   JOIN right_n r ON r.w2 = p.w2
   CROSS JOIN tot t
 ),
--- G^2 = 2 * sum O ln(O n / (row_tot * col_tot)); each of the four
--- observed-cell terms micro-quantizes independently, so the statistic
--- assembles from exact integers (zero cells contribute zero by limit)
+-- G^2 = 2 * sum O ln(O n / (row_tot * col_tot)); ln of each cell's
+-- integer-product ratio comes from the libm-free detmath kernel
+-- (bit-identical in both engines — transcendental audit r9), and zero
+-- cells contribute zero by limit via the CASE guards.
 scored AS (
-  SELECT w1, w2, k11,
-         CAST(floor(2000000.0 * (
-           CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n
-                / ((k11 + k12) * CAST(k11 + k21 AS DOUBLE))) ELSE 0 END
-         + CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * n
-                / ((k11 + k12) * CAST(k12 + k22 AS DOUBLE))) ELSE 0 END
-         + CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * n
-                / ((k21 + k22) * CAST(k11 + k21 AS DOUBLE))) ELSE 0 END
-         + CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * n
-                / ((k21 + k22) * CAST(k12 + k22 AS DOUBLE))) ELSE 0 END
-         ) + 0.5) AS BIGINT) AS g2_micro
-  FROM cells
+  SELECT w1, w2, k11, {{G2_EXPR}} AS g2_micro
+  FROM {{G2_STAGED_CELLS}}
 )
 SELECT w1, w2, k11 AS pair_count, g2_micro,
        CAST(row_number() OVER (ORDER BY g2_micro DESC, w1, w2) AS BIGINT) AS rnk
@@ -64,6 +56,26 @@ FROM scored
 QUALIFY rnk <= {_G2_TOPK}
 ORDER BY rnk
 """
+
+# det_ln of each cell's O*n / (rowtot*coltot) ratio: integer products
+# stay inside BIGINT (k, n <= corpus bigram count; ~1e6 * 1e6 max).
+_G2_STAGES = (
+    detmath.det_ln_ratio_stages("k11 * n", "(k11 + k12) * (k11 + k21)", "lr11")
+    + detmath.det_ln_ratio_stages("k12 * n", "(k11 + k12) * (k12 + k22)", "lr12")
+    + detmath.det_ln_ratio_stages("k21 * n", "(k21 + k22) * (k11 + k21)", "lr21")
+    + detmath.det_ln_ratio_stages("k22 * n", "(k21 + k22) * (k12 + k22)", "lr22")
+)
+_G2_EXPR = (
+    "CAST(floor(2000000.0 * ("
+    "  CASE WHEN k11 > 0 THEN k11 * lr11 ELSE 0.0 END"
+    " + CASE WHEN k12 > 0 THEN k12 * lr12 ELSE 0.0 END"
+    " + CASE WHEN k21 > 0 THEN k21 * lr21 ELSE 0.0 END"
+    " + CASE WHEN k22 > 0 THEN k22 * lr22 ELSE 0.0 END"
+    ") + 0.5) AS BIGINT)"
+)
+_G2_ORACLE = _G2_ORACLE.replace("{G2_EXPR}", _G2_EXPR).replace(
+    "{G2_STAGED_CELLS}", detmath.stages_to_select(_G2_STAGES, "cells")
+)
 
 
 @register("text_dunning_collocations", oracle=_G2_ORACLE, tags=("text", "llm"))
@@ -111,24 +123,9 @@ def text_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def term(o: F.Column, row_t: F.Column, col_t: F.Column) -> F.Column:
-        return F.when(
-            o > 0,
-            o * F.log(o.cast("double") * F.col("n") / (row_t * col_t.cast("double"))),
-        ).otherwise(F.lit(0.0))
-
-    k11, k12, k21, k22 = (F.col(c) for c in ("k11", "k12", "k21", "k22"))
-    g2 = F.floor(
-        2000000.0
-        * (
-            term(k11, k11 + k12, k11 + k21)
-            + term(k12, k11 + k12, k12 + k22)
-            + term(k21, k21 + k22, k11 + k21)
-            + term(k22, k21 + k22, k12 + k22)
-        )
-        + F.lit(0.5)
-    ).cast("long")
-    scored = cells.select("w1", "w2", F.col("k11").alias("pair_count"), g2.alias("g2_micro"))
+    scored = detmath.apply_stages(cells, _G2_STAGES).selectExpr(
+        "w1", "w2", "k11 AS pair_count", f"{_G2_EXPR} AS g2_micro"
+    )
     w_rank = Window.orderBy(F.col("g2_micro").desc(), "w1", "w2")
     return (
         scored.select("*", F.row_number().over(w_rank).cast("long").alias("rnk"))

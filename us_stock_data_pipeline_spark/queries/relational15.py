@@ -182,7 +182,7 @@ deg AS (
     SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
   ) GROUP BY node
 )
-SELECT CAST(floor(log2(degree)) AS BIGINT) AS degree_bucket,
+SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS degree_bucket,
        CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(min(degree) AS BIGINT) AS min_degree,
        CAST(max(degree) AS BIGINT) AS max_degree,
@@ -203,10 +203,12 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-order self-join (orders have a handful of lines, so the
     per-key blowup is a small constant — never |parts|^2), distinct
     dedups multi-order pairs, and degrees come from one groupBy over
-    the doubled edge list. log2 of a positive integer is safely off
-    any bucket boundary only when degree is an exact power of two —
-    and there floor(log2(2^k)) is exact in both engines' libm.
-    Everything else is exact integers."""
+    the doubled edge list. The log2 bucket is the integer BIT LENGTH
+    (length(bin(degree)) - 1), not floor(log2(degree)): at exact
+    powers of two a libm whose log2 lands a hair under 2^k flips the
+    bucket, while bit-length is exact integer arithmetic in both
+    engines (transcendental audit r9 tier-1 fix). Everything else is
+    exact integers."""
     li = load_table(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
     a, b = lines.alias("a"), lines.alias("b")
@@ -226,7 +228,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return (
-        deg.groupBy(F.floor(F.log2("degree")).cast("long").alias("degree_bucket"))
+        deg.groupBy((F.length(F.bin("degree")) - 1).cast("long").alias("degree_bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.min("degree").cast("long").alias("min_degree"),

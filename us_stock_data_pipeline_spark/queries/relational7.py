@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -421,18 +422,34 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# every transcendental runs on the libm-free detmath kernels so both
+# engines quantize bit-identical doubles (transcendental audit r9);
+# radians/degrees are explicit multiplications by pi/180 literals.
+_TRIG_STAGES = (
+    [("tg_rad", "CAST(p_size AS DOUBLE) * 7.0 * 0.017453292519943295")]
+    + detmath.det_sin_stages("tg_rad", "tg_s")
+    + detmath.det_cos_stages("tg_rad", "tg_c")
+    + detmath.det_atan2_stages("CAST(p_size AS DOUBLE)", "p_retailprice", "tg_b")
+    + detmath.det_atan_stages("CAST(p_size AS DOUBLE) / 10.0", "tg_at")
+    + [("tg_ex", "CAST(p_size AS DOUBLE) / 25.0")]
+    + detmath.det_exp_stages("tg_ex", "tg_e")
+    + detmath.det_cbrt_pos_stages("p_retailprice", "tg_cr")
+)
+_TRIG_COLS = (
+    "round(tg_s, 6) AS s",
+    "round(tg_c, 6) AS c",
+    "round(tg_b, 6) AS bearing",
+    "round(tg_at * 57.29577951308232, 4) AS deg",
+    "round(tg_e, 6) AS e",
+    "round(tg_cr, 6) AS cr",
+)
+
+
 @register(
     "scalar_trig",
-    oracle="""
-SELECT
-  p_partkey,
-  round(sin(radians(p_size * 7)), 6)          AS s,
-  round(cos(radians(p_size * 7)), 6)          AS c,
-  round(atan2(p_size, p_retailprice), 6)      AS bearing,
-  round(degrees(atan(p_size / 10.0)), 4)      AS deg,
-  round(exp(p_size / 25.0), 6)                AS e,
-  round(cbrt(p_retailprice), 6)               AS cr
-FROM part
+    oracle=f"""
+SELECT p_partkey, {", ".join(_TRIG_COLS)}
+FROM {detmath.stages_to_select(_TRIG_STAGES, "part")}
 ORDER BY p_partkey
 """,
     tags=("scalar", "math"),
@@ -441,20 +458,17 @@ def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigonometric / transcendental scalars (sin/cos/atan2, degree-radian
     conversion, exp, cbrt) — the geo-distance and cyclic-feature-encoding
     toolbox (hour-of-day/day-of-week sin-cos embeddings for training
-    features). Pure codegen'd JVM math, identical IEEE semantics on both
-    engines at 6-decimal rounding."""
+    features). In production the builtins (F.sin/F.cos/F.atan2/F.exp/
+    F.cbrt) are the idiomatic path; here the values come from the
+    detmath kernels because HASHED outputs must be bit-identical across
+    engines and libm versions — IEEE arithmetic is, libm trig is not
+    (transcendental audit r9)."""
     part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.round(F.sin(F.radians(F.col("p_size") * 7)), 6).alias("s"),
-        F.round(F.cos(F.radians(F.col("p_size") * 7)), 6).alias("c"),
-        F.round(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")), 6).alias(
-            "bearing"
-        ),
-        F.round(F.degrees(F.atan(F.col("p_size") / 10.0)), 4).alias("deg"),
-        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("e"),
-        F.round(F.cbrt("p_retailprice"), 6).alias("cr"),
-    ).orderBy("p_partkey")
+    return (
+        detmath.apply_stages(part, _TRIG_STAGES)
+        .selectExpr("p_partkey", *_TRIG_COLS)
+        .orderBy("p_partkey")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -396,28 +397,26 @@ _HILO_SQL = """
   FROM events GROUP BY 1, 2
 """
 
-# One fixed double tree from exact integer (h, l, hp, lp); k = 3-2*sqrt(2).
-_CS_S = (
-    "(2.0 * (exp("
-    "(sqrt(2.0 * (ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
-    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
-    " - sqrt(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
-    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
-    " / (3.0 - 2.0 * sqrt(2.0))"
-    " - sqrt((ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE))"
-    " * ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE)))"
-    " / (3.0 - 2.0 * sqrt(2.0)))"
-    ") - 1.0) / (1.0 + exp("
-    "(sqrt(2.0 * (ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
-    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
-    " - sqrt(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))"
-    " + ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) * ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE))))"
-    " / (3.0 - 2.0 * sqrt(2.0))"
-    " - sqrt((ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE))"
-    " * ln(CAST(greatest(h, hp) AS DOUBLE) / CAST(least(l, lp) AS DOUBLE)))"
-    " / (3.0 - 2.0 * sqrt(2.0)))"
-    ")))"
+# Staged on the libm-free detmath kernels (ln of integer cents ratios,
+# det_exp for the alpha->spread logistic): bit-identical doubles in
+# both engines, so the 1e-9 quantization below can never straddle a
+# boundary differently (transcendental audit r9). k = 3-2*sqrt(2);
+# sqrt is IEEE-exact and stays a builtin.
+_CS_STAGES = (
+    detmath.det_ln_ratio_stages("h", "l", "cs_lr1")
+    + detmath.det_ln_ratio_stages("hp", "lp", "cs_lr2")
+    + detmath.det_ln_ratio_stages("greatest(h, hp)", "least(l, lp)", "cs_lrg")
+    + [
+        ("cs_beta", "(cs_lr1) * (cs_lr1) + (cs_lr2) * (cs_lr2)"),
+        (
+            "cs_alpha",
+            "(sqrt(2.0 * cs_beta) - sqrt(cs_beta)) / (3.0 - 2.0 * sqrt(2.0))"
+            " - sqrt((cs_lrg * cs_lrg) / (3.0 - 2.0 * sqrt(2.0)))",
+        ),
+    ]
+    + detmath.det_exp_stages("cs_alpha", "cs_ea")
 )
+_CS_S = "(2.0 * (cs_ea - 1.0) / (1.0 + cs_ea))"
 
 _CS_ORACLE = f"""
 WITH hilo AS ({_HILO_SQL}),
@@ -429,8 +428,8 @@ pairs AS (
 est AS (
   SELECT symbol,
          CAST(floor({_CS_S} * 1e9 + 0.5) AS BIGINT) AS s_e9
-  FROM pairs
-  WHERE hp IS NOT NULL AND l > 0 AND lp > 0 AND h >= l AND hp >= lp
+  FROM {detmath.stages_to_select(_CS_STAGES,
+    "(SELECT * FROM pairs WHERE hp IS NOT NULL AND l > 0 AND lp > 0 AND h >= l AND hp >= lp)")}
 )
 SELECT symbol,
        CAST(count(*) AS BIGINT) AS n_days,
@@ -470,8 +469,9 @@ def bars_corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = hilo.withColumn("hp", F.lag("h").over(w)).withColumn(
         "lp", F.lag("l").over(w)
     )
-    est = pairs.filter(
-        "hp IS NOT NULL AND l > 0 AND lp > 0 AND h >= l AND hp >= lp"
+    est = detmath.apply_stages(
+        pairs.filter("hp IS NOT NULL AND l > 0 AND lp > 0 AND h >= l AND hp >= lp"),
+        _CS_STAGES,
     ).selectExpr("symbol", f"CAST(floor({_CS_S} * 1e9 + 0.5) AS BIGINT) AS s_e9")
     return (
         est.groupBy("symbol")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -298,17 +299,23 @@ def ml_woe_binning_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # z = 1.645 (95%); one shared tree over exact integer return moments.
-_CF_ORACLE = """
+# The log return uses the libm-free det_ln kernel (ln(c) - ln(lag_c) of
+# BIGINT cents): bit-identical doubles in both engines, so the 1e-8
+# quantization can never straddle a boundary differently
+# (transcendental audit r9).
+_CF_RET_STAGES = detmath.det_ln_ratio_stages("c", "lag_c", "lr")
+_CF_RET_EXPR = "CAST(floor(lr * 1e8 + 0.5) AS BIGINT)"
+
+_CF_ORACLE = f"""
 WITH closes AS (
   SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
   FROM events GROUP BY 1, 2
 ),
 rets AS (
-  SELECT symbol,
-         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(lag_c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS r
-  FROM (SELECT symbol, c, lag(c) OVER (PARTITION BY symbol ORDER BY day) AS lag_c FROM closes)
-  WHERE lag_c IS NOT NULL AND lag_c > 0 AND c > 0
+  SELECT symbol, {_CF_RET_EXPR} AS r
+  FROM {detmath.stages_to_select(_CF_RET_STAGES,
+    "(SELECT * FROM (SELECT symbol, c, lag(c) OVER (PARTITION BY symbol ORDER BY day) AS lag_c FROM closes) WHERE lag_c IS NOT NULL AND lag_c > 0 AND c > 0)")}
 ),
 mom AS (
   SELECT symbol, CAST(count(*) AS BIGINT) AS n,
@@ -372,14 +379,12 @@ def bars_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day"),
     ).agg(F.round(F.max_by("value", "event_id") * 100).cast("long").alias("c"))
     w = W.partitionBy("symbol").orderBy("day")
-    rets = (
-        closes.withColumn("lag_c", F.lag("c").over(w))
-        .filter("lag_c IS NOT NULL AND lag_c > 0 AND c > 0")
-        .selectExpr(
-            "symbol",
-            "CAST(floor(ln(CAST(c AS DOUBLE) / CAST(lag_c AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS r",
-        )
-    )
+    rets = detmath.apply_stages(
+        closes.withColumn("lag_c", F.lag("c").over(w)).filter(
+            "lag_c IS NOT NULL AND lag_c > 0 AND c > 0"
+        ),
+        _CF_RET_STAGES,
+    ).selectExpr("symbol", f"{_CF_RET_EXPR} AS r")
     mom = rets.groupBy("symbol").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("r").cast("long").alias("s1"),

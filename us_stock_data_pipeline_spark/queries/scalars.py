@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 
@@ -90,6 +91,19 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ln/log10 via the libm-free det_ln on exact integer cents (ln(price) =
+# ln(cents) - ln(100), log10 = ln/ln(10), both with double literals);
+# pow(q, 2) is explicit multiplication — no libm in any hashed column
+# (transcendental audit r9).
+_SM_STAGES = [
+    ("sm_cents", "CAST(round(l_extendedprice * 100) AS BIGINT)")
+] + detmath.det_ln_int_stages("sm_cents", "sm_lnc")
+_SM_LN_COLS = (
+    "round(sm_lnc - 4.605170185988092, 6) AS ln_price,\n"
+    "  round((sm_lnc - 4.605170185988092) / 2.302585092994046, 6) AS log10_price,"
+)
+
+
 @register(
     "scalar_math",
     oracle="""
@@ -98,17 +112,18 @@ SELECT
   l_linenumber,
   round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
   round(abs(l_discount - 0.05), 4)   AS abs_disc_delta,
-  round(ln(l_extendedprice), 6)      AS ln_price,
-  round(log10(l_extendedprice), 6)   AS log10_price,
+  {SM_LN_COLS}
   round(sqrt(l_quantity), 6)         AS sqrt_qty,
-  round(pow(l_quantity, 2.0), 2)     AS qty_sq,
+  round(l_quantity * l_quantity, 2)  AS qty_sq,
   CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_kbucket,
   CAST(floor(l_quantity) AS BIGINT)             AS qty_floor,
   CAST(l_linenumber % 3 AS BIGINT)              AS ln_mod3
-FROM lineitem
+FROM {SM_STAGED}
 WHERE l_orderkey <= 1000
 ORDER BY l_orderkey, l_linenumber
-""",
+""".replace("{SM_LN_COLS}", _SM_LN_COLS).replace(
+        "{SM_STAGED}", detmath.stages_to_select(_SM_STAGES, "lineitem")
+    ),
     tags=("scalar",),
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,8 +131,8 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     pow/ceil/floor/mod)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_orderkey") <= 1000)
-        .select(
+        detmath.apply_stages(li.filter(F.col("l_orderkey") <= 1000), _SM_STAGES)
+        .selectExpr(
             "l_orderkey",
             "l_linenumber",
             # round at 6, not 2: the product of 2dp fixture values is an
@@ -126,17 +141,15 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             # DuckDB (binary-value) round opposite ways (first hit:
             # 43395.75*0.94 = 40792.005 at sf0.1). At 6 decimals the
             # 7th digit is always 0 — no boundary exists on either side.
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
-            ).alias("charge"),
-            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_delta"),
-            F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
-            F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
-            F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-            F.round(F.pow("l_quantity", F.lit(2.0)), 2).alias("qty_sq"),
-            F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
-            F.floor("l_quantity").cast("long").alias("qty_floor"),
-            (F.col("l_linenumber") % 3).cast("long").alias("ln_mod3"),
+            "round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge",
+            "round(abs(l_discount - 0.05), 4) AS abs_disc_delta",
+            "round(sm_lnc - 4.605170185988092, 6) AS ln_price",
+            "round((sm_lnc - 4.605170185988092) / 2.302585092994046, 6) AS log10_price",
+            "round(sqrt(l_quantity), 6) AS sqrt_qty",
+            "round(l_quantity * l_quantity, 2) AS qty_sq",
+            "CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kbucket",
+            "CAST(floor(l_quantity) AS BIGINT) AS qty_floor",
+            "CAST(l_linenumber % 3 AS BIGINT) AS ln_mod3",
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
