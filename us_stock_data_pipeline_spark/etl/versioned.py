@@ -103,6 +103,18 @@ def _read_file(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _jexc_is(jvm, exc: Exception, fqcn: str) -> bool:
+    """instanceof check on a py4j-wrapped Java exception; False when the
+    exception carries no Java side (plain Python error)."""
+    jexc = getattr(exc, "java_exception", None)
+    if jexc is None:
+        return False
+    try:
+        return bool(jvm.java.lang.Class.forName(fqcn).isInstance(jexc))
+    except Exception:  # noqa: BLE001 — class lookup failure = not a match
+        return False
+
+
 def _rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Atomic publish primitive: make `dst` appear with `src`'s (fully
     written) contents, failing (False) if dst already exists — the loser
@@ -125,9 +137,23 @@ def _rename(spark: SparkSession, src: str, dst: str) -> bool:
         nio_dst = jvm.java.io.File(pdst.toUri().getPath()).toPath()
         try:
             jvm.java.nio.file.Files.createLink(nio_dst, nio_src)
-        except Exception as exc:  # py4j surfaces the Java class in str()
-            if "FileAlreadyExistsException" in str(exc):
+        except Exception as exc:
+            # True instanceof checks on the wrapped Java exception (not
+            # string matching): FileAlreadyExistsException = lost the
+            # race; UnsupportedOperationException / other
+            # FileSystemExceptions = the filesystem can't hard-link
+            # (NFS without link, FAT/exFAT, some overlayfs) -> degrade
+            # to the exists()+rename path, accepting its weaker
+            # last-writer-could-clobber guarantee rather than crashing
+            # every commit (advisor r8).
+            if _jexc_is(jvm, exc, "java.nio.file.FileAlreadyExistsException"):
                 return False
+            if _jexc_is(jvm, exc, "java.lang.UnsupportedOperationException") or _jexc_is(
+                jvm, exc, "java.nio.file.FileSystemException"
+            ):
+                if fs.exists(pdst):
+                    return False
+                return bool(fs.rename(psrc, pdst))
             raise
         fs.delete(psrc, False)
         return True
@@ -450,6 +476,11 @@ def versioned_delete(
     Returns the committed version. Same optimistic-concurrency shape
     as merge: private staged dir, manifest CAS, orphan-on-loss."""
     _mkdirs(spark, posixpath.join(root, _MANIFESTS))
+    # check the table exists BEFORE writing the DV parquet: deleting from
+    # an uninitialized table must not leave an orphan dvs/ dir behind
+    # (advisor r8 low).
+    if current_version(spark, root) == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
     dv_dir = posixpath.join(_DVS, f"dv-{uuid.uuid4().hex}")
     keys.select(*key_cols).dropDuplicates().coalesce(1).write.mode(
         "overwrite"
@@ -502,21 +533,28 @@ def read_changes(
     hi = read_versioned(spark, root, to_version)
     keys = list(key_cols)
     val_cols = [c for c in hi.columns if c not in keys]
+    # presence comes from literal flag columns and the join is null-safe
+    # per key: with plain == a legitimately-NULL key value never matches,
+    # misreporting one changed row as a delete+insert pair, and key
+    # null-ness misclassifies multi-key rows whose first key is NULL
+    # (advisor r8 low).
     l = lo.select(
         *[F.col(k).alias(f"_lo_{k}") for k in keys],
         *[F.col(c).alias(f"_lo_{c}") for c in val_cols if c in lo.columns],
+        F.lit(True).alias("_lo_present"),
     )
     h = hi.select(
         *[F.col(k).alias(f"_hi_{k}") for k in keys],
         *[F.col(c).alias(f"_hi_{c}") for c in val_cols],
+        F.lit(True).alias("_hi_present"),
     )
     cond = None
     for k in keys:
-        c = F.col(f"_lo_{k}") == F.col(f"_hi_{k}")
+        c = F.col(f"_lo_{k}").eqNullSafe(F.col(f"_hi_{k}"))
         cond = c if cond is None else (cond & c)
     j = l.join(h, cond, "full_outer")
-    hi_present = F.col(f"_hi_{keys[0]}").isNotNull()
-    lo_present = F.col(f"_lo_{keys[0]}").isNotNull()
+    hi_present = F.coalesce(F.col("_hi_present"), F.lit(False))
+    lo_present = F.coalesce(F.col("_lo_present"), F.lit(False))
     # a row is an update only if some value column actually changed
     diff = F.lit(False)
     for c in val_cols:

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -93,7 +94,7 @@ def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sa").alias("u"), F.col("sb").alias("v"))
         .distinct()
     )
-    edges0.persist()
+    registry.track_persist(edges0)
     deg = (
         edges0.select(F.col("u").alias("node"))
         .unionAll(edges0.select(F.col("v").alias("node")))
@@ -106,7 +107,7 @@ def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(keep.withColumnRenamed("node", "v")), "v")
         .select("u", "v")
     )
-    edges.persist()
+    registry.track_persist(edges)
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))

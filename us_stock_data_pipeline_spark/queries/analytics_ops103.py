@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -88,7 +89,7 @@ def orders_bcg_growth_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rev0") > 0)
     )
-    rev.persist()
+    registry.track_persist(rev)
     tot = rev.agg(F.sum("rev1").cast("long").alias("t1"))
     growth = F.expr("(rev1 - rev0) * 10000 div rev0")
     share = F.expr("rev1 * 10000 div t1")

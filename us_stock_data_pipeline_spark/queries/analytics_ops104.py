@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -70,7 +71,7 @@ def events_mix_surprise_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    daily.persist()
+    registry.track_persist(daily)
     day_tot = daily.groupBy("day").agg(F.sum("n").cast("long").alias("dn"))
     glob = daily.groupBy("event_type").agg(F.sum("n").cast("long").alias("g"))
     gt = glob.agg(F.sum("g").cast("long").alias("gn"))

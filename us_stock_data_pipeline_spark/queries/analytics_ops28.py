@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -87,7 +88,7 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = edges.select((-(F.col("p") + 1)).alias("frm"), F.col("s").alias("node"))
     # adj is consumed once per hop — persist or every iteration re-runs
     # the scan + distinct + hot-cap anti-join (multi-consumer rule).
-    adj = fwd.unionAll(rev).persist()
+    adj = registry.track_persist(fwd.unionAll(rev))
     # iterative BFS: frontier/visited as (node, hop)
     visited = spark.createDataFrame([(_BFS_SEED, 0)], "node long, hop int")
     frontier = visited

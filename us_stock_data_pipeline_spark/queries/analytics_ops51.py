@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
 from us_stock_data_pipeline_spark.functions import detmath
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -225,7 +226,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the capped edge set feeds the weight table AND both pair
     # sides — unshared, the lineitem scan + distinct + anti-join runs 3x
     # (the same fix measured 8.7s -> 2.2s on the Jaccard twin)
-    edges = edges0.join(F.broadcast(hot), "p", "left_anti").persist()
+    edges = registry.track_persist(edges0.join(F.broadcast(hot), "p", "left_anti"))
     weights = detmath.apply_stages(
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("dp"))

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 _PSM_CALIPER_CENTS = 10_000  # max |acctbal gap| for a valid match
@@ -101,7 +102,7 @@ def causal_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("outcome")
         )
-        .persist()  # feeds the sweep-line AND the control-outcome join
+        .transform(registry.track_persist)  # feeds the sweep-line AND the control-outcome join
     )
     # Both neighbor searches are RUNNING `last ignorenulls` frames
     # (unboundedPreceding .. -1): the forward pass on ascending

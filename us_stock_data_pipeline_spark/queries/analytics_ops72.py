@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -79,8 +80,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    edges.persist()
-
+    registry.track_persist(edges)
     def norm(df: DataFrame, key: str, out: str) -> DataFrame:
         mx = df.agg(F.max("s").alias("mx"))
         return df.crossJoin(F.broadcast(mx)).select(
@@ -103,7 +103,7 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a2n feeds BOTH the final authority ranking and the h2 half-step;
     # unpersisted, its whole 4-aggregate lineage re-runs for the second
     # consumer (|parts| rows — cheap to cache, expensive to rebuild)
-    a2n = norm(a2, "p", "a").persist()
+    a2n = registry.track_persist(norm(a2, "p", "a"))
     h2 = (
         edges.join(a2n, "p")
         .groupBy("c")

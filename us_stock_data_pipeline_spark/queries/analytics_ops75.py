@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -199,7 +200,7 @@ def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("l_shipdate").alias("dep"))
         .select(F.col("o_orderdate").alias("arr"), "dep")
     )
-    jobs.persist()
+    registry.track_persist(jobs)
     span = jobs.agg(
         F.datediff(F.max("dep"), F.min("arr")).cast("long").alias("t_days"),
         F.count(F.lit(1)).cast("long").alias("n_jobs"),

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -169,7 +170,7 @@ def dedup_multiblock_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_chars div 10").alias("lenb"),
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"),
     )
-    docs.persist()
+    registry.track_persist(docs)
     k1 = docs.groupBy("pfx").agg(F.count(F.lit(1)).alias("c1")).filter(
         F.col("c1") <= _MB_BLOCK_CAP
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -92,7 +93,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     # self-join plus the degree table — without it Spark re-runs the
     # lineitem scan + distinct + anti-join three times (measured 8.7s ->
     # 2.2s steady-state at sf0.1)
-    edges = edges0.join(F.broadcast(hot), "p", "left_anti").persist()
+    edges = registry.track_persist(edges0.join(F.broadcast(hot), "p", "left_anti"))
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a, b = edges.alias("a"), edges.alias("b")
     common = (

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -198,7 +199,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sa").alias("a"), F.col("sb").alias("b"))
         .distinct()
     )
-    edges.persist()
+    registry.track_persist(edges)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))

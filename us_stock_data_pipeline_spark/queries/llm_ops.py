@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -242,8 +243,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking job sits on the critical path (measured: ~0.4s faster than
     # an eager localCheckpoint at sf0.1). At cluster scale this is
     # "persist the signature table" — standard in production near-dedup.
-    sigs = sigs.persist()
-
+    sigs = registry.track_persist(sigs)
     bands = sigs.select(
         "doc_id",
         F.explode(

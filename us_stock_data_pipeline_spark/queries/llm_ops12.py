@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 _DIMS = 64
@@ -113,7 +114,7 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "embedding", lambda v: F.round(v.cast("double") * 10000).cast("long")
         ).alias("q"),
-    ).persist()
+    ).transform(registry.track_persist)
     c0 = corpus.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("j"),
         F.col("q").alias("s_arr"),
@@ -326,7 +327,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("n2").alias("n2"),
         )
         .select("vec_id", "q", "n2", F.col("m.j").alias("j"))
-        .persist()
+        .transform(registry.track_persist)
     )
     # Salt-tile the within-cell pair join: with only K cells, a plain
     # join on j gives at most K-way parallelism while the OUTPUT

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 _DIMS = 64
@@ -95,7 +96,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             "d",
             F.round(F.col("val").cast("double") * _PCA_SCALE).cast("long").alias("x"),
         )
-        .persist()
+        .transform(registry.track_persist)
     )
     sums = pts.groupBy("d").agg(F.sum("x").cast("long").alias("sx"))
     nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -116,7 +117,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             "d2",
             (F.col("n") * F.col("sxy") - F.col("sx1") * F.col("sx2")).alias("cv"),
         )
-        .persist()
+        .transform(registry.track_persist)
     )
     v = sums.select("d", F.lit(10000).cast("long").alias("v"))
     for _ in range(_PCA_ITERS):

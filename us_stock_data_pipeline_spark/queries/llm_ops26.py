@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -107,7 +108,7 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.l_suppkey").alias("wi"), F.col("b.l_suppkey").alias("li"))
         .agg(F.count("*").cast("long").alias("n"))
-        .persist()  # feeds games AND wins — without this the order-key
+        .transform(registry.track_persist)  # feeds games AND wins — without this the order-key
         # self-join (the expensive stage) runs twice
     )
     games = (

@@ -18,6 +18,7 @@ from us_stock_data_pipeline_spark.queries.llm_ops import (
     exploded_shingle_hashes,
     minhash_agg_exprs,
 )
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 _SAMPLE_MOD = 7  # ~14% doc sample keeps the exact-Jaccard pair table small
@@ -128,7 +129,7 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tg feeds FOUR consumers (counts, both pair legs, the signature
     # aggregate) — without persist each one re-runs scan+explode+anti-join
     # (the round-7 multi-consumer rule).
-    tg = tg0.join(F.broadcast(hot), "h", "left_anti").persist()
+    tg = registry.track_persist(tg0.join(F.broadcast(hot), "h", "left_anti"))
     counts = tg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     ta = tg.select(F.col("doc_id").alias("a"), "h")
     tb = tg.select(F.col("doc_id").alias("b"), F.col("h").alias("hb"))
@@ -152,7 +153,7 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # sig fans into one frame per band and then both join legs.
-    sig = tg.groupBy("doc_id").agg(*minhash_agg_exprs()).persist()
+    sig = registry.track_persist(tg.groupBy("doc_id").agg(*minhash_agg_exprs()))
     band_frames = []
     for band in range(_N_BANDS):
         cols = [F.col(f"mh{band * _BAND_ROWS + r}").alias(f"m{r}") for r in range(_BAND_ROWS)]

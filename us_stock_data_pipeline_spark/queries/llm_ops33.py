@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
 from us_stock_data_pipeline_spark.functions import detmath
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -103,7 +104,7 @@ def text_dunning_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.join(
         b, (F.col("doc_b") == F.col("doc_id")) & (F.col("pos_b") == F.col("pos") + 1)
     ).select(F.col("w").alias("w1"), "w2")
-    bigrams.persist()
+    registry.track_persist(bigrams)
     tot = bigrams.agg(F.count(F.lit(1)).cast("long").alias("n"))
     pair_n = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("k11"))
     left_n = bigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -75,14 +76,14 @@ def dedup_cluster_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("doc_id"))
             .alias("parent"),
         )
-        .persist()
+        .transform(registry.track_persist)
     )
     for _ in range(20):  # safety cap >> log2(corpus size); converges in ~5
         grand = labels.select(F.col("doc_id").alias("parent"), F.col("parent").alias("grand"))
         step = (
             labels.join(grand, "parent")
             .select("doc_id", F.col("parent").alias("old"), F.col("grand").alias("parent"))
-            .persist()
+            .transform(registry.track_persist)
         )
         # count(), not isEmpty(): the count fully materializes this
         # round's cache, so the next round reads cached blocks. A

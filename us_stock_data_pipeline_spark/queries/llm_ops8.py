@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -98,7 +99,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_minhash_lsh's signature table).
     norm = edges.select(
         "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
-    ).persist()
+    ).transform(registry.track_persist)
     nodes = n.select("n_name")
     ranks = nodes.select("n_name", (F.lit(1.0) / 25).alias("r"))
     for _ in range(_PR_ITERS):

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
 from us_stock_data_pipeline_spark.queries.ml_eval_ops import _SCORED_SQL, _scored
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -248,7 +249,7 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.max("lang").alias("true_lang"), F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+        .transform(registry.track_persist)
     )
     doc_len = doc_tok.groupBy("doc_id").agg(
         F.max("true_lang").alias("true_lang"), F.sum("c").cast("long").alias("n_tok")

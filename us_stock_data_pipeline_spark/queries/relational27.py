@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -68,7 +69,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-        .persist()
+        .transform(registry.track_persist)
     )
     from pyspark.sql import Window
 
@@ -85,7 +86,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dp", F.count(F.lit(1)).over(w_p))
             .filter((F.col("ds") >= _KCORE_K) & (F.col("dp") >= _KCORE_K))
             .select("s", "p")
-            .persist()
+            .transform(registry.track_persist)
         )
         rounds.append(nxt)
     stats = None

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -202,7 +203,7 @@ def ml_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ref_toks",
             lambda t, i: F.when((i + 1) % _BLEU_UNK_STRIDE == 0, F.lit("UNK")).otherwise(t),
         ),
-    ).persist()
+    ).transform(registry.track_persist)
 
     def gram_counts(col: str, cname: str) -> DataFrame:
         g = pair.select(
@@ -1284,7 +1285,7 @@ def ml_gini_ks_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from us_stock_data_pipeline_spark.queries.ml_eval_ops import _scored
 
-    scored = _scored(spark, sf_dir).persist()
+    scored = registry.track_persist(_scored(spark, sf_dir))
     support = scored.groupBy("score_milli").agg(
         F.sum("y").cast("long").alias("pos"),
         F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
 from us_stock_data_pipeline_spark.functions import detmath
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -522,7 +523,7 @@ def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         strong.union(strong.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        .transform(registry.track_persist)
     )
     e1 = edges.select(F.col("a").alias("src"), F.col("b").alias("mid"))
     e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("dst"))
@@ -603,8 +604,14 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.""".replace("{W}", str(_LINE_W))
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("ws")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        # docs shorter than one chunk: size(ws) div W - 1 = -1 and
+        # sequence(0, -1) is DESCENDING [0, -1] in Spark, emitting two
+        # spurious hashes where the oracle's range() emits none
+        # (advisor r8 medium). Guard exactly as text_mattr does.
+        .filter(F.size("ws") >= _LINE_W)
     )
     lines_ = docs.select(
         "doc_id",

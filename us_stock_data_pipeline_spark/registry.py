@@ -38,6 +38,33 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Caches created inside queries via track_persist(). A query's persist
+# must outlive its return (the caller collects the DataFrame afterwards),
+# so each query evaluation releases the PREVIOUS query's caches at entry —
+# in a long-lived session running all 658 queries (the sweep, the external
+# driver), at most one query's cached blocks are ever resident instead of
+# an unbounded accumulation that evicts/spills and erodes the very perf
+# wins being measured (advisor r8 low). unpersist() before a collect is
+# semantically harmless (the plan just recomputes), so an unusual caller
+# that builds many plans before collecting stays correct.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + registration for release at the next query's entry."""
+    df = df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> None:
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone; nothing to free
+            pass
+
 # The correctness driver verifies ``queries()`` in iteration order and has a
 # bounded per-round budget (~50/round), so iteration order IS verification
 # priority. Round 7 ordering (judge r6 item 1b): the full never-driver-sampled
@@ -418,6 +445,7 @@ def register(
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_confs(spark)
+            release_tracked_caches()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
