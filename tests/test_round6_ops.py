@@ -286,19 +286,22 @@ def test_calibration_bins_cover_and_order(spark):
 
 def test_kaplan_meier_monotone_nonincreasing(spark):
     """Survival curves never rise; at-risk counts never grow over time;
-    the exact integer log column agrees with the rounded survival."""
-    import math
-
+    the fixed-point integer product agrees with the float KM curve."""
     rows = sorted(_q("survival_kaplan_meier")(spark, SF).collect(), key=lambda r: r.t_days)
     assert rows
-    prev_s, prev_risk = 1.0, None
+    prev_s = 10**9
+    prev_risk = None
+    surv = 1.0
     for r in rows:
-        assert r.survival <= prev_s + 1e-9
-        prev_s = r.survival
+        assert r.survival_fp9 <= prev_s  # integer fold is exactly monotone
+        prev_s = r.survival_fp9
         if prev_risk is not None:
             assert r.n_risk <= prev_risk
         prev_risk = r.n_risk
-        assert abs(math.exp(r.log_survival_micro / 1e6) - r.survival) < 1e-3
+        # cross-check against the float product (each fold step floors, so
+        # the fp9 value sits within n_steps ulps below the float curve)
+        surv *= (r.n_risk - r.d_events) / r.n_risk
+        assert 0 <= surv - r.survival_fp9 / 1e9 < 1e-6
 
 
 def test_vreversal_pattern_semantics(spark):

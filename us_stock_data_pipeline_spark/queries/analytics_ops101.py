@@ -83,20 +83,31 @@ def timeseries_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame
         return q if (a >= 0) == (b >= 0) else -q
 
     def kalman_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # plain-array recursion, not iterrows: the per-row pandas Series
+        # construction dominated the kernel (same rewrite as the r8
+        # Croston fix, ~1s for the day-count-bounded series).
         pdf = pdf.sort_values("day").reset_index(drop=True)
-        lvl = p = None
-        outs = []
-        for _, row in pdf.iterrows():
-            y = int(row.y)
-            if lvl is None:
+        ys = [int(v) for v in pdf["y"].to_list()]
+        levels: list[int] = []
+        ps: list[int] = []
+        lvl = p = 0
+        for i, y in enumerate(ys):
+            if i == 0:
                 lvl, p = y, _KF_R
             else:
                 k = ((p + _KF_Q) * 1_000_000) // (p + _KF_Q + _KF_R)
                 lvl = lvl + tdiv(k * (y - lvl), 1_000_000)
                 p = ((1_000_000 - k) * (p + _KF_Q)) // 1_000_000
-            outs.append((row.day, y, lvl, p, y - lvl))
+            levels.append(lvl)
+            ps.append(p)
         res = pd.DataFrame(
-            outs, columns=["day", "close_cents", "level_cents", "p_cents2", "innovation_cents"]
+            {
+                "day": pdf["day"],
+                "close_cents": ys,
+                "level_cents": levels,
+                "p_cents2": ps,
+                "innovation_cents": [y - l for y, l in zip(ys, levels)],
+            }
         )
         res.insert(0, "symbol", pdf["symbol"].iloc[0])
         return res

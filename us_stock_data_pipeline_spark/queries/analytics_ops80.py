@@ -84,14 +84,21 @@ def bars_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ha_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # plain-array recursion, not iterrows: the per-row pandas Series
+        # construction dominated the kernel (same rewrite as the r8
+        # Croston fix, ~1s). ha_close4 is vectorized; only the true
+        # ha_open feedback walks the arrays.
         pdf = pdf.sort_values("day").reset_index(drop=True)
-        opens, closes = [], []
-        for i, row in pdf.iterrows():
-            o, h, l, c = int(row.o), int(row.h), int(row.l), int(row.c)
-            cl4 = o + h + l + c
-            op4 = (o + c) * 2 if i == 0 else (opens[-1] + closes[-1]) // 2
-            opens.append(op4)
-            closes.append(cl4)
+        o = pdf["o"].to_numpy()
+        closes = o + pdf["h"].to_numpy() + pdf["l"].to_numpy() + pdf["c"].to_numpy()
+        opens = closes.copy()
+        if len(o):
+            opens[0] = (int(o[0]) + int(pdf["c"].iloc[0])) * 2
+            cl = closes.tolist()
+            op = opens.tolist()
+            for i in range(1, len(op)):
+                op[i] = (op[i - 1] + cl[i - 1]) // 2
+            opens = op
         pdf["ha_open4"] = opens
         pdf["ha_close4"] = closes
         return pdf[["symbol", "day", "o", "h", "l", "c", "ha_open4", "ha_close4"]]

@@ -2,18 +2,28 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.functions import detmath
 from us_stock_data_pipeline_spark.registry import register
 
 _PMI_TOP_WORDS = 50
 _PMI_MIN_COOC = 5
 _PMI_TOP_PAIRS = 20
 
+# pmi = log2(n12 * n / (n1 * n2)) with every count an exact BIGINT: the
+# ratio log runs on the libm-free det_ln kernel (bit-identical doubles in
+# both engines — transcendental audit r9 discipline) divided by LN2.
+_PMI_STAGES = detmath.det_ln_ratio_stages("n12 * n", "n1 * n2", "pmi_lr")
+_PMI_EXACT = f"(pmi_lr / {detmath.LN2})"
+
 _PMI_ORACLE = f"""
 WITH dw AS (
+  -- per-doc distinct words, map-side in the Spark plan (array_distinct
+  -- before the explode) — identical set to DISTINCT (doc_id, w)
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
 ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
@@ -31,13 +41,16 @@ pairs AS (
   FROM filtered a JOIN filtered b
     ON a.doc_id = b.doc_id AND a.w < b.w
   GROUP BY a.w, b.w
+),
+scored AS (
+  SELECT w1, w2, n1, n2, n12, {_PMI_EXACT} AS pmi_x
+  FROM {detmath.stages_to_select(_PMI_STAGES,
+    f"(SELECT p.*, ndocs.n FROM pairs p, ndocs WHERE p.n12 >= {_PMI_MIN_COOC})")}
 )
 SELECT w1, w2, n1, n2, n12,
-       floor(log2(CAST(n12 AS DOUBLE) * ndocs.n / (CAST(n1 AS DOUBLE) * n2))
-             * 10000 + 0.5) / 10000 AS pmi
-FROM pairs, ndocs
-WHERE n12 >= {_PMI_MIN_COOC}
-ORDER BY log2(CAST(n12 AS DOUBLE) * ndocs.n / (CAST(n1 AS DOUBLE) * n2)) DESC, w1, w2
+       floor(pmi_x * 10000 + 0.5) / 10000 AS pmi
+FROM scored
+ORDER BY pmi_x DESC, w1, w2
 LIMIT {_PMI_TOP_PAIRS}
 """
 
@@ -49,15 +62,23 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     together more than their independent frequencies predict — the
     collocation/keyphrase discovery primitive under every
     phrase-mining pipeline (`text_tfidf` scores words alone; PMI
-    scores their ASSOCIATION). The pair join is restricted to the
-    broadcast top-K vocabulary FIRST, so each doc contributes at most
-    C(K,2) pairs — the blowup is K-bounded, never vocabulary- or
-    corpus-bounded. All frequencies are exact integers; pmi is one
-    log2 of an integer ratio, computed identically on both engines,
-    and the top-pairs cut orders by that same exact expression with a
-    word tiebreak."""
+    scores their ASSOCIATION). Per-doc word dedup happens MAP-SIDE
+    (array_distinct before the explode), so the old global
+    DISTINCT-shuffle of the full (doc, word) set is gone — the only
+    full-width shuffle left is the document-frequency groupBy, and the
+    tokenize pass is persisted so the top-K filter pass reuses it
+    (r9 scale fix: the 2.76x 10x-tail was that distinct). The pair
+    join is restricted to the broadcast top-K vocabulary, so each doc
+    contributes at most C(K,2) pairs — K-bounded, never vocabulary- or
+    corpus-bounded. All frequencies are exact integers; pmi is the
+    libm-free det_ln of an integer ratio, and the top-pairs cut orders
+    by that same exact expression with a word tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
-    dw = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    dw = registry.track_persist(
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+        )
+    )
     ndocs = docs.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     df_tab = dw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("nd"))
     top = df_tab.orderBy(F.col("nd").desc(), "w").limit(_PMI_TOP_WORDS)
@@ -75,19 +96,18 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n12") >= _PMI_MIN_COOC)
     )
-    pmi_exact = F.log2(
-        F.col("n12").cast("double") * F.col("n") / (F.col("n1").cast("double") * F.col("n2"))
-    )
+    scored = detmath.apply_stages(
+        pairs.crossJoin(F.broadcast(ndocs)), _PMI_STAGES
+    ).selectExpr("w1", "w2", "n1", "n2", "n12", f"{_PMI_EXACT} AS pmi_x")
     return (
-        pairs.crossJoin(F.broadcast(ndocs))
-        .select(
+        scored.select(
             "w1",
             "w2",
             "n1",
             "n2",
             "n12",
-            (F.floor(pmi_exact * 10000 + F.lit(0.5)) / 10000).alias("pmi"),
-            pmi_exact.alias("_ord"),
+            (F.floor(F.col("pmi_x") * 10000 + F.lit(0.5)) / 10000).alias("pmi"),
+            F.col("pmi_x").alias("_ord"),
         )
         .orderBy(F.col("_ord").desc(), "w1", "w2")
         .limit(_PMI_TOP_PAIRS)
