@@ -80,6 +80,8 @@ def test_ann_results_subset_of_bruteforce_domain(spark):
             assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-6
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_gates_unknown_formats():
+    # round 9: JPEG joined PPM/PNG/BMP as a REAL codec; only genuinely
+    # unrecognized magic bytes stay gated.
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"RIFFxxxxWEBP not a codec we have")

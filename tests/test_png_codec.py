@@ -41,7 +41,7 @@ def test_png_exercises_all_five_filters():
 def test_decode_image_routes_png_and_ppm():
     assert decode_image(encode_png(3, 4, 4)).shape == (4, 4, 3)
     assert decode_image(encode_ppm(3, 4, 4)).shape == (4, 4, 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # r9: JPEG is real; truncated stream raises
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 

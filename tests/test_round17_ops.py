@@ -40,11 +40,14 @@ def test_decode_image_dispatches_ppm_and_gates_rest():
 
     # round 7: PNG became a REAL codec — a PNG-signature payload now
     # routes to decode_png (and raises ValueError on garbage bytes, not
-    # NotImplementedError); JPEG stays gated.
+    # NotImplementedError); round 9: JPEG likewise (ValueError on a
+    # truncated stream); only unknown magic stays gated.
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n garbage")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBP not a codec we have")
 
 
 def test_ppm_query_covers_all_sources(spark):
