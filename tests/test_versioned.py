@@ -429,3 +429,129 @@ def test_rename_is_exclusive_under_contention(spark, tmp_path):
     import json as _json
 
     assert _json.loads(V._read_file(spark, dst))["writer"] == wins[0]
+
+
+def test_zone_map_stats_prune_files(spark, root):
+    """Stats-enabled writes record per-file column min/max in the
+    manifest, and a stat_filter read actually SKIPS files: the plan
+    lists fewer files and the result is still exactly the matching
+    rows. Files written per-ts-range land separately because each merge
+    touches its own partition."""
+    # two partitions, disjoint ts ranges -> distinct files with distinct
+    # zone maps
+    V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 1, 1.0), ("AAPL", 2, 2.0)]),
+        root,
+        ("symbol", "ts"),
+        stats_cols=("ts", "px"),
+    )
+    V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("MSFT", 100, 10.0), ("MSFT", 200, 20.0)]),
+        root,
+        ("symbol", "ts"),
+        stats_cols=("ts", "px"),
+    )
+    doc = V._read_manifest_doc(spark, root, V.current_version(spark, root))
+    assert doc["stats_cols"] == ["ts", "px"]
+    assert doc["file_stats"], "zone maps must be recorded"
+    for f, st in doc["file_stats"].items():
+        assert set(st) == {"ts", "px"} and st["ts"][0] <= st["ts"][1]
+
+    # plan: ts in [100, 300] must keep MSFT's file(s) and skip AAPL's
+    kept, skipped = V.plan_snapshot_files(spark, root, stat_filter={"ts": (100, 300)})
+    kept_files = [f for fs in kept.values() for f in fs]
+    assert skipped, "at least one file must be pruned"
+    assert all("symbol=AAPL" in f for f in skipped)
+    assert all("symbol=MSFT" in f for f in kept_files)
+
+    # the pruned read returns exactly the matching rows
+    got = _rows(
+        V.read_versioned(spark, root, stat_filter={"ts": (100, 300)}).filter(
+            "ts BETWEEN 100 AND 300"
+        )
+    )
+    assert got == [("MSFT", 100, 10.0), ("MSFT", 200, 20.0)]
+
+    # unbounded-side filter + no-stats safety: a filter on a column with
+    # stats keeps correctness when nothing matches the range
+    with pytest.raises(LookupError):
+        V.read_versioned(spark, root, stat_filter={"ts": (9999, None)})
+
+
+def test_zone_map_stats_survive_delete_and_compact(spark, root):
+    """DV commits carry zone maps forward untouched; compaction
+    re-harvests them for the fresh directory."""
+    V.versioned_merge_upsert(
+        spark,
+        _mk(spark, [("AAPL", 1, 1.0), ("MSFT", 100, 10.0), ("MSFT", 200, 20.0)]),
+        root,
+        ("symbol", "ts"),
+        stats_cols=("ts",),
+    )
+    V.versioned_delete(
+        spark, _mk(spark, [("MSFT", 100, 0.0)]).select("symbol", "ts"), root,
+        ("symbol", "ts"),
+    )
+    doc = V._read_manifest_doc(spark, root, V.current_version(spark, root))
+    assert doc["file_stats"], "DV commit must not drop zone maps"
+    # deleted row's stats stay as conservative bounds; reads stay correct
+    assert _rows(V.read_versioned(spark, root, stat_filter={"ts": (0, 50)})) == [
+        ("AAPL", 1, 1.0)
+    ]
+    V.compact_table(spark, root)
+    doc2 = V._read_manifest_doc(spark, root, V.current_version(spark, root))
+    assert doc2["stats_cols"] == ["ts"]
+    assert doc2["file_stats"] and all(
+        f.startswith(v) for f in doc2["file_stats"] for v in [list(doc2["partitions"].values())[0].split("/")[0]]
+    )
+    kept, skipped = V.plan_snapshot_files(spark, root, stat_filter={"ts": (0, 50)})
+    assert skipped, "compacted table must still prune on zone maps"
+
+
+def test_concurrent_writers_overlapping_keys_serialize(spark, root):
+    """Two writers racing on the SAME key: the loser must retry on the
+    winner's committed snapshot, and the final state must equal ONE of
+    the two serial orders (last writer wins on the shared key) with
+    both commits present in the version history — never a lost update,
+    never a merged hybrid row."""
+    import threading
+
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 0.0)]), root, ("symbol", "ts")
+    )
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(px: float):
+        try:
+            barrier.wait(timeout=60)
+            V.versioned_merge_upsert(
+                spark,
+                _mk(spark, [("AAPL", 1, px), ("AAPL", int(px), px)]),
+                root,
+                ("symbol", "ts"),
+                max_commit_retries=10,
+            )
+        except BaseException as e:  # noqa: BLE001 - surfaced via assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(11.0,)),
+        threading.Thread(target=writer, args=(22.0,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert V.current_version(spark, root) == 3  # both commits landed
+    rows = _rows(V.read_versioned(spark, root))
+    serial_a = [("AAPL", 1, 22.0), ("AAPL", 11, 11.0), ("AAPL", 22, 22.0)]
+    serial_b = [("AAPL", 1, 11.0), ("AAPL", 11, 11.0), ("AAPL", 22, 22.0)]
+    assert rows in (serial_a, serial_b), rows
+    # the shared key's final value must belong to whichever commit is v3
+    v3_rows = _rows(V.read_versioned(spark, root, version=3))
+    v2_rows = _rows(V.read_versioned(spark, root, version=2))
+    assert v2_rows != v3_rows

@@ -278,11 +278,116 @@ def _parse_partition_values(part_dir: str) -> dict[str, str]:
     return out
 
 
+def _json_stat(v):
+    """JSON-encodable min/max cell (dates/timestamps as ISO strings,
+    which compare lexicographically in calendar order)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v) if not hasattr(v, "isoformat") else v.isoformat()
+
+
+def _collect_file_stats(
+    spark: SparkSession, root: str, ver_dir: str, stats_cols: tuple[str, ...]
+) -> dict[str, dict[str, list]]:
+    """Per-FILE column min/max for every parquet file under a version
+    dir — the zone-map entries a manifest-pruned reader skips on. One
+    column-pruned scan of the just-written dir (Delta harvests these
+    from footers during the write; the extra scan here reads only the
+    stat columns and only the touched partitions)."""
+    base = posixpath.join(root, ver_dir)
+    df = spark.read.parquet(base).select(
+        F.col("_metadata.file_path").alias("_fp"),
+        *[F.col(c) for c in stats_cols],
+    )
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"_mn_{c}"))
+        aggs.append(F.max(c).alias(f"_mx_{c}"))
+    out: dict[str, dict[str, list]] = {}
+    marker = "/" + _VERSIONS + "/"
+    for r in df.groupBy("_fp").agg(*aggs).collect():
+        fp = r["_fp"]
+        idx = fp.find(marker)
+        rel = fp[idx + 1 :] if idx >= 0 else fp
+        out[rel] = {
+            c: [_json_stat(r[f"_mn_{c}"]), _json_stat(r[f"_mx_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def _prune_carried_stats(
+    file_stats: dict[str, dict], new_manifest: dict[str, str]
+) -> dict[str, dict]:
+    """Keep only stats whose (ver_dir, part_dir) pair the new manifest
+    still references — entries for overwritten partitions are dead."""
+    live_prefixes = {
+        posixpath.join(v, d) + "/" for d, v in new_manifest.items()
+    }
+    return {
+        f: s
+        for f, s in file_stats.items()
+        if any(f.startswith(p) for p in live_prefixes)
+    }
+
+
+def _stat_filter_keeps(stats: dict[str, list] | None, stat_filter: dict) -> bool:
+    """Conjunctive range predicate over one file's zone map: keep the
+    file when every filtered column's [min, max] OVERLAPS the wanted
+    [lo, hi] (None bound = unbounded). Missing stats keep the file —
+    pruning is an optimization, never a correctness gate."""
+    if stats is None:
+        return True
+    for col, (lo, hi) in stat_filter.items():
+        mm = stats.get(col)
+        if mm is None or mm[0] is None or mm[1] is None:
+            continue
+        if lo is not None and mm[1] < lo:
+            return False
+        if hi is not None and mm[0] > hi:
+            return False
+    return True
+
+
+def plan_snapshot_files(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    stat_filter: dict | None = None,
+) -> tuple[dict[str, list[str]], list[str]]:
+    """Resolve a snapshot to the files a reader must scan, zone-map
+    pruned. Returns (kept: {owning ver_dir -> [file or partition-dir
+    paths, relative to root]}, skipped: [file paths pruned by stats]).
+    Partitions with no recorded stats fall back to whole-dir scans."""
+    if version is None:
+        version = current_version(spark, root)
+    if version == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    doc = _read_manifest_doc(spark, root, version)
+    manifest = doc["partitions"]
+    file_stats: dict[str, dict] = doc.get("file_stats", {})
+    kept: dict[str, list[str]] = {}
+    skipped: list[str] = []
+    for part_dir, ver_dir in manifest.items():
+        prefix = posixpath.join(ver_dir, part_dir) + "/"
+        files = [f for f in file_stats if f.startswith(prefix)]
+        if not files or not stat_filter:
+            kept.setdefault(ver_dir, []).append(posixpath.join(ver_dir, part_dir))
+            continue
+        for f in files:
+            if _stat_filter_keeps(file_stats.get(f), stat_filter):
+                kept.setdefault(ver_dir, []).append(f)
+            else:
+                skipped.append(f)
+    return kept, skipped
+
+
 def read_versioned(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     partition_filter=None,
+    stat_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the manifest (current, or a pinned version
     for time travel), then scan each owning version directory's touched
@@ -295,7 +400,16 @@ def read_versioned(
     planned — the Iceberg-style metadata prune. A driver-side predicate
     over a dict of partition values costs microseconds per entry; at
     100 TB it is the difference between planning one symbol's files and
-    listing a million directories."""
+    listing a million directories.
+
+    ``stat_filter`` (optional: {col: (lo, hi)}, None bound = unbounded)
+    prunes at the FILE level using the zone maps recorded in the
+    manifest by stats-enabled writes (``stats_cols`` on
+    ``versioned_merge_upsert``): a file whose recorded [min, max] for
+    every filtered column misses the wanted range is never listed or
+    scanned — Delta/Iceberg data skipping on plain parquet. Files or
+    partitions without recorded stats are always read (pruning is an
+    optimization, never a correctness gate)."""
     if version is None:
         version = current_version(spark, root)
     if version == 0:
@@ -311,13 +425,23 @@ def read_versioned(
         }
         if not manifest:
             raise LookupError("partition_filter pruned every partition")
+    file_stats: dict[str, dict] = doc.get("file_stats", {})
     by_ver: dict[str, list[str]] = {}
     for part_dir, ver_dir in manifest.items():
-        by_ver.setdefault(ver_dir, []).append(part_dir)
+        prefix = posixpath.join(ver_dir, part_dir) + "/"
+        stat_files = [f for f in file_stats if f.startswith(prefix)] if stat_filter else []
+        if not stat_files:
+            by_ver.setdefault(ver_dir, []).append(posixpath.join(ver_dir, part_dir))
+            continue
+        for f in stat_files:
+            if _stat_filter_keeps(file_stats.get(f), stat_filter):
+                by_ver.setdefault(ver_dir, []).append(f)
+    if not by_ver:
+        raise LookupError("stat_filter pruned every file of every partition")
     pieces = []
-    for ver_dir, part_dirs in sorted(by_ver.items()):
+    for ver_dir, rel_paths in sorted(by_ver.items()):
         base = posixpath.join(root, ver_dir)
-        paths = [posixpath.join(base, d) for d in sorted(part_dirs)]
+        paths = [posixpath.join(root, p) for p in sorted(rel_paths)]
         piece = spark.read.option("basePath", base).parquet(*paths)
         pieces.append(_apply_dvs(spark, root, piece, dvs, _dir_version(ver_dir)))
     out = pieces[0]
@@ -342,6 +466,8 @@ def versioned_merge_upsert(
     key_cols: tuple[str, ...],
     partition_cols: tuple[str, ...] = ("symbol",),
     max_commit_retries: int = 5,
+    stats_cols: tuple[str, ...] = (),
+    files_per_partition: int = 1,
 ) -> int:
     """Upsert `updates` into the versioned table at `root`; returns the
     committed version number.
@@ -376,9 +502,9 @@ def versioned_merge_upsert(
 
     _mkdirs(spark, posixpath.join(root, _MANIFESTS))
     scratch = posixpath.join(root, f"_scratch_{uuid.uuid4().hex}")
-    _layout_for_write(updates, partition_cols).write.mode("overwrite").partitionBy(
-        *partition_cols
-    ).parquet(scratch)
+    _layout_for_write(updates, partition_cols, files_per_partition).write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols).parquet(scratch)
     try:
         touched = _leaf_partition_dirs(spark, scratch, len(partition_cols))
         staged = spark.read.option("basePath", scratch).parquet(scratch)
@@ -422,12 +548,26 @@ def versioned_merge_upsert(
                     # NULL, mirroring read_versioned's union semantics.
                     merged = merged.unionByName(keep, allowMissingColumns=True)
             abs_ver = posixpath.join(root, ver_dir)
-            _layout_for_write(merged, partition_cols).write.mode(
+            _layout_for_write(merged, partition_cols, files_per_partition).write.mode(
                 "overwrite"
             ).partitionBy(*partition_cols).parquet(abs_ver)
             new_manifest = dict(manifest)
             for d in _leaf_partition_dirs(spark, abs_ver, len(partition_cols)):
                 new_manifest[d] = ver_dir
+            # Zone maps: carry forward still-referenced files' stats and
+            # add this attempt's freshly harvested ones. stats_cols
+            # unions with whatever earlier commits tracked, so a table's
+            # skipping columns can grow over time.
+            eff_stats_cols = tuple(
+                dict.fromkeys(tuple(doc.get("stats_cols", ())) + stats_cols)
+            )
+            new_stats = _prune_carried_stats(
+                doc.get("file_stats", {}), new_manifest
+            )
+            if eff_stats_cols:
+                new_stats.update(
+                    _collect_file_stats(spark, root, ver_dir, eff_stats_cols)
+                )
             body = json.dumps(
                 {
                     "version": new_ver,
@@ -435,6 +575,8 @@ def versioned_merge_upsert(
                     # Carried forward: DVs still gate UNTOUCHED partitions'
                     # older dirs; rewritten dirs are above their horizon.
                     "deletion_vectors": dvs,
+                    "stats_cols": list(eff_stats_cols),
+                    "file_stats": new_stats,
                 },
                 sort_keys=True,
             )
@@ -497,6 +639,11 @@ def versioned_delete(
                 "partitions": doc["partitions"],
                 "deletion_vectors": doc.get("deletion_vectors", [])
                 + [{"dir": dv_dir, "version": new_ver}],
+                # zone maps survive a DV commit untouched: the data files
+                # are unchanged (stats stay VALID upper bounds; DV-deleted
+                # rows only make them conservative)
+                "stats_cols": doc.get("stats_cols", []),
+                "file_stats": doc.get("file_stats", {}),
             },
             sort_keys=True,
         )
@@ -617,11 +764,23 @@ def compact_table(spark: SparkSession, root: str) -> int:
         }
         # Every partition was rewritten from the DV-filtered snapshot,
         # so all deletion vectors are materialized: clear the list.
+        # Zone maps are re-harvested for the fresh dir with whatever
+        # stats columns the table was tracking.
+        stats_cols = tuple(
+            _read_manifest_doc(spark, root, base_ver).get("stats_cols", ())
+        )
+        file_stats = (
+            _collect_file_stats(spark, root, ver_dir, stats_cols)
+            if stats_cols
+            else {}
+        )
         body = json.dumps(
             {
                 "version": new_ver,
                 "partitions": new_manifest,
                 "deletion_vectors": [],
+                "stats_cols": list(stats_cols),
+                "file_stats": file_stats,
             },
             sort_keys=True,
         )

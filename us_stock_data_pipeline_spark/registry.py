@@ -72,6 +72,16 @@ def release_tracked_caches() -> None:
 # ~50 driver checks land on first-time queries until the backlog retires; the
 # cumulative 263 already-green queries re-verify after.
 _VERIFY_PRIORITY: tuple[str, ...] = (
+    # --- new in round 9 (never sampled by construction) ---
+    "multimodal_jpeg_decode",
+    "etl_versioned_zonemap_skipping",
+    # --- round-9 rewrites whose oracles changed (re-verify first) ---
+    "survival_kaplan_meier",
+    "text_char_entropy",
+    "corpus_length_histogram",
+    "graph_degree_distribution",
+    "scalar_trig",
+    "scalar_math",
     # --- new in round 8 (never sampled by construction) ---
     "etl_versioned_schema_evolution",
     "etl_versioned_read_changes",
