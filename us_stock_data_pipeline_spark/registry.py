@@ -75,6 +75,11 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     # --- new in round 9 (never sampled by construction) ---
     "multimodal_jpeg_decode",
     "etl_versioned_zonemap_skipping",
+    "ml_attention_softmax",
+    "ml_infonce_loss_audit",
+    "ml_elo_ratings",
+    "corpus_doremi_reweight_step",
+    "agg_logsumexp",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
