@@ -80,6 +80,9 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "ml_elo_ratings",
     "corpus_doremi_reweight_step",
     "agg_logsumexp",
+    "graph_katz_centrality",
+    "ml_label_smoothing_ce",
+    "embedding_alignment_uniformity",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
