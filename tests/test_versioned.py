@@ -555,3 +555,44 @@ def test_concurrent_writers_overlapping_keys_serialize(spark, root):
     v3_rows = _rows(V.read_versioned(spark, root, version=3))
     v2_rows = _rows(V.read_versioned(spark, root, version=2))
     assert v2_rows != v3_rows
+
+
+def test_tags_pin_and_protect_from_vacuum(spark, root):
+    """A tag resolves by name, re-tagging fails (CAS, create-only), and
+    vacuum keeps the tagged snapshot readable outside the retention
+    window."""
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 1.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 2.0)]), root, ("symbol", "ts"))
+    assert V.create_tag(spark, root, "golden", version=1) == 1
+    with pytest.raises(FileExistsError):
+        V.create_tag(spark, root, "golden", version=2)
+    for k in range(3, 7):
+        V.versioned_merge_upsert(
+            spark, _mk(spark, [("AAPL", 1, float(k))]), root, ("symbol", "ts")
+        )
+    V.vacuum_versions(spark, root, keep_last=1, grace_seconds=0.0)
+    # tagged snapshot survives the retention window
+    assert _rows(V.read_versioned(spark, root, ref="golden")) == [("AAPL", 1, 1.0)]
+    assert V.list_refs(spark, root) == {"golden": 1}
+    with pytest.raises(FileNotFoundError):
+        V.resolve_ref(spark, root, "nope")
+
+
+def test_restore_is_metadata_only_rollback(spark, root):
+    """restore_version commits a NEW head equal to an old snapshot
+    without touching data; intervening versions stay readable."""
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 1.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 2.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 3.0)]), root, ("symbol", "ts"))
+    new_ver = V.restore_version(spark, root, 1)
+    assert new_ver == 4
+    assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 1.0)]
+    assert _rows(V.read_versioned(spark, root, version=3)) == [("AAPL", 1, 3.0)]
+    # restored manifest equals the target's partitions mapping exactly
+    assert (
+        V._read_manifest_doc(spark, root, 4)["partitions"]
+        == V._read_manifest_doc(spark, root, 1)["partitions"]
+    )
+    # a merge after the restore builds on the restored state
+    V.versioned_merge_upsert(spark, _mk(spark, [("MSFT", 9, 9.0)]), root, ("symbol", "ts"))
+    assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 1.0), ("MSFT", 9, 9.0)]

@@ -35,7 +35,11 @@ Design (a minimal Iceberg/Delta-log hybrid):
   true compare-and-swap that fails EEXIST instead of clobbering; on
   HDFS/object stores the native no-replace rename contract is used.
 - Old manifests stay readable => **time travel** (`read_versioned(...,
-  version=N)`) until vacuumed.
+  version=N)`) until vacuumed; **tags** (`create_tag`) pin snapshots by
+  name (CAS-published, create-only, vacuum-protected) and
+  **restore_version** commits a metadata-only rollback head. Stats-
+  enabled writes record per-file **zone maps** in the manifest;
+  `read_versioned(stat_filter=...)` skips files on them.
 
 This retires the torn-read gap `merge_upsert` (etl/sinks.py) documents:
 its dynamic-partition-overwrite commit deletes and rewrites partition
@@ -55,6 +59,7 @@ from pyspark.sql import functions as F
 _VERSIONS = "versions"
 _MANIFESTS = "manifests"
 _DVS = "dvs"
+_REFS = "refs"
 
 
 # --------------------------------------------------------------------------
@@ -388,6 +393,7 @@ def read_versioned(
     version: int | None = None,
     partition_filter=None,
     stat_filter: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the manifest (current, or a pinned version
     for time travel), then scan each owning version directory's touched
@@ -410,6 +416,10 @@ def read_versioned(
     scanned — Delta/Iceberg data skipping on plain parquet. Files or
     partitions without recorded stats are always read (pruning is an
     optimization, never a correctness gate)."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass either version or ref, not both")
+        version = resolve_ref(spark, root, ref)
     if version is None:
         version = current_version(spark, root)
     if version == 0:
@@ -725,6 +735,88 @@ def read_changes(
     )
 
 
+def create_tag(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> int:
+    """Create an IMMUTABLE named ref (Iceberg tag / git tag) pinning a
+    committed version — the reproducibility primitive: a training run
+    records `create_tag(root, "run-2024-03-01")` once and every later
+    backfill or audit reads exactly that snapshot by NAME, immune to
+    both new commits and version-number bookkeeping. Published with the
+    same CAS as manifests (create-only: re-tagging an existing name
+    fails), so two racers can never disagree about what a tag means.
+    Returns the pinned version. Tags protect their snapshot from
+    `vacuum_versions` (the referenced manifest and data dirs stay
+    live)."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    if version is None:
+        version = current_version(spark, root)
+    if version == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    # validate the target exists before publishing the ref
+    _read_manifest_doc(spark, root, version)
+    _mkdirs(spark, posixpath.join(root, _REFS))
+    body = json.dumps({"name": name, "version": version}, sort_keys=True)
+    tmp = posixpath.join(root, _REFS, f".tmp_{uuid.uuid4().hex}.json")
+    final = posixpath.join(root, _REFS, f"{name}.json")
+    _write_file(spark, tmp, body)
+    if not _rename(spark, tmp, final):
+        _delete(spark, tmp)
+        raise FileExistsError(f"tag {name!r} already exists at {root}")
+    return version
+
+
+def resolve_ref(spark: SparkSession, root: str, name: str) -> int:
+    """Tag name -> pinned version number (FileNotFoundError if absent)."""
+    path = posixpath.join(root, _REFS, f"{name}.json")
+    if not _exists(spark, path):
+        raise FileNotFoundError(f"no ref {name!r} under {root}")
+    return int(json.loads(_read_file(spark, path))["version"])
+
+
+def list_refs(spark: SparkSession, root: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for n in _list_names(spark, posixpath.join(root, _REFS)):
+        if n.endswith(".json") and not n.startswith("."):
+            out[n[:-5]] = resolve_ref(spark, root, n[:-5])
+    return out
+
+
+def restore_version(spark: SparkSession, root: str, version: int) -> int:
+    """Delta RESTORE / Iceberg rollback: commit a NEW version whose
+    manifest is byte-for-byte the target version's — a metadata-only
+    commit (no data moves, no rewrite) that makes the head serve the
+    old snapshot while history keeps every intervening version
+    readable. The standard bad-deploy undo: restore, keep serving,
+    investigate the broken commits at leisure. Races through the same
+    manifest CAS as merges."""
+    target = _read_manifest_doc(spark, root, version)
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        new_ver = base_ver + 1
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "partitions": target["partitions"],
+                "deletion_vectors": target.get("deletion_vectors", []),
+                "stats_cols": target.get("stats_cols", []),
+                "file_stats": target.get("file_stats", {}),
+                "restored_from": version,
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"restore lost 5 commit races at {root}")
+
+
 def compact_table(spark: SparkSession, root: str) -> int:
     """Rewrite the CURRENT snapshot into one fresh version and commit it
     with the same atomic-rename protocol; returns the new version.
@@ -817,6 +909,9 @@ def vacuum_versions(
     or reader can be concurrent (tests, single-process maintenance)."""
     cur = current_version(spark, root)
     keep_manifest_vers = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+    # tags pin their snapshot: the referenced manifest and its data stay
+    # live regardless of the retention window
+    keep_manifest_vers.update(list_refs(spark, root).values())
     live_dirs: set[str] = set()
     live_dvs: set[str] = set()
     for v in keep_manifest_vers:

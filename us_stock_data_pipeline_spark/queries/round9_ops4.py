@@ -325,3 +325,86 @@ def embedding_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 
+
+
+# --------------------------------------------------------------------------
+# ETL: versioned-table TAGS (named immutable refs) and RESTORE (rollback)
+# --------------------------------------------------------------------------
+
+# After the 3 overlapping ingest batches (full, x2 from Jan 10, x3 from
+# Jan 25 — the versioned_ops staging), the tag pins v2 and the restore
+# makes head v4 = v2's manifest; the oracle recomputes both states from
+# the raw fixture with the same closed-form restatement rule.
+_TAG_RESTORE_ORACLE = """
+WITH v2 AS (
+  SELECT event_type,
+         round(sum(round(round(value, 4) * CASE
+             WHEN ts >= TIMESTAMP '2024-01-10' THEN 2 ELSE 1 END, 4)), 2) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(2 AS BIGINT) AS tagged_version,
+       s AS sum_tagged,
+       s AS sum_after_restore,
+       CAST(4 AS BIGINT) AS head_after_restore
+FROM v2
+ORDER BY event_type
+"""
+
+
+@register(
+    "etl_versioned_tag_restore",
+    oracle=_TAG_RESTORE_ORACLE,
+    tags=("etl", "sink", "merge", "versioned"),
+)
+def etl_versioned_tag_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named TAGS + RESTORE on the versioned table — the two snapshot
+    operations a lakehouse user reaches for after time travel: a tag is
+    an immutable named ref (Iceberg tag semantics: CAS-published,
+    create-only, vacuum-protected) pinning 'the snapshot run X trained
+    on' by NAME, and restore_version commits a NEW head whose manifest
+    is byte-for-byte an old version's — the metadata-only bad-deploy
+    undo (Delta RESTORE): no data moves, every intervening version
+    stays readable. Here: three merges land v1..v3, the tag pins v2,
+    restore(2) commits v4 = v2's manifest, and the hashed output pins
+    (a) the tag resolves to 2, (b) reading BY TAG equals the oracle's
+    closed-form v2 state, (c) the post-restore HEAD equals the same
+    state, (d) the head is version 4 — so a regression in ref
+    resolution, restore, or manifest carry-forward flips the hash.
+    Both reads are manifest-pruned scans; the restore itself touches
+    zero data bytes at any scale."""
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        create_tag,
+        current_version,
+        read_versioned,
+        restore_version,
+    )
+    from us_stock_data_pipeline_spark.queries.versioned_ops import (
+        _ingest_three_batches,
+    )
+
+    root = _ingest_three_batches(spark, sf_dir)
+    tagged_ver = create_tag(spark, root, "before-x3", version=2)
+    restore_version(spark, root, 2)
+    head = current_version(spark, root)
+    by_tag = (
+        read_versioned(spark, root, ref="before-x3")
+        .groupBy("event_type")
+        .agg(F.round(F.sum("px"), 2).alias("sum_tagged"))
+    )
+    head_read = (
+        read_versioned(spark, root)
+        .groupBy("event_type")
+        .agg(F.round(F.sum("px"), 2).alias("sum_after_restore"))
+    )
+    return (
+        by_tag.join(head_read, "event_type")
+        .select(
+            "event_type",
+            F.lit(tagged_ver).cast("long").alias("tagged_version"),
+            "sum_tagged",
+            "sum_after_restore",
+            F.lit(head).cast("long").alias("head_after_restore"),
+        )
+        .orderBy("event_type")
+    )

@@ -83,6 +83,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "graph_katz_centrality",
     "ml_label_smoothing_ce",
     "embedding_alignment_uniformity",
+    "etl_versioned_tag_restore",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
