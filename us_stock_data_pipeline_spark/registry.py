@@ -84,6 +84,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "ml_label_smoothing_ce",
     "embedding_alignment_uniformity",
     "etl_versioned_tag_restore",
+    "ml_pinball_loss",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
