@@ -109,6 +109,13 @@ QUERIES = [
     "corpus_soft_dedup_weights",
     "multimodal_wav_pcm_decode",
     "etl_versioned_deletion_vectors",
+    # round-9 heavy additions: JPEG Arrow codec pipeline, stats-enabled
+    # merge + zone-map-pruned read, corpus-wide attention softmax (one
+    # broadcast + map-side fold), per-(source,lang) det_ln CE cells
+    "multimodal_jpeg_decode",
+    "etl_versioned_zonemap_skipping",
+    "ml_attention_softmax",
+    "ml_label_smoothing_ce",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
