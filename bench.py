@@ -261,6 +261,15 @@ def main() -> None:
                     "job-launch overhead at toy scale, not plan quality — the "
                     "concurrent ratio is the like-for-like number."
                 ),
+                "cache_policy": (
+                    "tracked persists are released at each query entry "
+                    "(advisor r8 cache-leak fix), so best-of-N reps no longer "
+                    "silently reuse the previous rep's cached blocks via the "
+                    "CacheManager plan match — persist-heavy queries "
+                    "(rlhf_bradley_terry, ml_naive_bayes_lang, "
+                    "dedup_minhash_lsh) now report their true cold-cache cost, "
+                    "~0.4-0.8s above the r8 warm-cache artifacts."
+                ),
             }
         )
     )
