@@ -56,10 +56,16 @@ def test_nelson_aalen_matches_bruteforce(spark):
 
 def test_nelson_aalen_below_neg_log_km(spark):
     # H_NA(t) <= -ln(S_KM(t)) pointwise (1-x <= e^-x): ties the two
-    # survival estimators together on shared event times.
+    # survival estimators together on shared event times. KM now
+    # reports the exact fixed-point product survival_fp9 (r9), so the
+    # log view is recomputed here; each fold step floors, making
+    # -ln(S_fp9) an upper bound of -ln(S_true) and preserving the
+    # inequality direction.
+    import math
+
     na = {r.t_days: r.cum_hazard_micro for r in
           registry.queries()["survival_nelson_aalen"](spark, SF).collect()}
-    km = {r.t_days: -r.log_survival_micro for r in
+    km = {r.t_days: -math.log(r.survival_fp9 / 1e9) * 1e6 for r in
           registry.queries()["survival_kaplan_meier"](spark, SF).collect()}
     shared = set(na) & set(km)
     assert shared
