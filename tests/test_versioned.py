@@ -596,3 +596,27 @@ def test_restore_is_metadata_only_rollback(spark, root):
     # a merge after the restore builds on the restored state
     V.versioned_merge_upsert(spark, _mk(spark, [("MSFT", 9, 9.0)]), root, ("symbol", "ts"))
     assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 1.0), ("MSFT", 9, 9.0)]
+
+
+def test_metadata_tables_history_and_files(spark, root):
+    """versioned_history reports per-commit shape; versioned_files lists
+    live files with zone maps when stats are recorded."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 1.0), ("MSFT", 2, 2.0)]), root,
+        ("symbol", "ts"), stats_cols=("ts",),
+    )
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 3, 3.0)]), root, ("symbol", "ts"),
+        stats_cols=("ts",),
+    )
+    hist = {r.version: r for r in V.versioned_history(spark, root).collect()}
+    assert hist[1].n_partitions == 2 and hist[1].n_partitions_written == 2
+    assert hist[2].n_partitions == 2 and hist[2].n_partitions_written == 1
+    assert hist[2].n_files_with_stats == 2  # AAPL rewritten + MSFT carried
+    files = V.versioned_files(spark, root).collect()
+    assert {r.partition for r in files} == {"symbol=AAPL", "symbol=MSFT"}
+    import json as _json
+
+    zm = {r.partition: _json.loads(r.zone_map) for r in files}
+    assert zm["symbol=AAPL"]["ts"] == [1, 3]
+    assert zm["symbol=MSFT"]["ts"] == [2, 2]

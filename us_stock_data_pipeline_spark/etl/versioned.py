@@ -735,6 +735,71 @@ def read_changes(
     )
 
 
+def versioned_history(spark: SparkSession, root: str) -> DataFrame:
+    """Iceberg/Delta `DESCRIBE HISTORY` as a DataFrame: one row per
+    committed version with the commit's shape — partitions owned, how
+    many the commit itself wrote (vs carried forward), live deletion
+    vectors, zone-map coverage, and the restore marker. Driver-side
+    manifest walk (metadata only, no data scan): the history of a
+    100 TB table costs its manifest count."""
+    cur = current_version(spark, root)
+    rows = []
+    for v in range(1, cur + 1):
+        try:
+            doc = _read_manifest_doc(spark, root, v)
+        except Exception:  # vacuumed manifest: hole in retained history
+            continue
+        parts = doc.get("partitions", {})
+        ver_prefix = f"v{v:08d}-"
+        own = sum(
+            1 for d in parts.values() if d.split("/")[-1].startswith(ver_prefix)
+        )
+        rows.append(
+            (
+                v,
+                len(parts),
+                own,
+                len(doc.get("deletion_vectors", [])),
+                len(doc.get("file_stats", {})),
+                doc.get("restored_from"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, n_partitions long, n_partitions_written long,"
+        " n_deletion_vectors long, n_files_with_stats long, restored_from long",
+    )
+
+
+def versioned_files(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Iceberg `table.files` as a DataFrame: one row per live data file
+    of a snapshot with its owning version dir, partition values, and
+    zone-map bounds (as a JSON string when recorded). Metadata-only for
+    stats-enabled tables; sizes come from one FileStatus call per file."""
+    if version is None:
+        version = current_version(spark, root)
+    doc = _read_manifest_doc(spark, root, version)
+    file_stats: dict[str, dict] = doc.get("file_stats", {})
+    rows = []
+    for part_dir, ver_dir in sorted(doc.get("partitions", {}).items()):
+        prefix = posixpath.join(ver_dir, part_dir) + "/"
+        stat_files = sorted(f for f in file_stats if f.startswith(prefix))
+        if stat_files:
+            names = [(f, json.dumps(file_stats[f], sort_keys=True)) for f in stat_files]
+        else:
+            base = posixpath.join(root, ver_dir, part_dir)
+            names = [
+                (posixpath.join(ver_dir, part_dir, n), None)
+                for n in sorted(_list_names(spark, base))
+                if n.endswith(".parquet")
+            ]
+        for rel, stats_json in names:
+            rows.append((part_dir, ver_dir, rel, stats_json))
+    return spark.createDataFrame(
+        rows, "partition string, owning_version_dir string, file string, zone_map string"
+    )
+
+
 def create_tag(
     spark: SparkSession, root: str, name: str, version: int | None = None
 ) -> int:

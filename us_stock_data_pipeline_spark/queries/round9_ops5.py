@@ -117,3 +117,81 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# ETL: versioned-table metadata tables (DESCRIBE HISTORY / table.files)
+# --------------------------------------------------------------------------
+
+# After the standard 3-batch staging: v1 writes all 5 partitions, v2 and
+# v3 restate all 5 (every event_type has rows past both cutoffs in the
+# fixture), no DVs, no stats. The oracle states that shape in closed
+# form, joined with the per-version restated row counts.
+_HISTORY_ORACLE = """
+WITH counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-10') AS BIGINT) AS n_v2,
+         CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-25') AS BIGINT) AS n_v3
+  FROM events
+)
+SELECT v.version,
+       CAST(5 AS BIGINT) AS n_partitions,
+       CAST(5 AS BIGINT) AS n_partitions_written,
+       CAST(0 AS BIGINT) AS n_deletion_vectors,
+       CASE v.version WHEN 1 THEN c.n_all WHEN 2 THEN c.n_v2 ELSE c.n_v3 END
+         AS n_rows_written
+FROM (SELECT unnest([1, 2, 3]) AS version) v
+CROSS JOIN counts c
+ORDER BY v.version
+"""
+
+
+@register(
+    "etl_versioned_history",
+    oracle=_HISTORY_ORACLE,
+    tags=("etl", "sink", "versioned"),
+)
+def etl_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg/Delta **DESCRIBE HISTORY** as a queryable DataFrame —
+    the audit surface a lakehouse operator reads first: one row per
+    committed version with the partitions the commit owns vs WROTE
+    (carried-forward vs restated), live deletion vectors, and the
+    per-version restated row count (joined from time-travel reads).
+    versioned_history() itself is a driver-side manifest walk —
+    metadata only, constant cost in table size — exactly how
+    `table.history()` works on Iceberg; the row counts here add one
+    pinned read per version to make the output value-checkable. The
+    oracle restates the expected commit shape in closed form from the
+    raw fixture (every event_type has rows past both restatement
+    cutoffs, so every commit touches all 5 partitions)."""
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        read_versioned,
+        versioned_history,
+    )
+    from us_stock_data_pipeline_spark.queries.versioned_ops import (
+        _ingest_three_batches,
+    )
+
+    root = _ingest_three_batches(spark, sf_dir)
+    hist = versioned_history(spark, root).select(
+        "version", "n_partitions", "n_partitions_written", "n_deletion_vectors"
+    )
+    cuts = {1: None, 2: "2024-01-10", 3: "2024-01-25"}
+    counts = []
+    for v in (1, 2, 3):
+        c = read_versioned(spark, root, version=v)
+        if cuts[v]:
+            # the v-th batch restates exactly the rows past its cutoff
+            # (counting by changed px would undercount: a zero px is
+            # unchanged under the x2/x3 restatement)
+            c = c.filter(F.col("ts") >= F.lit(cuts[v]).cast("timestamp"))
+        counts.append(
+            c.agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows_written"),
+            )
+        )
+    written = counts[0]
+    for df in counts[1:]:
+        written = written.unionByName(df)
+    return hist.join(written, "version").orderBy("version")

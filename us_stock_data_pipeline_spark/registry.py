@@ -85,6 +85,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "embedding_alignment_uniformity",
     "etl_versioned_tag_restore",
     "ml_pinball_loss",
+    "etl_versioned_history",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
