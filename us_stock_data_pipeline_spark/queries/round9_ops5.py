@@ -195,3 +195,91 @@ def etl_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in counts[1:]:
         written = written.unionByName(df)
     return hist.join(written, "version").orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# ETL: SCD Type 4 (current dimension + separate history table)
+# --------------------------------------------------------------------------
+
+_SCD4_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type AS attr, ts, event_id,
+         lag(event_type) OVER w AS prev_attr
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+survivors AS (
+  SELECT user_id, attr, ts AS valid_from,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ver
+  FROM changes WHERE prev_attr IS NULL OR attr <> prev_attr
+),
+-- SCD4 split: the CURRENT table holds one row per key (latest version,
+-- no validity machinery); the HISTORY table holds every superseded row
+current_t AS (
+  SELECT user_id, attr, ver FROM survivors
+  QUALIFY ver = max(ver) OVER (PARTITION BY user_id)
+),
+history_t AS (
+  SELECT user_id, attr, ver FROM survivors
+  QUALIFY ver < max(ver) OVER (PARTITION BY user_id)
+)
+SELECT 'current' AS table_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT attr) AS BIGINT) AS n_attrs,
+       CAST(sum(ver) AS BIGINT) AS sum_versions
+FROM current_t
+UNION ALL
+SELECT 'history',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(count(DISTINCT attr) AS BIGINT),
+       CAST(coalesce(sum(ver), 0) AS BIGINT)
+FROM history_t
+ORDER BY table_type
+"""
+
+
+@register("etl_scd4_history_table", oracle=_SCD4_ORACLE, tags=("etl", "dimension"))
+def etl_scd4_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension **Type 4**: the change stream splits
+    into a lean CURRENT table (one row per key, latest attribute, no
+    validity columns — the table OLTP lookups hit) and a separate
+    HISTORY table holding every superseded version — the pattern teams
+    pick over SCD2 (`etl_scd2_dimension`) when the hot path must stay
+    narrow and audits are rare. Change detection is the same
+    lag-collapse as SCD2 (consecutive identical values merge), then
+    ONE max-version window splits current from history — both windows
+    ride the same user_id shuffle, so the whole build is one exchange.
+    Output pins both tables' shapes (row/user/attr counts and the
+    version checksum); at 100 TB the history table appends and the
+    current table is a keyed upsert — exactly the two sinks
+    `etl_merge_upsert` and the versioned table provide."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ev).alias("prev_attr"),
+    ).filter(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+    survivors = changes.select(
+        "user_id",
+        "attr",
+        F.row_number().over(w_ev).alias("ver"),
+    )
+    w_u = Window.partitionBy("user_id")
+    tagged = survivors.withColumn("max_ver", F.max("ver").over(w_u))
+
+    def shape(df, name: str):
+        return df.agg(
+            F.lit(name).alias("table_type"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct("attr").cast("long").alias("n_attrs"),
+            F.coalesce(F.sum("ver"), F.lit(0)).cast("long").alias("sum_versions"),
+        )
+
+    cur = shape(tagged.filter(F.col("ver") == F.col("max_ver")), "current")
+    hist = shape(tagged.filter(F.col("ver") < F.col("max_ver")), "history")
+    return cur.unionByName(hist).orderBy("table_type")

@@ -86,6 +86,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "etl_versioned_tag_restore",
     "ml_pinball_loss",
     "etl_versioned_history",
+    "etl_scd4_history_table",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
