@@ -1,165 +1,155 @@
-"""Round-9 operator tests: semantic invariants the DuckDB oracle hash
-can't express (bounds, algebraic identities, cross-query consistency).
-"""
+"""Property and plan-shape tests for the round-9 operators."""
 
 from __future__ import annotations
+
+import pytest
 
 from us_stock_data_pipeline_spark import registry
 
 SF = "/root/testdata/sf0.001"
 
 
-def _rows(spark, name, sf=SF):
-    return registry.queries()[name](spark, sf).collect()
+def _q(name):
+    return registry.all_queries()[name].fn
 
 
-def test_k_anonymity_partition_accounting(spark):
-    rows = _rows(spark, "compliance_k_anonymity")
-    # every customer sits in exactly one equivalence class
-    total = sum(r.n_customers for r in rows)
-    assert total == spark.read.parquet(f"{SF}/customer.parquet").count()
+def test_attention_softmax_shares_form_distribution(spark):
+    rows = _q("ml_attention_softmax")(spark, SF).collect()
+    assert rows, "top-k attention rows expected"
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    # weights ordered, shares in [0, 1e6], and the top-k mass is a
+    # subset of a normalized distribution
+    wqs = [r.w_q for r in rows]
+    assert wqs == sorted(wqs, reverse=True)
+    assert all(0 <= r.share_e6 <= 1_000_000 for r in rows)
+    assert sum(r.share_e6 for r in rows) <= 1_000_000
+
+
+def test_attention_softmax_plan_broadcasts_query(spark):
+    """The query row must be broadcast: no shuffle of the key corpus for
+    scoring (the scale property)."""
+    plan = _q("ml_attention_softmax")(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_elo_zero_sum_and_bounds(spark):
+    from us_stock_data_pipeline_spark.queries.round9_ops3 import _ELO_START
+
+    rows = _q("ml_elo_ratings")(spark, SF).collect()
+    assert rows
+    # zero-sum updates: total rating mass is exactly conserved
+    assert sum(r.rating_milli for r in rows) == _ELO_START * len(rows)
     for r in rows:
-        assert r.n_customers == r.class_size * r.n_classes
-        # at most 5 distinct order priorities exist
-        assert 0 <= r.min_l_diversity <= r.max_l_diversity <= 5
+        assert 0 <= r.n_wins <= r.n_matches
 
 
-def test_jarque_bera_rejects_iff_above_critical(spark):
-    for r in _rows(spark, "stats_jarque_bera"):
-        assert r.jb_stat >= 0
-        assert r.reject_normality == (1 if r.jb_stat > 5.991 else 0)
-
-
-def test_benjamini_hochberg_rejection_is_prefix(spark):
-    rows = sorted(_rows(spark, "stats_benjamini_hochberg"), key=lambda r: r.p_rank)
-    # BH step-up: the rejected set is exactly ranks 1..k
-    flags = [r.rejected for r in rows]
-    assert all(f in (0, 1) for f in flags)
-    if 1 in flags:
-        k = max(i for i, f in enumerate(flags) if f == 1)
-        assert all(f == 1 for f in flags[: k + 1])
-        assert all(f == 0 for f in flags[k + 1 :])
+def test_infonce_rank_consistent_with_weights(spark):
+    rows = _q("ml_infonce_loss_audit")(spark, SF).collect()
+    assert rows
     for r in rows:
-        assert 0.0 <= r.p_value <= 1.0
+        assert 1 <= r.pos_rank
+        assert 0 < r.pos_wq <= r.sum_wq
+        assert r.loss_e6 >= 0  # -ln(p) with p <= 1
+        if r.pos_rank == 1:
+            # positive carries the max weight -> loss bounded by ln(n)
+            assert r.loss_e6 <= 4_000_000
 
 
-def test_zonemap_full_year_probe_covers_quarters(spark):
-    rows = {r.probe_id: r for r in _rows(spark, "layout_zonemap_skipping")}
-    # probe 5 (all of 1994) can never skip more files than any quarter
-    for q in (1, 2, 3, 4):
-        assert rows[5].n_skipped <= rows[q].n_skipped
-        assert rows[5].rows_scanned >= rows[q].rows_scanned
-    # probe 6 (2005, beyond the data) must skip everything
-    assert rows[6].n_skipped == rows[6].n_files
-    assert rows[6].rows_scanned == 0
-    assert rows[6].skip_permille == 1000
+def test_doremi_weights_normalize_and_tilt(spark):
+    rows = _q("corpus_doremi_reweight_step")(spark, SF).collect()
+    total = sum(r.new_weight_e6 for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000  # floor-div slack
+    # monotone: a domain with higher excess loss gets at least the
+    # weight of any domain with lower excess
+    by_excess = sorted(rows, key=lambda r: r.excess_e6)
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a.new_weight_e6 <= b.new_weight_e6 + 1
 
 
-def test_drift_monitor_bounds(spark):
-    for r in _rows(spark, "etl_row_drift_monitor"):
-        assert r.n_alerts <= r.n_days
-        # a drop can never exceed -100%
-        assert r.max_drop_pm >= -1000
-        if r.n_alerts > 0:
-            assert r.first_alert_day is not None
-            assert max(r.max_spike_pm, -r.max_drop_pm) >= 300
+def test_logsumexp_dominates_max(spark):
+    for r in _q("agg_logsumexp")(spark, SF).collect():
+        # lse >= max always; lse <= max + ln(n)
+        assert r.lse_e6 >= r.max_e6
+        import math
+
+        assert r.lse_e6 <= r.max_e6 + int(math.log(r.n) * 1e6) + 2
 
 
-def test_candlestick_counts_bounded_by_days(spark):
-    for r in _rows(spark, "bars_candlestick_patterns"):
-        assert 0 <= r.n_doji <= r.n_days
-        assert 0 <= r.n_hammer <= r.n_days
-        # engulfing needs a prior day
-        assert 0 <= r.n_bull_engulf <= max(r.n_days - 1, 0)
+def test_katz_rank_consistency_and_floor(spark):
+    rows = _q("graph_katz_centrality")(spark, SF).collect()
+    assert rows
+    # every score >= the walk-free floor of 1e6, ranks are a permutation
+    assert all(r.katz_micro >= 1_000_000 for r in rows)
+    assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    scores = [r.katz_micro for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
 
 
-def test_gap_followthrough_accounting(spark):
-    for r in _rows(spark, "bars_gap_followthrough"):
-        assert 0 <= r.n_up_follow <= r.n_gap_up
-        assert 0 <= r.n_dn_follow <= r.n_gap_dn
-        if r.n_gap_up > 0:
-            assert r.up_follow_permille == r.n_up_follow * 1000 // r.n_gap_up
-        else:
-            assert r.up_follow_permille == 0
+def test_alignment_uniformity_ranges(spark):
+    (r,) = _q("embedding_alignment_uniformity")(spark, SF).collect()
+    # squared distance of unit vectors is in [0, 4]
+    assert 0 <= r.alignment_e6 <= 4_000_000
+    # uniformity = ln mean exp(-2 d2) is in [-8, 0]
+    assert -8_000_000 <= r.uniformity_e6 <= 0
+    assert r.n_pairs >= r.n_pos_pairs > 0
 
 
-def test_sax_letters_partition_days_near_quartiles(spark):
-    for r in _rows(spark, "timeseries_symbolic_sax"):
-        assert r.n_a + r.n_b + r.n_c + r.n_d == r.n_days
-        assert len(r.sax_prefix) == min(r.n_days, 120)
-        assert set(r.sax_prefix) <= set("abcd")
-        # percentile_disc(0.25) guarantees >= 25% of days at or below q1
-        assert r.n_a * 4 >= r.n_days
+def test_label_smoothing_ce_floor(spark):
+    """Smoothing floors the per-doc NLL at -ln((1-eps) + eps/K) and caps
+    it at -ln(eps/K)."""
+    import math
+
+    rows = _q("ml_label_smoothing_ce")(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k = docs.select("lang").distinct().count()
+    lo = -math.log(0.9 + 0.1 / k) * 1e6
+    hi = -math.log(0.1 / k) * 1e6
+    for r in rows:
+        assert lo - 2 <= r.ce_smoothed_e6 <= hi + 2
 
 
-def test_truncation_loss_consistency(spark):
-    for r in _rows(spark, "corpus_truncation_loss"):
-        assert 0 <= r.n_truncated <= r.n_docs
-        assert 0 <= r.tokens_lost < r.tokens_total
-        if r.n_truncated == 0:
-            assert r.tokens_lost == 0
-        assert r.lost_permille == r.tokens_lost * 1000 // r.tokens_total
-
-
-def test_lexicon_hit_rate_bounds(spark):
-    for r in _rows(spark, "text_lexicon_hit_rate"):
-        assert 0 <= r.n_hits <= r.n_tokens
-        assert 0 <= r.n_distinct_hits <= 16  # lexicon size
-        assert r.hit_ppm == r.n_hits * 1000000 // r.n_tokens
-
-
-def test_brier_decomposition_identity(spark):
-    (r,) = _rows(spark, "ml_brier_decomposition")
-    assert 0 <= r.brier <= 1
-    assert r.reliability >= 0
-    assert r.resolution >= 0
-    assert 0 <= r.uncertainty <= 0.25
-    # Murphy: brier = reliability - resolution + uncertainty + within-bin
-    # variance of the forecasts; with 10 bins the residual is small
-    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 0.02
-    # resolution can never exceed uncertainty
-    assert r.resolution <= r.uncertainty + 1e-9
-
-
-def test_sql_udf_matches_inline_expression(spark):
-    rows = _rows(spark, "sql_udf_scalar")
-    assert rows, "no groups"
+def test_pinball_loss_quantile_property(spark):
+    """At tau = 0.9 roughly 10% of observations sit above the q90
+    forecast, and those overshoots carry 9x weight."""
+    rows = _q("ml_pinball_loss")(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
     from pyspark.sql import functions as F
 
-    li = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
-        F.col("l_shipdate") >= "1994-01-01"
-    )
-    inline = (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(
-                "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
-                " * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)"
-            ).alias("net")
-        )
-        .collect()
-    )
-    expect = {(r.l_returnflag, r.l_linestatus): r.net for r in inline}
     for r in rows:
-        assert expect[(r.l_returnflag, r.l_linestatus)] == r.net_revenue_cents
-
-
-def test_transform_with_state_matches_batch(spark):
-    rows = _rows(spark, "stream_transform_with_state")
-    from pyspark.sql import functions as F
-
-    batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.round(F.col("value") * 100).cast("long")).alias("mn"),
-            F.max(F.round(F.col("value") * 100).cast("long")).alias("mx"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        above = (
+            ev.filter(F.col("event_type") == r.event_type)
+            .filter(F.round(F.col("value") * 100).cast("long") > r.q90_cents)
+            .count()
         )
-        .collect()
+        assert above <= r.n_obs * 0.1 + 1  # ceil-rank q90 bounds overshoots
+
+
+def test_zonemap_read_scans_only_kept_files(spark, tmp_path):
+    """The stat-filtered scan's inputFiles are exactly the planned kept
+    files — files are skipped in the ACTUAL scan, not just the planner."""
+    from us_stock_data_pipeline_spark.etl import versioned as V
+
+    root = str(tmp_path / "zm")
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("A", 2, 2.0), ("B", 100, 3.0), ("B", 200, 4.0)],
+        "symbol string, ts int, px double",
     )
-    expect = {r.user_id: (r.n, r.mn, r.mx, r.s) for r in batch}
-    assert len(rows) == len(expect)
-    for r in rows:
-        assert expect[r.user_id] == (r.n_events, r.min_cents, r.max_cents, r.sum_cents)
+    V.versioned_merge_upsert(
+        spark, df, root, ("symbol", "ts"), stats_cols=("ts",)
+    )
+    snap = V.read_versioned(spark, root, stat_filter={"ts": (100, 300)})
+    kept, skipped = V.plan_snapshot_files(spark, root, stat_filter={"ts": (100, 300)})
+    kept_files = {f for fs in kept.values() for f in fs}
+    scanned = {f.split("/zm/")[-1] for f in snap.inputFiles()}
+    assert scanned == kept_files
+    assert skipped and not (set(skipped) & scanned)
+
+
+def test_scd4_tables_partition_the_versions(spark):
+    rows = {r.table_type: r for r in _q("etl_scd4_history_table")(spark, SF).collect()}
+    cur, hist = rows["current"], rows["history"]
+    # every user has exactly one current row; history holds the rest
+    assert cur.n_rows == cur.n_users
+    assert hist.n_users <= cur.n_users
+    assert hist.n_rows >= hist.n_users or hist.n_rows == 0
