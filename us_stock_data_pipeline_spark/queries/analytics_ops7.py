@@ -80,7 +80,11 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragility that made this query driver-red in round 8; see
     VERDICT r8 #1). The support is duration-cardinality-sized
     (days: hundreds) regardless of corpus size, so the prefix arrays
-    stay tiny. Plan: one fact-fact join (shuffle on order key), one
+    stay tiny. Packing precondition: (n_risk - d) and n_risk share one
+    BIGINT at 2^31 each, and the fold's acc*(n-d) product needs
+    1e9 * n_risk < 2^63 — both hold to ~2.1e9 at-risk subjects; beyond
+    that widen the pack to two array columns and the fold to
+    DECIMAL(38). Plan: one fact-fact join (shuffle on order key), one
     groupBy to the distinct-time support, then windows over that tiny
     support table — the at-risk counts come from ONE ordered cumsum,
     not a per-time rescan."""
