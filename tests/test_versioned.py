@@ -620,3 +620,24 @@ def test_metadata_tables_history_and_files(spark, root):
     zm = {r.partition: _json.loads(r.zone_map) for r in files}
     assert zm["symbol=AAPL"]["ts"] == [1, 3]
     assert zm["symbol=MSFT"]["ts"] == [2, 2]
+
+
+def test_orphan_audit_matches_vacuum_candidates(spark, root):
+    """versioned_orphans reports exactly what a grace-0 vacuum reclaims
+    (minus the age-gated live snapshot protection), and touches nothing."""
+    for k in range(1, 4):
+        V.versioned_merge_upsert(
+            spark, _mk(spark, [("AAPL", 1, float(k))]), root, ("symbol", "ts")
+        )
+    before = _rows(V.read_versioned(spark, root))
+    audit = V.versioned_orphans(spark, root, keep_last=2)
+    assert len(audit["orphan_version_dirs"]) == 1  # v1's dir
+    assert audit["orphan_version_dirs"][0].startswith("versions/v00000001-")
+    assert audit["expired_manifests"] == ["manifests/v00000001.json"]
+    assert len(audit["live_version_dirs"]) == 2
+    assert _rows(V.read_versioned(spark, root)) == before  # read-only
+    # a tag pins its version OUT of the orphan set
+    V.create_tag(spark, root, "keep-v1", version=1)
+    audit2 = V.versioned_orphans(spark, root, keep_last=2)
+    assert audit2["orphan_version_dirs"] == []
+    assert audit2["expired_manifests"] == []

@@ -950,6 +950,52 @@ def compact_table(spark: SparkSession, root: str) -> int:
     raise RuntimeError(f"compaction lost 5 commit races at {root}")
 
 
+def versioned_orphans(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> dict[str, list[str]]:
+    """fsck for the versioned table: classify everything on disk that no
+    RETAINED manifest (last ``keep_last`` + every tag-pinned version)
+    references — exactly the set `vacuum_versions` would reclaim, but
+    as a read-only audit (run it before a vacuum, alert on growth:
+    a climbing orphan count means crashed writers or lost commit
+    races). Returns {"orphan_version_dirs", "stale_tmp_manifests",
+    "expired_manifests", "orphan_dvs", "live_version_dirs"} with paths
+    relative to root. Driver-side metadata walk — no data scan."""
+    cur = current_version(spark, root)
+    keep = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+    keep.update(list_refs(spark, root).values())
+    live_dirs: set[str] = set()
+    live_dvs: set[str] = set()
+    for v in keep:
+        doc = _read_manifest_doc(spark, root, v)
+        live_dirs.update(doc["partitions"].values())
+        live_dvs.update(dv["dir"] for dv in doc.get("deletion_vectors", []))
+    out: dict[str, list[str]] = {
+        "orphan_version_dirs": [],
+        "stale_tmp_manifests": [],
+        "expired_manifests": [],
+        "orphan_dvs": [],
+        "live_version_dirs": sorted(live_dirs),
+    }
+    for name in _list_names(spark, posixpath.join(root, _MANIFESTS)):
+        v = _manifest_version(name)
+        if name.startswith(".tmp_"):
+            out["stale_tmp_manifests"].append(posixpath.join(_MANIFESTS, name))
+        elif v is not None and v not in keep:
+            out["expired_manifests"].append(posixpath.join(_MANIFESTS, name))
+    for name in _list_names(spark, posixpath.join(root, _VERSIONS)):
+        rel = posixpath.join(_VERSIONS, name)
+        if rel not in live_dirs:
+            out["orphan_version_dirs"].append(rel)
+    for name in _list_names(spark, posixpath.join(root, _DVS)):
+        rel = posixpath.join(_DVS, name)
+        if rel not in live_dvs:
+            out["orphan_dvs"].append(rel)
+    for k in out:
+        out[k] = sorted(out[k])
+    return out
+
+
 def vacuum_versions(
     spark: SparkSession,
     root: str,

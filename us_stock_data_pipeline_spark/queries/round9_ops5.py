@@ -283,3 +283,77 @@ def etl_scd4_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = shape(tagged.filter(F.col("ver") == F.col("max_ver")), "current")
     hist = shape(tagged.filter(F.col("ver") < F.col("max_ver")), "history")
     return cur.unionByName(hist).orderBy("table_type")
+
+
+# --------------------------------------------------------------------------
+# ETL: versioned-table orphan audit (read-only fsck)
+# --------------------------------------------------------------------------
+
+# Protocol-determined shape after the 3-batch staging + one simulated
+# crashed writer (fully-written attempt dir + tmp manifest, never
+# published): with keep_last=2 the retained manifests are v2/v3, each
+# merge restates all 5 partitions so each version owns ONE dir ->
+# live = {v2, v3}, orphans = {v1's dir, the crashed attempt}, one stale
+# tmp manifest, one expired manifest (v1). The live snapshot's row count
+# pins that the audit is read-only.
+_ORPHAN_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS n_orphan_dirs,
+       CAST(1 AS BIGINT) AS n_stale_tmp_manifests,
+       CAST(1 AS BIGINT) AS n_expired_manifests,
+       CAST(2 AS BIGINT) AS n_live_dirs,
+       CAST(count(*) AS BIGINT) AS n_rows_live
+FROM events
+"""
+
+
+@register(
+    "etl_versioned_orphan_audit",
+    oracle=_ORPHAN_ORACLE,
+    tags=("etl", "sink", "versioned", "ops"),
+)
+def etl_versioned_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-only **fsck** for the versioned table: classify everything
+    on disk that no retained manifest references — exactly what a
+    vacuum would reclaim, surfaced as an audit instead of a delete
+    (the ops dashboard number whose growth means crashed writers or
+    lost commit races). The fixture run commits three merges, then
+    simulates a writer that crashed BETWEEN data write and manifest
+    publish (a fully-written attempt dir + a .tmp manifest — the
+    exact pre-publish state of the commit protocol); with keep_last=2
+    the audit must report the superseded v1 dir plus the crashed
+    attempt as orphans, one stale tmp manifest, one expired manifest,
+    two live dirs — and the head snapshot must still read every row
+    (the audit touches nothing). All counts are protocol-determined;
+    the hashed row count proves read-only-ness. Driver-side metadata
+    walk — constant cost in data size."""
+    import posixpath
+
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        _write_file,
+        read_versioned,
+        versioned_orphans,
+    )
+    from us_stock_data_pipeline_spark.queries.versioned_ops import (
+        _ingest_three_batches,
+    )
+
+    root = _ingest_three_batches(spark, sf_dir)
+    # simulate the crash: attempt dir written, manifest never published
+    crashed = posixpath.join(root, "versions", "v00000004-deadbeef")
+    read_versioned(spark, root).limit(1).write.mode("overwrite").parquet(crashed)
+    _write_file(spark, posixpath.join(root, "manifests", ".tmp_crashed.json"), "{}")
+    audit = versioned_orphans(spark, root, keep_last=2)
+    n_rows_live = read_versioned(spark, root).count()
+    return spark.createDataFrame(
+        [
+            (
+                len(audit["orphan_version_dirs"]),
+                len(audit["stale_tmp_manifests"]),
+                len(audit["expired_manifests"]),
+                len(audit["live_version_dirs"]),
+                n_rows_live,
+            )
+        ],
+        "n_orphan_dirs long, n_stale_tmp_manifests long,"
+        " n_expired_manifests long, n_live_dirs long, n_rows_live long",
+    )

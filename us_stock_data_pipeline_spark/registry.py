@@ -87,6 +87,7 @@ _VERIFY_PRIORITY: tuple[str, ...] = (
     "ml_pinball_loss",
     "etl_versioned_history",
     "etl_scd4_history_table",
+    "etl_versioned_orphan_audit",
     # --- round-9 rewrites whose oracles changed (re-verify first) ---
     "survival_kaplan_meier",
     "text_char_entropy",
