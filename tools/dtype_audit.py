@@ -95,6 +95,102 @@ def duck_family(dt: str) -> str:
     return _DUCK_FAMILY.get(s, s.lower())
 
 
+def _extract_call(text: str, start: int) -> str:
+    """Return the balanced-paren call text starting at the '(' at/after
+    `start`, or "" if parens never balance."""
+    i = text.index("(", start)
+    depth = 0
+    for j in range(i, len(text)):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i : j + 1]
+    return ""
+
+
+def lint_lambda_folds(name: str, oracle: str) -> list[str]:
+    """Flag fragile DuckDB lambda folds in an oracle (VERDICT r9 #1).
+
+    A `list_reduce` fold's result dtype is whatever the engine INFERS from
+    the lambda, and a non-commutative body (subtraction / division /
+    modulo / multiplication chains) is additionally sensitive to lambda
+    argument-order conventions — both vary across DuckDB versions, which
+    made `survival_kaplan_meier` driver-red in r8/r9 while green locally.
+    Environment-proof folds in this corpus obey two rules, and this lint
+    enforces them:
+
+      1. the seed (the `list_prepend(<seed>, ...)` first argument, or the
+         fold's second argument) carries an explicit CAST, so the result
+         dtype is pinned, not inferred;
+      2. the lambda body combines `acc` with the element using ADDITION
+         ONLY (`acc + x` strict-left sums are order-identical across
+         engines for IEEE doubles) — sequential recursions that need
+         `-`, `*`, `/`, `//`, or `%` must be written as a recursive CTE
+         with CAST outputs instead (the driver-proven idiom:
+         ml_elo_ratings, bars_ema, survival_kaplan_meier post-r10).
+    """
+    findings: list[str] = []
+    # strip `--` line comments so a mention of list_reduce in prose
+    # doesn't trip the scanner
+    oracle = "\n".join(line.split("--", 1)[0] for line in oracle.splitlines())
+    low = oracle.lower()
+    pos = 0
+    while True:
+        hit = low.find("list_reduce", pos)
+        if hit < 0:
+            break
+        call = _extract_call(oracle, hit)
+        pos = hit + len("list_reduce")
+        if not call:
+            findings.append(f"{name}: unbalanced list_reduce call text")
+            continue
+        # split the call's top-level arguments on depth-1 commas:
+        # list_reduce(<list-with-seed>, <fold-lambda>)
+        args, depth, cur = [], 0, []
+        for ch in call:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append("".join(cur))
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if len(args) < 2:
+            findings.append(f"{name}: list_reduce without a lambda argument")
+            continue
+        lam = args[-1]
+        arrow = lam.rfind("->")
+        if arrow < 0:
+            findings.append(f"{name}: list_reduce without a lambda body")
+            continue
+        body = lam[arrow + 2 :]
+        # rule 2: addition-only lambda body
+        bad_ops = [op for op in ("//", "%", "/", "*", "-") if op in body]
+        if bad_ops:
+            findings.append(
+                f"{name}: non-commutative list_reduce lambda body"
+                f" (ops {bad_ops}) — rewrite as a recursive CTE"
+            )
+        # rule 1: explicit CAST on the seed. The corpus idiom is
+        # list_reduce(list_prepend(CAST(... AS <T>), ...), lambda) — the
+        # first argument must pin the dtype with a CAST somewhere.
+        if "cast" not in args[0].lower():
+            findings.append(
+                f"{name}: list_reduce seed lacks an explicit CAST —"
+                f" result dtype is engine-inferred"
+            )
+    return findings
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -106,11 +202,15 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     errors, warns, skipped = [], [], []
+    fold_findings: list[str] = []
     for name, q in registry.all_queries().items():
         if only and name not in only:
             continue
         if q.oracle is None:
             continue
+        for msg in lint_lambda_folds(name, q.oracle):
+            fold_findings.append(msg)
+            print(f"FOLD  {msg}")
         try:
             sdf = q.fn(spark, sf_dir)
             s_types = dict(sdf.dtypes)
@@ -142,11 +242,12 @@ def main() -> int:
             {
                 "errors": len(errors),
                 "warns": len(warns),
+                "fold_findings": len(fold_findings),
                 "skipped": skipped,
             }
         )
     )
-    return 1 if errors else 0
+    return 1 if errors or fold_findings else 0
 
 
 if __name__ == "__main__":
