@@ -641,3 +641,173 @@ def test_orphan_audit_matches_vacuum_candidates(spark, root):
     audit2 = V.versioned_orphans(spark, root, keep_last=2)
     assert audit2["orphan_version_dirs"] == []
     assert audit2["expired_manifests"] == []
+
+
+def test_tag_racing_vacuum_published_before_relist_survives(spark, root, monkeypatch):
+    """create_tag publishing BETWEEN vacuum's trash phase and its ref
+    re-listing: the vacuum must RESTORE the trashed manifest (and keep
+    its data dirs) so the tag's snapshot stays readable — the r9 gap
+    where a tag pinned during vacuum could dangle."""
+    for k in range(1, 5):
+        V.versioned_merge_upsert(
+            spark, _mk(spark, [("AAPL", 1, float(k))]), root, ("symbol", "ts")
+        )
+    calls = {"n": 0}
+    real_list_refs = V.list_refs
+
+    def racing_list_refs(spark_, root_):
+        calls["n"] += 1
+        # vacuum's SECOND listing (the post-trash one): the tagger has
+        # just published a ref for expired version 1
+        if calls["n"] == 2:
+            body = '{"name": "golden", "version": 1}'
+            V._mkdirs(spark_, posixpath.join(root_, "refs"))
+            V._write_file(spark_, posixpath.join(root_, "refs", "golden.json"), body)
+        return real_list_refs(spark_, root_)
+
+    monkeypatch.setattr(V, "list_refs", racing_list_refs)
+    V.vacuum_versions(spark, root, keep_last=1, grace_seconds=0.0)
+    monkeypatch.undo()
+    # the tagged snapshot survived: manifest restored, data dirs kept
+    assert V.resolve_ref(spark, root, "golden") == 1
+    assert _rows(V.read_versioned(spark, root, ref="golden")) == [("AAPL", 1, 1.0)]
+    # non-tagged expired versions were still reclaimed
+    with pytest.raises(Exception):
+        V._read_manifest_doc(spark, root, 2)
+
+
+def test_tag_losing_vacuum_race_removes_its_own_ref(spark, root, monkeypatch):
+    """create_tag publishing AFTER vacuum reclaimed the manifest: the
+    post-publish re-validation must delete the just-published ref and
+    raise — never a dangling tag."""
+    for k in range(1, 4):
+        V.versioned_merge_upsert(
+            spark, _mk(spark, [("AAPL", 1, float(k))]), root, ("symbol", "ts")
+        )
+    real_rename = V._rename
+
+    def vacuum_between_validate_and_publish(spark_, src, dst):
+        if "/refs/" in dst:
+            # the vacuum wins the race just before the ref publishes
+            V.vacuum_versions(spark_, root, keep_last=1, grace_seconds=0.0)
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(V, "_rename", vacuum_between_validate_and_publish)
+    with pytest.raises(FileNotFoundError, match="lost a race with vacuum"):
+        V.create_tag(spark, root, "golden", version=1)
+    monkeypatch.undo()
+    # no dangling ref left behind
+    assert V.list_refs(spark, root) == {}
+
+
+def test_restore_races_concurrent_writer_serializes(spark, root):
+    """restore_version racing a concurrent merge: the CAS must serialize
+    them — both commits land as DISTINCT versions (the loser retries on
+    the winner's head, never clobbers it), history keeps every version
+    readable, and the final head equals whichever op committed last."""
+    import threading
+
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 1.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 2.0)]), root, ("symbol", "ts"))
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def restorer():
+        try:
+            barrier.wait(timeout=60)
+            V.restore_version(spark, root, 1)
+        except BaseException as e:  # noqa: BLE001 - surfaced via assert
+            errors.append(e)
+
+    def writer():
+        try:
+            barrier.wait(timeout=60)
+            V.versioned_merge_upsert(
+                spark,
+                _mk(spark, [("AAPL", 1, 9.0)]),
+                root,
+                ("symbol", "ts"),
+                max_commit_retries=10,
+            )
+        except BaseException as e:  # noqa: BLE001 - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=restorer), threading.Thread(target=writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    # both ops committed: v3 and v4 (no lost update, no clobber)
+    assert V.current_version(spark, root) == 4
+    head = _rows(V.read_versioned(spark, root))
+    # serialization order decides the head: restore-last -> snapshot of
+    # v1; writer-last -> the merge applied on top of the restored head
+    assert head in ([("AAPL", 1, 1.0)], [("AAPL", 1, 9.0)]), head
+    # every intervening version stays readable
+    for v in (1, 2, 3, 4):
+        assert _rows(V.read_versioned(spark, root, version=v))
+
+
+def test_stat_filter_accepts_date_bounds(spark, root):
+    """Zone-map stats JSON round-trip as ISO strings; a caller passing
+    datetime.date bounds must get correct pruning, not a str-vs-date
+    TypeError (advisor r9)."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [("AAPL", 1, 1.0, datetime.date(2024, 1, 5)),
+         ("MSFT", 1, 2.0, datetime.date(2024, 6, 5))],
+        "symbol string, ts int, px double, d date",
+    )
+    V.versioned_merge_upsert(spark, df, root, ("symbol", "ts"), stats_cols=("d",))
+    kept, skipped = V.plan_snapshot_files(
+        spark, root,
+        stat_filter={"d": (datetime.date(2024, 1, 1), datetime.date(2024, 1, 31))},
+    )
+    assert skipped, "June file must be pruned by a January date filter"
+    rows = V.read_versioned(
+        spark, root,
+        stat_filter={"d": (datetime.date(2024, 1, 1), datetime.date(2024, 1, 31))},
+    ).filter("d <= DATE'2024-01-31'").collect()
+    assert [r["symbol"] for r in rows] == ["AAPL"]
+    # a genuinely mismatched bound type raises a DESCRIPTIVE error
+    with pytest.raises(TypeError, match="stat_filter bound"):
+        V.plan_snapshot_files(spark, root, stat_filter={"d": (1, 31)})
+
+
+def test_merge_new_partition_missing_tracked_stats_col_commits(spark, root):
+    """A batch introducing a brand-new partition WITHOUT a historically
+    tracked stats column must still commit (stats simply un-harvested
+    for the new files) instead of failing after the data write and
+    orphaning the version dir (advisor r9)."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 1.0)]), root, ("symbol", "ts"),
+        stats_cols=("px",),
+    )
+    slim = spark.createDataFrame([("NVDA", 1)], "symbol string, ts int")
+    v2 = V.versioned_merge_upsert(spark, slim, root, ("symbol", "ts"))
+    assert v2 == 2
+    doc = V._read_manifest_doc(spark, root, 2)
+    # tracking continues for the table...
+    assert doc["stats_cols"] == ["px"]
+    # ...the AAPL file keeps its carried px stats, the NVDA file has none
+    assert any("symbol=AAPL" in f and s.get("px") for f, s in doc["file_stats"].items())
+    assert not any("symbol=NVDA" in f and s.get("px") for f, s in doc["file_stats"].items())
+    # the table stays readable end-to-end; fsck finds no orphans
+    got = sorted(r["symbol"] for r in V.read_versioned(spark, root).collect())
+    assert got == ["AAPL", "NVDA"]
+    orphans = V.versioned_orphans(spark, root)
+    assert not orphans["orphan_version_dirs"], orphans
+
+
+def test_can_hardlink_probe_true_on_local_fs(spark, tmp_path):
+    """The CAS degrade path is gated on a capability probe (advisor r9:
+    a transient FileSystemException must not silently downgrade to the
+    clobber-prone rename); on a linking filesystem the probe says so."""
+    jvm = spark.sparkContext._jvm
+    nio_dir = jvm.java.io.File(str(tmp_path)).toPath()
+    assert V._can_hardlink(jvm, nio_dir) is True
+    # probe files are cleaned up
+    leftovers = [p for p in tmp_path.iterdir() if p.name.startswith(".linkprobe_")]
+    assert leftovers == []

