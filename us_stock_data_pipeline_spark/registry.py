@@ -94,7 +94,9 @@ def release_tracked_caches() -> None:
 # consumed by the r7-r9 drivers, so r9 burned 34 of 50 slots re-sampling
 # green queries. Reading the artifacts makes the rotation self-updating.
 
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "multimodal_jpeg_color_decode",
+)
 
 _RED_RECHECK: tuple[str, ...] = ("survival_kaplan_meier",)
 
