@@ -116,6 +116,12 @@ QUERIES = [
     "etl_versioned_zonemap_skipping",
     "ml_attention_softmax",
     "ml_label_smoothing_ce",
+    # round-10 heavy additions: stateful ADPCM recurrence vectorized
+    # across clips, full-text DEFLATE compress+decompress (two Arrow
+    # stages over variable-width payloads), LZW dictionary decode
+    "multimodal_adpcm_ima_decode",
+    "multimodal_deflate_text_decode",
+    "multimodal_gif_lzw_decode",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
