@@ -1,0 +1,112 @@
+"""Geo/spatial family tests (round 10): geohash encoding pinned against
+the canonical reference vector and an independent bit-interleave
+implementation; grid-blocking completeness (3x3 neighborhood covers
+every pair within R when R <= cell)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from us_stock_data_pipeline_spark.queries.round10_ops2 import (
+    _CELL_E6,
+    _GH_ALPHABET,
+    _LAT_E6,
+    _LON_E6,
+    _R2,
+    _geohash25,
+    _geohash5_str,
+)
+
+
+def _ref_geohash5(lat_e6: int, lon_e6: int) -> str:
+    """Independent scalar geohash: classic interval-halving, 25 bits
+    alternating lon-first, base-32 — no shared code with the SQL
+    fragment under test."""
+    lat_lo, lat_hi = -90e6, 90e6
+    lon_lo, lon_hi = -180e6, 180e6
+    bits = []
+    for i in range(25):
+        if i % 2 == 0:  # longitude
+            mid = (lon_lo + lon_hi) / 2
+            if lon_e6 >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:  # latitude
+            mid = (lat_lo + lat_hi) / 2
+            if lat_e6 >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+    val = int("".join(map(str, bits)), 2)
+    return "".join(_GH_ALPHABET[(val >> (20 - 5 * i)) & 31] for i in range(5))
+
+
+def _sql_geohash5_for_coords(lat_e6: int, lon_e6: int) -> str:
+    """Evaluate the production SQL fragment in DuckDB for explicit
+    coordinates by substituting keys the synth formulas invert to."""
+    frag = _geohash5_str(_geohash25("k")).replace(
+        _LON_E6.format(k="k"), f"CAST({lon_e6} AS BIGINT)"
+    ).replace(_LAT_E6.format(k="k"), f"CAST({lat_e6} AS BIGINT)")
+    return duckdb.sql(f"SELECT {frag} AS g").fetchone()[0]
+
+
+def test_geohash_canonical_reference_vector():
+    # The classic example: (57.64911, 10.40744) -> 'u4pru' at precision 5.
+    assert _ref_geohash5(57_649_110, 10_407_440) == "u4pru"
+    assert _sql_geohash5_for_coords(57_649_110, 10_407_440) == "u4pru"
+
+
+def test_geohash_fragment_matches_independent_reference():
+    con = duckdb.connect()
+    frag = _geohash5_str(_geohash25("k"))
+    rows = con.sql(
+        f"SELECT k, {frag} AS g FROM (SELECT unnest(generate_series(1, 500)) AS k)"
+    ).fetchall()
+    for k, g in rows:
+        lat = (k * 7919) % 180_000_000 - 90_000_000
+        lon = (k * 104729) % 360_000_000 - 180_000_000
+        assert g == _ref_geohash5(lat, lon), k
+
+
+def test_geohash_corner_cases():
+    # Poles/antimeridian edges of the synthetic domain stay in range
+    # and encode without the 13/12-bit fields overflowing.
+    for lat, lon in [
+        (-90_000_000, -180_000_000),
+        (89_999_999, 179_999_999),
+        (0, 0),
+        (-1, -1),
+    ]:
+        g = _sql_geohash5_for_coords(lat, lon)
+        assert len(g) == 5 and all(c in _GH_ALPHABET for c in g)
+        assert g == _ref_geohash5(lat, lon)
+
+
+def test_grid_blocking_is_complete_for_radius():
+    """Every (supplier, customer) pair within R^2 must land in cells
+    that differ by at most 1 on each axis — the invariant that makes
+    the 3x3 neighborhood join EXACTLY equal to the O(n^2) oracle."""
+    sk = np.arange(1, 1001, dtype=np.int64)
+    ck = np.arange(1, 5001, dtype=np.int64)
+    s_key = sk * 31 + 7
+    s_lat = (s_key * 7919) % 180_000_000 - 90_000_000
+    s_lon = (s_key * 104729) % 360_000_000 - 180_000_000
+    c_lat = (ck * 7919) % 180_000_000 - 90_000_000
+    c_lon = (ck * 104729) % 360_000_000 - 180_000_000
+    dlat = s_lat[:, None] - c_lat[None, :]
+    dlon = s_lon[:, None] - c_lon[None, :]
+    within = dlat * dlat + dlon * dlon <= _R2
+    assert within.sum() > 0  # the fixture-scale key space produces pairs
+    s_gy = (s_lat + 90_000_000) // _CELL_E6
+    s_gx = (s_lon + 180_000_000) // _CELL_E6
+    c_gy = (c_lat + 90_000_000) // _CELL_E6
+    c_gx = (c_lon + 180_000_000) // _CELL_E6
+    si, ci = np.nonzero(within)
+    assert (np.abs(s_gy[si] - c_gy[ci]) <= 1).all()
+    assert (np.abs(s_gx[si] - c_gx[ci]) <= 1).all()

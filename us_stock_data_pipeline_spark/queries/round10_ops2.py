@@ -1,0 +1,243 @@
+"""Round-10 operators, part 2: the GEO/SPATIAL family — real geohash
+base-32 encoding (bit-interleave subdivision, the storage/bucketing key
+every geo pipeline shards on) and the grid-blocked spatial distance
+join (candidate generation linear in points x 9 cells, never O(n^2)).
+
+The fixtures carry no coordinates, so both queries synthesize a
+deterministic planar point set from customer/supplier keys in integer
+micro-degrees — closed-form, so the DuckDB oracles replay everything
+exactly (geodesic wraparound/curvature is out of scope: the BUCKETING
+and BLOCKING patterns, not geodesy, are the operators; a haversine
+refinement slots into the final filter as one more expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# geo: geohash bucketing (base-32 of the lon/lat bit interleave)
+# --------------------------------------------------------------------------
+
+# Synthetic planar coordinates in integer micro-degrees:
+#   lat_e6 = (key * 7919)   % 180e6 - 90e6   in [-90e6, 90e6)
+#   lon_e6 = (key * 104729) % 360e6 - 180e6  in [-180e6, 180e6)
+_LAT_E6 = "((CAST(({k}) AS BIGINT) * 7919) % 180000000 - 90000000)"
+_LON_E6 = "((CAST(({k}) AS BIGINT) * 104729) % 360000000 - 180000000)"
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _part1by1(x: str) -> str:
+    """Bit spread (Morton part1by1) as a portable SQL fragment — same
+    construction as etl_zorder_clustering (round8_ops.py), shared
+    verbatim between the Spark plan and the DuckDB oracle."""
+    e = f"({x})"
+    for mul, mask in (
+        (256, 16711935),
+        (16, 252645135),
+        (4, 858993459),
+        (2, 1431655765),
+    ):
+        e = f"(({e} | ({e} * {mul})) & {mask})"
+    return e
+
+
+def _geohash25(key: str) -> str:
+    """25-bit geohash integer (precision 5) of the synthetic point for
+    `key`: standard geohash binary subdivision = 13 longitude bits at
+    even positions (MSB = longitude), 12 latitude bits at odd — i.e.
+    Morton(lon13, lat12), spread(x) + 2*spread(y)."""
+    # Integer division written as CAST(floor(a / b) AS BIGINT): portable
+    # to BOTH engines (Spark has no //, DuckDB / is float). Exact here:
+    # non-negative operands far inside 2^53, and a non-exact quotient is
+    # at least 1/b from any integer while the double ulp is ~1e-12, so
+    # rounding can never cross the floor boundary.
+    lon_bits = (
+        f"CAST(floor(((({_LON_E6.format(k=key)}) + 180000000) * 8192)"
+        f" / 360000000) AS BIGINT)"
+    )
+    lat_bits = (
+        f"CAST(floor(((({_LAT_E6.format(k=key)}) + 90000000) * 4096)"
+        f" / 180000000) AS BIGINT)"
+    )
+    return f"({_part1by1(lon_bits)} + 2 * {_part1by1(lat_bits)})"
+
+
+def _geohash5_str(g25: str) -> str:
+    """Base-32 string of a 25-bit geohash int: five 5-bit groups, MSB
+    first, through the standard geohash alphabet (no a/i/l/o). substr
+    is 1-based in BOTH Spark SQL and DuckDB."""
+    chars = [
+        f"substr('{_GH_ALPHABET}', CAST(floor(({g25}) / {1 << (20 - 5 * i)})"
+        f" AS INTEGER) % 32 + 1, 1)"
+        for i in range(5)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+_GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, c_nationkey,
+         {_geohash5_str(_geohash25('c_custkey'))} AS geohash5
+  FROM customer
+),
+b AS (
+  SELECT geohash5,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+         CAST(min(c_custkey) AS BIGINT) AS min_key,
+         CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+  FROM pts GROUP BY geohash5
+)
+SELECT geohash5, n_points, n_nations, min_key, sum_keys
+FROM b
+ORDER BY n_points DESC, geohash5
+LIMIT 20
+"""
+
+
+@register("geo_geohash_bucket", oracle=_GEOHASH_ORACLE, tags=("geo", "scale"))
+def geo_geohash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH bucketing — the spatial shard key every geo pipeline
+    stores/joins on (Uber H3's ancestor; geohash prefixes nest, so one
+    string column serves every zoom level): REAL base-32 geohash,
+    precision 5, computed as the standard binary subdivision = a
+    Morton interleave of 13 longitude + 12 latitude bits (lon at the
+    MSB, the geohash bit order) followed by five 5-bit groups through
+    the 0-9b-z alphabet (no a/i/l/o). The bit spread is the same
+    portable SQL fragment as etl_zorder_clustering, shared VERBATIM
+    between the Spark plan (one F.expr, stays in whole-stage codegen —
+    no UDF) and the DuckDB oracle; tests/test_geo_ops.py pins the
+    encoding against the canonical (57.64911, 10.40744) -> 'u4pru'
+    reference vector. Top-20 densest buckets with nation spread. Plan:
+    one pushed scan, map-side hash agg on the bucket key, one
+    exchange; at 100 TB the geohash column is what you'd PARTITION BY,
+    making every bounding-box query a partition-pruned scan."""
+    g5 = _geohash5_str(_geohash25("c_custkey"))
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", F.expr(g5).alias("geohash5"))
+        .groupBy("geohash5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.sum("c_custkey").cast("long").alias("sum_keys"),
+        )
+        .orderBy(F.desc("n_points"), "geohash5")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# geo: grid-blocked distance join (3x3 neighborhood candidates)
+# --------------------------------------------------------------------------
+
+_CELL_E6 = 1_000_000  # 1-degree grid cells
+_R_E6 = 500_000  # query radius 0.5 degrees: R <= cell => 3x3 complete
+_R2 = _R_E6 * _R_E6
+
+_GRID_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey AS ck,
+         {_LAT_E6.format(k='c_custkey')} AS lat, {_LON_E6.format(k='c_custkey')} AS lon
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey AS sk, s_nationkey,
+         {_LAT_E6.format(k='s_suppkey * 31 + 7')} AS lat,
+         {_LON_E6.format(k='s_suppkey * 31 + 7')} AS lon
+  FROM supplier
+),
+pairs AS (
+  SELECT s.s_nationkey, s.sk,
+         (s.lat - c.lat) * (s.lat - c.lat) + (s.lon - c.lon) * (s.lon - c.lon) AS d2
+  FROM supp s JOIN cust c
+    ON (s.lat - c.lat) * (s.lat - c.lat) + (s.lon - c.lon) * (s.lon - c.lon) <= {_R2}
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT sk) AS BIGINT) AS n_suppliers_matched,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM pairs
+GROUP BY s_nationkey
+ORDER BY nationkey
+"""
+
+
+@register("geo_grid_distance_join", oracle=_GRID_ORACLE, tags=("geo", "join", "scale"))
+def geo_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BLOCKED spatial distance join — the pattern that makes
+    "find everything within R" scale: snap points to a grid of
+    cell >= R, explode ONE side into its 3x3 neighbor cells (candidate
+    generation linear in points x 9, never the O(n^2) cross join the
+    oracle runs), equi-join on the cell key, exact distance filter
+    last. Radius 0.5 deg vs 1-deg cells guarantees the 3x3 neighborhood
+    is COMPLETE (every pair within R shares or neighbors a cell), so
+    the blocked join returns exactly the oracle's theta-join pairs —
+    tests/test_geo_ops.py pins completeness on planted near pairs.
+    Distances are exact BIGINT squared micro-degrees (planar synthetic
+    space; a haversine refinement is one more expression in the final
+    filter). Plan: two pushed scans, a 9x map-side explode of the
+    smaller supplier side, one equi-exchange on the cell key, exact
+    filter, hash agg — the same shape at any scale, and the cell key
+    is what a 100 TB layout would bucket/partition by."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.expr(_LAT_E6.format(k="c_custkey")).alias("lat"),
+        F.expr(_LON_E6.format(k="c_custkey")).alias("lon"),
+    ).select(
+        "ck", "lat", "lon",
+        F.floor((F.col("lat") + 90_000_000) / _CELL_E6).alias("gy"),
+        F.floor((F.col("lon") + 180_000_000) / _CELL_E6).alias("gx"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        "s_nationkey",
+        F.expr(_LAT_E6.format(k="s_suppkey * 31 + 7")).alias("slat"),
+        F.expr(_LON_E6.format(k="s_suppkey * 31 + 7")).alias("slon"),
+    )
+    # Explode the SMALLER side into its 3x3 neighborhood so the big
+    # side is shuffled once on its own cell, un-replicated.
+    neigh = supp.select(
+        "sk", "s_nationkey", "slat", "slon",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dy -> "
+                f"transform(sequence(-1, 1), dx -> struct("
+                f"floor((slat + 90000000) / {_CELL_E6}) + dy AS gy, "
+                f"floor((slon + 180000000) / {_CELL_E6}) + dx AS gx))))"
+            )
+        ).alias("cell"),
+    ).select("sk", "s_nationkey", "slat", "slon", "cell.gy", "cell.gx")
+    d2 = (F.col("slat") - F.col("lat")) * (F.col("slat") - F.col("lat")) + (
+        F.col("slon") - F.col("lon")
+    ) * (F.col("slon") - F.col("lon"))
+    pairs = (
+        neigh.join(cust, ["gy", "gx"])
+        .select("sk", "s_nationkey", d2.alias("d2"))
+        .filter(F.col("d2") <= _R2)
+    )
+    return (
+        pairs.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("sk").cast("long").alias("n_suppliers_matched"),
+            F.min("d2").cast("long").alias("min_d2"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .select(
+            F.col("s_nationkey").cast("long").alias("nationkey"),
+            "n_pairs",
+            "n_suppliers_matched",
+            "min_d2",
+            "sum_d2",
+        )
+        .orderBy("nationkey")
+    )
