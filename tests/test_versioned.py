@@ -811,3 +811,152 @@ def test_can_hardlink_probe_true_on_local_fs(spark, tmp_path):
     # probe files are cleaned up
     leftovers = [p for p in tmp_path.iterdir() if p.name.startswith(".linkprobe_")]
     assert leftovers == []
+
+
+# --------------------------------------------------------------------------
+# Branches (round 10): zero-copy fork, isolation, merge-back, conflicts
+# --------------------------------------------------------------------------
+
+
+def test_branch_fork_is_zero_copy_and_isolated(spark, root):
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    fork = V.create_branch(spark, root, "dev")
+    assert fork == 1
+    broot = V._branch_root(root, "dev")
+    # zero-copy: the branch's fork manifest points INTO main's pool —
+    # no data dir exists under the branch yet
+    assert not V._exists(spark, posixpath.join(broot, "versions"))
+    assert _rows(V.read_versioned(spark, broot)) == _rows(V.read_versioned(spark, root))
+    # writes on the branch are invisible on main, and vice versa
+    V.versioned_merge_upsert(spark, _mk(spark, [("MSFT", 2, 21.0)]), broot, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 2, 11.0)]), root, ("symbol", "ts"))
+    assert ("MSFT", 2, 21.0) not in _rows(V.read_versioned(spark, root))
+    assert ("AAPL", 2, 11.0) not in _rows(V.read_versioned(spark, broot))
+    # branch numbering continues from the fork (DV-horizon invariant)
+    assert V.current_version(spark, broot) == fork + 1
+    assert V.list_branches(spark, root) == {"dev": fork + 1}
+
+
+def test_branch_merge_overlays_changed_partitions_only(spark, root):
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("MSFT", 1, 99.0), ("NVDA", 1, 30.0)]), broot, ("symbol", "ts")
+    )
+    # concurrent main-side write to an UNRELATED partition merges cleanly
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 2, 11.0)]), root, ("symbol", "ts"))
+    new_ver = V.merge_branch(spark, root, "dev")
+    # merge commits above both heads (numbers may gap)
+    assert new_ver == max(2, 2) + 1
+    assert _rows(V.read_versioned(spark, root)) == [
+        ("AAPL", 1, 10.0),
+        ("AAPL", 2, 11.0),
+        ("MSFT", 1, 99.0),
+        ("NVDA", 1, 30.0),
+    ]
+    # terminal: branch and its fork pin are gone
+    assert V.list_branches(spark, root) == {}
+    assert "_branch_fork_dev" not in V.list_refs(spark, root)
+    # merged-in dirs live in MAIN's pool now (relative pointers)
+    m = V.read_manifest(spark, root, new_ver)
+    assert all(not v.startswith("/") for v in m.values())
+    # fsck: nothing merged is an orphan
+    orph = V.versioned_orphans(spark, root, keep_last=10)
+    assert orph["orphan_version_dirs"] == []
+
+
+def test_branch_merge_conflict_on_partition(spark, root):
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 2, 11.0)]), broot, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 3, 12.0)]), root, ("symbol", "ts"))
+    with pytest.raises(V.BranchConflictError, match="both changed"):
+        V.merge_branch(spark, root, "dev")
+    # the failed merge moved nothing and main is intact
+    assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 10.0), ("AAPL", 3, 12.0)]
+    V.delete_branch(spark, root, "dev")
+
+
+def test_branch_merge_conflict_on_main_dv_change(spark, root):
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(spark, _mk(spark, [("NVDA", 1, 30.0)]), broot, ("symbol", "ts"))
+    # main-side DELETE since the fork: partition scope of the tombstone
+    # is unknowable from metadata -> strict conflict
+    V.versioned_delete(spark, _mk(spark, [("AAPL", 1, 0.0)]).select("symbol", "ts"), root, ("symbol", "ts"))
+    with pytest.raises(V.BranchConflictError, match="deletion vectors"):
+        V.merge_branch(spark, root, "dev")
+    V.delete_branch(spark, root, "dev")
+
+
+def test_branch_dv_merges_back_and_still_tombstones(spark, root):
+    """A delete performed ON THE BRANCH must keep tombstoning after the
+    merge: the DV dir moves into main's pool with its version intact,
+    and the horizon ordering vs fork-era data dirs is preserved."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("AAPL", 2, 11.0), ("MSFT", 1, 20.0)]),
+        root, ("symbol", "ts"),
+    )
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_delete(spark, _mk(spark, [("AAPL", 2, 0.0)]).select("symbol", "ts"), broot, ("symbol", "ts"))
+    assert ("AAPL", 2, 11.0) not in _rows(V.read_versioned(spark, broot))
+    assert ("AAPL", 2, 11.0) in _rows(V.read_versioned(spark, root))  # isolation
+    new_ver = V.merge_branch(spark, root, "dev")
+    rows = _rows(V.read_versioned(spark, root, new_ver))
+    assert ("AAPL", 2, 11.0) not in rows
+    assert ("AAPL", 1, 10.0) in rows and ("MSFT", 1, 20.0) in rows
+
+
+def test_branch_survives_main_vacuum_via_fork_pin(spark, root):
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    # main advances enough that the fork would fall out of retention
+    for t in range(2, 6):
+        V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", t, float(t))]), root, ("symbol", "ts"))
+    V.vacuum_versions(spark, root, keep_last=1, grace_seconds=0)
+    # the fork tag pinned the fork manifest + its data: branch still reads
+    assert _rows(V.read_versioned(spark, broot)) == [("AAPL", 1, 10.0)]
+    V.delete_branch(spark, root, "dev")
+    # after branch deletion the pin is gone; a second vacuum may reclaim
+    V.vacuum_versions(spark, root, keep_last=1, grace_seconds=0)
+    assert "_branch_fork_dev" not in V.list_refs(spark, root)
+
+
+def test_version_numbers_gap_after_merge_and_tools_tolerate(spark, root):
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    for t in range(2, 6):  # branch head races ahead of main
+        V.versioned_merge_upsert(spark, _mk(spark, [("NVDA", t, float(t))]), broot, ("symbol", "ts"))
+    new_ver = V.merge_branch(spark, root, "dev")
+    assert new_ver == 6  # max(main=1, branch=5) + 1 -> versions 2..5 never exist on main
+    # history skips holes, orphan audit keys off existing manifests,
+    # vacuum retains by existing-version window, CDF diffs two snapshots
+    hist = V.versioned_history(spark, root).collect()
+    assert [r["version"] for r in hist] == [1, 6]
+    assert V.versioned_orphans(spark, root, keep_last=2)["expired_manifests"] == []
+    changes = V.read_changes(spark, root, 1, 6, ("symbol", "ts"))
+    assert changes.filter("_change_type = 'insert'").count() == 4
+    V.vacuum_versions(spark, root, keep_last=1, grace_seconds=0)
+    assert _rows(V.read_versioned(spark, root))[-1] == ("NVDA", 5, 5.0)
+
+
+def test_branch_create_is_exclusive(spark, root):
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    with pytest.raises(FileExistsError):
+        V.create_branch(spark, root, "dev")
+    V.delete_branch(spark, root, "dev")
+    # deletable and recreatable
+    assert V.create_branch(spark, root, "dev") == 1

@@ -60,6 +60,13 @@ _VERSIONS = "versions"
 _MANIFESTS = "manifests"
 _DVS = "dvs"
 _REFS = "refs"
+_BRANCHES = "branches"
+
+
+class BranchConflictError(RuntimeError):
+    """merge_branch detected that main changed a partition (or the DV
+    set) the branch also changed since the fork — the write-write
+    conflict Iceberg/Delta fail on rather than silently last-write-win."""
 
 
 # --------------------------------------------------------------------------
@@ -202,6 +209,19 @@ def _rename(spark: SparkSession, src: str, dst: str) -> bool:
             raise
         fs.delete(psrc, False)
         return True
+    if fs.exists(pdst):
+        return False
+    return bool(fs.rename(psrc, pdst))
+
+
+def _move_dir(spark: SparkSession, src: str, dst: str) -> bool:
+    """Plain directory move (fs.rename). NOT the link-based CAS above —
+    link(2) cannot hard-link directories. Safe for version/DV dirs
+    because their uuid-suffixed names are globally unique: no concurrent
+    writer can ever target the same destination, so exists()+rename has
+    no clobber window here (manifest publishes still use `_rename`)."""
+    fs, psrc, jvm = _fs(spark, src)
+    pdst = jvm.org.apache.hadoop.fs.Path(dst)
     if fs.exists(pdst):
         return False
     return bool(fs.rename(psrc, pdst))
@@ -965,6 +985,246 @@ def restore_version(spark: SparkSession, root: str, version: int) -> int:
     raise RuntimeError(f"restore lost 5 commit races at {root}")
 
 
+# --------------------------------------------------------------------------
+# BRANCHES — Iceberg refs / LakeFS-style zero-copy dev branches
+# --------------------------------------------------------------------------
+
+
+def _branch_root(root: str, name: str) -> str:
+    return posixpath.join(root, _BRANCHES, name)
+
+
+def _fork_tag(name: str) -> str:
+    return f"_branch_fork_{name}"
+
+
+def _abs_under(base: str, p: str) -> str:
+    """Resolve a manifest path value: relative values resolve under
+    `base`, absolute/URI values pass through (the zero-copy fork
+    mechanism — a branch manifest references its parent's data dirs by
+    absolute path; posixpath.join already passes absolutes through, this
+    helper just names the convention)."""
+    return p if p.startswith("/") or "://" in p else posixpath.join(base, p)
+
+
+def create_branch(spark: SparkSession, root: str, name: str) -> int:
+    """Fork a ZERO-COPY writable branch off the current snapshot — the
+    Iceberg branch / LakeFS "dev branch for a risky backfill" workflow:
+    the branch gets its own manifest lineage under
+    ``branches/<name>/`` whose first manifest is the fork snapshot with
+    every partition pointer ABSOLUTIZED into the parent's data pool (no
+    data copied, no data rewritten). Writes to the branch are plain
+    ``versioned_merge_upsert(spark, updates, branch_root(...), ...)``
+    calls — the full commit protocol (CAS races, DVs, zone maps, time
+    travel) applies unchanged on the branch, and main never sees them.
+
+    Version numbering on the branch CONTINUES from the fork number, so
+    every branch-written data dir carries a version strictly above any
+    carried deletion vector's horizon — the same invariant main relies
+    on ("rewritten dirs are above their horizon").
+
+    The fork is pinned on main with an internal tag (``_branch_fork_<
+    name>``) so main's vacuum can never reclaim data dirs the branch
+    still references; the tag doubles as the branch-exists lock (its
+    create-only CAS makes two concurrent create_branch calls race
+    deterministically). Returns the fork version."""
+    if "/" in name or name.startswith(".") or not name:
+        raise ValueError(f"invalid branch name {name!r}")
+    fork = current_version(spark, root)
+    if fork == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    # The fork tag is both the vacuum pin and the existence lock.
+    create_tag(spark, root, _fork_tag(name), fork)
+    broot = _branch_root(root, name)
+    doc = _read_manifest_doc(spark, root, fork)
+    bdoc = {
+        "version": fork,
+        "partitions": {
+            d: _abs_under(root, v) for d, v in doc.get("partitions", {}).items()
+        },
+        "deletion_vectors": [
+            {**dv, "dir": _abs_under(root, dv["dir"])}
+            for dv in doc.get("deletion_vectors", [])
+        ],
+        "stats_cols": doc.get("stats_cols", []),
+        "file_stats": {
+            _abs_under(root, k): v for k, v in doc.get("file_stats", {}).items()
+        },
+    }
+    _mkdirs(spark, posixpath.join(broot, _MANIFESTS))
+    _write_file(
+        spark,
+        posixpath.join(broot, "meta.json"),
+        json.dumps({"name": name, "fork_version": fork}, sort_keys=True),
+    )
+    tmp = posixpath.join(broot, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+    final = posixpath.join(broot, _MANIFESTS, f"v{fork:08d}.json")
+    _write_file(spark, tmp, json.dumps(bdoc, sort_keys=True))
+    if not _rename(spark, tmp, final):
+        _delete(spark, tmp)
+        raise FileExistsError(f"branch {name!r} already exists at {root}")
+    return fork
+
+
+def list_branches(spark: SparkSession, root: str) -> dict[str, int]:
+    """{branch name -> current head version} for every live branch."""
+    out: dict[str, int] = {}
+    for n in _list_names(spark, posixpath.join(root, _BRANCHES)):
+        head = current_version(spark, _branch_root(root, n))
+        if head:
+            out[n] = head
+    return out
+
+
+def delete_branch(spark: SparkSession, root: str, name: str) -> None:
+    """Drop a branch: remove its metadata/data tree and the fork pin.
+    Branch-written data dirs die with the tree (nothing on main ever
+    referenced them); fork-era dirs are main's and stay."""
+    _delete(spark, _branch_root(root, name))
+    _delete(spark, posixpath.join(root, _REFS, f"{_fork_tag(name)}.json"))
+
+
+def merge_branch(
+    spark: SparkSession, root: str, name: str, max_commit_retries: int = 5
+) -> int:
+    """Merge a branch back into main — TERMINAL, like `lakefs merge` +
+    branch delete: the branch's changed partitions (relative to the
+    fork) overlay main's current manifest in ONE CAS-published commit.
+
+    Conflict rule (strict, fail-don't-guess): a partition the branch
+    changed that main ALSO repointed since the fork raises
+    BranchConflictError, as does any main-side deletion-vector change
+    since the fork (a DV is a table-wide key tombstone whose partition
+    scope is unknowable from metadata). Main-only changes to OTHER
+    partitions merge cleanly underneath the branch's overlay.
+
+    Mechanics: branch-WRITTEN data dirs and DV dirs are RENAMED into
+    main's pools keeping their names (same filesystem — metadata moves,
+    no data copy). Names are kept because they encode commit versions
+    whose ORDER the DV horizons depend on (a branch DV at fork+3 must
+    not tombstone a branch re-insert at fork+5); the merge commit's own
+    number is ``max(main_head, branch_head) + 1`` so it sits above every
+    merged-in version — version numbers may therefore GAP, which every
+    reader here tolerates (history skips holes, vacuum/fsck key off
+    existing manifests). Crash after the moves but before the publish
+    leaves main untouched and the branch unreadable — re-run the merge
+    (the moves are idempotent) or delete the branch.
+
+    On success the branch tree and its fork pin are removed; returns
+    the new main version."""
+    broot = _branch_root(root, name)
+    meta = json.loads(_read_file(spark, posixpath.join(broot, "meta.json")))
+    fork = int(meta["fork_version"])
+    bhead = current_version(spark, broot)
+    bdoc = _read_manifest_doc(spark, broot, bhead)
+    fdoc = _read_manifest_doc(spark, root, fork)
+    fparts = {d: _abs_under(root, v) for d, v in fdoc.get("partitions", {}).items()}
+    bparts = {d: _abs_under(broot, v) for d, v in bdoc.get("partitions", {}).items()}
+    changed = {d: v for d, v in bparts.items() if fparts.get(d) != v}
+    fdvs = [
+        (_abs_under(root, dv["dir"]), dv["version"])
+        for dv in fdoc.get("deletion_vectors", [])
+    ]
+    bdvs = [
+        (_abs_under(broot, dv["dir"]), dv["version"])
+        for dv in bdoc.get("deletion_vectors", [])
+    ]
+    new_bdvs = [dv for dv in bdvs if dv not in fdvs]
+    b_versions_prefix = posixpath.join(broot, _VERSIONS) + "/"
+    b_dvs_prefix = posixpath.join(broot, _DVS) + "/"
+
+    def _move_into(src_abs: str, pool: str) -> str:
+        """Rename a branch-written dir into main's pool, keeping its
+        name (idempotent across CAS retries and merge re-runs)."""
+        nm = src_abs.rstrip("/").rsplit("/", 1)[-1]
+        rel = posixpath.join(pool, nm)
+        dst = posixpath.join(root, rel)
+        if not _exists(spark, dst):
+            _mkdirs(spark, posixpath.join(root, pool))
+            if not _move_dir(spark, src_abs, dst) and not _exists(spark, dst):
+                raise RuntimeError(f"merge_branch could not move {src_abs}")
+        return rel
+
+    for attempt in range(max_commit_retries):
+        mc = current_version(spark, root)
+        mdoc = _read_manifest_doc(spark, root, mc)
+        mparts = {
+            d: _abs_under(root, v) for d, v in mdoc.get("partitions", {}).items()
+        }
+        mdvs = [
+            (_abs_under(root, dv["dir"]), dv["version"])
+            for dv in mdoc.get("deletion_vectors", [])
+        ]
+        conflicts = sorted(
+            d for d in changed if mparts.get(d, fparts.get(d)) != fparts.get(d)
+        )
+        if conflicts:
+            raise BranchConflictError(
+                f"branch {name!r} and main both changed partitions since "
+                f"fork v{fork}: {conflicts}"
+            )
+        if mdvs != fdvs:
+            raise BranchConflictError(
+                f"main's deletion vectors changed since fork v{fork}; a DV's "
+                f"partition scope is unknowable from metadata, so the merge "
+                f"refuses rather than guessing"
+            )
+        new_ver = max(mc, bhead) + 1
+        merged_parts = dict(mdoc.get("partitions", {}))
+        for d, v in changed.items():
+            merged_parts[d] = (
+                _move_into(v, _VERSIONS) if v.startswith(b_versions_prefix) else v
+            )
+        merged_dvs = list(mdoc.get("deletion_vectors", []))
+        for dvdir, ver in new_bdvs:
+            merged_dvs.append(
+                {
+                    "dir": _move_into(dvdir, _DVS)
+                    if dvdir.startswith(b_dvs_prefix)
+                    else dvdir,
+                    "version": ver,
+                }
+            )
+        # Branch-written file stats keep their keys verbatim: a branch
+        # writes relative 'versions/v...' keys and the dirs moved into
+        # main's pool under the same names. Fork-inherited (absolute-key)
+        # entries drop out in the prune — main's own relative copies of
+        # those stats survive via mdoc.
+        cand_stats = {
+            **mdoc.get("file_stats", {}),
+            **{
+                k: v
+                for k, v in bdoc.get("file_stats", {}).items()
+                if not (k.startswith("/") or "://" in k)
+            },
+        }
+        merged_stats = _prune_carried_stats(cand_stats, merged_parts)
+        stats_cols = list(
+            dict.fromkeys(
+                tuple(mdoc.get("stats_cols", ())) + tuple(bdoc.get("stats_cols", ()))
+            )
+        )
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "partitions": merged_parts,
+                "deletion_vectors": merged_dvs,
+                "stats_cols": stats_cols,
+                "file_stats": merged_stats,
+                "merged_from_branch": {"name": name, "fork_version": fork},
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            delete_branch(spark, root, name)
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"merge_branch lost {max_commit_retries} races at {root}")
+
+
 def compact_table(spark: SparkSession, root: str) -> int:
     """Rewrite the CURRENT snapshot into one fresh version and commit it
     with the same atomic-rename protocol; returns the new version.
@@ -1043,9 +1303,17 @@ def versioned_orphans(
     a climbing orphan count means crashed writers or lost commit
     races). Returns {"orphan_version_dirs", "stale_tmp_manifests",
     "expired_manifests", "orphan_dvs", "live_version_dirs"} with paths
-    relative to root. Driver-side metadata walk — no data scan."""
-    cur = current_version(spark, root)
-    keep = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+    relative to root. Driver-side metadata walk — no data scan.
+
+    The retained window is the last ``keep_last`` EXISTING manifests
+    (not a contiguous version range): merge_branch commits at
+    max(main, branch) + 1, so version numbers may gap."""
+    existing = sorted(
+        v
+        for n in _list_names(spark, posixpath.join(root, _MANIFESTS))
+        if (v := _manifest_version(n)) is not None
+    )
+    keep = set(existing[-keep_last:]) if keep_last > 0 else set()
     keep.update(list_refs(spark, root).values())
     live_dirs: set[str] = set()
     live_dvs: set[str] = set()
@@ -1108,10 +1376,16 @@ def vacuum_versions(
     that published too late to be seen removes itself (create_tag's
     post-publish re-validation), so the pair can never produce a
     dangling ref or a reclaimed-but-pinned snapshot."""
-    cur = current_version(spark, root)
-    keep_manifest_vers = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+    # Last keep_last EXISTING manifests (merge_branch may gap numbers).
+    existing = sorted(
+        v
+        for n in _list_names(spark, posixpath.join(root, _MANIFESTS))
+        if (v := _manifest_version(n)) is not None
+    )
+    keep_manifest_vers = set(existing[-keep_last:]) if keep_last > 0 else set()
     # tags pin their snapshot: the referenced manifest and its data stay
-    # live regardless of the retention window
+    # live regardless of the retention window (branch fork pins ride the
+    # same mechanism via the internal _branch_fork_<name> tag)
     keep_manifest_vers.update(list_refs(spark, root).values())
     horizon_ms = _now_ms(spark) - int(grace_seconds * 1000)
 
