@@ -960,3 +960,51 @@ def test_branch_create_is_exclusive(spark, root):
     V.delete_branch(spark, root, "dev")
     # deletable and recreatable
     assert V.create_branch(spark, root, "dev") == 1
+
+
+def test_merge_branch_races_concurrent_main_writer(spark, root):
+    """merge_branch racing a main writer on an UNRELATED partition:
+    whichever loses the manifest CAS retries on the winner's snapshot
+    (merge re-checks conflicts against the new head), and the final
+    state contains BOTH the branch overlay and the concurrent write —
+    never a lost update."""
+    import threading
+
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(spark, _mk(spark, [("MSFT", 1, 99.0)]), broot, ("symbol", "ts"))
+
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def merger():
+        try:
+            barrier.wait(timeout=60)
+            V.merge_branch(spark, root, "dev", max_commit_retries=10)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def writer():
+        try:
+            barrier.wait(timeout=60)
+            V.versioned_merge_upsert(
+                spark, _mk(spark, [("NVDA", 1, 30.0)]), root, ("symbol", "ts"),
+                max_commit_retries=10,
+            )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=merger), threading.Thread(target=writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    rows = _rows(V.read_versioned(spark, root))
+    assert ("MSFT", 1, 99.0) in rows  # the branch overlay landed
+    assert ("NVDA", 1, 30.0) in rows  # the concurrent write landed
+    assert ("AAPL", 1, 10.0) in rows
+    assert V.list_branches(spark, root) == {}
