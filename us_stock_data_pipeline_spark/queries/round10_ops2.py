@@ -361,3 +361,163 @@ def etl_versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# SQL scripting (Spark 4 BEGIN..END control flow)
+# --------------------------------------------------------------------------
+
+_SCRIPT_K = 1000  # keep doubling while at least this many orders remain
+
+# Oracle: the WHILE loop's fixpoint in closed form. count(cents >= x) is
+# non-increasing in x, so "double thr while count(>= thr*2) >= K"
+# terminates at the largest power of two 2^m with count(>= 2^m) >= K
+# (thr starts at 1 = 2^0; the fixture guarantees count(>= 2) >= K so the
+# loop runs at least once and m >= 1).
+_SCRIPT_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+js AS (SELECT unnest(generate_series(0, 62)) AS j),
+c AS (
+  SELECT j, (SELECT count(*) FROM t WHERE cents >= (CAST(1 AS BIGINT) << j)) AS n
+  FROM js
+),
+m AS (SELECT max(j) AS m FROM c WHERE n >= {_SCRIPT_K})
+SELECT CAST((CAST(1 AS BIGINT) << m.m) AS BIGINT) AS thr_cents,
+       CAST(m.m AS BIGINT) AS n_doublings,
+       CAST((SELECT n FROM c WHERE j = m.m) AS BIGINT) AS n_at_thr,
+       CAST((SELECT n FROM c WHERE j = m.m + 1) AS BIGINT) AS n_above_double
+FROM m
+"""
+
+
+@register("sql_scripting_control_flow", oracle=_SCRIPT_ORACLE, tags=("sql", "modern"))
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 ``BEGIN .. END``): procedural control flow
+    — DECLARE'd session-scoped variables, a WHILE loop whose condition
+    is a scalar subquery over the data, and SET reassignment — running
+    entirely inside the SQL engine (the Databricks/ANSI SQL/PSM
+    scripting surface; no driver-side Python loop). The script doubles
+    a cents threshold while at least {_SCRIPT_K} orders still clear the
+    doubled value — the classic "find the knee by geometric probing"
+    maintenance script — and returns the fixpoint threshold, the
+    doubling count, and the counts at/above it. The oracle computes the
+    SAME fixpoint in closed form (count(>= x) is monotone, so the loop
+    terminates at the largest power of two keeping >= K orders),
+    proving the iteration semantics, not just syntax. Each loop
+    iteration is one scan-count job; at 100 TB you'd layer this on the
+    zone-mapped versioned table so each probe is metadata-pruned."""
+    from us_stock_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(f"""
+      BEGIN
+        DECLARE thr BIGINT DEFAULT 1;
+        DECLARE n_doublings BIGINT DEFAULT 0;
+        WHILE (SELECT count(*) FROM orders
+               WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= thr * 2)
+              >= {_SCRIPT_K} DO
+          SET thr = thr * 2;
+          SET n_doublings = n_doublings + 1;
+        END WHILE;
+        SELECT thr AS thr_cents,
+               n_doublings,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= thr)
+                 AS n_at_thr,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= thr * 2)
+                 AS n_above_double;
+      END
+    """)
+
+
+# --------------------------------------------------------------------------
+# UDTF: polymorphic (analyze-time dynamic schema) — Spark 4 extensibility
+# --------------------------------------------------------------------------
+
+_POLY_BUCKETS = 4
+
+_POLY_ORACLE = f"""
+WITH t AS (
+  SELECT o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT pri, cents,
+         least(CAST(cents * {_POLY_BUCKETS} // (SELECT max(cents) + 1 FROM t) AS BIGINT),
+               {_POLY_BUCKETS - 1}) AS bucket
+  FROM t
+)
+SELECT pri,
+       CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_0,
+       CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_1,
+       CAST(sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_2,
+       CAST(sum(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_3
+FROM b
+GROUP BY pri
+ORDER BY pri
+"""
+
+
+@register("udtf_polymorphic_histogram", oracle=_POLY_ORACLE, tags=("udf", "modern"))
+def udtf_polymorphic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the table
+    function's OUTPUT SCHEMA is computed at analysis time from its
+    arguments — here a histogram UDTF whose bucket-count argument
+    determines how many ``bucket_i`` columns exist (the static-
+    returnType twin is ``udtf_installment_expand``; this is the dynamic
+    half of the UDTF surface, the Spark-4 feature that lets one
+    function serve any width). The UDTF buckets each row's cents value
+    into k equal-width bins below a supplied max and emits one
+    indicator row, aggregated per priority; the oracle replays the
+    bucketing with integer CASE arithmetic. Scale note: the UDTF is a
+    per-row map (no state, no skew); analysis-time schema work costs
+    nothing at runtime."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+
+    class BucketIndicator:
+        @staticmethod
+        def analyze(row: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField("pri", row.dataType["pri"].dataType)]
+                    + [StructField(f"bucket_{i}", LongType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, row, n: int):
+            k = int(n)
+            cents = row["cents"]
+            mx = row["mx"]
+            b = min(cents * k // (mx + 1), k - 1)
+            yield tuple([row["pri"]] + [1 if i == b else 0 for i in range(k)])
+
+    poly = udtf(BucketIndicator)
+    spark.udtf.register("bucket_indicator", poly)
+
+    from us_stock_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(f"""
+      WITH t AS (
+        SELECT named_struct(
+                 'pri', o_orderpriority,
+                 'cents', CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                 'mx', (SELECT max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        FROM orders)
+               ) AS row
+        FROM orders
+      )
+      SELECT pri,
+             {", ".join(f"CAST(sum(bucket_{i}) AS BIGINT) AS bucket_{i}" for i in range(_POLY_BUCKETS))}
+      FROM t, LATERAL bucket_indicator(row, {_POLY_BUCKETS})
+      GROUP BY pri
+      ORDER BY pri
+    """)
