@@ -117,21 +117,31 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(height, width, 3)
 
 
-def encode_png(doc_id: int, width: int = 8, height: int = 8) -> bytes:
-    """Render the SAME deterministic test card as :func:`encode_ppm` and
-    encode it as a real non-interlaced 8-bit RGB PNG — pure stdlib
-    ``zlib`` + struct, no Pillow. Each scanline uses filter (row % 5),
-    so a round-trip exercises every PNG filter type (None/Sub/Up/
-    Average/Paeth), not just the trivial one."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_card(doc_id: int, width: int, height: int) -> np.ndarray:
+    """The deterministic RGB test card shared by PPM and PNG encoders."""
     ys, xs = np.mgrid[0:height, 0:width]
     r = (doc_id * 7 + xs * 13 + ys * 17) % 256
     g = (doc_id * 11 + xs * 3 + ys * 5) % 256
     b = (doc_id * 13 + xs * 19 + ys * 23) % 256
-    img = np.dstack([r, g, b]).astype(np.uint8)
+    return np.dstack([r, g, b]).astype(np.uint8)
 
+
+def _png_serialize(img: np.ndarray) -> bytes:
+    """Filtered scanline serialization of one (sub)image: each row gets
+    filter (row % 5), so every PNG filter type is exercised."""
+    height, width = img.shape[:2]
     raw = bytearray()
     prev = np.zeros(width * 3, dtype=np.uint8)
     for y in range(height):
@@ -140,6 +150,32 @@ def encode_png(doc_id: int, width: int = 8, height: int = 8) -> bytes:
         raw.append(ftype)
         raw.extend(_png_filter_row(row, prev, ftype).tobytes())
         prev = row
+    return bytes(raw)
+
+
+def encode_png(
+    doc_id: int, width: int = 8, height: int = 8, interlace: bool = False
+) -> bytes:
+    """Render the SAME deterministic test card as :func:`encode_ppm` and
+    encode it as a real 8-bit RGB PNG — pure stdlib ``zlib`` + struct,
+    no Pillow. Each scanline uses filter (row % 5), so a round-trip
+    exercises every PNG filter type (None/Sub/Up/Average/Paeth).
+    ``interlace=True`` writes ADAM7: seven sub-images in the standard
+    pass grid, each independently filtered (empty passes contribute no
+    bytes, per spec)."""
+    import struct
+    import zlib
+
+    img = _png_card(doc_id, width, height)
+    if not interlace:
+        raw = _png_serialize(img)
+    else:
+        raw_parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw_parts.append(_png_serialize(sub))
+        raw = b"".join(raw_parts)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -149,7 +185,7 @@ def encode_png(doc_id: int, width: int = 8, height: int = 8) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -184,12 +220,14 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """REAL decoder for non-interlaced 8-bit RGB PNG (color type 2):
-    chunk walk -> zlib inflate -> per-scanline unfilter, all stdlib +
-    numpy. Sub/Average/Paeth have a left-neighbor data dependency, so
-    they reconstruct pixel-by-pixel along the (short) row; None/Up are
-    fully vectorized. Raises ValueError on truncation or unsupported
-    layouts — never spins (same bounded-scan contract as decode_ppm)."""
+    """REAL decoder for 8-bit RGB PNG (color type 2), non-interlaced OR
+    ADAM7-interlaced: chunk walk -> zlib inflate -> per-scanline
+    unfilter (per pass for Adam7, then scatter into the output grid),
+    all stdlib + numpy. Sub/Average/Paeth have a left-neighbor data
+    dependency, so they reconstruct pixel-by-pixel along the (short)
+    row; None/Up are fully vectorized. Raises ValueError on truncation
+    or unsupported layouts — never spins (same bounded-scan contract as
+    decode_ppm)."""
     import struct
     import zlib
 
@@ -198,6 +236,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     n = len(payload)
     i = 8
     width = height = None
+    interlace = 0
     idat = bytearray()
     while i + 8 <= n:
         (clen,) = struct.unpack(">I", payload[i : i + 4])
@@ -209,8 +248,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             width, height, depth, ctype_, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+            if (depth, ctype_, comp, filt) != (8, 2, 0, 0) or interlace not in (0, 1):
+                raise ValueError("only 8-bit RGB PNG (interlace 0/1) supported")
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -221,6 +260,26 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        out = np.zeros((height, width, 3), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * 3 + 1)
+            sub = _png_unfilter(raw[off : off + need], pw, ph)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, 3)
+            off += need
+        if off != len(raw):
+            raise ValueError("PNG Adam7 payload size mismatch")
+        return out
+    return _png_unfilter(raw, width, height).reshape(height, width, 3)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int) -> np.ndarray:
+    """Unfilter one (sub)image's serialized scanlines -> (h, w*3)."""
     stride = width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
@@ -255,7 +314,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         img[y] = rec.astype(np.uint8)
         prev = rec
-    return img.reshape(height, width, 3)
+    return img
 
 
 def png_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -521,3 +521,107 @@ def udtf_polymorphic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY pri
       ORDER BY pri
     """)
+
+
+# --------------------------------------------------------------------------
+# multimodal: ADAM7-interlaced PNG decode (completes the PNG rung)
+# --------------------------------------------------------------------------
+
+_A7_W = 10  # deliberately NOT multiples of 8: partial Adam7 passes
+_A7_H = 6
+
+_ADAM7_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 29 = 0
+),
+xs AS (SELECT unnest(range(0, {_A7_W})) AS x),
+ys AS (SELECT unnest(range(0, {_A7_H})) AS y),
+px AS (
+  SELECT i.doc_id, i.source,
+         (i.doc_id * 7 + xs.x * 13 + ys.y * 17) % 256 AS r,
+         (i.doc_id * 11 + xs.x * 3 + ys.y * 5) % 256 AS g,
+         (i.doc_id * 13 + xs.x * 19 + ys.y * 23) % 256 AS b
+  FROM ids i CROSS JOIN xs CROSS JOIN ys
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_png_adam7_decode",
+    oracle=_ADAM7_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED PNG decode — the progressive layout real web
+    PNGs carry (and the previously-unsupported half of the PNG rung:
+    `multimodal_png_decode` covers interlace 0): every 29th document
+    gets a 10x6 RGB card (deliberately NOT a multiple of 8, so several
+    of the seven passes are PARTIAL and the 1-px-wide passes hit the
+    left-edge filter boundary) encoded as a real interlace-1 PNG —
+    seven independently filtered sub-images in the standard pass grid,
+    each cycling all five PNG filters — and ``decode_png``
+    (functions/multimodal.py) inflates once, unfilters per pass, and
+    scatters each pass into the output grid. Interlacing is a lossless
+    REORDERING, so the oracle is the same closed-form pixel enumeration
+    as the sequential card. Plan: one scan, one Arrow encode stage, one
+    Arrow decode stage, one rollup."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        encode_png,
+        png_decode_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 0)
+        .select("doc_id", "source")
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [
+                        encode_png(int(d), _A7_W, _A7_H, interlace=True)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_with_source(batches):
+        for pdf in batches:
+            src = pdf[["doc_id", "source"]]
+            for out in png_decode_batch(iter([pdf[["doc_id", "payload"]]])):
+                yield out.merge(src, on="doc_id", how="left")
+
+    blobs = docs.mapInPandas(
+        encode_batch, "doc_id long, source string, payload binary"
+    )
+    decoded = blobs.mapInPandas(
+        decode_with_source,
+        "doc_id long, width long, height long, sum_r long, sum_g long,"
+        " sum_b long, source string",
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_imgs"),
+            F.sum(F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+        )
+        .orderBy("source")
+    )
