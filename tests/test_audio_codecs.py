@@ -198,3 +198,40 @@ def test_deflate_roundtrip_with_witness():
     back = zlib.decompress(payload)
     assert back == raw
     assert zlib.adler32(back) == zlib.adler32(raw)
+
+
+# --------------------------------------------------------------------------
+# Walsh-Hadamard feature extraction (round 10)
+# --------------------------------------------------------------------------
+
+
+def test_fwht_matches_direct_matrix_and_parseval():
+    rng = np.random.default_rng(11)
+    S = rng.integers(-1000, 1001, size=(12, 64))
+    C = M.fwht_many(S)
+    t = np.arange(64)
+    H = np.array([[(-1) ** bin(k & tt).count("1") for tt in t] for k in range(64)])
+    assert (C == S @ H.T).all()
+    assert ((C * C).sum(1) == 64 * (S * S).sum(1)).all()
+
+
+def test_fwht_rejects_non_power_of_two():
+    with pytest.raises(ValueError, match="power of two"):
+        M.fwht_many(np.zeros((2, 48), dtype=np.int64))
+
+
+def test_wav_hadamard_batch_kernel():
+    import pandas as pd
+
+    ids = [0, 31, 62]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [M.encode_wav_pcm16(d, 64) for d in ids]}
+    )
+    out = next(M.wav_hadamard_batch(iter([pdf])))
+    assert (out["parseval_gap"] == 0).all()
+    for _, row in out.iterrows():
+        _, s = M.decode_wav_pcm16(M.encode_wav_pcm16(int(row["doc_id"]), 64))
+        c = M.fwht_many(s.reshape(1, -1).astype(np.int64))[0]
+        c2 = c * c
+        assert row["e_band0"] == c2[:16].sum()
+        assert row["e_band3"] == c2[48:].sum()

@@ -1698,3 +1698,63 @@ def gif_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {"doc_id": pdf["doc_id"].astype("int64")}
             | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
         )
+
+
+# --------------------------------------------------------------------------
+# Audio FEATURE EXTRACTION: fast Walsh-Hadamard band energies — the
+# integer-exact stand-in for a spectrogram (WHT is a real DSP transform;
+# unlike the DFT its basis is ±1, so band energies are exactly
+# representable integers and a SQL oracle can replay them bit-for-bit
+# via bit_count parity).
+# --------------------------------------------------------------------------
+
+
+def fwht_many(samples: np.ndarray) -> np.ndarray:
+    """Fast Walsh-Hadamard transform (natural/Hadamard order) of each
+    row: samples (n_clips, N) int64, N a power of two. Classic butterfly,
+    vectorized across clips; O(N log N) per clip. c[k] = sum_t s[t] *
+    (-1)^popcount(k & t) — exactly the matrix the oracle enumerates."""
+    a = samples.astype(np.int64).copy()
+    n = a.shape[1]
+    if n & (n - 1):
+        raise ValueError("FWHT length must be a power of two")
+    h = 1
+    while h < n:
+        for i in range(0, n, h * 2):
+            x = a[:, i : i + h].copy()
+            y = a[:, i + h : i + 2 * h].copy()
+            a[:, i : i + h] = x + y
+            a[:, i + h : i + 2 * h] = x - y
+        h *= 2
+    return a
+
+
+def wav_hadamard_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature-extraction stage: (doc_id, payload: PCM16 WAV) ->
+    4 Walsh-Hadamard band energies + the Parseval check (sum of squared
+    coefficients == N * signal energy — an in-kernel integrity witness
+    the oracle also pins to zero). Decode + transform vectorized across
+    the Arrow batch."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        clips = []
+        for payload in pdf["payload"]:
+            _, s = decode_wav_pcm16(bytes(payload))
+            clips.append(s.astype(np.int64))
+        S = np.stack(clips)
+        C = fwht_many(S)
+        n = S.shape[1]
+        band = n // 4
+        c2 = C * C
+        parseval = c2.sum(axis=1) - n * (S * S).sum(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "e_band0": pd.Series(c2[:, 0 * band : 1 * band].sum(axis=1), dtype="int64"),
+                "e_band1": pd.Series(c2[:, 1 * band : 2 * band].sum(axis=1), dtype="int64"),
+                "e_band2": pd.Series(c2[:, 2 * band : 3 * band].sum(axis=1), dtype="int64"),
+                "e_band3": pd.Series(c2[:, 3 * band : 4 * band].sum(axis=1), dtype="int64"),
+                "parseval_gap": pd.Series(parseval, dtype="int64"),
+            }
+        )

@@ -625,3 +625,119 @@ def multimodal_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: audio FEATURE EXTRACTION — Walsh-Hadamard band energies
+# --------------------------------------------------------------------------
+
+_WHT_N = 64
+_WHT_STRIDE = 31
+
+_WHT_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % {_WHT_STRIDE} = 0
+),
+t AS (SELECT unnest(generate_series(0, {_WHT_N - 1})) AS t),
+k AS (SELECT unnest(generate_series(0, {_WHT_N - 1})) AS k),
+s AS (
+  SELECT i.doc_id, i.source, t.t,
+         (i.doc_id * 31 + t.t * 97) % 2001 - 1000 AS s
+  FROM ids i CROSS JOIN t
+),
+c AS (
+  SELECT s.doc_id, s.source, k.k,
+         sum(s.s * (1 - 2 * (bit_count(CAST(k.k AS BIGINT) & CAST(s.t AS BIGINT)) % 2))) AS c
+  FROM s CROSS JOIN k
+  GROUP BY s.doc_id, s.source, k.k
+),
+e AS (
+  SELECT doc_id, source,
+         sum(CASE WHEN k < {_WHT_N // 4} THEN c * c ELSE 0 END) AS e0,
+         sum(CASE WHEN k >= {_WHT_N // 4} AND k < {_WHT_N // 2} THEN c * c ELSE 0 END) AS e1,
+         sum(CASE WHEN k >= {_WHT_N // 2} AND k < {3 * _WHT_N // 4} THEN c * c ELSE 0 END) AS e2,
+         sum(CASE WHEN k >= {3 * _WHT_N // 4} THEN c * c ELSE 0 END) AS e3
+  FROM c GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(e0) AS BIGINT) AS e_band0,
+       CAST(sum(e1) AS BIGINT) AS e_band1,
+       CAST(sum(e2) AS BIGINT) AS e_band2,
+       CAST(sum(e3) AS BIGINT) AS e_band3,
+       CAST(0 AS BIGINT) AS parseval_gap
+FROM e
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_audio_hadamard_features",
+    oracle=_WHT_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_audio_hadamard_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION — the stage between decode and model
+    input: every {_WHT_STRIDE}th document's PCM16 WAV clip is decoded
+    and passed through a fast WALSH-HADAMARD transform (a real DSP
+    transform whose ±1 basis makes band energies EXACT integers, so the
+    full decode -> transform -> band-energy pipeline is bit-verifiable
+    — the property an FFT spectrogram can't give an oracle), emitting 4
+    sequency-band energies per clip plus an in-kernel PARSEVAL witness
+    (sum of squared coefficients must equal N x signal energy; the
+    hashed column pins it to zero, so a transform regression flips the
+    hash, not just a log line). The oracle replays the transform as the
+    explicit (-1)^popcount(k AND t) matrix via bit_count parity — the
+    kernel's O(N log N) butterfly must match the O(N^2) definition
+    exactly. Plan: one scan, one Arrow encode stage, one Arrow
+    transform stage (vectorized across the batch), one rollup."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        wav_hadamard_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _WHT_STRIDE == 0)
+        .select("doc_id", "source")
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [encode_wav_pcm16(int(d), _WHT_N) for d in pdf["doc_id"]],
+                }
+            )
+
+    def features_with_source(batches):
+        for pdf in batches:
+            src = pdf[["doc_id", "source"]]
+            for out in wav_hadamard_batch(iter([pdf[["doc_id", "payload"]]])):
+                yield out.merge(src, on="doc_id", how="left")
+
+    blobs = docs.mapInPandas(
+        encode_batch, "doc_id long, source string, payload binary"
+    )
+    feats = blobs.mapInPandas(
+        features_with_source,
+        "doc_id long, e_band0 long, e_band1 long, e_band2 long,"
+        " e_band3 long, parseval_gap long, source string",
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("e_band0").cast("long").alias("e_band0"),
+            F.sum("e_band1").cast("long").alias("e_band1"),
+            F.sum("e_band2").cast("long").alias("e_band2"),
+            F.sum("e_band3").cast("long").alias("e_band3"),
+            F.sum(F.abs(F.col("parseval_gap"))).cast("long").alias("parseval_gap"),
+        )
+        .orderBy("source")
+    )
