@@ -741,3 +741,93 @@ def multimodal_audio_hadamard_features(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# tokenizer: BPE ENCODE (greedy merge-table inference)
+# --------------------------------------------------------------------------
+
+# Ordered merge table. Each merge rewrites a 2-symbol pair to ONE fresh
+# symbol (Greek letters — absent from the ASCII fixture text), so after
+# every step each token is exactly one codepoint and length() IS the
+# token count. Greedy leftmost non-overlapping replacement is exactly
+# BPE inference, and replace() has those semantics in BOTH engines.
+_BPE_MERGES = (
+    ("th", "θ"),
+    ("θe", "Θ"),  # 'the'
+    ("in", "ι"),
+    ("an", "α"),
+    ("er", "ε"),
+    ("re", "ρ"),
+    ("on", "ο"),
+    ("αd", "Δ"),  # 'and'
+    ("or", "ω"),
+    ("at", "τ"),
+)
+
+
+def _bpe_chain(col: str) -> str:
+    """The merge chain as ONE SQL fragment shared verbatim by the Spark
+    plan and the DuckDB oracle: replace(replace(... lower(col) ...))."""
+    e = f"lower({col})"
+    for pair, sym in _BPE_MERGES:
+        e = f"replace({e}, '{pair}', '{sym}')"
+    return e
+
+
+_BPE_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length({_bpe_chain('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars - n_tokens) AS BIGINT) AS merges_applied,
+       CAST(sum(n_tokens) * 10000 // sum(n_chars) AS BIGINT) AS compression_e4
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("tokenizer_bpe_encode", oracle=_BPE_ORACLE, tags=("llm", "tokenizer", "text"))
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — actual tokenizer INFERENCE, not just pair counting
+    (`text_bpe_pair_counts` is the training half): apply an ordered
+    merge table greedily to every document and measure the resulting
+    token counts. The encoding trick that makes this exactly
+    SQL-expressible: every merge output is ONE fresh codepoint, so at
+    each stage a token is exactly one character, greedy leftmost
+    non-overlapping `replace` IS the BPE merge step (e.g. 'lll' with
+    merge ll->Λ gives 'Λl', never 'lΛ'), and `length()` after the chain
+    is the token count. The whole encoder is one codegen-resident
+    expression tree (no UDF, no shuffle before the final rollup) shared
+    VERBATIM with the oracle. Emits per-language doc counts, chars,
+    tokens, merges applied, and the compression ratio in e4 fixed-point
+    — the fertility/compression readout a tokenizer-ablation pipeline
+    compares across candidate merge tables. At 100 TB: a map-side
+    expression over the text column; cost is one scan."""
+    from us_stock_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(f"""
+      WITH t AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length({_bpe_chain('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_chars - n_tokens) AS BIGINT) AS merges_applied,
+             CAST(sum(n_tokens) * 10000 div sum(n_chars) AS BIGINT) AS compression_e4
+      FROM t
+      GROUP BY lang
+      ORDER BY lang
+    """)
