@@ -122,6 +122,11 @@ QUERIES = [
     "multimodal_adpcm_ima_decode",
     "multimodal_deflate_text_decode",
     "multimodal_gif_lzw_decode",
+    # round-10 second wave: full-text chained-replace tokenizer (one
+    # codegen scan), versioned branch fork/write/merge lifecycle
+    # (metadata-bound — the curve proves it stays flat as data grows)
+    "tokenizer_bpe_encode",
+    "etl_versioned_branch_merge",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
