@@ -110,3 +110,62 @@ def test_grid_blocking_is_complete_for_radius():
     si, ci = np.nonzero(within)
     assert (np.abs(s_gy[si] - c_gy[ci]) <= 1).all()
     assert (np.abs(s_gx[si] - c_gx[ci]) <= 1).all()
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon (round 10)
+# --------------------------------------------------------------------------
+
+from us_stock_data_pipeline_spark.queries.round10_ops2 import _PIP_POLY, _pip_count
+
+
+def _ref_inside(px: int, py: int) -> bool:
+    """Independent crossing-number implementation (float intersection,
+    classic textbook form) — no shared code with the SQL fragment."""
+    n = len(_PIP_POLY)
+    inside = False
+    for i in range(n):
+        x1, y1 = _PIP_POLY[i]
+        x2, y2 = _PIP_POLY[(i + 1) % n]
+        if (y1 <= py) != (y2 <= py):
+            x_int = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+            if px < x_int:
+                inside = not inside
+    return inside
+
+
+def _sql_inside(px: int, py: int) -> int:
+    frag = _pip_count(f"CAST({px} AS BIGINT)", f"CAST({py} AS BIGINT)")
+    return duckdb.sql(f"SELECT ({frag}) % 2 AS i").fetchone()[0]
+
+
+def test_pip_hand_placed_points():
+    # Deep inside the chevron body, inside the notch (OUT), far outside,
+    # left wing, right wing.
+    cases = [
+        ((0, -40_000_000), 1),    # center body
+        ((0, 30_000_000), 0),     # inside the top notch -> outside
+        ((0, 80_000_000), 0),     # above everything
+        ((65_000_000, 20_000_000), 1),   # right wing interior
+        ((-65_000_000, 20_000_000), 1),  # left wing interior
+        ((-80_000_000, 0), 0),    # left of the H pinch vertex at its level
+        ((-100_000_000, 0), 0),   # west of the polygon
+        ((0, -70_000_000), 0),    # below the bottom vertex
+    ]
+    for (px, py), want in cases:
+        assert _sql_inside(px, py) == want, (px, py)
+        assert int(_ref_inside(px, py)) == want, (px, py)
+
+
+def test_pip_fragment_matches_independent_reference():
+    rng = np.random.default_rng(3)
+    px = rng.integers(-180_000_000, 180_000_000, 400)
+    py = rng.integers(-90_000_000, 90_000_000, 400)
+    frag = _pip_count("px", "py")
+    rows = duckdb.sql(
+        "SELECT px, py, (" + frag + ") % 2 AS i FROM "
+        "(SELECT CAST(unnest(?) AS BIGINT) px, CAST(unnest(?) AS BIGINT) py)",
+        params=[px.tolist(), py.tolist()],
+    ).fetchall()
+    for x, y, got in rows:
+        assert got == int(_ref_inside(x, y)), (x, y)
