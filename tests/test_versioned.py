@@ -1008,3 +1008,38 @@ def test_merge_branch_races_concurrent_main_writer(spark, root):
     assert ("NVDA", 1, 30.0) in rows  # the concurrent write landed
     assert ("AAPL", 1, 10.0) in rows
     assert V.list_branches(spark, root) == {}
+
+
+def test_merge_branch_rerun_after_interrupted_move_completes(spark, root):
+    """Crash semantics the docstring promises: if a merge crashes AFTER
+    moving some branch dirs into main's pool but BEFORE publishing the
+    manifest, main is untouched and RE-RUNNING the merge completes (the
+    moves are idempotent — already-moved dirs short-circuit)."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("MSFT", 1, 99.0), ("NVDA", 1, 30.0)]), broot, ("symbol", "ts")
+    )
+    # Simulate the partial crash: manually move ONE branch-written dir
+    # into main's pool, exactly as an interrupted merge would leave it.
+    bdoc = V._read_manifest_doc(spark, broot, V.current_version(spark, broot))
+    branch_dirs = sorted(
+        {v for v in bdoc["partitions"].values() if not v.startswith("/")}
+    )
+    assert branch_dirs, "branch must own at least one written dir"
+    moved_name = branch_dirs[0].rsplit("/", 1)[-1]
+    assert V._move_dir(
+        spark,
+        posixpath.join(broot, "versions", moved_name),
+        posixpath.join(root, "versions", moved_name),
+    )
+    head_before = V.current_version(spark, root)
+    # Re-run: must complete despite the pre-moved dir.
+    new_ver = V.merge_branch(spark, root, "dev")
+    assert new_ver > head_before
+    rows = _rows(V.read_versioned(spark, root))
+    assert ("MSFT", 1, 99.0) in rows and ("NVDA", 1, 30.0) in rows
+    assert V.versioned_orphans(spark, root, keep_last=10)["orphan_version_dirs"] == []
