@@ -1,0 +1,90 @@
+"""Hypothesis property tests for the round-10 codecs: LZW roundtrip on
+arbitrary byte strings, IMA ADPCM vectorized-vs-scalar equivalence on
+arbitrary states, mu-law expansion bounds, and FWHT linearity/Parseval
+on arbitrary clips — the fuzz layer above the fixed-vector unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from us_stock_data_pipeline_spark.functions import multimodal as M
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    back = M._lzw_decompress(M._lzw_compress(data, 8), 8, len(data))
+    assert back.tobytes() == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.binary(min_size=1, max_size=400),
+)
+def test_lzw_roundtrip_small_alphabets(nsym, raw):
+    # Repetitive small-alphabet data maximizes dictionary churn and the
+    # KwKwK frequency; min_code_size stays 8 as in GIF with a 256 GCT.
+    data = bytes(b % nsym for b in raw)
+    back = M._lzw_decompress(M._lzw_compress(data, 8), 8, len(data))
+    assert back.tobytes() == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-32768, max_value=32767),
+    st.integers(min_value=0, max_value=88),
+    st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=128),
+)
+def test_adpcm_vectorized_equals_scalar(pred0, idx0, nibs):
+    got = M.ima_adpcm_decode(pred0, idx0, np.array(nibs, dtype=np.int64))
+    # independent scalar recurrence (same tables, explicit ifs)
+    step_t = [int(x) for x in M._IMA_STEP_TABLE]
+    idx_t = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+    pred, idx = pred0, idx0
+    exp = [pred]
+    for nib in nibs:
+        step = step_t[idx]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + idx_t[nib]))
+        exp.append(pred)
+    assert got.tolist() == exp
+    assert (np.abs(got) <= 32768).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=256))
+def test_ulaw_expansion_bounds_and_determinism(codes):
+    arr = np.array(codes)
+    out = M.ulaw_expand(arr)
+    assert (np.abs(out) <= 32124).all()
+    assert (out == M.ulaw_expand(arr)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-2000, max_value=2000), min_size=64, max_size=64),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fwht_parseval_and_linearity(clips):
+    S = np.array(clips, dtype=np.int64)
+    C = M.fwht_many(S)
+    # Parseval: sum c^2 == N * sum s^2, exactly, per clip
+    assert ((C * C).sum(axis=1) == 64 * (S * S).sum(axis=1)).all()
+    # Linearity: FWHT(2s) == 2 FWHT(s)
+    assert (M.fwht_many(2 * S) == 2 * C).all()
+    # Involution up to N: FWHT(FWHT(s)) == N * s
+    assert (M.fwht_many(C) == 64 * S).all()
