@@ -39,10 +39,13 @@ g AS (
 adv AS (
   SELECT r.o_orderpriority,
          CAST(floor((g.n * r.reward - g.s) * 10000.0
-                    / sqrt(CAST(g.n * g.ss - g.s * g.s AS DOUBLE)) + 0.5)
+                    / sqrt(CAST(g.n AS DOUBLE) * CAST(g.ss AS DOUBLE)
+                           - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) + 0.5)
               AS BIGINT) AS adv_e4
   FROM r JOIN g USING (grp)
-  WHERE g.n >= 2 AND g.n * g.ss - g.s * g.s > 0
+  WHERE g.n >= 2
+    AND CAST(g.n AS DOUBLE) * CAST(g.ss AS DOUBLE)
+        - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) > 0
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_responses,
@@ -61,11 +64,13 @@ def rlhf_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the critic-free PPO replacement modern RLHF runs use): responses
     sharing a prompt group are normalized against EACH OTHER,
     advantage_i = (r_i - mean(group)) / std(group), no value network.
-    The whole computation is exact-integer up to ONE IEEE sqrt via the
-    algebraic collapse adv = (n*r - sum) / sqrt(n*sum_sq - sum^2) —
-    group sums are exact BIGINTs, both engines evaluate the identical
-    expression tree, and IEEE sqrt is exactly rounded, so the e4
-    advantages hash-match without any detmath machinery. Degenerate
+    The whole computation collapses to adv = (n*r - sum) /
+    sqrt(n*sum_sq - sum^2): the numerator and the group sums are exact
+    BIGINTs; the discriminant is formed in DOUBLE (its products pass
+    2^63 at sf0.1 group sizes) by the IDENTICAL IEEE expression tree in
+    both engines, and IEEE multiply/subtract/sqrt are exactly rounded —
+    so the e4 advantages hash-match without any detmath machinery (the
+    fragility class is libm and float SUM order, neither used). Degenerate
     groups (n < 2 or zero variance) are excluded, as real GRPO
     implementations do. Plan: one scan, one group agg, one broadcast
     join back (the group table is tiny), one rollup — at 100 TB the
@@ -82,7 +87,14 @@ def rlhf_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reward").cast("long").alias("s"),
         F.sum(F.col("reward") * F.col("reward")).cast("long").alias("ss"),
     )
-    disc = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    # The discriminant is computed in DOUBLE in BOTH engines (sf0.1
+    # group sizes overflow BIGINT on n*ss and s*s): each factor is an
+    # exact BIGINT, the products/subtraction are the IDENTICAL IEEE
+    # expression tree on both sides, so rounding is engine-proof — the
+    # hash contract needs tree identity, not integer exactness.
+    disc = F.col("n").cast("double") * F.col("ss").cast("double") - F.col(
+        "s"
+    ).cast("double") * F.col("s").cast("double")
     adv = (
         r.join(F.broadcast(g), "grp")
         .filter((F.col("n") >= 2) & (disc > 0))
@@ -90,7 +102,7 @@ def rlhf_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.floor(
                 (F.col("n") * F.col("reward") - F.col("s")) * 10000.0
-                / F.sqrt(disc.cast("double"))
+                / F.sqrt(disc)
                 + 0.5
             )
             .cast("long")
