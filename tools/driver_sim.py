@@ -72,7 +72,13 @@ def main() -> int:
             }
             print(f"ok*   {name}: rows={len(s_rows)} rows-only [{time.time()-t0:.1f}s]")
             continue
-        d_cols, d_rows = run_duckdb(oracles[name], sf_dir)
+        try:
+            d_cols, d_rows = run_duckdb(oracles[name], sf_dir)
+        except Exception as e:  # noqa: BLE001 — incl. the non-portable-dtype gate
+            failures.append(name)
+            records[name] = {"status": "fail", "err": f"{type(e).__name__}: {e}"}
+            print(f"FAIL  {name}: duckdb {type(e).__name__}: {e}")
+            continue
         problems = []
         # Replicate the official driver's pandas canonicalizer: it
         # sort_values()s the frame by every column before hashing, which

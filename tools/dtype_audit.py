@@ -225,6 +225,18 @@ def main() -> int:
             skipped.append(name)
             print(f"SKIP  {name}: duckdb bind error: {type(e).__name__}: {e}")
             continue
+        # Hard gate on the oracle's own output types (VERDICT r10 #2):
+        # anything outside the driver-portable set is an ERROR even when
+        # the type FAMILY matches Spark's — HUGEINT is family "int" but
+        # arrives at the driver as decimal128 and kills the hash.
+        from tools.verify_oracle import ALLOWED_DUCK_TYPES
+
+        for col, typ in d_types.items():
+            base = str(typ).upper().split("(")[0].strip()
+            if base not in ALLOWED_DUCK_TYPES:
+                msg = f"{name}.{col}: non-portable oracle output type {typ}"
+                errors.append(msg)
+                print(f"ERROR {msg}")
         for col in sorted(set(s_types) & set(d_types)):
             sf, df_ = spark_family(s_types[col]), duck_family(d_types[col])
             if sf == df_:

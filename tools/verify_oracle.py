@@ -71,11 +71,52 @@ def table_digest(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+# DuckDB output types the external driver's Arrow-typed hash renders
+# identically to the matching Spark type. Everything else is a proven or
+# latent hash-killer: HUGEINT/DECIMAL arrive as decimal128 (the
+# survival_kaplan_meier r8-r10 driver-red — VERDICT r10 What's-wrong #1/#2:
+# fetchall() folds HUGEINT to int so the local digest couldn't see it),
+# FLOAT diverges from DOUBLE in the 10-sig-digit render, TIME/BLOB/nested
+# have engine-specific renderings. UBIGINT/UINTEGER hashed green in the
+# r03 driver sample, but the corpus now casts them away too — keep the
+# gate tight so new oracles can't reintroduce the class.
+ALLOWED_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP_NS",
+    "BOOLEAN",
+}
+
+
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """Bind (don't execute) `sql` and return output columns whose DuckDB
+    type is outside ALLOWED_DUCK_TYPES."""
+    rel = con.sql(sql)
+    out = []
+    for col, typ in zip(rel.columns, rel.types):
+        base = str(typ).upper().split("(")[0].strip()
+        if base not in ALLOWED_DUCK_TYPES:
+            out.append(f"{col}:{typ}")
+    return out
+
+
 def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = oracle_type_problems(con, sql)
+    if bad:
+        raise ValueError(
+            "oracle emits non-portable output type(s) "
+            + ", ".join(bad)
+            + " — CAST to one of "
+            + "/".join(sorted(ALLOWED_DUCK_TYPES))
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]

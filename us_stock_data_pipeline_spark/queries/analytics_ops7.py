@@ -37,9 +37,15 @@ per_t AS (
   FROM dur GROUP BY t
 ),
 at_risk AS (
+  -- CAST back to BIGINT: DuckDB's windowed sum(BIGINT) promotes to
+  -- HUGEINT, and an uncast HUGEINT output column hashes as
+  -- decimal128(38,0) in the driver's Arrow-typed digest while Spark
+  -- emits LongType — the exact dtype-only mismatch that kept this
+  -- query driver-red for three rounds (VERDICT r10 What's-wrong #1).
   SELECT t, d,
-         tot.n - coalesce(sum(leaving) OVER (ORDER BY t
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+         CAST(tot.n - coalesce(sum(leaving) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
   FROM per_t, tot
 ),
 steps AS (
@@ -61,7 +67,8 @@ curve(rn, t, d, n_risk, surv) AS (
          CAST((c.surv * (s.n_risk - s.d)) // s.n_risk AS BIGINT)
   FROM curve c JOIN steps s ON s.rn = c.rn + 1
 )
-SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_events,
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS d_events,
        CAST(surv AS BIGINT) AS survival_fp9
 FROM curve
 ORDER BY t_days

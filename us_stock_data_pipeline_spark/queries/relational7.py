@@ -31,7 +31,7 @@ SELECT
   sha256(text)                                         AS h_sha256,
   base64(substr(text, 1, 12)::BLOB)                    AS b64_head,
   lower(hex(substr(text, 1, 6)))                       AS hex_head,
-  ('0x' || substr(md5(text), 1, 4))::UBIGINT % 100     AS hash_bucket
+  CAST(('0x' || substr(md5(text), 1, 4))::UBIGINT % 100 AS BIGINT) AS hash_bucket
 FROM documents
 ORDER BY doc_id
 """,
@@ -386,7 +386,7 @@ SELECT
   round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
   round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
   round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-  regr_count(l_extendedprice, l_quantity)               AS n_pairs,
+  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)  AS n_pairs,
   round(regr_avgx(l_extendedprice, l_quantity), 4)      AS avg_qty,
   round(regr_avgy(l_extendedprice, l_quantity), 4)      AS avg_price
 FROM lineitem
