@@ -6,6 +6,7 @@ on arbitrary clips — the fuzz layer above the fixed-vector unit tests."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -88,3 +89,15 @@ def test_fwht_parseval_and_linearity(clips):
     assert (M.fwht_many(2 * S) == 2 * C).all()
     # Involution up to N: FWHT(FWHT(s)) == N * s
     assert (M.fwht_many(C) == 64 * S).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.data())
+def test_gif_truncation_raises_valueerror_uniformly(doc_id, data):
+    """Advisor r10: every decoder in the module promises ValueError on a
+    truncated payload — decode_gif must never leak IndexError from its
+    sub-block walk."""
+    payload = M.encode_gif(doc_id)
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+    with pytest.raises(ValueError):
+        M.decode_gif(payload[:cut])

@@ -169,3 +169,172 @@ def test_pip_fragment_matches_independent_reference():
     ).fetchall()
     for x, y, got in rows:
         assert got == int(_ref_inside(x, y)), (x, y)
+
+
+# --------------------------------------------------------------------------
+# round 11: polygon JOIN blocking completeness (planted boundary cases)
+# --------------------------------------------------------------------------
+
+from us_stock_data_pipeline_spark.queries.round11_ops import (  # noqa: E402
+    _PPJ_CELL,
+    _PPJ_MAXX,
+    _PPJ_MAXY,
+    _PPJ_MINX,
+    _PPJ_MINY,
+    _PPJ_N_POLYS,
+    _PPJ_OX,
+    _PPJ_OY,
+    _PPJ_POLY,
+    _ppj_crossings,
+)
+
+
+def _ppj_center(p: int) -> tuple[int, int]:
+    ox = (p * 2654435761) % 340_000_000 - 170_000_000
+    oy = (p * 320800857) % 160_000_000 - 80_000_000
+    return ox, oy
+
+
+def _ppj_ref_inside(px: int, py: int, ox: int, oy: int) -> bool:
+    """Independent float crossing test against the scaled octagon."""
+    x, y = px - ox, py - oy
+    n = len(_PPJ_POLY)
+    inside = False
+    for i in range(n):
+        x1, y1 = _PPJ_POLY[i]
+        x2, y2 = _PPJ_POLY[(i + 1) % n]
+        if (y1 <= y) != (y2 <= y):
+            x_int = x1 + (x2 - x1) * (y - y1) / (y2 - y1)
+            if x < x_int:
+                inside = not inside
+    return inside
+
+
+def _ppj_covered_cells(ox: int, oy: int) -> set[tuple[int, int]]:
+    lo_gy = (oy + _PPJ_MINY + 90_000_000) // _PPJ_CELL
+    hi_gy = (oy + _PPJ_MAXY + 90_000_000) // _PPJ_CELL
+    lo_gx = (ox + _PPJ_MINX + 180_000_000) // _PPJ_CELL
+    hi_gx = (ox + _PPJ_MAXX + 180_000_000) // _PPJ_CELL
+    return {
+        (gy, gx)
+        for gy in range(lo_gy, hi_gy + 1)
+        for gx in range(lo_gx, hi_gx + 1)
+    }
+
+
+def test_polygon_join_constants_match_sql_fragments():
+    """The python helpers above must mirror the SQL center fragments."""
+    for p in (0, 1, 7, 63):
+        lit = f"CAST({p} AS BIGINT)"  # bare literals are INT32 in DuckDB
+        row = duckdb.sql(
+            f"SELECT {_PPJ_OX.format(p=lit)} AS ox, {_PPJ_OY.format(p=lit)} AS oy"
+        ).fetchone()
+        assert (row[0], row[1]) == _ppj_center(p)
+
+
+def test_polygon_join_blocking_complete_planted_boundaries():
+    """Every point INSIDE a polygon must land in one of the polygon's
+    bbox-covered cells (else the blocked join silently drops the pair).
+    Planted: polygon-center points, near-vertex points just inside each
+    vertex, notch points, points straddling cell boundaries (polygon
+    deliberately chosen whose center sits near a cell corner), and a
+    dense deterministic lattice over each polygon's bbox."""
+    for p in range(_PPJ_N_POLYS):
+        ox, oy = _ppj_center(p)
+        cells = _ppj_covered_cells(ox, oy)
+        planted = [(ox, oy - 4_000_000)]
+        # just inside each vertex (pull 1% toward the centroid)
+        for vx, vy in _PPJ_POLY:
+            planted.append((ox + vx - vx // 100, oy + vy - vy // 100))
+        # bbox lattice
+        for dx in range(_PPJ_MINX, _PPJ_MAXX + 1, 900_000):
+            for dy in range(_PPJ_MINY, _PPJ_MAXY + 1, 750_000):
+                planted.append((ox + dx, oy + dy))
+        for px, py in planted:
+            if _ppj_ref_inside(px, py, ox, oy):
+                cell = ((py + 90_000_000) // _PPJ_CELL, (px + 180_000_000) // _PPJ_CELL)
+                assert cell in cells, (p, px, py, cell, sorted(cells))
+
+
+def test_polygon_join_fragment_matches_independent_reference():
+    """The exact-integer SQL crossing fragment (shared verbatim with the
+    oracle) agrees with the independent float implementation on random
+    and planted boundary points."""
+    rng = np.random.default_rng(11)
+    for p in (0, 5, 33):
+        ox, oy = _ppj_center(p)
+        px = rng.integers(ox - 12_000_000, ox + 12_000_000, 300)
+        py = rng.integers(oy - 9_000_000, oy + 9_000_000, 300)
+        frag = _ppj_crossings(f"(px - {ox})", f"(py - {oy})")
+        rows = duckdb.sql(
+            "SELECT px, py, (" + frag + ") % 2 AS i FROM "
+            "(SELECT CAST(unnest(?) AS BIGINT) px, CAST(unnest(?) AS BIGINT) py)",
+            params=[px.tolist(), py.tolist()],
+        ).fetchall()
+        for x, y, got in rows:
+            assert got == int(_ppj_ref_inside(x, y, ox, oy)), (p, x, y)
+
+
+def test_polygon_join_blocked_equals_bruteforce(spark):
+    """End-to-end equivalence on a planted point set: the grid-blocked
+    Spark join returns EXACTLY the brute-force pair set, including
+    points sitting on cell boundaries and polygon edges."""
+    from pyspark.sql import functions as F
+
+    pts = []
+    k = 0
+    for p in (0, 9, 17, 40, 63):
+        ox, oy = _ppj_center(p)
+        for dx, dy in [
+            (0, -4_000_000),          # interior
+            (0, 2_500_000),           # notch region
+            (-8_900_000, 0),          # near left pinch (outside)
+            (8_000_000, -3_000_000),  # right wing
+            (0, _PPJ_MINY),           # ON the bottom vertex
+            (_PPJ_MINX, 0),           # ON the left pinch vertex
+        ]:
+            pts.append((k, ox + dx, oy + dy))
+            k += 1
+    pdf = spark.createDataFrame(pts, "ck long, px long, py long")
+    brute = set()
+    for p in range(_PPJ_N_POLYS):
+        ox, oy = _ppj_center(p)
+        for ck, px, py in pts:
+            frag = _ppj_crossings(
+                f"(CAST({px} AS BIGINT) - CAST({ox} AS BIGINT))",
+                f"(CAST({py} AS BIGINT) - CAST({oy} AS BIGINT))",
+            )
+            if duckdb.sql(f"SELECT ({frag}) % 2").fetchone()[0] == 1:
+                brute.add((p, ck))
+    assert brute, "planted set must produce at least one containment"
+    cells = pdf.select(
+        "ck", "px", "py",
+        F.expr(f"(py + 90000000) div {_PPJ_CELL}").alias("gy"),
+        F.expr(f"(px + 180000000) div {_PPJ_CELL}").alias("gx"),
+    )
+    polys = spark.range(_PPJ_N_POLYS).select(
+        F.col("id").alias("p"),
+        F.expr(_PPJ_OX.format(p="id")).alias("ox"),
+        F.expr(_PPJ_OY.format(p="id")).alias("oy"),
+    )
+    covered = polys.select(
+        "p", "ox", "oy",
+        F.explode(
+            F.expr(
+                f"flatten(transform("
+                f"sequence((oy + {_PPJ_MINY} + 90000000) div {_PPJ_CELL},"
+                f"         (oy + {_PPJ_MAXY} + 90000000) div {_PPJ_CELL}),"
+                f" gy -> transform("
+                f"sequence((ox + {_PPJ_MINX} + 180000000) div {_PPJ_CELL},"
+                f"         (ox + {_PPJ_MAXX} + 180000000) div {_PPJ_CELL}),"
+                f" gx -> struct(gy AS gy, gx AS gx))))"
+            )
+        ).alias("cell"),
+    ).select("p", "ox", "oy", F.col("cell.gy").alias("gy"), F.col("cell.gx").alias("gx"))
+    blocked = (
+        cells.join(covered, ["gy", "gx"])
+        .filter(F.expr(_ppj_crossings("(px - ox)", "(py - oy)")) % 2 == 1)
+        .select("p", "ck")
+    )
+    got = {(r["p"], r["ck"]) for r in blocked.collect()}
+    assert got == brute

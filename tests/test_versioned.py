@@ -1043,3 +1043,201 @@ def test_merge_branch_rerun_after_interrupted_move_completes(spark, root):
     rows = _rows(V.read_versioned(spark, root))
     assert ("MSFT", 1, 99.0) in rows and ("NVDA", 1, 30.0) in rows
     assert V.versioned_orphans(spark, root, keep_last=10)["orphan_version_dirs"] == []
+
+
+# --------------------------------------------------------------------------
+# round 11: advisor fixes + branch-scoped maintenance
+# --------------------------------------------------------------------------
+
+
+def test_merge_refuses_branch_dv_when_main_advanced(spark, root):
+    """Advisor r10 (medium): branch and main number commits independently
+    from the fork, so a branch-created DV's horizon is arbitrary against
+    main's concurrent commits — merge must refuse, mirroring the
+    main-side DV rule, not let commit-count interleaving decide whether
+    main's post-fork rows get tombstoned."""
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_delete(
+        spark, _mk(spark, [("AAPL", 1, 0.0)]).select("symbol", "ts"), broot, ("symbol", "ts")
+    )
+    # main advances on an UNRELATED partition after the fork
+    V.versioned_merge_upsert(spark, _mk(spark, [("NVDA", 1, 30.0)]), root, ("symbol", "ts"))
+    with pytest.raises(V.BranchConflictError, match="branch .* created deletion vectors"):
+        V.merge_branch(spark, root, "dev")
+    # with main unchanged since the fork the same branch DV merges fine
+    V.delete_branch(spark, root, "dev")
+    V.create_branch(spark, root, "dev2")
+    b2 = V._branch_root(root, "dev2")
+    V.versioned_delete(
+        spark, _mk(spark, [("AAPL", 1, 0.0)]).select("symbol", "ts"), b2, ("symbol", "ts")
+    )
+    V.merge_branch(spark, root, "dev2")
+    rows = _rows(V.read_versioned(spark, root))
+    assert ("AAPL", 1, 10.0) not in rows
+    assert ("NVDA", 1, 30.0) in rows
+
+
+def test_merge_refuses_resurrecting_partition_main_removed(spark, root):
+    """Advisor r10 (low): a partition main REMOVED since the fork (via
+    restore to a pre-fork snapshot) must conflict with a branch change
+    to it — not be silently resurrected by last-write-wins."""
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.versioned_merge_upsert(spark, _mk(spark, [("MSFT", 1, 20.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")  # fork = v2: {AAPL, MSFT}
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(spark, _mk(spark, [("MSFT", 2, 21.0)]), broot, ("symbol", "ts"))
+    # main rolls back to v1 — partition symbol=MSFT no longer exists on main
+    V.restore_version(spark, root, 1)
+    with pytest.raises(V.BranchConflictError, match="both changed partitions"):
+        V.merge_branch(spark, root, "dev")
+
+
+def test_merge_refreshes_moved_dir_mtime(spark, root):
+    """Advisor r10 (medium): fs.rename preserves mtime, so a dir moved
+    into main's pool by an interrupted merge sits OUTSIDE vacuum's
+    grace window. A merge (re-)run must stamp moved dirs to NOW so the
+    window covers the in-flight publish."""
+    import os
+    import time
+
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(spark, _mk(spark, [("NVDA", 1, 30.0)]), broot, ("symbol", "ts"))
+    bdoc = V._read_manifest_doc(spark, broot, V.current_version(spark, broot))
+    branch_dirs = sorted({v for v in bdoc["partitions"].values() if not v.startswith("/")})
+    moved_name = branch_dirs[0].rsplit("/", 1)[-1]
+    src = posixpath.join(broot, "versions", moved_name)
+    dst = posixpath.join(root, "versions", moved_name)
+    assert V._move_dir(spark, src, dst)
+    os.utime(dst, (1_000_000, 1_000_000))  # stale, far outside any grace window
+    before = time.time()
+    V.merge_branch(spark, root, "dev")
+    assert os.path.getmtime(dst) >= before - 5, (
+        "merge re-run must refresh the pre-moved dir's mtime"
+    )
+
+
+def test_merge_raises_when_moved_dir_vanishes_before_publish(spark, root, monkeypatch):
+    """Backstop to the mtime refresh: if a moved dir disappears between
+    the move and the CAS publish (a vacuum that slipped through), the
+    merge must raise loudly, never publish a manifest referencing
+    deleted data."""
+    import shutil
+
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    V.versioned_merge_upsert(spark, _mk(spark, [("NVDA", 1, 30.0)]), broot, ("symbol", "ts"))
+
+    real_prune = V._prune_carried_stats
+
+    # _prune_carried_stats runs after the moves and before the
+    # pre-publish existence check — delete the moved dir there
+    def sabotage2(cand, parts):
+        out = real_prune(cand, parts)
+        d = parts.get("symbol=NVDA")
+        if d and not d.startswith("/"):
+            shutil.rmtree(posixpath.join(root, d), ignore_errors=True)
+        return out
+
+    monkeypatch.setattr(V, "_prune_carried_stats", sabotage2)
+    with pytest.raises(RuntimeError, match="vanished before publish"):
+        V.merge_branch(spark, root, "dev")
+
+
+def test_branch_scoped_vacuum_and_fsck(spark, root):
+    """Branch trees are full versioned tables: vacuum + orphan fsck run
+    branch-scoped, reclaiming the branch's own expired history without
+    touching fork-era data (absolute pointers into main's pool are never
+    reclaim candidates) or main itself."""
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 1, 10.0)]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    for t in range(1, 5):
+        V.versioned_merge_upsert(spark, _mk(spark, [("NVDA", t, float(t))]), broot, ("symbol", "ts"))
+    main_manifests_before = sorted(V._list_names(spark, posixpath.join(root, "_manifests")))
+    audit = V.versioned_orphans(spark, broot, keep_last=1)
+    assert audit["expired_manifests"], "branch history should have expired manifests"
+    deleted = V.vacuum_versions(spark, broot, keep_last=1, grace_seconds=0)
+    assert deleted > 0
+    # branch still reads, fork-era data intact, main untouched
+    assert ("AAPL", 1, 10.0) in _rows(V.read_versioned(spark, broot))
+    assert ("NVDA", 4, 4.0) in _rows(V.read_versioned(spark, broot))
+    assert _rows(V.read_versioned(spark, root)) == [("AAPL", 1, 10.0)]
+    assert sorted(V._list_names(spark, posixpath.join(root, "_manifests"))) == main_manifests_before
+    after = V.versioned_orphans(spark, broot, keep_last=1)
+    assert after["expired_manifests"] == [] and after["orphan_version_dirs"] == []
+    # and the merge still completes after branch-scoped maintenance
+    V.merge_branch(spark, root, "dev")
+    assert ("NVDA", 4, 4.0) in _rows(V.read_versioned(spark, root))
+
+
+def test_branch_write_vs_main_vacuum_race(spark, root):
+    """VERDICT r10 item 6: a branch writer racing main's vacuum — the
+    fork pin protects fork-era data, branch-written dirs live under the
+    branch tree main's vacuum never lists, and the default grace window
+    covers everything in flight. No errors, nothing lost."""
+    import threading
+
+    for t in range(1, 4):
+        V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", t, float(t))]), root, ("symbol", "ts"))
+    V.create_branch(spark, root, "dev")
+    broot = V._branch_root(root, "dev")
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer():
+        try:
+            barrier.wait(timeout=60)
+            for t in range(1, 4):
+                V.versioned_merge_upsert(
+                    spark, _mk(spark, [("NVDA", t, float(t))]), broot, ("symbol", "ts")
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer():
+        try:
+            barrier.wait(timeout=60)
+            for _ in range(3):
+                V.vacuum_versions(spark, root, keep_last=1, grace_seconds=3600)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=vacuumer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    rows = _rows(V.read_versioned(spark, broot))
+    assert ("AAPL", 3, 3.0) in rows and ("NVDA", 3, 3.0) in rows
+    assert "_branch_fork_dev" in V.list_refs(spark, root)
+
+
+def test_describe_branches_metadata(spark, root):
+    V.versioned_merge_upsert(
+        spark, _mk(spark, [("AAPL", 1, 10.0), ("MSFT", 1, 20.0)]), root, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "fix")
+    broot = V._branch_root(root, "fix")
+    V.versioned_merge_upsert(spark, _mk(spark, [("AAPL", 2, 11.0)]), broot, ("symbol", "ts"))
+    V.versioned_delete(
+        spark, _mk(spark, [("MSFT", 1, 0.0)]).select("symbol", "ts"), broot, ("symbol", "ts")
+    )
+    V.create_branch(spark, root, "idle")
+    rows = {r["branch"]: r for r in V.describe_branches(spark, root).collect()}
+    fix, idle = rows["fix"], rows["idle"]
+    assert fix["fork_version"] == 1 and fix["head_version"] == 3
+    assert fix["n_commits"] == 2
+    assert fix["n_changed_partitions"] == 1  # symbol=AAPL repointed; MSFT delete is a DV
+    assert fix["n_branch_deletion_vectors"] == 1
+    assert fix["fork_pin_present"] is True
+    assert idle["fork_version"] == 1 and idle["head_version"] == 1
+    assert idle["n_commits"] == 0 and idle["n_changed_partitions"] == 0
+    assert idle["fork_pin_present"] is True

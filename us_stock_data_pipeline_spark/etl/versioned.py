@@ -214,6 +214,21 @@ def _rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(psrc, pdst))
 
 
+def _set_mtime_now(spark: SparkSession, path: str) -> None:
+    """Stamp `path`'s modification time to NOW (advisor r10): fs.rename
+    preserves the source's original mtime, but vacuum's grace-window
+    safety rule reasons 'an unreferenced dir is brand-new, so the age
+    horizon protects in-flight publishes' — a dir MOVED into a pool
+    (merge_branch) must therefore have its clock refreshed at the move,
+    or a concurrent vacuum could reclaim it before its manifest lands."""
+    fs, p, _ = _fs(spark, path)
+    try:
+        fs.setTimes(p, _now_ms(spark), -1)
+    except Exception:  # noqa: BLE001 — some filesystems refuse setTimes on dirs
+        # fallback: creating a hidden file inside bumps the dir's mtime
+        _write_file(spark, posixpath.join(path, f"._touch_{uuid.uuid4().hex}"), "")
+
+
 def _move_dir(spark: SparkSession, src: str, dst: str) -> bool:
     """Plain directory move (fs.rename). NOT the link-based CAS above —
     link(2) cannot hard-link directories. Safe for version/DV dirs
@@ -858,6 +873,66 @@ def versioned_history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def describe_branches(spark: SparkSession, root: str) -> DataFrame:
+    """Iceberg `table.refs` / LakeFS `branch list` as a DataFrame — the
+    metadata table next to DESCRIBE HISTORY (``versioned_history``):
+    one row per live branch with its fork version, current head,
+    commit count since the fork, how many partitions the branch has
+    repointed relative to the fork snapshot, branch-created deletion
+    vectors, and whether the fork pin tag is still present (it always
+    should be — a missing pin means someone deleted the tag out from
+    under the branch and main's vacuum may no longer protect fork-era
+    data). Driver-side manifest walk, metadata-only: cost is one
+    manifest read per branch regardless of table size."""
+    rows = []
+    for name in sorted(_list_names(spark, posixpath.join(root, _BRANCHES))):
+        broot = _branch_root(root, name)
+        try:
+            meta = json.loads(_read_file(spark, posixpath.join(broot, "meta.json")))
+        except Exception:  # noqa: BLE001 — half-created branch: skip
+            continue
+        fork = int(meta["fork_version"])
+        head = current_version(spark, broot)
+        if not head:
+            continue
+        bdoc = _read_manifest_doc(spark, broot, head)
+        try:
+            fdoc = _read_manifest_doc(spark, root, fork)
+        except Exception:  # noqa: BLE001 — fork manifest gone (pin deleted + vacuumed)
+            fdoc = {}
+        fparts = {
+            d: _abs_under(root, v) for d, v in fdoc.get("partitions", {}).items()
+        }
+        bparts = {
+            d: _abs_under(broot, v) for d, v in bdoc.get("partitions", {}).items()
+        }
+        fdv_keys = {
+            (_abs_under(root, dv["dir"]), dv["version"])
+            for dv in fdoc.get("deletion_vectors", [])
+        }
+        n_changed = sum(1 for d, v in bparts.items() if fparts.get(d) != v)
+        n_new_dvs = sum(
+            1
+            for dv in bdoc.get("deletion_vectors", [])
+            if (_abs_under(broot, dv["dir"]), dv["version"]) not in fdv_keys
+        )
+        n_commits = sum(
+            1
+            for n in _list_names(spark, posixpath.join(broot, _MANIFESTS))
+            if (v := _manifest_version(n)) is not None and v > fork
+        )
+        pin_ok = _exists(
+            spark, posixpath.join(root, _REFS, f"{_fork_tag(name)}.json")
+        )
+        rows.append((name, fork, head, n_commits, n_changed, n_new_dvs, pin_ok))
+    return spark.createDataFrame(
+        rows,
+        "branch string, fork_version long, head_version long,"
+        " n_commits long, n_changed_partitions long,"
+        " n_branch_deletion_vectors long, fork_pin_present boolean",
+    )
+
+
 def versioned_files(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Iceberg `table.files` as a DataFrame: one row per live data file
     of a snapshot with its owning version dir, partition values, and
@@ -1133,9 +1208,14 @@ def merge_branch(
     b_versions_prefix = posixpath.join(broot, _VERSIONS) + "/"
     b_dvs_prefix = posixpath.join(broot, _DVS) + "/"
 
+    moved_dsts: set[str] = set()
+
     def _move_into(src_abs: str, pool: str) -> str:
         """Rename a branch-written dir into main's pool, keeping its
-        name (idempotent across CAS retries and merge re-runs)."""
+        name (idempotent across CAS retries and merge re-runs). The
+        moved dir's mtime is refreshed at the move: rename preserves the
+        original timestamp, which would put an in-flight (moved but not
+        yet published) dir OUTSIDE vacuum's grace window (advisor r10)."""
         nm = src_abs.rstrip("/").rsplit("/", 1)[-1]
         rel = posixpath.join(pool, nm)
         dst = posixpath.join(root, rel)
@@ -1143,6 +1223,10 @@ def merge_branch(
             _mkdirs(spark, posixpath.join(root, pool))
             if not _move_dir(spark, src_abs, dst) and not _exists(spark, dst):
                 raise RuntimeError(f"merge_branch could not move {src_abs}")
+        # refresh unconditionally: a merge RE-RUN (crash recovery) finds
+        # the dir already moved with its stale original mtime
+        _set_mtime_now(spark, dst)
+        moved_dsts.add(dst)
         return rel
 
     for attempt in range(max_commit_retries):
@@ -1155,8 +1239,14 @@ def merge_branch(
             (_abs_under(root, dv["dir"]), dv["version"])
             for dv in mdoc.get("deletion_vectors", [])
         ]
+        # Sentinel default (advisor r10): a partition main REMOVED since
+        # the fork (e.g. restore to a pre-fork snapshot) must compare
+        # UNEQUAL to its fork pointer — with fparts.get(d) as the
+        # default, 'absent on main' read as 'unchanged' and a branch
+        # write silently resurrected the partition instead of raising.
+        _gone = object()
         conflicts = sorted(
-            d for d in changed if mparts.get(d, fparts.get(d)) != fparts.get(d)
+            d for d in changed if mparts.get(d, _gone) != fparts.get(d, _gone)
         )
         if conflicts:
             raise BranchConflictError(
@@ -1168,6 +1258,21 @@ def merge_branch(
                 f"main's deletion vectors changed since fork v{fork}; a DV's "
                 f"partition scope is unknowable from metadata, so the merge "
                 f"refuses rather than guessing"
+            )
+        if new_bdvs and mc > fork:
+            # Symmetric branch-side DV rule (advisor r10): branch and
+            # main number commits INDEPENDENTLY from the fork, so a
+            # branch-created DV's version horizon is meaningful against
+            # fork-era and branch-written data but ARBITRARY against
+            # main's concurrent post-fork commits — whether it tombstones
+            # main's new rows would depend on commit-count interleaving.
+            # Refuse, exactly as the main-side mdvs != fdvs rule does.
+            raise BranchConflictError(
+                f"branch {name!r} created deletion vectors and main has "
+                f"advanced since fork v{fork} (main at v{mc}); carried "
+                f"branch-DV horizons are not comparable with main's "
+                f"concurrent commit numbers, so the merge refuses rather "
+                f"than guessing"
             )
         new_ver = max(mc, bhead) + 1
         merged_parts = dict(mdoc.get("partitions", {}))
@@ -1215,6 +1320,16 @@ def merge_branch(
             },
             sort_keys=True,
         )
+        # Backstop to the mtime refresh (advisor r10): verify every
+        # moved dir still exists immediately before the CAS publish, so
+        # a vacuum that somehow reclaimed one turns into a loud error
+        # here instead of a published manifest referencing deleted data.
+        vanished = sorted(d for d in moved_dsts if not _exists(spark, d))
+        if vanished:
+            raise RuntimeError(
+                f"merge_branch: moved dir(s) vanished before publish "
+                f"(concurrent vacuum?): {vanished}"
+            )
         tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
         final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
         _write_file(spark, tmp, body)

@@ -1642,30 +1642,47 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF payload")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     if not flags & 0x80:
         raise ValueError("GIF without a global color table unsupported")
     gct_n = 2 << (flags & 0x07)
     pos = 13
+    if len(payload) < pos + 3 * gct_n:
+        raise ValueError("truncated GIF payload")
     pal = np.frombuffer(payload[pos : pos + 3 * gct_n], dtype=np.uint8).reshape(-1, 3)
     pos += 3 * gct_n
+
+    # Bounds-checked byte fetch (advisor r10): a truncated GIF must
+    # raise the module's uniform ValueError, not IndexError — every
+    # other decoder here (PNG/PPM/WAV/...) promises ValueError.
+    def _at(i: int) -> int:
+        if i >= len(payload):
+            raise ValueError("truncated GIF payload")
+        return payload[i]
+
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # 89a extension: label + sub-blocks
             pos += 2
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while _at(pos):
+                pos += 1 + _at(pos)
             pos += 1
         elif b == 0x2C:
+            if len(payload) < pos + 10:
+                raise ValueError("truncated GIF payload")
             ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
             if iflags & 0xC0:
                 raise ValueError("local color table / interlace unsupported")
             pos += 10
-            min_code = payload[pos]
+            min_code = _at(pos)
             pos += 1
             lzw = bytearray()
-            while payload[pos]:
+            while _at(pos):
                 n = payload[pos]
+                if len(payload) < pos + 1 + n:
+                    raise ValueError("truncated GIF payload")
                 lzw.extend(payload[pos + 1 : pos + 1 + n])
                 pos += 1 + n
             pos += 1

@@ -1,0 +1,260 @@
+"""Round-11 additions: versioned-table branch metadata (DESCRIBE
+BRANCHES) and the geo polygon JOIN — the assignment form of
+point-in-polygon at enrichment scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# DESCRIBE BRANCHES — branch metadata table (versioned.py round-11)
+# --------------------------------------------------------------------------
+
+# The staged lifecycle is deterministic: main commits once (v1), branch
+# "fix" forks at v1 and commits twice (an upsert repointing the bands
+# 0-1 partitions + a DV delete), branch "idle" forks at v1 and never
+# writes. Every metadata column is a closed-form constant EXCEPT
+# n_changed_partitions, which equals the number of distinct bands in
+# {0,1} actually present in customer (data-derived, so the oracle reads
+# the table too).
+_DESC_BR_ORACLE = """
+WITH bands AS (
+  SELECT DISTINCT c_nationkey % 5 AS band FROM customer
+),
+changed AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bands WHERE band IN (0, 1)
+)
+SELECT branch, fork_version, head_version, n_commits,
+       CASE WHEN branch = 'fix' THEN (SELECT n FROM changed)
+            ELSE CAST(0 AS BIGINT) END AS n_changed_partitions,
+       n_branch_deletion_vectors, fork_pin_present
+FROM (VALUES
+  ('fix',  CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+   CAST(1 AS BIGINT), TRUE),
+  ('idle', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+   CAST(0 AS BIGINT), TRUE)
+) AS v(branch, fork_version, head_version, n_commits,
+       n_branch_deletion_vectors, fork_pin_present)
+ORDER BY branch
+"""
+
+
+@register(
+    "etl_versioned_describe_branches",
+    oracle=_DESC_BR_ORACLE,
+    tags=("etl", "versioned"),
+)
+def etl_versioned_describe_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE BRANCHES — the branch metadata table next to DESCRIBE
+    HISTORY (etl/versioned.py `describe_branches`, round 11; the
+    Iceberg `table.refs` / LakeFS `branch list` surface): one row per
+    live branch with fork version, head, commits since fork, partitions
+    repointed relative to the fork snapshot, branch-created deletion
+    vectors, and whether the fork's vacuum pin is intact. Staged
+    lifecycle: main commits a per-nation table partitioned by band
+    (v1); branch `fix` forks, upserts bands 0-1 (one commit) and
+    DV-deletes one key (a second commit — repoints nothing, records one
+    deletion vector); branch `idle` forks and never writes. The
+    metadata walk is manifest-only: one manifest read per branch
+    regardless of table size, which is what makes `DESCRIBE BRANCHES`
+    on a 100 TB table an interactive query."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        _branch_root,
+        create_branch,
+        describe_branches,
+        read_versioned,
+        versioned_delete,
+        versioned_merge_upsert,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+        .select("nk", (F.col("nk") % 5).alias("band"), "n_cust")
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_descbr_{_uuid.uuid4().hex[:8]}_")
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        create_branch(spark, root, "fix")
+        broot = _branch_root(root, "fix")
+        snap = read_versioned(spark, root)
+        updates = snap.filter(F.col("band").isin(0, 1)).select(
+            "nk", "band", (F.col("n_cust") + 1).alias("n_cust")
+        )
+        versioned_merge_upsert(
+            spark, updates, broot, key_cols=("nk",), partition_cols=("band",)
+        )
+        min_nk = snap.agg(F.min("nk")).collect()[0][0]
+        versioned_delete(
+            spark,
+            spark.createDataFrame([(int(min_nk),)], "nk long"),
+            broot,
+            key_cols=("nk",),
+        )
+        create_branch(spark, root, "idle")
+        out = describe_branches(spark, root).orderBy("branch")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# geo: polygon JOIN — assign many points to many polygons, grid-blocked
+# --------------------------------------------------------------------------
+
+from us_stock_data_pipeline_spark.queries.round10_ops2 import (  # noqa: E402
+    _PIP_POLY,
+)
+
+# This query's OWN point scatter (not round10's _LAT_E6/_LON_E6): those
+# advance latitude by only ~0.008 deg per key, so small-sf points live in
+# a narrow band and almost every polygon would be empty. Large odd
+# multipliers jump consecutive keys across the whole space; the moduli
+# (360M/180M) differ from the polygon centers' (340M/160M) so the two
+# lattices don't resonate.
+_PPJ_PX = "((CAST(({k}) AS BIGINT) * 2654435761) % 360000000 - 180000000)"
+_PPJ_PY = "((CAST(({k}) AS BIGINT) * 1779033703) % 180000000 - 90000000)"
+
+_PPJ_N_POLYS = 64
+_PPJ_SCALE = 10  # base octagon shrunk 10x: bbox 18 x 10.5 degrees
+_PPJ_POLY = tuple((vx // _PPJ_SCALE, vy // _PPJ_SCALE) for vx, vy in _PIP_POLY)
+_PPJ_MINX = min(v[0] for v in _PPJ_POLY)
+_PPJ_MAXX = max(v[0] for v in _PPJ_POLY)
+_PPJ_MINY = min(v[1] for v in _PPJ_POLY)
+_PPJ_MAXY = max(v[1] for v in _PPJ_POLY)
+_PPJ_CELL = 10_000_000  # 10-degree grid: cell >= bbox extent => <=3x3 cover
+# deterministic polygon centers scattered over the coordinate space
+_PPJ_OX = "((({p}) * 2654435761) % 340000000 - 170000000)"
+_PPJ_OY = "((({p}) * 320800857) % 160000000 - 80000000)"
+
+
+def _ppj_crossings(px: str, py: str) -> str:
+    """Ray-casting crossing count against the SCALED octagon, with
+    polygon-LOCAL point coordinates (point minus polygon center) — the
+    same exact-BIGINT construction as geo_point_in_polygon's
+    `_pip_count`, shared verbatim between the Spark plan and the DuckDB
+    oracle. Worst-case cross-product magnitude: edge extent ~1.8e7 x
+    local offset ~3.5e8 = 6.3e15, far inside BIGINT."""
+    terms = []
+    n = len(_PPJ_POLY)
+    for i in range(n):
+        x1, y1 = _PPJ_POLY[i]
+        x2, y2 = _PPJ_POLY[(i + 1) % n]
+        cross = f"(({x2} - {x1}) * (({py}) - {y1}) - (({px}) - {x1}) * ({y2} - {y1}))"
+        side = f"{cross} > 0" if y2 > y1 else f"{cross} < 0"
+        terms.append(
+            f"CASE WHEN (({y1} <= ({py})) <> ({y2} <= ({py}))) AND ({side})"
+            f" THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PPJ_ORACLE = f"""
+WITH polys AS (
+  SELECT p,
+         {_PPJ_OX.format(p='p')} AS ox,
+         {_PPJ_OY.format(p='p')} AS oy
+  FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+                                      CAST({_PPJ_N_POLYS - 1} AS BIGINT))) AS p)
+),
+pts AS (
+  SELECT c_custkey AS ck,
+         {_PPJ_PX.format(k='c_custkey')} AS px,
+         {_PPJ_PY.format(k='c_custkey')} AS py
+  FROM customer
+),
+hits AS (
+  SELECT p, ck
+  FROM pts, polys
+  WHERE ({_ppj_crossings('(px - ox)', '(py - oy)')}) % 2 = 1
+)
+SELECT CAST(p AS BIGINT) AS poly_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(ck) AS BIGINT) AS min_key,
+       CAST(sum(ck) AS BIGINT) AS sum_keys
+FROM hits
+GROUP BY p
+ORDER BY poly_id
+"""
+
+
+@register("geo_polygon_join", oracle=_PPJ_ORACLE, tags=("geo", "join", "scale"))
+def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON JOIN — the assignment form of point-in-polygon (round-10
+    added the per-point predicate at round10_ops2.py:899; this is the
+    shape a real geo enrichment runs: millions of points x thousands of
+    zones). Grid-blocked exactly like geo_grid_distance_join, but the
+    replicated side is the POLYGON table and its replication factor is
+    each polygon's bbox cell cover (here <= 3x3 for an 18 x 10.5 degree
+    octagon on a 10-degree grid): (1) every point snaps to its single
+    grid cell (map-side), (2) every polygon explodes over the cells its
+    bbox covers, (3) equi-join on the cell key, (4) EXACT integer
+    ray-cast filter last (the `_ppj_crossings` fragment, shared
+    verbatim with the oracle). A point inside a polygon lies inside its
+    bbox, so its cell is among the covered cells — the blocked join is
+    COMPLETE (tests/test_geo_ops.py plants on-edge, in-notch, and
+    cell-straddling points); each (point, polygon) pair meets in
+    exactly one cell, so no dedup is needed. The oracle runs the
+    brute-force O(points x polygons) theta join. Plan: one pushed scan
+    per side, a <=9x explode of the TINY polygon side only, one
+    equi-exchange on the cell key, codegen ray cast, hash agg. At
+    100 TB: candidate generation is linear in points (each shuffled
+    once on its own cell) while polygons replicate by bbox cover only —
+    and the cell key is the natural partition/bucket column."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.expr(_PPJ_PX.format(k="c_custkey")).alias("px"),
+        F.expr(_PPJ_PY.format(k="c_custkey")).alias("py"),
+    ).select(
+        "ck", "px", "py",
+        F.expr(f"(py + 90000000) div {_PPJ_CELL}").alias("gy"),
+        F.expr(f"(px + 180000000) div {_PPJ_CELL}").alias("gx"),
+    )
+    polys = spark.range(_PPJ_N_POLYS).select(
+        F.col("id").alias("p"),
+        F.expr(_PPJ_OX.format(p="id")).alias("ox"),
+        F.expr(_PPJ_OY.format(p="id")).alias("oy"),
+    )
+    covered = polys.select(
+        "p", "ox", "oy",
+        F.explode(
+            F.expr(
+                f"flatten(transform("
+                f"sequence((oy + {_PPJ_MINY} + 90000000) div {_PPJ_CELL},"
+                f"         (oy + {_PPJ_MAXY} + 90000000) div {_PPJ_CELL}),"
+                f" gy -> transform("
+                f"sequence((ox + {_PPJ_MINX} + 180000000) div {_PPJ_CELL},"
+                f"         (ox + {_PPJ_MAXX} + 180000000) div {_PPJ_CELL}),"
+                f" gx -> struct(gy AS gy, gx AS gx))))"
+            )
+        ).alias("cell"),
+    ).select("p", "ox", "oy", F.col("cell.gy").alias("gy"), F.col("cell.gx").alias("gx"))
+    inside = F.expr(_ppj_crossings("(px - ox)", "(py - oy)")) % 2 == 1
+    hits = pts.join(F.broadcast(covered), ["gy", "gx"]).filter(inside)
+    return (
+        hits.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("ck").cast("long").alias("min_key"),
+            F.sum("ck").cast("long").alias("sum_keys"),
+        )
+        .select(
+            F.col("p").cast("long").alias("poly_id"),
+            "n_points",
+            "min_key",
+            "sum_keys",
+        )
+        .orderBy("poly_id")
+    )
