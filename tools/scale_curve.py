@@ -127,6 +127,10 @@ QUERIES = [
     # (metadata-bound — the curve proves it stays flat as data grows)
     "tokenizer_bpe_encode",
     "etl_versioned_branch_merge",
+    # round-11 heavy additions: user-partitioned trajectory windows (one
+    # shuffle serves windows + agg), bbox-cell-blocked polygon assignment
+    "geo_trajectory_stats",
+    "geo_polygon_join",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

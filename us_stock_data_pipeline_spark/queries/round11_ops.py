@@ -258,3 +258,225 @@ def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly_id")
     )
+
+# --------------------------------------------------------------------------
+# geo: trajectory statistics — ordered path windows per moving entity
+# --------------------------------------------------------------------------
+
+# Synthetic integer track coordinates derived from event_id (the events
+# fixture has no lat/lon): well-mixed odd multipliers, 1M x 1M space.
+_TRAJ_X = "((CAST(({k}) AS BIGINT) * 104729) % 1000000)"
+_TRAJ_Y = "((CAST(({k}) AS BIGINT) * 7919) % 1000000)"
+
+_TRAJ_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_TRAJ_X.format(k='event_id')} AS x,
+         {_TRAJ_Y.format(k='event_id')} AS y
+  FROM events
+),
+seg AS (
+  SELECT user_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_pts
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_user AS (
+  SELECT user_id,
+         max(n_pts) AS n_points,
+         CAST(sum(CASE WHEN px IS NULL THEN 0
+                  ELSE (x - px) * (x - px) + (y - py) * (y - py) END) AS BIGINT)
+           AS path_len2,
+         CAST((max(x) - min(x)) * (max(y) - min(y)) AS BIGINT) AS bbox_area
+  FROM seg GROUP BY user_id
+),
+ends AS (
+  SELECT user_id,
+         CAST((max(CASE WHEN rn = 1 THEN x END) - max(CASE WHEN rn = n_pts THEN x END))
+            * (max(CASE WHEN rn = 1 THEN x END) - max(CASE WHEN rn = n_pts THEN x END))
+            + (max(CASE WHEN rn = 1 THEN y END) - max(CASE WHEN rn = n_pts THEN y END))
+            * (max(CASE WHEN rn = 1 THEN y END) - max(CASE WHEN rn = n_pts THEN y END))
+           AS BIGINT) AS disp2
+  FROM seg GROUP BY user_id
+)
+SELECT CAST(p.user_id % 50 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(p.n_points) AS BIGINT) AS n_points,
+       CAST(sum(p.path_len2) AS BIGINT) AS sum_path_len2,
+       CAST(max(e.disp2) AS BIGINT) AS max_disp2,
+       CAST(sum(p.bbox_area) AS BIGINT) AS sum_bbox_area
+FROM per_user p JOIN ends e ON p.user_id = e.user_id
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+
+@register("geo_trajectory_stats", oracle=_TRAJ_ORACLE, tags=("geo", "window"))
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY STATISTICS — the per-moving-entity path rollup every
+    telemetry/fleet/mobility pipeline runs (and, for an LLM corpus, the
+    same shape as per-session interaction-path features): each user's
+    events ordered by (ts, event_id) form a polyline in synthetic
+    integer track space; per user we compute path length (sum of
+    SQUARED segment lengths — exact BIGINT, no sqrt in hashed output),
+    net squared displacement (first point to last), and bounding-box
+    area, then roll up to 50 user buckets. The second window pass
+    repeats the first's EXACT ORDER BY tiebreak (ts, event_id) — a
+    different tiebreak would permute equal-ts rows and silently change
+    segment sums (the round-7 gaps-and-islands lesson). Plan: ONE
+    shuffle on user_id serves every window and the per-user agg
+    (partition columns align), then a tiny bucket agg — at 100 TB the
+    track table would be bucketed by user_id, making this exchange-free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_TRAJ_X.format(k="event_id")).alias("x"),
+        F.expr(_TRAJ_Y.format(k="event_id")).alias("y"),
+    )
+    seg = pts.select(
+        "user_id", "x", "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_pts"),
+    )
+    seg_len2 = F.when(F.col("px").isNull(), F.lit(0)).otherwise(
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+    )
+    first_x = F.max(F.when(F.col("rn") == 1, F.col("x")))
+    last_x = F.max(F.when(F.col("rn") == F.col("n_pts"), F.col("x")))
+    first_y = F.max(F.when(F.col("rn") == 1, F.col("y")))
+    last_y = F.max(F.when(F.col("rn") == F.col("n_pts"), F.col("y")))
+    per_user = seg.groupBy("user_id").agg(
+        F.max("n_pts").alias("n_points"),
+        F.sum(seg_len2).cast("long").alias("path_len2"),
+        ((F.max("x") - F.min("x")) * (F.max("y") - F.min("y")))
+        .cast("long")
+        .alias("bbox_area"),
+        ((first_x - last_x) * (first_x - last_x) + (first_y - last_y) * (first_y - last_y))
+        .cast("long")
+        .alias("disp2"),
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 50).cast("long").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_points").cast("long").alias("n_points"),
+            F.sum("path_len2").cast("long").alias("sum_path_len2"),
+            F.max("disp2").cast("long").alias("max_disp2"),
+            F.sum("bbox_area").cast("long").alias("sum_bbox_area"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# RLHF: PPO clipped surrogate objective — exact rational arithmetic
+# --------------------------------------------------------------------------
+
+_PPO_EPS_MILLI = 200  # eps = 0.2: clip ratios to [0.8, 1.2]
+
+_PPO_ORACLE = f"""
+WITH samples AS (
+  SELECT l_returnflag AS grp,
+         (CAST(l_orderkey AS BIGINT) * 7919) % 1000 + 500 AS p_old,
+         (CAST(l_partkey AS BIGINT) * 104729) % 1500 + 250 AS p_new,
+         (CAST(l_suppkey AS BIGINT) * 31) % 21 - 10 AS adv
+  FROM lineitem
+),
+scored AS (
+  SELECT grp, adv,
+         (1000 * p_new) // p_old AS r_milli,
+         least(greatest((1000 * p_new) // p_old, {1000 - _PPO_EPS_MILLI}),
+               {1000 + _PPO_EPS_MILLI}) AS c_milli
+  FROM samples
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(r_milli * adv, c_milli * adv)) AS BIGINT)
+         AS surrogate_milli,
+       CAST(sum(CASE WHEN r_milli < {1000 - _PPO_EPS_MILLI}
+                      OR r_milli > {1000 + _PPO_EPS_MILLI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(sum(CASE WHEN r_milli * adv <= c_milli * adv
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unclipped_grad
+FROM scored
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+@register("rlhf_ppo_clip", oracle=_PPO_ORACLE, tags=("rlhf", "ml"))
+def rlhf_ppo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPO CLIPPED SURROGATE — the policy-gradient objective behind
+    RLHF fine-tuning: L = E[min(r * A, clip(r, 1-eps, 1+eps) * A)] with
+    probability ratio r = pi_new/pi_old and advantage A. Evaluated in
+    EXACT integer arithmetic so the hash is engine-proof: ratios in
+    milli-units via truncating integer division (Spark `div` pairs with
+    DuckDB `//` — both truncate toward zero on the positive operands
+    here), the clip via least/greatest, and min(r*A, c*A) applied
+    directly on integer products (the min-of-products form handles the
+    A<0 branch exactly as PPO defines it — no sign-case expansion).
+    Per-group sums of the surrogate, the clipped-sample count, and the
+    count of samples whose min selects the UNCLIPPED branch (where the
+    policy gradient actually flows — the diagnostic PPO training loops
+    log as `clip_frac`'s complement).
+    Plan: pure map-side expression into one hash agg — at any scale
+    this is a single pass with partial aggregation, the cheapest
+    possible shuffle shape. (Reference scope: the reference pipeline
+    has no RL surface; this extends the repo's RLHF family — DPO,
+    GRPO, Bradley-Terry — with the on-policy objective.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p_old = (F.col("l_orderkey").cast("long") * 7919) % 1000 + 500
+    p_new = (F.col("l_partkey").cast("long") * 104729) % 1500 + 250
+    adv = (F.col("l_suppkey").cast("long") * 31) % 21 - 10
+    samples = li.select(
+        F.col("l_returnflag").alias("grp"),
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        adv.alias("adv"),
+    )
+    scored = samples.select(
+        "grp",
+        "adv",
+        F.expr("(1000 * p_new) div p_old").alias("r_milli"),
+        F.least(
+            F.greatest(
+                F.expr("(1000 * p_new) div p_old"), F.lit(1000 - _PPO_EPS_MILLI)
+            ),
+            F.lit(1000 + _PPO_EPS_MILLI),
+        ).alias("c_milli"),
+    )
+    surr = F.least(F.col("r_milli") * F.col("adv"), F.col("c_milli") * F.col("adv"))
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(surr).cast("long").alias("surrogate_milli"),
+            F.sum(
+                F.when(
+                    (F.col("r_milli") < 1000 - _PPO_EPS_MILLI)
+                    | (F.col("r_milli") > 1000 + _PPO_EPS_MILLI),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum(
+                F.when(
+                    F.col("r_milli") * F.col("adv")
+                    <= F.col("c_milli") * F.col("adv"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unclipped_grad"),
+        )
+        .orderBy("grp")
+    )
