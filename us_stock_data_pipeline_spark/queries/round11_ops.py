@@ -598,3 +598,158 @@ def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("source")
     )
+
+# --------------------------------------------------------------------------
+# ETL: versioned-table COMPACTION (OPTIMIZE) — scatter -> one version dir
+# --------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+WITH base AS (
+  SELECT c_nationkey AS nk, c_nationkey % 4 AS band,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM customer GROUP BY c_nationkey
+),
+-- three sequential single-band rewrites scatter ownership, then
+-- compaction rewrites the merged state: band 0 tripled, band 1 doubled,
+-- bands 2-3 untouched
+final AS (
+  SELECT nk, band, n_cust,
+         CASE WHEN band = 0 THEN cents * 3
+              WHEN band = 1 THEN cents * 2
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_cust) AS BIGINT) AS n_cust,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(1 AS BIGINT) AS n_owning_dirs,
+       CAST(0 AS BIGINT) AS n_dvs_after
+FROM final
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "etl_versioned_compact_rewrite",
+    oracle=_COMPACT_ORACLE,
+    tags=("etl", "versioned"),
+)
+def etl_versioned_compact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED-TABLE COMPACTION (Delta OPTIMIZE / Iceberg
+    rewrite_data_files, `etl/versioned.py compact_table`): after three
+    single-band rewrites the snapshot's four band partitions are owned
+    by THREE different version dirs (each partition belongs to the last
+    commit that touched it) plus a DV from a delete — a full read fans
+    out one scan per owning dir and filters tombstones at read time.
+    Compaction rewrites the CURRENT snapshot into ONE fresh dir in a
+    single CAS commit: afterwards every partition reports the same
+    owning dir (asserted per band in the output: n_owning_dirs = 1) and
+    all deletion vectors are MATERIALIZED away (n_dvs_after = 0 — the
+    delete survives as absent rows, checked by the value columns).
+    Readers are never disturbed: the rewrite lands in a never-referenced
+    dir and flips at the manifest rename; old snapshots stay readable
+    until vacuum. At 100 TB this is the routine maintenance job that
+    keeps scan fan-out and merge-on-read overhead from compounding."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        compact_table,
+        current_version,
+        read_manifest,
+        _read_manifest_doc,
+        read_versioned,
+        versioned_delete,
+        versioned_merge_upsert,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select("nk", (F.col("nk") % 4).alias("band"), "n_cust", "cents")
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_compact_{_uuid.uuid4().hex[:8]}_")
+    try:
+        versioned_merge_upsert(spark, base, root, ("nk",), partition_cols=("band",))
+        snap = read_versioned(spark, root)
+        # commit 2: triple band 0; commit 3: double band 1 (scatters
+        # ownership across three version dirs); commit 4: DV-delete one
+        # key, then re-insert it via upsert so the value survives but a
+        # tombstone is live going into compaction
+        versioned_merge_upsert(
+            spark,
+            snap.filter(F.col("band") == 0).select(
+                "nk", "band", "n_cust", (F.col("cents") * 3).alias("cents")
+            ),
+            root, ("nk",), partition_cols=("band",),
+        )
+        versioned_merge_upsert(
+            spark,
+            snap.filter(F.col("band") == 1).select(
+                "nk", "band", "n_cust", (F.col("cents") * 2).alias("cents")
+            ),
+            root, ("nk",), partition_cols=("band",),
+        )
+        probe = snap.filter(F.col("band") == 2).orderBy("nk").limit(1).collect()
+        if probe:
+            nk2 = int(probe[0]["nk"])
+            versioned_delete(
+                spark, spark.createDataFrame([(nk2,)], "nk long"), root, ("nk",)
+            )
+            row = [r for r in snap.collect() if int(r["nk"]) == nk2][0]
+            versioned_merge_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(nk2, int(row["band"]), int(row["n_cust"]), int(row["cents"]))],
+                    "nk long, band long, n_cust long, cents long",
+                ),
+                root, ("nk",), partition_cols=("band",),
+            )
+        pre_owners = len(set(read_manifest(spark, root, current_version(spark, root)).values()))
+        assert pre_owners >= 3, f"ownership should be scattered, got {pre_owners}"
+        compact_table(spark, root)
+        cur = current_version(spark, root)
+        manifest = read_manifest(spark, root, cur)
+        doc = _read_manifest_doc(spark, root, cur)
+        n_dvs = len(doc.get("deletion_vectors", []))
+        owners = {d: v for d, v in manifest.items()}
+        final = read_versioned(spark, root)
+        out = (
+            final.groupBy("band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nations"),
+                F.sum("n_cust").cast("long").alias("n_cust"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.col("band").cast("long").alias("band"),
+                "n_nations",
+                "n_cust",
+                "sum_cents",
+            )
+        )
+        import pandas as pd
+
+        pdf = out.toPandas().sort_values("band").reset_index(drop=True)
+        pdf["n_owning_dirs"] = [
+            len({v for d, v in owners.items() if d == f"band={int(b)}"})
+            for b in pdf["band"]
+        ]
+        pdf["n_dvs_after"] = n_dvs
+        return spark.createDataFrame(
+            pdf,
+            "band long, n_nations long, n_cust long, sum_cents long,"
+            " n_owning_dirs long, n_dvs_after long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
