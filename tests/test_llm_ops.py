@@ -81,7 +81,10 @@ def test_ann_results_subset_of_bruteforce_domain(spark):
 
 
 def test_multimodal_decode_gates_unknown_formats():
-    # round 9: JPEG joined PPM/PNG/BMP as a REAL codec; only genuinely
-    # unrecognized magic bytes stay gated.
+    # round 11: lossless WebP (VP8L) is REAL now; lossy VP8 (a video
+    # intra codec) is the one remaining honest gate, and a garbage chunk
+    # inside a WebP container is corrupt data, not a gate.
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBPVP8 lossy is a video codec")
+    with pytest.raises(ValueError):
         decode_image(b"RIFFxxxxWEBP not a codec we have")

@@ -47,6 +47,8 @@ def test_decode_image_dispatches_ppm_and_gates_rest():
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBPVP8 lossy is a video codec")
+    with pytest.raises(ValueError):
         decode_image(b"RIFFxxxxWEBP not a codec we have")
 
 

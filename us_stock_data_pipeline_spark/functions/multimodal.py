@@ -27,11 +27,11 @@ import pandas as pd
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an array, dispatching on magic bytes.
     PPM (P6), non-interlaced RGB8 PNG, 24-bit BMP, baseline grayscale
-    JPEG, baseline 4:2:0/4:4:4 COLOR JPEG, and (r11) PROGRESSIVE
-    grayscale JPEG (SOF2 spectral selection) all decode for REAL (pure
-    numpy + stdlib; JPEG dispatch reads the SOF marker kind + component
-    count). The remaining format (WebP) needs an external codec library
-    and raises."""
+    JPEG, baseline 4:2:0/4:4:4 COLOR JPEG, (r11) PROGRESSIVE grayscale
+    JPEG (SOF2 spectral selection), and (r11) LOSSLESS WebP (VP8L: all
+    four transforms, meta-Huffman, color cache, 2D LZ77) all decode for
+    REAL (pure numpy + stdlib). The remaining format — LOSSY WebP
+    (VP8), a full video-intra codec — raises NotImplementedError."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -43,10 +43,12 @@ def decode_image(payload: bytes) -> "object":
         if kind == 0xFFC2:
             return decode_jpeg_gray_progressive(payload)
         return decode_jpeg_color(payload) if ncomp == 3 else decode_jpeg_gray(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return decode_webp_lossless(payload)
     raise NotImplementedError(
         "unrecognized image format: PPM/PNG/BMP/baseline-JPEG (gray + "
-        "4:2:0 color)/progressive-JPEG (gray) decode for real here; WebP "
-        "needs an external codec library"
+        "4:2:0 color)/progressive-JPEG (gray)/lossless WebP (VP8L) decode "
+        "for real here; lossy WebP (VP8) needs an external codec library"
     )
 
 
@@ -2123,4 +2125,868 @@ def wav_hadamard_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "e_band3": pd.Series(c2[:, 3 * band : 4 * band].sum(axis=1), dtype="int64"),
                 "parseval_gap": pd.Series(parseval, dtype="int64"),
             }
+        )
+
+
+# --------------------------------------------------------------------------
+# LOSSLESS WebP (VP8L) — the last env-gated IMAGE format, retired (r11).
+#
+# Spec: RFC 9649 (WebP) §3, "Specification for WebP Lossless Bitstream".
+# The DECODER implements the full VP8L lossless feature set: LSB-first
+# bit reading, simple and normal (canonical, code-length-coded) Huffman
+# codes, the meta-Huffman entropy image, the color cache, LZ77 backward
+# references with BOTH plain and 2D (neighbor-map) distance codes, and
+# all FOUR transforms — predictor (14 modes), color (cross-channel
+# deltas), subtract-green, and color-indexing (palette, incl. sub-byte
+# pixel packing) — applied in reverse bitstream order. The ENCODER emits
+# valid literal-coded streams with optional subtract-green / color cache
+# / LZ77 / palette so every decoder path is round-trip-exercised; real
+# encoders' transform SEARCH is an optimization, not a format feature.
+# LOSSY WebP (VP8 chunk) is a full video-intra codec and stays outside
+# scope — decode_image names it in its error.
+# --------------------------------------------------------------------------
+
+
+class _VP8LBitReader:
+    """LSB-first bit reader (VP8L bit order, unlike JPEG's MSB-first)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        end = self.pos + n
+        if (end + 7) // 8 > len(self.data):
+            raise ValueError("truncated VP8L bitstream")
+        v = 0
+        got = 0
+        while got < n:
+            byte = self.data[(self.pos + got) // 8]
+            bit_in_byte = (self.pos + got) % 8
+            take = min(8 - bit_in_byte, n - got)
+            chunk = (byte >> bit_in_byte) & ((1 << take) - 1)
+            v |= chunk << got
+            got += take
+        self.pos = end
+        return v
+
+
+class _VP8LBitWriter:
+    def __init__(self) -> None:
+        self.bytes_ = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.bytes_.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.bytes_.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.bytes_)
+
+
+# code-length-code symbol transmission order (RFC 9649 §3.7.1.2)
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D distance-code neighbor map: the 120 closest (dx, dy) offsets with
+# dy in [0, 7], dx in [-8, 8] (dx > 0 when dy == 0), ordered by squared
+# distance, then larger dy first, then non-negative dx first — the
+# generation rule behind the spec's literal table.
+_VP8L_DIST_MAP = sorted(
+    (
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ),
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], 0 if p[0] >= 0 else 1, abs(p[0])),
+)[:120]
+
+
+def _vp8l_canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) with DEFLATE-style canonical assignment
+    (shorter codes first, ties by symbol order)."""
+    pairs = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _VP8LHuffman:
+    """Decode table for one canonical code; bits are read LSB-first from
+    the stream but canonical codes descend MSB-first, so lookup walks
+    bit by bit appending at the bottom (standard VP8L/DEFLATE duality)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("VP8L Huffman code with no symbols")
+        self.single: int | None = nz[0][1] if len(nz) == 1 else None
+        self.table: dict[tuple[int, int], int] = {}
+        if self.single is None:
+            # Kraft completeness: an over- or under-subscribed code is a
+            # corrupt stream
+            kraft = sum(1 / (1 << ln) for ln, _ in nz)
+            if abs(kraft - 1.0) > 1e-9:
+                raise ValueError("VP8L Huffman code lengths not Kraft-complete")
+            for sym, (code, ln) in _vp8l_canonical_codes(lengths).items():
+                self.table[(ln, code)] = sym
+
+    @classmethod
+    def simple(cls, symbols: list[int]) -> "_VP8LHuffman":
+        h = cls.__new__(cls)
+        if len(symbols) == 1:
+            h.single = symbols[0]
+            h.table = {}
+        else:
+            h.single = None
+            h.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+        return h
+
+    def read(self, br: _VP8LBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | br.bits(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L Huffman code")
+
+
+def _vp8l_read_code(br: _VP8LBitReader, alphabet_size: int) -> _VP8LHuffman:
+    """One Huffman code: simple (1-2 literal symbols) or normal (symbol
+    lengths themselves Huffman-coded with repeats) — RFC 9649 §3.7.1."""
+    if br.bits(1):  # simple
+        num_symbols = br.bits(1) + 1
+        if br.bits(1):  # first symbol is 8 bits
+            s0 = br.bits(8)
+        else:
+            s0 = br.bits(1)
+        syms = [s0]
+        if num_symbols == 2:
+            syms.append(br.bits(8))
+        if any(s >= alphabet_size for s in syms):
+            raise ValueError("VP8L simple-code symbol outside alphabet")
+        return _VP8LHuffman.simple(syms)
+    num_cl = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_huff = _VP8LHuffman(cl_lengths)
+    if br.bits(1):  # explicit max symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        sym = cl_huff.read(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_len = sym
+        elif sym == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev_len
+                    i += 1
+        elif sym == 17:
+            i += 3 + br.bits(3)
+        else:  # 18
+            i += 11 + br.bits(7)
+    if i > alphabet_size:
+        raise ValueError("VP8L code lengths overflow the alphabet")
+    return _VP8LHuffman(lengths)
+
+
+def _vp8l_prefix_value(code: int, br: _VP8LBitReader) -> int:
+    """LZ77 length/distance prefix decoding (RFC 9649 §3.6.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_entropy_image(
+    br: _VP8LBitReader, w: int, h: int, cache_bits: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode one entropy-coded ARGB image (used for the main image,
+    transform sub-images, entropy images, and palettes). Returns
+    (h, w, 4) uint8 [A, R, G, B]. `allow_meta`: only the main image may
+    carry a meta-Huffman entropy image and color cache."""
+    meta_huff = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.bits(1):
+        meta_bits = br.bits(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_huff = _vp8l_entropy_image(br, mw, mh, 0, False)
+        n_groups = int(
+            (meta_huff[:, :, 1].astype(np.int64) << 8 | meta_huff[:, :, 2]).max()
+        ) + 1
+    cache_size = 0
+    if allow_meta:
+        if br.bits(1):
+            cache_bits_local = br.bits(4)
+            if not 1 <= cache_bits_local <= 11:
+                raise ValueError("invalid VP8L color-cache size")
+            cache_size = 1 << cache_bits_local
+            cache_bits = cache_bits_local
+        else:
+            cache_bits = 0
+    else:
+        cache_bits = 0
+    groups = []
+    for _ in range(n_groups):
+        green = _vp8l_read_code(br, 256 + 24 + cache_size)
+        red = _vp8l_read_code(br, 256)
+        blue = _vp8l_read_code(br, 256)
+        alpha = _vp8l_read_code(br, 256)
+        dist = _vp8l_read_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    cache = [0] * cache_size
+    pos = 0
+    npix = w * h
+    flat = out.reshape(-1, 4)
+    while pos < npix:
+        if meta_huff is not None:
+            x, y = pos % w, pos // w
+            mp = meta_huff[y >> meta_bits, x >> meta_bits]
+            gidx = (int(mp[1]) << 8) | int(mp[2])
+        else:
+            gidx = 0
+        green_h, red_h, blue_h, alpha_h, dist_h = groups[gidx]
+        s = green_h.read(br)
+        if s < 256:  # literal
+            g = s
+            r = red_h.read(br)
+            b = blue_h.read(br)
+            a = alpha_h.read(br)
+            flat[pos] = (a, r, g, b)
+            if cache_size:
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            pos += 1
+        elif s < 256 + 24:  # LZ77 backref
+            length = _vp8l_prefix_value(s - 256, br)
+            dist_code = _vp8l_prefix_value(dist_h.read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos or pos + length > npix:
+                raise ValueError("VP8L backward reference out of range")
+            for k in range(length):
+                flat[pos + k] = flat[pos + k - dist]
+                if cache_size:
+                    a_, r_, g_, b_ = (int(v) for v in flat[pos + k])
+                    argb = (a_ << 24) | (r_ << 16) | (g_ << 8) | b_
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            pos += length
+        else:  # color-cache hit
+            argb = cache[s - 256 - 24]
+            flat[pos] = (
+                (argb >> 24) & 0xFF,
+                (argb >> 16) & 0xFF,
+                (argb >> 8) & 0xFF,
+                argb & 0xFF,
+            )
+            pos += 1
+    return out
+
+
+def _vp8l_predict(mode: int, img: np.ndarray, x: int, y: int) -> np.ndarray:
+    """The 14 VP8L spatial predictors (RFC 9649 §3.5.1), int32 ARGB,
+    with the standard boundary overrides: the top-left pixel predicts
+    as opaque black regardless of mode, the rest of row 0 predicts from
+    L, column 0 predicts from T, and the top-right neighbor of the last
+    column wraps to the leftmost pixel of the row above."""
+    w = img.shape[1]
+    if x == 0 and y == 0:
+        return np.array([255, 0, 0, 0], np.int32)
+    if y == 0:
+        return img[0, x - 1].astype(np.int32)
+    if x == 0:
+        return img[y - 1, 0].astype(np.int32)
+    L = img[y, x - 1].astype(np.int32)
+    T = img[y - 1, x].astype(np.int32)
+    TL = img[y - 1, x - 1].astype(np.int32)
+    TR = img[y - 1, x + 1].astype(np.int32) if x + 1 < w else img[y - 1, 0].astype(np.int32)
+    if mode == 0:
+        return np.array([255, 0, 0, 0], np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return ((L + TR) // 2 + T) // 2
+    if mode == 6:
+        return (L + TL) // 2
+    if mode == 7:
+        return (L + T) // 2
+    if mode == 8:
+        return (TL + T) // 2
+    if mode == 9:
+        return (T + TR) // 2
+    if mode == 10:
+        return ((L + TL) // 2 + (T + TR) // 2) // 2
+    if mode == 11:  # Select
+        p = L + T - TL
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:  # ClampAddSubtractHalf
+        avg = (L + T) // 2
+        return np.clip(avg + (avg - TL) // 2, 0, 255)
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _vp8l_color_delta(t: int, c: int) -> int:
+    """Signed color-transform delta product >> 5 (int8 semantics)."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def decode_webp_lossless(payload: bytes) -> np.ndarray:
+    """REAL decoder for lossless WebP (VP8L chunk inside RIFF): the full
+    lossless feature set — simple + normal Huffman codes, meta-Huffman,
+    color cache, LZ77 with plain and 2D neighbor distance codes, and
+    the predictor / color / subtract-green / color-indexing transforms
+    applied in reverse order. Returns (h, w, 4) uint8 RGBA. Lossy WebP
+    (VP8 chunk) raises ValueError. Pure numpy + stdlib."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    if payload[12:16] in (b"VP8 ", b"VP8X"):
+        raise NotImplementedError(
+            "lossy/extended WebP (VP8/VP8X) is a full video-intra codec "
+            "and needs an external library; lossless VP8L decodes here"
+        )
+    if payload[12:16] != b"VP8L":
+        raise ValueError("missing VP8L chunk")
+    import struct
+
+    if len(payload) < 21:
+        raise ValueError("truncated WebP payload")
+    (chunk_len,) = struct.unpack("<I", payload[16:20])
+    data = payload[20 : 20 + chunk_len]
+    if len(data) < chunk_len:
+        raise ValueError("truncated WebP payload")
+    if data[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _VP8LBitReader(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []  # (type, payload...) in read order
+    seen = set()
+    cur_w = w
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract-green
+            transforms.append((2, None, None))
+        elif ttype in (0, 1):  # predictor / color
+            size_bits = br.bits(3) + 2
+            bw = -(-cur_w // (1 << size_bits))
+            bh = -(-h // (1 << size_bits))
+            sub = _vp8l_entropy_image(br, bw, bh, 0, False)
+            transforms.append((ttype, size_bits, sub))
+        else:  # 3: color indexing
+            n_colors = br.bits(8) + 1
+            pal_img = _vp8l_entropy_image(br, n_colors, 1, 0, False)
+            pal = np.cumsum(pal_img[0].astype(np.int64), axis=0) % 256
+            pal = pal.astype(np.uint8)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, (n_colors, width_bits, cur_w), pal))
+            if width_bits:
+                cur_w = -(-cur_w // (1 << width_bits))
+    img = _vp8l_entropy_image(br, cur_w, h, 0, True)
+    for t in reversed(transforms):
+        ttype = t[0]
+        if ttype == 2:  # add green back
+            g = img[:, :, 2].astype(np.int32)
+            img[:, :, 1] = ((img[:, :, 1].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+            img[:, :, 3] = ((img[:, :, 3].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+        elif ttype == 0:  # predictor
+            size_bits, sub = t[1], t[2]
+            out = img.astype(np.int32)
+            for y in range(img.shape[0]):
+                for x in range(img.shape[1]):
+                    mode = int(sub[y >> size_bits, x >> size_bits, 2])
+                    pred = _vp8l_predict(mode, out.astype(np.uint8), x, y)
+                    out[y, x] = (out[y, x] + pred) & 0xFF
+            img = out.astype(np.uint8)
+        elif ttype == 1:  # color transform
+            size_bits, sub = t[1], t[2]
+            for y in range(img.shape[0]):
+                for x in range(img.shape[1]):
+                    el = sub[y >> size_bits, x >> size_bits]
+                    g2r = int(el[3])   # blue channel: green_to_red
+                    g2b = int(el[2])   # green channel: green_to_blue
+                    r2b = int(el[1])   # red channel: red_to_blue
+                    a, r, g, b = (int(v) for v in img[y, x])
+                    r = (r + _vp8l_color_delta(g2r, g)) & 0xFF
+                    b = (b + _vp8l_color_delta(g2b, g) + _vp8l_color_delta(r2b, r)) & 0xFF
+                    img[y, x] = (a, r, g, b)
+        else:  # color indexing
+            (n_colors, width_bits, orig_w), pal = t[1], t[2]
+            if width_bits:
+                per_byte = 1 << width_bits
+                ibits = 8 >> width_bits
+                idx = np.zeros((h, orig_w), dtype=np.int64)
+                for y in range(h):
+                    for x in range(orig_w):
+                        packed = int(img[y, x >> width_bits, 2])
+                        shift = (x % per_byte) * ibits
+                        idx[y, x] = (packed >> shift) & ((1 << ibits) - 1)
+            else:
+                idx = img[:, :, 2].astype(np.int64)
+            if idx.max(initial=0) >= n_colors:
+                raise ValueError("palette index outside color table")
+            img = pal[idx]
+    # ARGB -> RGBA
+    return img[:, :, [1, 2, 3, 0]]
+
+
+def _vp8l_build_lengths(freqs: dict[int, int], alphabet_size: int, max_len: int = 15) -> list[int]:
+    """Huffman code lengths from frequencies (heap Huffman + depth cap
+    with Kraft repair). Returns a complete code: Kraft sum == 1."""
+    import heapq
+
+    syms = [s for s, f in freqs.items() if f > 0]
+    lengths = [0] * alphabet_size
+    if not syms:
+        raise ValueError("empty symbol set")
+    if len(syms) == 1:
+        lengths[syms[0]] = 1  # handled as simple code by the writer
+        return lengths
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items())) if f > 0]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(syms, 0)
+    ctr = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, ctr, g1 + g2))
+        ctr += 1
+    for s, d in depth.items():
+        lengths[s] = min(d, max_len)
+    # Kraft repair after capping: shorten the slack away / lengthen overflow
+    while True:
+        kraft = sum(1 / (1 << l) for l in lengths if l)
+        if abs(kraft - 1.0) < 1e-12:
+            return lengths
+        if kraft > 1.0:  # overfull: lengthen the shallowest-deepest fixable
+            cand = max(
+                (s for s in syms if lengths[s] < max_len),
+                key=lambda s: lengths[s],
+                default=None,
+            )
+            if cand is None:
+                raise ValueError("cannot repair Huffman lengths")
+            lengths[cand] += 1
+        else:  # underfull: shorten the deepest
+            cand = max(syms, key=lambda s: lengths[s])
+            if lengths[cand] <= 1:
+                raise ValueError("cannot repair Huffman lengths")
+            lengths[cand] -= 1
+
+
+def _vp8l_write_code(bw: _VP8LBitWriter, lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Write one Huffman code (simple when <=2 symbols, else normal with
+    a no-repeat code-length stream) and return symbol -> (code, len)."""
+    nz = [s for s, ln in enumerate(lengths) if ln > 0]
+    if len(nz) <= 2 and all(s < 256 for s in nz):
+        bw.put(1, 1)  # simple
+        bw.put(len(nz) - 1, 1)
+        if nz[0] <= 1 and len(nz) == 1:
+            bw.put(0, 1)  # 1-bit first symbol
+            bw.put(nz[0], 1)
+        else:
+            bw.put(1, 1)
+            bw.put(nz[0], 8)
+        if len(nz) == 2:
+            bw.put(nz[1], 8)
+        if len(nz) == 1:
+            return {nz[0]: (0, 0)}
+        return {nz[0]: (0, 1), nz[1]: (1, 1)}
+    bw.put(0, 1)  # normal
+    # trailing zeros are implied: transmit only up to the last nonzero
+    last = max(nz)
+    used = lengths[: last + 1]
+    cl_freq: dict[int, int] = {}
+    for ln in used:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths = _vp8l_build_lengths(cl_freq, 19, max_len=7)
+    simple_cl = sum(1 for v in cl_lengths if v) == 1
+    # transmit the CL code: num_code_lengths then 3-bit lengths in order
+    need = max(
+        (i + 1 for i, s in enumerate(_VP8L_CL_ORDER) if cl_lengths[s] > 0), default=4
+    )
+    need = max(need, 4)
+    bw.put(need - 4, 4)
+    for i in range(need):
+        bw.put(cl_lengths[_VP8L_CL_ORDER[i]], 3)
+    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    # use_max_symbol: emit exactly len(used) symbols then stop
+    if last + 1 < len(lengths):
+        bw.put(1, 1)
+        nbits_code = 7  # length_nbits = 2 + 2*7 = 16 bits field
+        bw.put(nbits_code, 3)
+        bw.put(len(used) - 2, 2 + 2 * nbits_code)
+    else:
+        bw.put(0, 1)
+    for ln in used:
+        if simple_cl:
+            continue  # zero-bit CL code
+        code, cln = cl_codes[ln]
+        # canonical codes are written MSB-first bit by bit
+        for b in range(cln - 1, -1, -1):
+            bw.put((code >> b) & 1, 1)
+    return _vp8l_canonical_codes(lengths)
+
+
+def _vp8l_put_sym(bw: _VP8LBitWriter, codes: dict[int, tuple[int, int]], sym: int) -> None:
+    code, ln = codes[sym]
+    for b in range(ln - 1, -1, -1):
+        bw.put((code >> b) & 1, 1)
+
+
+def _vp8l_prefix_code(v: int) -> tuple[int, int, int]:
+    """Inverse of _vp8l_prefix_value: value -> (code, extra_bits_value,
+    extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    nbits = (v - 1).bit_length() - 1
+    base = 1 << nbits
+    if v - 1 < base + (base >> 1):
+        code = 2 * nbits + (0 if True else 0)
+        # low half: offset 2 << (nbits-1) == base
+        return 2 * nbits, v - 1 - base, nbits - 1
+    return 2 * nbits + 1, v - 1 - base - (base >> 1), nbits - 1
+
+
+def _vp8l_write_entropy_image(
+    bw: _VP8LBitWriter,
+    argb: np.ndarray,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    allow_meta: bool = True,
+) -> None:
+    """Write one entropy-coded image (main image when `allow_meta`, else
+    a transform sub-image / palette, which carry no meta-Huffman or
+    cache preamble) — literal Huffman coding from measured histograms,
+    optional color cache, optional greedy LZ77 (repeat-previous-pixel
+    runs; vertical matches use the 2D neighbor distance codes)."""
+    h, w = argb.shape[:2]
+    if allow_meta:
+        bw.put(0, 1)  # no meta-huffman
+        if cache_bits:
+            bw.put(1, 1)
+            bw.put(cache_bits, 4)
+        else:
+            bw.put(0, 1)
+    else:
+        cache_bits = 0
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    flat = argb.reshape(-1, 4).astype(np.int64)
+    npix = flat.shape[0]
+    tokens: list[tuple] = []
+    cache = [0] * cache_size if cache_size else []
+    dist_rev: dict[int, int] = {}
+    for code_i, (dx, dy) in enumerate(_VP8L_DIST_MAP, start=1):
+        d = dy * w + dx
+        if d >= 1 and d not in dist_rev:
+            dist_rev[d] = code_i
+    pos = 0
+    while pos < npix:
+        a, r, g, b = (int(v) for v in flat[pos])
+        if lz77 and pos > 0:
+            best_len, best_dist = 0, 0
+            for dist in (1, w if pos >= w else 0):
+                if not dist:
+                    continue
+                ln = 0
+                while (
+                    pos + ln < npix
+                    and ln < 4096
+                    and tuple(flat[pos + ln]) == tuple(flat[pos + ln - dist])
+                ):
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+            if best_len >= 3:
+                tokens.append(("copy", best_len, best_dist))
+                if cache_size:
+                    for k in range(best_len):
+                        aa, rr, gg, bb = (int(v) for v in flat[pos + k])
+                        av = (aa << 24) | (rr << 16) | (gg << 8) | bb
+                        cache[(0x1E35A7BD * av & 0xFFFFFFFF) >> (32 - cache_bits)] = av
+                pos += best_len
+                continue
+        argb_v = (a << 24) | (r << 16) | (g << 8) | b
+        if cache_size:
+            idx = (0x1E35A7BD * argb_v & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[idx] == argb_v:
+                tokens.append(("cache", idx))
+                pos += 1
+                continue
+            cache[idx] = argb_v
+        tokens.append(("lit", a, r, g, b))
+        pos += 1
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        elif t[0] == "cache":
+            sidx = 256 + 24 + t[1]
+            gf[sidx] = gf.get(sidx, 0) + 1
+        else:
+            lcode, _, _ = _vp8l_prefix_code(t[1])
+            gf[256 + lcode] = gf.get(256 + lcode, 0) + 1
+            dcode_val = dist_rev.get(t[2], t[2] + 120)
+            dcode, _, _ = _vp8l_prefix_code(dcode_val)
+            df[dcode] = df.get(dcode, 0) + 1
+    for fr in (rf, bf):
+        if not fr:
+            fr[0] = 1
+    if not af:
+        af[255] = 1
+    if not df:
+        df[0] = 1
+    g_alpha = 256 + 24 + cache_size
+    codes_g = _vp8l_write_code(bw, _vp8l_build_lengths(gf, g_alpha))
+    codes_r = _vp8l_write_code(bw, _vp8l_build_lengths(rf, 256))
+    codes_b = _vp8l_write_code(bw, _vp8l_build_lengths(bf, 256))
+    codes_a = _vp8l_write_code(bw, _vp8l_build_lengths(af, 256))
+    codes_d = _vp8l_write_code(bw, _vp8l_build_lengths(df, 40))
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            _vp8l_put_sym(bw, codes_g, g)
+            _vp8l_put_sym(bw, codes_r, r)
+            _vp8l_put_sym(bw, codes_b, b)
+            _vp8l_put_sym(bw, codes_a, a)
+        elif t[0] == "cache":
+            _vp8l_put_sym(bw, codes_g, 256 + 24 + t[1])
+        else:
+            _, length, dist = t
+            lcode, lextra, lnb = _vp8l_prefix_code(length)
+            _vp8l_put_sym(bw, codes_g, 256 + lcode)
+            bw.put(lextra, lnb)
+            dcode_val = dist_rev.get(dist, dist + 120)
+            dcode, dextra, dnb = _vp8l_prefix_code(dcode_val)
+            _vp8l_put_sym(bw, codes_d, dcode)
+            bw.put(dextra, dnb)
+
+
+def encode_webp_lossless(
+    rgba: np.ndarray,
+    subtract_green: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    transform: str | None = None,
+) -> bytes:
+    """Encode an (h, w, 4) uint8 RGBA image as a REAL lossless WebP
+    (RIFF/VP8L). `transform` selects an additional transform so every
+    decoder path is round-trip-exercised:
+
+    - None: literal coding (plus optional subtract-green / cache / LZ77)
+    - 'palette': color-indexing with diff-coded palette and sub-byte
+      index packing when <= 16 distinct colors (requires <= 256 colors)
+    - 'predictor': one global spatial predictor (mode 2, top) over the
+      whole image, residuals literal-coded
+    - 'color': one global color-transform element, residuals coded
+
+    decode(encode(x)) == x exactly for every combination."""
+    import struct
+
+    h, w, nc = rgba.shape
+    if nc != 4:
+        raise ValueError("encode_webp_lossless needs (h, w, 4) RGBA")
+    argb = rgba[:, :, [3, 0, 1, 2]].astype(np.int64)  # A,R,G,B
+    bw = _VP8LBitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    if transform == "predictor":
+        # size_bits=9 -> one 512x512 block: a single global mode cell
+        mode = 2  # T (top); row 0 predicts from L per spec fallbacks
+        bw.put(1, 1)
+        bw.put(0, 2)
+        bw.put(9 - 2, 3)
+        sub = np.zeros((1, 1, 4), dtype=np.uint8)
+        sub[0, 0] = (255, 0, mode, 0)
+        _vp8l_write_entropy_image(bw, sub, allow_meta=False)
+        recon = argb.copy()
+        resid = argb.copy()
+        for y in range(h):
+            for x in range(w):
+                pred = _vp8l_predict(mode, recon.astype(np.uint8), x, y)
+                resid[y, x] = (argb[y, x] - pred) & 0xFF
+        argb = resid
+    elif transform == "color":
+        g2r, g2b, r2b = 0x05, 0xF3, 0x11  # arbitrary signed int8 deltas
+        bw.put(1, 1)
+        bw.put(1, 2)
+        bw.put(9 - 2, 3)
+        sub = np.zeros((1, 1, 4), dtype=np.uint8)
+        sub[0, 0] = (255, r2b, g2b, g2r)  # channels: A, R=r2b, G=g2b, B=g2r
+        _vp8l_write_entropy_image(bw, sub, allow_meta=False)
+        out = argb.copy()
+        for y in range(h):
+            for x in range(w):
+                a, r, g, b = (int(v) for v in argb[y, x])
+                nr = (r - _vp8l_color_delta(g2r, g)) & 0xFF
+                nb = (b - _vp8l_color_delta(g2b, g) - _vp8l_color_delta(r2b, r)) & 0xFF
+                out[y, x] = (a, nr, g, nb)
+        argb = out
+    elif transform == "palette":
+        flat = argb.reshape(-1, 4)
+        colors = sorted({tuple(int(v) for v in px) for px in flat})
+        n_colors = len(colors)
+        if n_colors > 256:
+            raise ValueError("palette transform needs <= 256 distinct colors")
+        index_of = {c: i for i, c in enumerate(colors)}
+        bw.put(1, 1)
+        bw.put(3, 2)
+        bw.put(n_colors - 1, 8)
+        pal = np.array(colors, dtype=np.int64).reshape(1, n_colors, 4)
+        diffs = pal.copy()
+        diffs[0, 1:] = (pal[0, 1:] - pal[0, :-1]) & 0xFF
+        _vp8l_write_entropy_image(bw, diffs.astype(np.uint8), allow_meta=False)
+        idx = np.array([index_of[tuple(int(v) for v in px)] for px in flat]).reshape(h, w)
+        if n_colors <= 2:
+            width_bits = 3
+        elif n_colors <= 4:
+            width_bits = 2
+        elif n_colors <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            per_byte = 1 << width_bits
+            ibits = 8 >> width_bits
+            pw = -(-w // per_byte)
+            packed = np.zeros((h, pw), dtype=np.int64)
+            for y in range(h):
+                for x in range(w):
+                    packed[y, x >> width_bits] |= idx[y, x] << ((x % per_byte) * ibits)
+            green = packed
+        else:
+            green = idx
+        argb = np.zeros((h, green.shape[1], 4), dtype=np.int64)
+        argb[:, :, 0] = 255
+        argb[:, :, 2] = green
+    if subtract_green:
+        if transform == "palette":
+            raise ValueError("subtract_green not composable with palette here")
+        bw.put(1, 1)
+        bw.put(2, 2)
+        g = argb[:, :, 2]
+        argb[:, :, 1] = (argb[:, :, 1] - g) & 0xFF
+        argb[:, :, 3] = (argb[:, :, 3] - g) & 0xFF
+    bw.put(0, 1)  # no more transforms
+    _vp8l_write_entropy_image(
+        bw, argb.astype(np.uint8), cache_bits=cache_bits, lz77=lz77, allow_meta=True
+    )
+    body = b"\x2f" + bw.flush()
+    padded = body + (b"\x00" if len(body) % 2 else b"")
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + padded
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_card(doc_id: int, w: int = 16, h: int = 16) -> bytes:
+    """Deterministic lossless-WebP test card: RGBA gradient
+    r = (doc_id*7 + x*3 + y*11) % 256, g = (doc_id*13 + x*5 + y*17) % 256,
+    b = (doc_id*3 + x*19 + y*7) % 256, a = 255, encoded with the
+    feature-rich path (subtract-green transform + 5-bit color cache +
+    LZ77) — lossless, so the closed-form pixel formulas ARE the decoded
+    values and a SQL oracle can enumerate the channel sums exactly."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (doc_id * 7 + xs * 3 + ys * 11) % 256,
+            (doc_id * 13 + xs * 5 + ys * 17) % 256,
+            (doc_id * 3 + xs * 19 + ys * 7) % 256,
+            np.full((h, w), 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_webp_lossless(img, subtract_green=True, cache_bits=5, lz77=True)
+
+
+def webp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Lossless-WebP decode stage — same mapInPandas contract as the
+    other codecs: (doc_id, payload) -> integer-exact channel sums."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "width": [], "height": [], "sum_r": [], "sum_g": [], "sum_b": [], "min_a": []
+        }
+        for payload in pdf["payload"]:
+            img = decode_webp_lossless(bytes(payload)).astype(np.int64)
+            hh, ww = img.shape[:2]
+            out["width"].append(ww)
+            out["height"].append(hh)
+            out["sum_r"].append(int(img[:, :, 0].sum()))
+            out["sum_g"].append(int(img[:, :, 1].sum()))
+            out["sum_b"].append(int(img[:, :, 2].sum()))
+            out["min_a"].append(int(img[:, :, 3].min()))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64")}
+            | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
         )
