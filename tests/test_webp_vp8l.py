@@ -128,3 +128,19 @@ def test_distance_map_shape():
     d2 = [dx * dx + dy * dy for dx, dy in m]
     assert d2 == sorted(d2)
     assert all(0 <= dy <= 7 and -8 <= dx <= 8 for dx, dy in m)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=28),
+    st.integers(min_value=2, max_value=28),
+    st.integers(min_value=0, max_value=2**31),
+    st.sampled_from([2, 3, 5]),
+)
+def test_roundtrip_meta_huffman_groups(h, w, seed, meta_bits):
+    """Meta-Huffman: two entropy groups split left/right at block
+    granularity — the decoder must dispatch each pixel to its block's
+    group codes."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    assert (_rt(img, meta_bits=meta_bits) == img).all()

@@ -2717,6 +2717,7 @@ def _vp8l_write_entropy_image(
     cache_bits: int = 0,
     lz77: bool = False,
     allow_meta: bool = True,
+    meta_bits: int = 0,
 ) -> None:
     """Write one entropy-coded image (main image when `allow_meta`, else
     a transform sub-image / palette, which carry no meta-Huffman or
@@ -2724,8 +2725,27 @@ def _vp8l_write_entropy_image(
     optional color cache, optional greedy LZ77 (repeat-previous-pixel
     runs; vertical matches use the 2D neighbor distance codes)."""
     h, w = argb.shape[:2]
+    meta_img = None
     if allow_meta:
-        bw.put(0, 1)  # no meta-huffman
+        if meta_bits:
+            # meta-Huffman: two entropy groups split left/right at the
+            # block granularity — exercises the decoder's per-pixel
+            # group dispatch; literal-only for encoder simplicity
+            if cache_bits or lz77:
+                raise ValueError("meta_bits composes with literals only here")
+            bw.put(1, 1)
+            bw.put(meta_bits - 2, 3)
+            mw = -(-w // (1 << meta_bits))
+            mh = -(-h // (1 << meta_bits))
+            meta_img = np.zeros((mh, mw), dtype=np.int64)
+            meta_img[:, mw // 2 :] = 1 if mw > 1 else 0
+            sub = np.zeros((mh, mw, 4), dtype=np.uint8)
+            sub[:, :, 0] = 255
+            sub[:, :, 1] = (meta_img >> 8).astype(np.uint8)
+            sub[:, :, 2] = (meta_img & 0xFF).astype(np.uint8)
+            _vp8l_write_entropy_image(bw, sub, allow_meta=False)
+        else:
+            bw.put(0, 1)  # no meta-huffman
         if cache_bits:
             bw.put(1, 1)
             bw.put(cache_bits, 4)
@@ -2734,6 +2754,42 @@ def _vp8l_write_entropy_image(
     else:
         cache_bits = 0
     cache_size = (1 << cache_bits) if cache_bits else 0
+    if meta_img is not None:
+        n_groups = int(meta_img.max()) + 1
+        flat_groups = np.repeat(
+            np.repeat(meta_img, 1 << meta_bits, axis=0)[:h],
+            1 << meta_bits, axis=1
+        )[:, :w].reshape(-1)
+        flat_px = argb.reshape(-1, 4).astype(np.int64)
+        g_alpha = 256 + 24
+        group_codes = []
+        # per-group histograms over literals
+        for gi in range(n_groups):
+            sel = flat_px[flat_groups == gi]
+            gf = {}; rf = {}; bf = {}; af = {}
+            for a, r, g, b in ((int(p[0]), int(p[1]), int(p[2]), int(p[3])) for p in sel):
+                gf[g] = gf.get(g, 0) + 1
+                rf[r] = rf.get(r, 0) + 1
+                bf[b] = bf.get(b, 0) + 1
+                af[a] = af.get(a, 0) + 1
+            for fr, d in ((rf, 0), (bf, 0), (af, 255), (gf, 0)):
+                if not fr:
+                    fr[d] = 1
+            group_codes.append((
+                _vp8l_write_code(bw, _vp8l_build_lengths(gf, g_alpha)),
+                _vp8l_write_code(bw, _vp8l_build_lengths(rf, 256)),
+                _vp8l_write_code(bw, _vp8l_build_lengths(bf, 256)),
+                _vp8l_write_code(bw, _vp8l_build_lengths(af, 256)),
+                _vp8l_write_code(bw, _vp8l_build_lengths({0: 1}, 40)),
+            ))
+        for px, gi in zip(flat_px, flat_groups):
+            a, r, g, b = (int(v) for v in px)
+            cg, cr, cb, ca, _cd = group_codes[gi]
+            _vp8l_put_sym(bw, cg, g)
+            _vp8l_put_sym(bw, cr, r)
+            _vp8l_put_sym(bw, cb, b)
+            _vp8l_put_sym(bw, ca, a)
+        return
     flat = argb.reshape(-1, 4).astype(np.int64)
     npix = flat.shape[0]
     tokens: list[tuple] = []
@@ -2839,6 +2895,7 @@ def encode_webp_lossless(
     cache_bits: int = 0,
     lz77: bool = False,
     transform: str | None = None,
+    meta_bits: int = 0,
 ) -> bytes:
     """Encode an (h, w, 4) uint8 RGBA image as a REAL lossless WebP
     (RIFF/VP8L). `transform` selects an additional transform so every
@@ -2942,7 +2999,8 @@ def encode_webp_lossless(
         argb[:, :, 3] = (argb[:, :, 3] - g) & 0xFF
     bw.put(0, 1)  # no more transforms
     _vp8l_write_entropy_image(
-        bw, argb.astype(np.uint8), cache_bits=cache_bits, lz77=lz77, allow_meta=True
+        bw, argb.astype(np.uint8), cache_bits=cache_bits, lz77=lz77,
+        allow_meta=True, meta_bits=meta_bits,
     )
     body = b"\x2f" + bw.flush()
     padded = body + (b"\x00" if len(body) % 2 else b"")
