@@ -144,3 +144,32 @@ def test_progressive_jpeg_band_splits_and_eobrun():
             M.encode_jpeg_gray_progressive(img, bands=bands)
         )
         assert (got == want).all(), bands
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_progressive_jpeg_successive_approximation(bh, bw, seed):
+    """Full SOF2 feature matrix: the 4-scan successive-approximation
+    script (DC@Al=1, AC@Al=1, DC refine, AC refine with correction-bit
+    buffering) must reconstruct bit-identically to the baseline round
+    trip — any refinement desync shows as off-by-one coefficients."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (8 * bh, 8 * bw)).astype(np.uint8)
+    base = M.decode_jpeg_gray(M.encode_jpeg_gray(img))
+    sa = M.decode_jpeg_gray_progressive(M.encode_jpeg_gray_progressive_sa(img))
+    assert (base == sa).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.data())
+def test_sa_jpeg_truncation_raises_valueerror(doc_id, data):
+    ys, xs = np.mgrid[0:16, 0:16]
+    img = ((doc_id + xs * 3 + ys * 5) % 256).astype(np.uint8)
+    payload = M.encode_jpeg_gray_progressive_sa(img)
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray_progressive(payload[:cut])

@@ -1193,9 +1193,10 @@ def jpeg_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 # 3-scan encoder (DC scan, AC band 1-5, AC band 6-63, with true EOBRUN
 # accumulation across blocks) and a decoder that accumulates coefficients
 # across any spectral-selection scan split — including the degenerate
-# single-scan Ss=0..63 case, i.e. it also decodes baseline layouts.
-# Successive approximation (Ah/Al != 0) stays a ValueError: it is a
-# different bit-plane protocol, and a clear error beats a wrong image.
+# single-scan Ss=0..63 case, i.e. it also decodes baseline layouts —
+# and (r11 second pass) SUCCESSIVE APPROXIMATION: DC/AC first scans at
+# Al > 0 plus DC/AC refinement scans (T.81 G.1.2.3 correction-bit
+# protocol), completing the SOF2 feature matrix.
 # --------------------------------------------------------------------------
 
 
@@ -1336,6 +1337,162 @@ def encode_jpeg_gray_progressive(
     return bytes(out)
 
 
+def encode_jpeg_gray_progressive_sa(img: np.ndarray) -> bytes:
+    """Encode a grayscale image as a PROGRESSIVE JPEG with SUCCESSIVE
+    APPROXIMATION (the full SOF2 feature matrix): four scans —
+    (1) DC first at Al=1 (diffs of the arithmetic-shifted DC),
+    (2) AC 1-63 first at Al=1 (magnitude-shifted, EOBRUN-coded),
+    (3) DC refinement (one appended bit per block),
+    (4) AC 1-63 refinement (T.81 G.1.2.3: correction bits for nonzero
+    history, newly-nonzero +/-1<<Al placements, EOBn runs carrying
+    buffered correction bits) — the libjpeg encode_mcu_AC_refine
+    construction. All-ones quant table, so the final reconstruction
+    equals the baseline round trip bit-for-bit."""
+    import struct
+
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("needs multiple-of-8 dimensions")
+    blocks = _jpeg_block_zz(img)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    al = 1
+
+    # scan 1: DC first, Al=1
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        sd = int(zz[0]) >> al  # arithmetic shift (Python >> floors)
+        diff = sd - prev
+        prev = sd
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    scans = [(0, 0, 0, al, bytes(bw.out))]
+
+    # scan 2: AC first 1-63, Al=1 (magnitude point transform)
+    bw = _BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        band = []
+        for k in range(1, 64):
+            v = int(zz[k])
+            mag = abs(v) >> al
+            band.append(0 if mag == 0 else (mag if v > 0 else -mag))
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                eobrun = _put_eobrun(bw, ac_codes, eobrun)
+            continue
+        eobrun = _put_eobrun(bw, ac_codes, eobrun)
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if nz[-1] < 62:
+            eobrun += 1
+    _put_eobrun(bw, ac_codes, eobrun)
+    bw.flush()
+    scans.append((1, 63, 0, al, bytes(bw.out)))
+
+    # scan 3: DC refinement (Ah=1, Al=0)
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.put(int(zz[0]) & 1, 1)
+    bw.flush()
+    scans.append((0, 0, al, 0, bytes(bw.out)))
+
+    # scan 4: AC refinement 1-63 (Ah=1, Al=0)
+    bw = _BitWriter()
+    state = {"eobrun": 0, "pending": []}
+
+    def emit_eobrun():
+        n = state["eobrun"]
+        if n > 0:
+            r = n.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(n - (1 << r), r)
+            state["eobrun"] = 0
+            for b in state["pending"]:
+                bw.put(b, 1)
+            state["pending"] = []
+
+    p1 = 1
+    for zz in blocks:
+        absv = [abs(int(zz[k])) for k in range(1, 64)]
+        eob_rel = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_rel = i
+        run = 0
+        br_bits: list[int] = []
+        for i, t in enumerate(absv):
+            k = i + 1
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_rel:
+                emit_eobrun()
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+                for b in br_bits:
+                    bw.put(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            emit_eobrun()
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(zz[k]) > 0 else 0, 1)
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            state["eobrun"] += 1
+            state["pending"].extend(br_bits)
+            if state["eobrun"] == 32767:
+                emit_eobrun()
+    emit_eobrun()
+    bw.flush()
+    scans.append((1, 63, al, 0, bytes(bw.out)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    for ss, se, ah, al_, data in scans:
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al_]))
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _find_scan_end(payload: bytes, start: int) -> int:
     """First position >= start of a real marker (0xFF followed by a byte
     that is neither 0x00 stuffing nor another 0xFF fill byte)."""
@@ -1348,6 +1505,55 @@ def _find_scan_end(payload: bytes, start: int) -> int:
     raise ValueError("truncated JPEG: scan never terminated by a marker")
 
 
+def _jpeg_ac_refine(br, ac_tab, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation REFINEMENT for one block's band
+    (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine): coefficients with
+    nonzero history consume one correction bit each; zero-history runs
+    count down toward a possibly newly-nonzero +/-(1 << Al); EOBn spans
+    blocks but still consumes correction bits for the nonzero history
+    inside the skipped region. Returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = br.huff(ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    # EOBn: FULL run count, libjpeg convention — the
+                    # CURRENT block's remaining positions are part of
+                    # the run (decremented in the tail below), so n=1
+                    # (symbol 0x00) still corrects this block's tail
+                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            elif s == 1:
+                newval = p1 if br.bits(1) else -p1
+            else:
+                raise ValueError("invalid AC refinement symbol")
+            while k <= se:
+                if zz[k]:
+                    if br.bits(1) and (int(zz[k]) & p1) == 0:
+                        zz[k] = int(zz[k]) + (p1 if zz[k] > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k]:
+                if br.bits(1) and (int(zz[k]) & p1) == 0:
+                    zz[k] = int(zz[k]) + (p1 if zz[k] > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     """REAL decoder for PROGRESSIVE (SOF2) single-component JPEG with
     spectral selection: walks markers, then accumulates quantized
@@ -1357,9 +1563,12 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     (the progressive-specific construct; a baseline-style lone EOB is
     the n=1 case). After the last scan: dequantize, inverse zigzag,
     IDCT, level shift. Also accepts the degenerate full-band scan
-    (Ss=0, Se=63), i.e. sequential layouts. Successive approximation
-    (Ah or Al nonzero) and multi-component frames raise ValueError.
-    Pure numpy + stdlib; every loop is bounded by the payload."""
+    (Ss=0, Se=63), i.e. sequential layouts, and SUCCESSIVE
+    APPROXIMATION: DC/AC first scans at Al > 0 and DC/AC refinement
+    scans (Ah > 0; T.81 G.1.2.3 — correction bits for nonzero history,
+    newly-nonzero +/-1<<Al placements, EOBn runs spanning blocks).
+    Multi-component frames raise ValueError. Pure numpy + stdlib;
+    every loop is bounded by the payload."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1422,10 +1631,11 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
             dc_sel = body[2] >> 4
             ac_sel = body[2] & 0xF
             ss, se, ahal = body[3], body[4], body[5]
-            if ahal != 0:
-                raise ValueError("successive approximation unsupported")
+            ah, al = ahal >> 4, ahal & 0xF
             if ss > se or se > 63:
                 raise ValueError("invalid spectral selection bounds")
+            if ss == 0 and se > 0 and (ah or al):
+                raise ValueError("combined DC+AC scan cannot carry approximation")
             scan_start = i + 2 + ln
             scan_end = _find_scan_end(payload, scan_start)
             # trailing marker sentinel: _BitReader pads from a marker
@@ -1436,29 +1646,37 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
             eobrun = 0
             for zz in coefs:
                 if ss == 0:
-                    cat = br.huff(huff[(0, dc_sel)])
-                    prev_dc += _jpeg_extend(br.bits(cat), cat)
-                    zz[0] = prev_dc
+                    if ah == 0:  # DC first (Al may shift)
+                        cat = br.huff(huff[(0, dc_sel)])
+                        prev_dc += _jpeg_extend(br.bits(cat), cat)
+                        zz[0] = prev_dc << al
+                    else:  # DC refinement: one appended bit per block
+                        zz[0] = int(zz[0]) | (br.bits(1) << al)
                 if se >= 1:
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
                     ac_tab = huff[(1, ac_sel)]
-                    k = max(ss, 1)
-                    while k <= se:
-                        sym = br.huff(ac_tab)
-                        r, s = sym >> 4, sym & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1 + br.bits(r)
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("AC index beyond spectral band")
-                        zz[k] = _jpeg_extend(br.bits(s), s)
-                        k += 1
+                    if ah == 0:  # AC first scan for this band
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = max(ss, 1)
+                        while k <= se:
+                            sym = br.huff(ac_tab)
+                            r, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + br.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index beyond spectral band")
+                            zz[k] = _jpeg_extend(br.bits(s), s) << al
+                            k += 1
+                    else:  # AC refinement (T.81 G.1.2.3)
+                        eobrun = _jpeg_ac_refine(
+                            br, ac_tab, zz, max(ss, 1), se, al, eobrun
+                        )
             i = scan_end
             continue
         i += 2 + ln

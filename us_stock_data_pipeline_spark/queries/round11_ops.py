@@ -531,7 +531,12 @@ def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Data
     payloads ride a binary column through Arrow-batched mapInPandas,
     and ``decode_jpeg_gray_progressive`` walks the markers, decodes
     EVERY scan, accumulates coefficients per block, then dequantizes +
-    IDCTs — pure numpy + stdlib, no libjpeg. The constant-block card's
+    IDCTs — pure numpy + stdlib, no libjpeg. The decoder also covers
+    SUCCESSIVE APPROXIMATION (Al-shifted first scans plus T.81 G.1.2.3
+    refinement scans with correction-bit buffering), completing the
+    SOF2 feature matrix — property-pinned bit-identical to the
+    baseline round trip in tests/test_codec_properties.py. The
+    constant-block card's
     AC scans collapse to one EOBn run covering all 8 blocks, so the
     oracle-checked path exercises the progressive-specific construct
     (multi-block EOB runs with r > 0); arbitrary content is pinned by
