@@ -867,3 +867,161 @@ def multimodal_webp_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# --------------------------------------------------------------------------
+# layout: Hilbert-curve clustering key (locality-preserving multi-dim sort)
+# --------------------------------------------------------------------------
+
+_HBITS = 4  # 16 bins per dimension -> 256 Hilbert cells
+_HN = 1 << _HBITS
+
+
+def _hilbert_oracle_ctes() -> str:
+    """Chained CTEs evaluating the classic xy2d Hilbert transform,
+    unrolled over the {_HBITS} bit levels: per level, quadrant digit
+    d += s^2 * ((3*rx) XOR ry), then the rotation/reflection
+    x' = ry==0 ? (rx==1 ? n-1-y : y) : x (and symmetrically for y).
+    Pure integer CASE arithmetic — bit-identical across engines."""
+    ctes = ["h0 AS (SELECT pb AS x, db AS y, CAST(0 AS BIGINT) AS d, pb, db, cents, dayno FROM binned)"]
+    lvl = 0
+    s = _HN // 2
+    while s > 0:
+        prev, a, b = f"h{lvl}", f"h{lvl}a", f"h{lvl + 1}"
+        ctes.append(
+            f"{a} AS (SELECT x, y, d, pb, db, cents, dayno,"
+            f" CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,"
+            f" CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM {prev})"
+        )
+        ctes.append(
+            f"{b} AS (SELECT"
+            f" CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {_HN - 1} - y ELSE y END"
+            f" ELSE x END AS x,"
+            f" CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {_HN - 1} - x ELSE x END"
+            f" ELSE y END AS y,"
+            f" d + {s * s} * xor(3 * rx, ry) AS d,"
+            f" pb, db, cents, dayno FROM {a})"
+        )
+        lvl += 1
+        s //= 2
+    return ",\n".join(ctes), f"h{lvl}"
+
+
+_H_CTES, _H_LAST = _hilbert_oracle_ctes()
+
+_HILBERT_ORACLE = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS dayno
+  FROM orders
+),
+bounds AS (
+  SELECT min(cents) AS min_c, max(cents) AS max_c,
+         min(dayno) AS min_d, max(dayno) AS max_d
+  FROM o
+),
+binned AS (
+  SELECT ((o.cents - b.min_c) * {_HN}) // (b.max_c - b.min_c + 1) AS pb,
+         ((o.dayno - b.min_d) * {_HN}) // (b.max_d - b.min_d + 1) AS db,
+         o.cents, o.dayno
+  FROM o, bounds b
+),
+{_H_CTES},
+cells AS (
+  SELECT d AS h, pb, db,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         min(cents) AS min_cents, max(cents) AS max_cents
+  FROM {_H_LAST}
+  GROUP BY d, pb, db
+)
+SELECT CAST(h AS BIGINT) AS h,
+       CAST(pb AS BIGINT) AS price_bin,
+       CAST(db AS BIGINT) AS day_bin,
+       n_orders, min_cents, max_cents,
+       CAST(coalesce(abs(pb - lag(pb) OVER w) + abs(db - lag(db) OVER w), 0)
+            AS BIGINT) AS step_manhattan
+FROM cells
+WINDOW w AS (ORDER BY h)
+ORDER BY h
+"""
+
+
+@register("layout_hilbert_clustering", oracle=_HILBERT_ORACLE, tags=("layout", "scan"))
+def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE clustering key — the locality-superior sibling of
+    `layout_zorder_clustering` (Delta OPTIMIZE ships both; Hilbert wins
+    because CONSECUTIVE curve positions are always ADJACENT cells, so a
+    range of the sort key never teleports across the space the way
+    Z-order's bit-interleave does at quadrant seams). Orders are binned
+    into a 16x16 (price, day) grid and the classic xy2d transform runs
+    UNROLLED over the 4 bit levels: per level the quadrant digit is
+    s^2 * ((3*rx) XOR ry) and the frame rotates/reflects via
+    n-1-complement swaps — pure integer CASE arithmetic evaluated as a
+    chained column pipeline in Spark and the same recurrence as chained
+    CTEs in DuckDB. The output carries the per-step Manhattan distance
+    between consecutive occupied cells (`step_manhattan`): on a fully
+    occupied grid every step is exactly 1 — the locality property
+    itself, hash-checked row by row (tests/test_hilbert.py additionally
+    pins the full 256-cell curve against an independent d2xy reference
+    and asserts total path length 255 vs Z-order's 480). At 100 TB this
+    key is what OPTIMIZE ZORDER/Hilbert writes sort by: one pass to
+    bin (two scalar subquery bounds), map-side integer arithmetic, one
+    hash agg — and every bounding-box scan afterwards touches a
+    CONTIGUOUS key range, which is the entire point of the layout."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("dayno"),
+    )
+    b = o.agg(
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+        F.min("dayno").alias("min_d"),
+        F.max("dayno").alias("max_d"),
+    )
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.expr(f"(cents - min_c) * {_HN} div (max_c - min_c + 1)").alias("pb"),
+        F.expr(f"(dayno - min_d) * {_HN} div (max_d - min_d + 1)").alias("db"),
+        "cents",
+        "dayno",
+    )
+    x, y, d = F.col("pb"), F.col("db"), F.lit(0).cast("long")
+    s = _HN // 2
+    while s > 0:
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d = d + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)
+        nx = F.when(
+            ry == 0, F.when(rx == 1, F.lit(_HN - 1) - y).otherwise(y)
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, F.lit(_HN - 1) - x).otherwise(x)
+        ).otherwise(y)
+        x, y = nx, ny
+        s //= 2
+    keyed = binned.select(
+        d.cast("long").alias("h"), "pb", "db", "cents", "dayno"
+    )
+    cells = keyed.groupBy("h", "pb", "db").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    w = Window.orderBy("h")
+    return cells.select(
+        F.col("h").cast("long"),
+        F.col("pb").cast("long").alias("price_bin"),
+        F.col("db").cast("long").alias("day_bin"),
+        "n_orders",
+        "min_cents",
+        "max_cents",
+        F.coalesce(
+            F.abs(F.col("pb") - F.lag("pb").over(w))
+            + F.abs(F.col("db") - F.lag("db").over(w)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("step_manhattan"),
+    ).orderBy("h")
