@@ -3266,3 +3266,243 @@ def webp_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             {"doc_id": pdf["doc_id"].astype("int64")}
             | {k: pd.Series(v, dtype="int64") for k, v in out.items()}
         )
+
+
+# --------------------------------------------------------------------------
+# LZ4 (r11): xxHash32 + block format + frame format — the compression
+# format large-scale data pipelines actually ship (shuffle files, cached
+# columns, .lz4 corpus shards). Pure Python/stdlib: the block codec
+# implements the token / literal-run / 16-bit-offset / match-extension
+# wire format with greedy 4-byte hash matching; the frame format wraps
+# blocks with the real magic, flag/BD descriptor, header checksum and
+# xxh32 content checksum, so payloads are interoperable `.lz4` frames.
+# --------------------------------------------------------------------------
+
+_XXH_P1, _XXH_P2, _XXH_P3 = 2654435761, 2246822519, 3266489917
+_XXH_P4, _XXH_P5 = 668265263, 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (the checksum inside every LZ4 frame), from the public
+    spec; pinned against the reference empty-input vector 0x02CC5D05."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH_P1) & _M32
+        while i + 16 <= n:
+            lane = int.from_bytes(data[i : i + 4], "little")
+            v1 = (_rotl32((v1 + lane * _XXH_P2) & _M32, 13) * _XXH_P1) & _M32
+            lane = int.from_bytes(data[i + 4 : i + 8], "little")
+            v2 = (_rotl32((v2 + lane * _XXH_P2) & _M32, 13) * _XXH_P1) & _M32
+            lane = int.from_bytes(data[i + 8 : i + 12], "little")
+            v3 = (_rotl32((v3 + lane * _XXH_P2) & _M32, 13) * _XXH_P1) & _M32
+            lane = int.from_bytes(data[i + 12 : i + 16], "little")
+            v4 = (_rotl32((v4 + lane * _XXH_P2) & _M32, 13) * _XXH_P1) & _M32
+            i += 16
+        acc = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        acc = (seed + _XXH_P5) & _M32
+    acc = (acc + n) & _M32
+    while i + 4 <= n:
+        acc = (_rotl32((acc + int.from_bytes(data[i : i + 4], "little") * _XXH_P3) & _M32, 17) * _XXH_P4) & _M32
+        i += 4
+    while i < n:
+        acc = (_rotl32((acc + data[i] * _XXH_P5) & _M32, 11) * _XXH_P1) & _M32
+        i += 1
+    acc ^= acc >> 15
+    acc = (acc * _XXH_P2) & _M32
+    acc ^= acc >> 13
+    acc = (acc * _XXH_P3) & _M32
+    acc ^= acc >> 16
+    return acc
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """LZ4 BLOCK compression: greedy 4-byte hash matching, token =
+    (literal-run nibble | match-len nibble) with 255-byte extensions,
+    16-bit little-endian offsets, and the end-of-block rules real
+    decoders enforce (final sequence is literals-only; no match may
+    start within the last 12 bytes)."""
+    n = len(src)
+    out = bytearray()
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - 12  # last match must start before here (spec rule)
+
+    def emit(lit_end: int, match_len: int, offset: int) -> None:
+        lit_len = lit_end - anchor
+        ml = match_len - 4 if match_len else 0
+        token = (min(lit_len, 15) << 4) | (min(ml, 15) if match_len else 0)
+        out.append(token)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(src[anchor:lit_end])
+        if match_len:
+            out.extend(offset.to_bytes(2, "little"))
+            rem = ml - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+
+    while i < limit:
+        key = int.from_bytes(src[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF and src[cand : cand + 4] == src[i : i + 4]:
+            # extend the match (match may run into the tail but must
+            # leave the last 5 bytes as literals)
+            m = 4
+            max_m = n - 5 - i
+            while m < max_m and src[cand + m] == src[i + m]:
+                m += 1
+            if m >= 4:
+                emit(i, m, i - cand)
+                i += m
+                anchor = i
+                continue
+        i += 1
+    # final literals
+    lit_len = n - anchor
+    token = min(lit_len, 15) << 4
+    out.append(token)
+    rem = lit_len - 15
+    while rem >= 0:
+        out.append(min(rem, 255))
+        if rem < 255:
+            break
+        rem -= 255
+    out.extend(src[anchor:])
+    return bytes(out)
+
+
+def lz4_block_decompress(src: bytes, max_size: int = 1 << 26) -> bytes:
+    """LZ4 BLOCK decompression with full bounds checking; truncated or
+    corrupt blocks raise ValueError."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("truncated LZ4 block (literal length)")
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("truncated LZ4 block (literals)")
+        out.extend(src[i : i + lit])
+        i += lit
+        if i >= n:
+            break  # last sequence: literals only
+        if i + 2 > n:
+            raise ValueError("truncated LZ4 block (offset)")
+        offset = int.from_bytes(src[i : i + 2], "little")
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("invalid LZ4 match offset")
+        ml = token & 0xF
+        if ml == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("truncated LZ4 block (match length)")
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        if len(out) + ml > max_size:
+            raise ValueError("LZ4 output exceeds size cap")
+        start = len(out) - offset
+        for k in range(ml):  # byte-wise: overlapping matches are the norm
+            out.append(out[start + k])
+    return bytes(out)
+
+
+_LZ4_MAGIC = 0x184D2204
+
+
+def lz4_frame_compress(src: bytes, block_size: int = 1 << 16) -> bytes:
+    """Wrap block-compressed data in a REAL LZ4 FRAME: magic, FLG
+    (version 01, independent blocks, content checksum), BD (64 KB max
+    block), xxh32 header checksum byte, per-block LE sizes (high bit =
+    stored-uncompressed), end mark, xxh32 content checksum."""
+    flg = (1 << 6) | (1 << 5) | (1 << 2)  # v01 | indep blocks | content cksum
+    bd = 4 << 4  # 64 KB max block size
+    hdr = bytes([flg, bd])
+    out = bytearray(_LZ4_MAGIC.to_bytes(4, "little"))
+    out += hdr
+    out.append((xxh32(hdr) >> 8) & 0xFF)
+    for i in range(0, len(src), block_size) or [0]:
+        chunk = src[i : i + block_size]
+        comp = lz4_block_compress(chunk)
+        if len(comp) < len(chunk):
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+        else:  # incompressible: store raw with the high bit set
+            out += (len(chunk) | 0x80000000).to_bytes(4, "little")
+            out += chunk
+    out += (0).to_bytes(4, "little")  # end mark
+    out += xxh32(src).to_bytes(4, "little")
+    return bytes(out)
+
+
+def lz4_frame_decompress(payload: bytes) -> bytes:
+    """Unwrap and decode an LZ4 frame, verifying the header checksum
+    byte and the xxh32 content checksum; any truncation or checksum
+    mismatch raises ValueError."""
+    if len(payload) < 7:
+        raise ValueError("truncated LZ4 frame")
+    if int.from_bytes(payload[:4], "little") != _LZ4_MAGIC:
+        raise ValueError("not an LZ4 frame")
+    flg, bd = payload[4], payload[5]
+    if (flg >> 6) != 1:
+        raise ValueError("unsupported LZ4 frame version")
+    if flg & 0x08:
+        raise ValueError("content-size field unsupported here")
+    if ((xxh32(bytes([flg, bd])) >> 8) & 0xFF) != payload[6]:
+        raise ValueError("LZ4 frame header checksum mismatch")
+    has_cksum = bool(flg & 0x04)
+    i = 7
+    out = bytearray()
+    while True:
+        if i + 4 > len(payload):
+            raise ValueError("truncated LZ4 frame (block size)")
+        word = int.from_bytes(payload[i : i + 4], "little")
+        i += 4
+        if word == 0:
+            break
+        stored = bool(word & 0x80000000)
+        size = word & 0x7FFFFFFF
+        if i + size > len(payload):
+            raise ValueError("truncated LZ4 frame (block data)")
+        data = payload[i : i + size]
+        i += size
+        out += data if stored else lz4_block_decompress(data)
+    if has_cksum:
+        if i + 4 > len(payload):
+            raise ValueError("truncated LZ4 frame (content checksum)")
+        if int.from_bytes(payload[i : i + 4], "little") != xxh32(bytes(out)):
+            raise ValueError("LZ4 content checksum mismatch")
+    return bytes(out)

@@ -1025,3 +1025,115 @@ def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("step_manhattan"),
     ).orderBy("h")
+
+# --------------------------------------------------------------------------
+# multimodal: REAL LZ4 frame compression roundtrip over corpus text
+# --------------------------------------------------------------------------
+
+_LZ4_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text) - length(replace(text, 'e', ''))) AS BIGINT) AS sum_e,
+       CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS sum_spaces,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+WHERE doc_id % 11 = 0
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_lz4_frame_roundtrip",
+    oracle=_LZ4_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_lz4_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4-FRAME compressed text pipeline — the compression format
+    large-scale pipelines actually ship (shuffle files, cached columns,
+    `.lz4` corpus shards): every 11th document's text is compressed by
+    functions/multimodal.py's OWN pure-Python LZ4 — real block wire
+    format (token / literal runs / 16-bit offsets / match extensions)
+    inside a real frame (magic, FLG/BD descriptor, xxh32 header
+    checksum byte, per-block stored-vs-compressed sizes, xxh32 content
+    checksum) — in one Arrow stage, decompressed + checksum-verified in
+    a second, and the per-source stats of the decoded text are
+    hash-checked against the oracle computing the same stats on the
+    ORIGINAL column. The codec is not merely self-consistent: the
+    block format AND xxHash32 are cross-checked BYTE-FOR-BYTE both
+    directions against the reference lz4-java / xxhash implementations
+    riding in Spark's own JVM (tests/test_lz4.py) — our frames are
+    interoperable `.lz4` data. The in-kernel n_mismatch counter
+    (length + xxh32 witness of the original bytes) must be 0. Plan:
+    one scan, two Arrow stages, one rollup; compressed bytes never
+    visit the driver."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+        xxh32,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "source", "text")
+    )
+
+    def compress_batch(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [lz4_frame_compress(b) for b in raw],
+                    "raw_len": pd.Series([len(b) for b in raw], dtype="int64"),
+                    "raw_xxh": pd.Series([xxh32(b) for b in raw], dtype="int64"),
+                }
+            )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            rows = {"n_chars": [], "n_e": [], "n_spaces": [], "mismatch": []}
+            for payload, rlen, rxxh in zip(
+                pdf["payload"], pdf["raw_len"], pdf["raw_xxh"]
+            ):
+                raw = lz4_frame_decompress(bytes(payload))
+                text = raw.decode("utf-8")
+                rows["n_chars"].append(len(text))
+                rows["n_e"].append(text.count("e"))
+                rows["n_spaces"].append(text.count(" "))
+                rows["mismatch"].append(
+                    int(len(raw) != int(rlen) or xxh32(raw) != int(rxxh))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                }
+                | {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    blobs = docs.mapInPandas(
+        compress_batch,
+        "doc_id long, source string, payload binary, raw_len long, raw_xxh long",
+    )
+    decoded = blobs.mapInPandas(
+        decode_batch,
+        "doc_id long, source string, n_chars long, n_e long,"
+        " n_spaces long, mismatch long",
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_e").cast("long").alias("sum_e"),
+            F.sum("n_spaces").cast("long").alias("sum_spaces"),
+            F.sum("mismatch").cast("long").alias("n_mismatch"),
+        )
+        .orderBy("source")
+    )
