@@ -2717,6 +2717,13 @@ def decode_webp_lossless(payload: bytes) -> np.ndarray:
 
     if len(payload) < 21:
         raise ValueError("truncated WebP payload")
+    # strict-truncation contract: the whole declared RIFF extent must be
+    # present, INCLUDING the odd-length pad byte — a payload missing
+    # only the pad still fails (uniform with the GIF-trailer / JPEG-EOI
+    # strictness elsewhere in this module)
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if len(payload) < 8 + riff_size:
+        raise ValueError("truncated WebP payload")
     (chunk_len,) = struct.unpack("<I", payload[16:20])
     data = payload[20 : 20 + chunk_len]
     if len(data) < chunk_len:
