@@ -3513,3 +3513,146 @@ def lz4_frame_decompress(payload: bytes) -> bytes:
         if int.from_bytes(payload[i : i + 4], "little") != xxh32(bytes(out)):
             raise ValueError("LZ4 content checksum mismatch")
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Snappy (r11): the OTHER compression format Spark's own IO stack ships
+# (parquet pages, shuffle alternatives). Raw block format: uncompressed-
+# length varint, then tagged elements — literals (with 1-4 extra length
+# bytes) and copies with 1/2/4-byte offsets. Cross-checked both
+# directions against org.xerial.snappy riding in Spark's JVM.
+# --------------------------------------------------------------------------
+
+
+def snappy_compress(src: bytes) -> bytes:
+    """Raw-Snappy compression: greedy 4-byte hash matching emitting
+    2-byte-offset copies (len 4..64 per element, as real encoders do)
+    and tagged literal runs."""
+    n = len(src)
+    out = bytearray()
+    v = n
+    while True:  # uncompressed length varint
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo
+        while ln > 0:
+            take = min(ln, 65536)
+            l1 = take - 1
+            if l1 < 60:
+                out.append(l1 << 2)
+            elif l1 < 256:
+                out.append(60 << 2)
+                out.append(l1)
+            else:
+                out.append(61 << 2)
+                out.extend(l1.to_bytes(2, "little"))
+            out.extend(src[lo : lo + take])
+            lo += take
+            ln -= take
+
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    while i + 4 <= n:
+        key = int.from_bytes(src[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 0xFFFF
+            and src[cand : cand + 4] == src[i : i + 4]
+        ):
+            m = 4
+            while i + m < n and src[cand + m] == src[i + m]:
+                m += 1
+            emit_literal(anchor, i)
+            offset = i - cand
+            rem = m
+            while rem > 0:
+                take = min(rem, 64)
+                if take < 4:  # tail chunk too short for a copy element
+                    break
+                out.append(0b10 | ((take - 1) << 2))
+                out.extend(offset.to_bytes(2, "little"))
+                rem -= take
+            i += m - rem
+            anchor = i
+            continue
+        i += 1
+    emit_literal(anchor, n)
+    return bytes(out)
+
+
+def snappy_decompress(src: bytes, max_size: int = 1 << 26) -> bytes:
+    """Raw-Snappy decompression covering every element kind (literals
+    with 1-4 extra length bytes; copies with 1/2/4-byte offsets);
+    truncation/corruption raises ValueError."""
+    i = 0
+    n = len(src)
+    total = 0
+    shift = 0
+    while True:
+        if i >= n:
+            raise ValueError("truncated snappy header")
+        b = src[i]
+        i += 1
+        total |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 35:
+            raise ValueError("snappy length varint overflow")
+    if total > max_size:
+        raise ValueError("snappy output exceeds size cap")
+    out = bytearray()
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 0b11
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if i + nb > n:
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > n:
+                raise ValueError("truncated snappy literal")
+            out.extend(src[i : i + ln])
+            i += ln
+        else:
+            if kind == 1:
+                ln = 4 + ((tag >> 2) & 0x7)
+                if i >= n:
+                    raise ValueError("truncated snappy copy offset")
+                offset = ((tag >> 5) << 8) | src[i]
+                i += 1
+            elif kind == 2:
+                ln = (tag >> 2) + 1
+                if i + 2 > n:
+                    raise ValueError("truncated snappy copy offset")
+                offset = int.from_bytes(src[i : i + 2], "little")
+                i += 2
+            else:
+                ln = (tag >> 2) + 1
+                if i + 4 > n:
+                    raise ValueError("truncated snappy copy offset")
+                offset = int.from_bytes(src[i : i + 4], "little")
+                i += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("invalid snappy copy offset")
+            start = len(out) - offset
+            for k in range(ln):
+                out.append(out[start + k])
+        if len(out) > total:
+            raise ValueError("snappy output overruns declared length")
+    if len(out) != total:
+        raise ValueError("snappy output shorter than declared length")
+    return bytes(out)

@@ -1137,3 +1137,104 @@ def multimodal_lz4_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+# --------------------------------------------------------------------------
+# multimodal: REAL raw-Snappy roundtrip over corpus text
+# --------------------------------------------------------------------------
+
+_SNAPPY_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text) - length(replace(text, 'a', ''))) AS BIGINT) AS sum_a,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_meta_chars,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+WHERE doc_id % 29 = 0
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_snappy_roundtrip",
+    oracle=_SNAPPY_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+)
+def multimodal_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-SNAPPY compressed text pipeline — the second interop-proven
+    compression codec (after LZ4): Snappy is what Spark's parquet pages
+    default to, and functions/multimodal.py's pure-Python implementation
+    of the raw block format (length varint, tagged literal runs with
+    1-4 extra length bytes, copies with 1/2/4-byte offsets) is
+    cross-checked BYTE-FOR-BYTE both directions against
+    org.xerial.snappy in Spark's own JVM (tests/test_snappy.py) — so
+    these payloads are real parquet-grade Snappy, not a lookalike.
+    Every 29th document's text is compressed in one Arrow stage,
+    decompressed + declared-length-verified in a second, and the
+    decoded-text stats are hash-checked against the oracle reading the
+    ORIGINAL column. Plan: one scan, two Arrow stages, one rollup."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 0)
+        .select("doc_id", "source", "text", "n_chars")
+    )
+
+    def compress_batch(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [snappy_compress(b) for b in raw],
+                    "raw_len": pd.Series([len(b) for b in raw], dtype="int64"),
+                    "meta_chars": pdf["n_chars"].astype("int64"),
+                }
+            )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            rows = {"n_chars": [], "n_a": [], "mismatch": []}
+            for payload, rlen in zip(pdf["payload"], pdf["raw_len"]):
+                raw = snappy_decompress(bytes(payload))
+                text = raw.decode("utf-8")
+                rows["n_chars"].append(len(text))
+                rows["n_a"].append(text.count("a"))
+                rows["mismatch"].append(int(len(raw) != int(rlen)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "meta_chars": pdf["meta_chars"].astype("int64"),
+                }
+                | {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    blobs = docs.mapInPandas(
+        compress_batch,
+        "doc_id long, source string, payload binary, raw_len long, meta_chars long",
+    )
+    decoded = blobs.mapInPandas(
+        decode_batch,
+        "doc_id long, source string, meta_chars long, n_chars long,"
+        " n_a long, mismatch long",
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_a").cast("long").alias("sum_a"),
+            F.sum("meta_chars").cast("long").alias("sum_meta_chars"),
+            F.sum("mismatch").cast("long").alias("n_mismatch"),
+        )
+        .orderBy("source")
+    )
