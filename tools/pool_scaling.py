@@ -38,6 +38,8 @@ from us_stock_data_pipeline_spark.session import get_spark
 import tools.scale_curve as sc
 
 OUT5 = "/tmp/us_sdps_scale5"
+# default = the r10 perf-weak pair; extra query names may be passed as
+# argv (e.g. `python tools/pool_scaling.py sf_dir ml_naive_bayes_lang`)
 QUERIES = ["dedup_exact_substring", "dedup_lsh_scurve"]
 REPS = 3
 
@@ -76,13 +78,14 @@ def _time(fn, spark, sf_dir):
 
 
 def main():
+    names = sys.argv[2:] if len(sys.argv) > 2 else QUERIES
     spark = get_spark("pool-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     sc.build(spark)  # the 10x fixture
     build5(spark)
     qs = registry.queries()
     out = []
-    for name in QUERIES:
+    for name in names:
         t1, n1 = _time(qs[name], spark, sc.BASE)
         t5, n5 = _time(qs[name], spark, OUT5)
         t10, n10 = _time(qs[name], spark, sc.OUT)
