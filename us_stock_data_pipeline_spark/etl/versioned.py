@@ -225,8 +225,16 @@ def _set_mtime_now(spark: SparkSession, path: str) -> None:
     try:
         fs.setTimes(p, _now_ms(spark), -1)
     except Exception:  # noqa: BLE001 — some filesystems refuse setTimes on dirs
-        # fallback: creating a hidden file inside bumps the dir's mtime
-        _write_file(spark, posixpath.join(path, f"._touch_{uuid.uuid4().hex}"), "")
+        # fallback: create-then-delete a hidden file — both operations
+        # bump the parent dir's mtime on POSIX, and nothing permanent is
+        # left behind for stats/audit walks to trip over (advisor r11)
+        touch = posixpath.join(path, f"._touch_{uuid.uuid4().hex}")
+        _write_file(spark, touch, "")
+        try:
+            tfs, tp, _ = _fs(spark, touch)
+            tfs.delete(tp, False)
+        except Exception:  # noqa: BLE001 — mtime already bumped by create
+            pass
 
 
 def _move_dir(spark: SparkSession, src: str, dst: str) -> bool:

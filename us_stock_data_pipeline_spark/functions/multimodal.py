@@ -41,6 +41,14 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"\xff\xd8":
         kind, ncomp = _jpeg_sof_kind(payload)
         if kind == 0xFFC2:
+            if ncomp != 1:
+                # valid-but-unsupported, NOT corrupt: keep the module's
+                # gate convention (cf. lossy WebP) so callers can tell
+                # "needs an external codec" from "bad bytes"
+                raise NotImplementedError(
+                    "progressive COLOR JPEG (SOF2, multi-component) needs "
+                    "an external codec; progressive grayscale decodes here"
+                )
             return decode_jpeg_gray_progressive(payload)
         return decode_jpeg_color(payload) if ncomp == 3 else decode_jpeg_gray(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -1687,6 +1695,8 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
         # the cut; the module contract is strict — partial fidelity is
         # still truncation, so demand the EOI marker
         raise ValueError("truncated JPEG payload (no EOI)")
+    if qsel not in quant:
+        raise ValueError("JPEG references an undeclared quant table")
     q = quant[qsel]
     cmat = _jpeg_dct_matrix()
     inv_zz = np.argsort(_JPEG_ZIGZAG)
@@ -2643,7 +2653,9 @@ def _vp8l_predict(mode: int, img: np.ndarray, x: int, y: int) -> np.ndarray:
     with the standard boundary overrides: the top-left pixel predicts
     as opaque black regardless of mode, the rest of row 0 predicts from
     L, column 0 predicts from T, and the top-right neighbor of the last
-    column wraps to the leftmost pixel of the row above."""
+    column wraps to the leftmost pixel of the CURRENT row — the flat
+    pixel-buffer index (y*w + w-1) - w + 1 == y*w == (y, 0), which is
+    already reconstructed when (y, w-1) is being predicted."""
     w = img.shape[1]
     if x == 0 and y == 0:
         return np.array([255, 0, 0, 0], np.int32)
@@ -2654,7 +2666,7 @@ def _vp8l_predict(mode: int, img: np.ndarray, x: int, y: int) -> np.ndarray:
     L = img[y, x - 1].astype(np.int32)
     T = img[y - 1, x].astype(np.int32)
     TL = img[y - 1, x - 1].astype(np.int32)
-    TR = img[y - 1, x + 1].astype(np.int32) if x + 1 < w else img[y - 1, 0].astype(np.int32)
+    TR = img[y - 1, x + 1].astype(np.int32) if x + 1 < w else img[y, 0].astype(np.int32)
     if mode == 0:
         return np.array([255, 0, 0, 0], np.int32)
     if mode == 1:
@@ -2685,8 +2697,14 @@ def _vp8l_predict(mode: int, img: np.ndarray, x: int, y: int) -> np.ndarray:
     if mode == 12:  # ClampAddSubtractFull
         return np.clip(L + T - TL, 0, 255)
     if mode == 13:  # ClampAddSubtractHalf
+        # libwebp's AddSubtractComponentHalf uses C division, which
+        # truncates toward ZERO; Python/numpy // floors, off by one
+        # whenever avg < TL with an odd difference (e.g. avg=10, TL=13:
+        # trunc(-3/2) = -1 -> 9, floor = -2 -> 8).
         avg = (L + T) // 2
-        return np.clip(avg + (avg - TL) // 2, 0, 255)
+        d = avg - TL
+        half = np.where(d >= 0, d // 2, -((-d) // 2))
+        return np.clip(avg + half, 0, 255)
     raise ValueError(f"invalid VP8L predictor mode {mode}")
 
 
@@ -3121,6 +3139,7 @@ def encode_webp_lossless(
     lz77: bool = False,
     transform: str | None = None,
     meta_bits: int = 0,
+    predictor_mode: int = 2,
 ) -> bytes:
     """Encode an (h, w, 4) uint8 RGBA image as a REAL lossless WebP
     (RIFF/VP8L). `transform` selects an additional transform so every
@@ -3129,8 +3148,10 @@ def encode_webp_lossless(
     - None: literal coding (plus optional subtract-green / cache / LZ77)
     - 'palette': color-indexing with diff-coded palette and sub-byte
       index packing when <= 16 distinct colors (requires <= 256 colors)
-    - 'predictor': one global spatial predictor (mode 2, top) over the
-      whole image, residuals literal-coded
+    - 'predictor': one global spatial predictor (`predictor_mode`,
+      default 2 = top) over the whole image, residuals literal-coded;
+      all 14 modes are encodable so the decoder's full predictor
+      battery can be exercised by round-trip fuzzing
     - 'color': one global color-transform element, residuals coded
 
     decode(encode(x)) == x exactly for every combination."""
@@ -3147,7 +3168,9 @@ def encode_webp_lossless(
     bw.put(0, 3)  # version
     if transform == "predictor":
         # size_bits=9 -> one 512x512 block: a single global mode cell
-        mode = 2  # T (top); row 0 predicts from L per spec fallbacks
+        mode = predictor_mode  # row 0 / col 0 use the spec fallbacks
+        if not 0 <= mode <= 13:
+            raise ValueError("predictor_mode must be 0..13")
         bw.put(1, 1)
         bw.put(0, 2)
         bw.put(9 - 2, 3)
@@ -3452,16 +3475,27 @@ _LZ4_MAGIC = 0x184D2204
 
 def lz4_frame_compress(src: bytes, block_size: int = 1 << 16) -> bytes:
     """Wrap block-compressed data in a REAL LZ4 FRAME: magic, FLG
-    (version 01, independent blocks, content checksum), BD (64 KB max
-    block), xxh32 header checksum byte, per-block LE sizes (high bit =
-    stored-uncompressed), end mark, xxh32 content checksum."""
+    (version 01, independent blocks, content checksum), BD derived from
+    `block_size` (64KB/256KB/1MB/4MB — the smallest tier that holds it,
+    so blocks never exceed the declared maximum), xxh32 header checksum
+    byte, per-block LE sizes (high bit = stored-uncompressed), end
+    mark, xxh32 content checksum. Empty input emits NO blocks (just the
+    end mark), matching the reference frame tools."""
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    # BD block-maximum tiers (frame spec v1.6.1): 4=64KB 5=256KB 6=1MB 7=4MB
+    for bd_id, cap in ((4, 1 << 16), (5, 1 << 18), (6, 1 << 20), (7, 1 << 22)):
+        if block_size <= cap:
+            break
+    else:
+        raise ValueError("block_size exceeds the 4 MB frame maximum")
     flg = (1 << 6) | (1 << 5) | (1 << 2)  # v01 | indep blocks | content cksum
-    bd = 4 << 4  # 64 KB max block size
+    bd = bd_id << 4
     hdr = bytes([flg, bd])
     out = bytearray(_LZ4_MAGIC.to_bytes(4, "little"))
     out += hdr
     out.append((xxh32(hdr) >> 8) & 0xFF)
-    for i in range(0, len(src), block_size) or [0]:
+    for i in range(0, len(src), block_size):
         chunk = src[i : i + block_size]
         comp = lz4_block_compress(chunk)
         if len(comp) < len(chunk):
