@@ -1,0 +1,159 @@
+"""SQL/catalog integration for the versioned table: spark.sql reads by
+NAME, time travel (`VERSION AS OF` numeric + ref, `TIMESTAMP AS OF`),
+DESCRIBE HISTORY/BRANCHES, RESTORE, REFRESH — and the plan-level
+property that the registered view scans exactly the manifest's files."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.etl import vcatalog as C
+from us_stock_data_pipeline_spark.etl import versioned as V
+
+
+@pytest.fixture()
+def table(spark):
+    root = tempfile.mkdtemp(prefix=f"us_sdps_vcat_{uuid.uuid4().hex[:8]}_")
+    name = f"vcat_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [(i, i % 2, i * 10) for i in range(8)], "k long, band long, val long"
+    )
+    V.versioned_merge_upsert(spark, df, root, key_cols=("k",), partition_cols=("band",))
+    yield root, name
+    C.unregister_versioned(spark, name)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _commit_update(spark, root, ks, delta):
+    upd = spark.createDataFrame(
+        [(k, k % 2, k * 10 + delta) for k in ks], "k long, band long, val long"
+    )
+    return V.versioned_merge_upsert(
+        spark, upd, root, key_cols=("k",), partition_cols=("band",)
+    )
+
+
+def test_sql_read_by_name_and_version_as_of(spark, table):
+    root, name = table
+    _commit_update(spark, root, [0, 2], 1)  # v2 rewrites band 0
+    C.register_versioned(spark, name, root)
+    cur = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert cur == sum(k * 10 for k in range(8)) + 2
+    old = C.versioned_sql(
+        spark, f"SELECT CAST(sum(val) AS BIGINT) s FROM {name} VERSION AS OF 1"
+    ).first().s
+    assert old == sum(k * 10 for k in range(8))
+    # time travel composes inside a larger statement (join old vs new)
+    diff = C.versioned_sql(
+        spark,
+        f"""
+        SELECT CAST(count(*) AS BIGINT) n
+        FROM {name} a JOIN {name} VERSION AS OF 1 b ON a.k = b.k
+        WHERE a.val <> b.val
+        """,
+    ).first().n
+    assert diff == 2
+
+
+def test_version_as_of_ref_and_tags(spark, table):
+    root, name = table
+    V.create_tag(spark, root, "baseline", 1)
+    _commit_update(spark, root, [1, 3], 7)
+    C.register_versioned(spark, name, root)
+    via_tag = C.versioned_sql(
+        spark, f"SELECT CAST(sum(val) AS BIGINT) s FROM {name} VERSION AS OF 'baseline'"
+    ).first().s
+    assert via_tag == sum(k * 10 for k in range(8))
+
+
+def test_timestamp_as_of(spark, table):
+    root, name = table
+    t1 = V._read_manifest_doc(spark, root, 1)["committed_at"]
+    _commit_update(spark, root, [0], 3)
+    t2 = V._read_manifest_doc(spark, root, 2)["committed_at"]
+    C.register_versioned(spark, name, root)
+    # a timestamp between the commits resolves to v1 even when the two
+    # commits landed in the same millisecond (<=); just after v2 -> v2
+    lit1 = dt.datetime.fromtimestamp(t1 / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    s1 = C.versioned_sql(
+        spark,
+        f"SELECT CAST(sum(val) AS BIGINT) s FROM {name} TIMESTAMP AS OF '{lit1}'",
+    ).first().s
+    lit2 = dt.datetime.fromtimestamp((t2 + 1) / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    s2 = C.versioned_sql(
+        spark,
+        f"SELECT CAST(sum(val) AS BIGINT) s FROM {name} TIMESTAMP AS OF '{lit2}'",
+    ).first().s
+    assert s2 == sum(k * 10 for k in range(8)) + 3
+    assert s1 in (sum(k * 10 for k in range(8)), s2)  # same-ms commits tie to later
+    if t2 > t1:
+        assert s1 == sum(k * 10 for k in range(8))
+    with pytest.raises(LookupError):
+        C.versioned_sql(
+            spark,
+            f"SELECT * FROM {name} TIMESTAMP AS OF '1999-01-01 00:00:00'",
+        )
+
+
+def test_describe_history_branches_restore_refresh(spark, table):
+    root, name = table
+    _commit_update(spark, root, [0], 1)
+    _commit_update(spark, root, [1], 2)
+    C.register_versioned(spark, name, root)
+    hist = C.versioned_sql(spark, f"DESCRIBE HISTORY {name}")
+    assert [r.version for r in hist.collect()] == [1, 2, 3]
+    hist2 = C.versioned_sql(spark, f"DESCRIBE HISTORY {name} LIMIT 2")
+    assert [r.version for r in hist2.collect()] == [2, 3]
+    V.create_branch(spark, root, "wip")
+    br = C.versioned_sql(spark, f"DESCRIBE BRANCHES {name}")
+    assert [r.branch for r in br.collect()] == ["wip"]
+    out = C.versioned_sql(spark, f"RESTORE TABLE {name} TO VERSION AS OF 1")
+    assert out.first().restored_to == 1
+    # the plain name now serves the restored snapshot
+    s = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert s == sum(k * 10 for k in range(8))
+    # a fresh commit is invisible until REFRESH TABLE swings the view
+    _commit_update(spark, root, [5], 9)
+    s_stale = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert s_stale == s
+    C.versioned_sql(spark, f"REFRESH TABLE {name}")
+    s_new = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert s_new == s + 9
+
+
+def test_registered_view_scans_only_manifest_files(spark, table):
+    """Manifest-level pruning is visible in the plan: after v2 rewrites
+    band=0, the view's scan lists band=0 from the v2 dir and band=1
+    from the v1 dir — nothing else (no v1 band=0 ghosts)."""
+    root, name = table
+    _commit_update(spark, root, [0, 2, 4, 6], 1)
+    C.register_versioned(spark, name, root)
+    files = spark.sql(f"SELECT * FROM {name}").inputFiles()
+    assert files, "view must expose concrete scan files"
+    band0 = [f for f in files if "band=0" in f]
+    band1 = [f for f in files if "band=1" in f]
+    assert band0 and all("v00000002-" in f for f in band0)
+    assert band1 and all("v00000001-" in f for f in band1)
+    # partition_filter registration prunes AT THE MANIFEST
+    C.register_versioned(
+        spark, name, root, partition_filter=lambda pv: pv["band"] == "1"
+    )
+    pruned = spark.sql(f"SELECT * FROM {name}").inputFiles()
+    assert pruned and all("band=1" in f for f in pruned)
+
+
+def test_unregistered_name_errors(spark):
+    with pytest.raises(LookupError):
+        C.versioned_sql(spark, "DESCRIBE HISTORY no_such_table_xyz")
+    with pytest.raises(ValueError):
+        C.register_versioned(spark, "bad-name!", "/tmp/nowhere")

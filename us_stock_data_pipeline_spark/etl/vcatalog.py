@@ -1,0 +1,219 @@
+"""SQL/catalog integration for the versioned table (round 12).
+
+The versioned table (`etl/versioned.py`) re-implements the Delta/Iceberg
+protocol surface on plain parquet, but until now it was reachable only
+through Python library calls (`read_versioned(spark, root)`). A real
+user of the reference's Delta tables (`ingest_1m_session.py:204-209`
+addresses them BY NAME through the metastore) expects
+
+    spark.sql("SELECT ... FROM bars_1m")
+    spark.sql("SELECT ... FROM bars_1m VERSION AS OF 3")
+    spark.sql("DESCRIBE HISTORY bars_1m")
+
+This module provides exactly that, as a CATALOG VIEW LAYER plus a small
+SQL front-end:
+
+- ``register_versioned(spark, name, root)`` resolves the manifest and
+  registers the snapshot as a temp view. The view's plan is the plain
+  JVM parquet scan `read_versioned` builds — predicate pushdown, column
+  pruning and whole-stage codegen all apply untouched, and the file
+  listing is exactly the manifest's kept set (manifest-level pruning is
+  visible in the plan as the scan's file selection). This is the
+  100 TB-correct wiring: NO per-row Python in the read path, unlike a
+  Python DataSource reader which would funnel every row (or Arrow
+  batch) through the Python worker.
+- ``versioned_sql(spark, stmt)`` runs SQL with the time-travel and
+  metadata extensions Delta/Iceberg add to the parser:
+    * ``<name> VERSION AS OF <n>``       (Delta numeric time travel)
+    * ``<name> VERSION AS OF '<ref>'``   (Iceberg-style: tag or branch)
+    * ``<name> TIMESTAMP AS OF '<ts>'``  (Delta timestampAsOf; resolved
+      against the manifests' ``committed_at`` wall clocks)
+    * ``DESCRIBE HISTORY <name> [LIMIT n]``
+    * ``DESCRIBE BRANCHES <name>``
+    * ``RESTORE TABLE <name> TO VERSION AS OF <n>``
+  Time-travel clauses are rewritten to lazily-registered snapshot views
+  (``<name>__asof_v<n>``), then handed to the vanilla ``spark.sql`` —
+  Catalyst sees ordinary views over parquet scans and optimizes as
+  usual. Snapshot resolution itself is a manifest read: metadata-only,
+  constant in table size.
+
+Temp views pin the manifest AT REGISTRATION (a snapshot — the same
+isolation guarantee a Delta read gives). After new commits, call
+``refresh_versioned`` (the `REFRESH TABLE` analog) to swing the name to
+the new head; `versioned_sql` also accepts ``REFRESH TABLE <name>``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from us_stock_data_pipeline_spark.etl import versioned as V
+
+# (applicationId, view name) -> table root; applicationId scoping keeps
+# the registry coherent if tests spin up more than one session profile.
+_TABLES: dict[tuple[str, str], str] = {}
+
+_NAME_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _key(spark: SparkSession, name: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, name)
+
+
+def _root_of(spark: SparkSession, name: str) -> str:
+    try:
+        return _TABLES[_key(spark, name)]
+    except KeyError:
+        raise LookupError(
+            f"{name!r} is not a registered versioned table; "
+            "call register_versioned(spark, name, root) first"
+        ) from None
+
+
+def register_versioned(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    version: int | None = None,
+    ref: str | None = None,
+    branch: str | None = None,
+    partition_filter=None,
+    stat_filter: dict | None = None,
+) -> DataFrame:
+    """Register a versioned table as SQL-addressable temp view `name`.
+
+    `version`/`ref` pin time travel; `branch` reads a branch head;
+    `partition_filter`/`stat_filter` apply the manifest/zone-map pruning
+    of `read_versioned` so the registered view's scan lists only the
+    kept files. Returns the registered DataFrame."""
+    if not re.fullmatch(_NAME_RE, name):
+        raise ValueError(f"invalid SQL view name {name!r}")
+    if branch is not None:
+        root = V._branch_root(root, branch)
+    df = V.read_versioned(
+        spark,
+        root,
+        version=version,
+        ref=ref,
+        partition_filter=partition_filter,
+        stat_filter=stat_filter,
+    )
+    df.createOrReplaceTempView(name)
+    _TABLES[_key(spark, name)] = root
+    return df
+
+
+def refresh_versioned(spark: SparkSession, name: str) -> DataFrame:
+    """REFRESH TABLE analog: re-resolve the CURRENT manifest and swing
+    the temp view to it (one manifest read — metadata-only)."""
+    return register_versioned(spark, name, _root_of(spark, name))
+
+
+def unregister_versioned(spark: SparkSession, name: str) -> None:
+    """Drop the temp view and forget the name (ignores absent names)."""
+    spark.catalog.dropTempView(name)
+    _TABLES.pop(_key(spark, name), None)
+    # drop any time-travel snapshot views derived from the name
+    for view in [v.name for v in spark.catalog.listTables() if v.isTemporary]:
+        if view.startswith(f"{name}__asof_v"):
+            spark.catalog.dropTempView(view)
+
+
+def _asof_view(spark: SparkSession, name: str, version: int) -> str:
+    """Ensure a snapshot view `<name>__asof_v<version>` exists and
+    return its name. Lazily registered; repeated references reuse it."""
+    view = f"{name}__asof_v{version}"
+    if not spark.catalog.tableExists(view):
+        V.read_versioned(
+            spark, _root_of(spark, name), version=version
+        ).createOrReplaceTempView(view)
+    return view
+
+
+# --- the SQL front-end -----------------------------------------------------
+
+_VERSION_AS_OF = re.compile(
+    rf"\b({_NAME_RE})\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')",
+    re.IGNORECASE,
+)
+_TIMESTAMP_AS_OF = re.compile(
+    rf"\b({_NAME_RE})\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+    re.IGNORECASE,
+)
+_DESCRIBE_HISTORY = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_NAME_RE})(?:\s+LIMIT\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_BRANCHES = re.compile(
+    rf"^\s*DESCRIBE\s+BRANCHES\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
+)
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_NAME_RE})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REFRESH = re.compile(
+    rf"^\s*REFRESH\s+TABLE\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _parse_ts_ms(spark: SparkSession, literal: str) -> int:
+    """'2026-08-16 12:00:00' (UTC, the session zone pinned by
+    ensure_session_confs) -> epoch millis, via the engine's own
+    timestamp parser so SQL semantics match exactly."""
+    row = spark.sql(
+        "SELECT CAST(unix_millis(to_timestamp(?)) AS BIGINT) AS ms",
+        args=[literal],
+    ).first()
+    if row is None or row.ms is None:
+        raise ValueError(f"unparseable timestamp literal {literal!r}")
+    return int(row.ms)
+
+
+def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
+    """Run SQL with versioned-table extensions (see module docstring).
+
+    Metadata statements return their metadata DataFrames; everything
+    else is rewritten (time-travel clauses -> snapshot views) and
+    executed by the vanilla `spark.sql`."""
+    m = _DESCRIBE_HISTORY.match(stmt)
+    if m:
+        limit = int(m.group(2)) if m.group(2) else None
+        return V.versioned_history(spark, _root_of(spark, m.group(1)), limit=limit)
+    m = _DESCRIBE_BRANCHES.match(stmt)
+    if m:
+        return V.describe_branches(spark, _root_of(spark, m.group(1)))
+    m = _RESTORE.match(stmt)
+    if m:
+        name, version = m.group(1), int(m.group(2))
+        new_ver = V.restore_version(spark, _root_of(spark, name), version)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, version, new_ver)],
+            "table_name string, restored_to long, committed_version long",
+        )
+    m = _REFRESH.match(stmt)
+    if m:
+        refresh_versioned(spark, m.group(1))
+        return spark.createDataFrame([(m.group(1),)], "table_name string")
+
+    def sub_version(m: re.Match) -> str:
+        name = m.group(1)
+        root = _root_of(spark, name)
+        version = (
+            int(m.group(2))
+            if m.group(2) is not None
+            else V.resolve_ref(spark, root, m.group(3))
+        )
+        return _asof_view(spark, name, version)
+
+    def sub_timestamp(m: re.Match) -> str:
+        name = m.group(1)
+        root = _root_of(spark, name)
+        version = V.resolve_timestamp(spark, root, _parse_ts_ms(spark, m.group(2)))
+        return _asof_view(spark, name, version)
+
+    rewritten = _VERSION_AS_OF.sub(sub_version, stmt)
+    rewritten = _TIMESTAMP_AS_OF.sub(sub_timestamp, rewritten)
+    return spark.sql(rewritten)

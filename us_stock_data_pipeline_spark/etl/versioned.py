@@ -691,6 +691,7 @@ def versioned_merge_upsert(
             body = json.dumps(
                 {
                     "version": new_ver,
+                    "committed_at": _now_ms(spark),
                     "partitions": new_manifest,
                     # Carried forward: DVs still gate UNTOUCHED partitions'
                     # older dirs; rewritten dirs are above their horizon.
@@ -756,6 +757,7 @@ def versioned_delete(
         body = json.dumps(
             {
                 "version": new_ver,
+                "committed_at": _now_ms(spark),
                 "partitions": doc["partitions"],
                 "deletion_vectors": doc.get("deletion_vectors", [])
                 + [{"dir": dv_dir, "version": new_ver}],
@@ -845,16 +847,58 @@ def read_changes(
     )
 
 
-def versioned_history(spark: SparkSession, root: str) -> DataFrame:
+def resolve_timestamp(spark: SparkSession, root: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF: the latest committed version whose manifest
+    `committed_at` is <= `ts_ms` (Delta `timestampAsOf` semantics).
+    Walks committed manifest NUMBERS descending (one listing + at most
+    a few manifest reads in the common recent-timestamp case), skipping
+    vacuumed holes; manifests predating the committed_at field count as
+    epoch 0 (always eligible). Raises LookupError when the timestamp
+    precedes the first retained commit."""
+    versions = sorted(
+        (
+            v
+            for n in _list_names(spark, posixpath.join(root, _MANIFESTS))
+            if (v := _manifest_version(n)) is not None
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        try:
+            doc = _read_manifest_doc(spark, root, v)
+        except Exception:  # noqa: BLE001 — concurrently vacuumed: hole
+            continue
+        if int(doc.get("committed_at", 0)) <= ts_ms:
+            return v
+    raise LookupError(
+        f"no committed version at or before timestamp {ts_ms} under {root}"
+    )
+
+
+def versioned_history(
+    spark: SparkSession, root: str, limit: int | None = None
+) -> DataFrame:
     """Iceberg/Delta `DESCRIBE HISTORY` as a DataFrame: one row per
     committed version with the commit's shape — partitions owned, how
     many the commit itself wrote (vs carried forward), live deletion
     vectors, zone-map coverage, and the restore marker. Driver-side
     manifest walk (metadata only, no data scan): the history of a
-    100 TB table costs its manifest count."""
+    100 TB table costs its manifest count — and with ``limit`` (the
+    `DESCRIBE HISTORY t LIMIT n` form) only the n MOST RECENT manifests
+    are read at all, keeping the interactive path constant-cost no
+    matter how many thousands of commits the table has accumulated."""
     cur = current_version(spark, root)
+    lo = 1
+    if limit is not None:
+        committed = sorted(
+            v
+            for n in _list_names(spark, posixpath.join(root, _MANIFESTS))
+            if (v := _manifest_version(n)) is not None
+        )
+        keep = committed[-limit:] if limit > 0 else []
+        lo = keep[0] if keep else cur + 1
     rows = []
-    for v in range(1, cur + 1):
+    for v in range(lo, cur + 1):
         try:
             doc = _read_manifest_doc(spark, root, v)
         except Exception:  # vacuumed manifest: hole in retained history
@@ -1051,6 +1095,7 @@ def restore_version(spark: SparkSession, root: str, version: int) -> int:
         body = json.dumps(
             {
                 "version": new_ver,
+                "committed_at": _now_ms(spark),
                 "partitions": target["partitions"],
                 "deletion_vectors": target.get("deletion_vectors", []),
                 "stats_cols": target.get("stats_cols", []),
@@ -1122,6 +1167,7 @@ def create_branch(spark: SparkSession, root: str, name: str) -> int:
     doc = _read_manifest_doc(spark, root, fork)
     bdoc = {
         "version": fork,
+        "committed_at": doc.get("committed_at", 0),
         "partitions": {
             d: _abs_under(root, v) for d, v in doc.get("partitions", {}).items()
         },
@@ -1320,6 +1366,7 @@ def merge_branch(
         body = json.dumps(
             {
                 "version": new_ver,
+                "committed_at": _now_ms(spark),
                 "partitions": merged_parts,
                 "deletion_vectors": merged_dvs,
                 "stats_cols": stats_cols,
@@ -1400,6 +1447,7 @@ def compact_table(spark: SparkSession, root: str) -> int:
         body = json.dumps(
             {
                 "version": new_ver,
+                "committed_at": _now_ms(spark),
                 "partitions": new_manifest,
                 "deletion_vectors": [],
                 "stats_cols": list(stats_cols),
