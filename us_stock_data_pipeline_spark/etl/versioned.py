@@ -50,6 +50,7 @@ table. Here nothing under a committed version directory is ever mutated.
 from __future__ import annotations
 
 import json
+import os
 import posixpath
 import uuid
 
@@ -82,6 +83,9 @@ def _fs(spark: SparkSession, path: str):
 
 def _exists(spark: SparkSession, path: str) -> bool:
     fs, p, _ = _fs(spark, path)
+    lp = _local_path(fs, p)
+    if lp is not None:
+        return os.path.exists(lp)
     return fs.exists(p)
 
 
@@ -104,8 +108,27 @@ def _write_file(spark: SparkSession, path: str, body: str) -> None:
         out.close()
 
 
+def _local_path(fs, p) -> str | None:
+    """The OS path when `p` lives on the local filesystem, else None.
+    Metadata ops on a `file:` store short-circuit to plain syscalls:
+    the py4j bridge costs ~1ms per roundtrip, and at 1,000+ commits the
+    roundtrip count — not the I/O — was the measured linear term in
+    every metadata walk (round-12 manifest scale curve). On HDFS/object
+    stores the Hadoop path below is taken unchanged."""
+    try:
+        if fs.getScheme() == "file":
+            return p.toUri().getPath()
+    except Exception:  # noqa: BLE001 — scheme probe failed: use Hadoop path
+        pass
+    return None
+
+
 def _read_file(spark: SparkSession, path: str) -> str:
     fs, p, jvm = _fs(spark, path)
+    lp = _local_path(fs, p)
+    if lp is not None:
+        with open(lp, "rb") as f:
+            return f.read().decode("utf-8")
     stream = fs.open(p)
     try:
         # IOUtils.toByteArray reads the stream fully JVM-side.
@@ -252,6 +275,9 @@ def _move_dir(spark: SparkSession, src: str, dst: str) -> bool:
 
 def _mtime_ms(spark: SparkSession, path: str) -> int:
     fs, p, _ = _fs(spark, path)
+    lp = _local_path(fs, p)
+    if lp is not None:
+        return int(os.stat(lp).st_mtime * 1000)
     return int(fs.getFileStatus(p).getModificationTime())
 
 
@@ -262,10 +288,32 @@ def _now_ms(spark: SparkSession) -> int:
 
 
 def _list_names(spark: SparkSession, path: str) -> list[str]:
-    fs, p, _ = _fs(spark, path)
+    """Directory entry names with a BOUNDED number of py4j roundtrips.
+
+    The naive `[st.getPath().getName() for st in fs.listStatus(p)]` is
+    3 roundtrips PER ENTRY — the measured linear term in current_version
+    / history / vacuum at 1,000+ commits (round-12 scale curve). Local
+    filesystems use one os.listdir; remote stores join the listing
+    JVM-side into one newline-separated string (newline cannot appear
+    in an entry name: Spark's partition-value escaping percent-encodes
+    control characters, and every protocol-owned name is vN/uuid/json)."""
+    fs, p, jvm = _fs(spark, path)
+    lp = _local_path(fs, p)
+    if lp is not None:
+        try:
+            return os.listdir(lp)
+        except FileNotFoundError:
+            return []
     if not fs.exists(p):
         return []
-    return [st.getPath().getName() for st in fs.listStatus(p)]
+    statuses = fs.listStatus(p)
+    paths = jvm.org.apache.hadoop.fs.FileUtil.stat2Paths(statuses)
+    joined = jvm.org.apache.hadoop.util.StringUtils.join(
+        "\n", jvm.java.util.Arrays.asList(paths)
+    )
+    if not joined:
+        return []
+    return [s.rsplit("/", 1)[-1] for s in joined.split("\n")]
 
 
 def _leaf_partition_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
