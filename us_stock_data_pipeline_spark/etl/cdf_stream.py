@@ -214,8 +214,26 @@ def make_cdf_datasource():
 
         # -- execution (executor, one partition's diff) ------------------
         def read(self, partition):
+            import numpy as np
             import pandas as pd
             import pyarrow.parquet as pq
+
+            def _py(x, col=None):
+                """numpy scalar / NaN -> plain Python for the row tuple.
+                An outer merge upcasts int columns with absent rows to
+                float64, so integer-declared columns are cast back."""
+                if x is None or (isinstance(x, (float, np.floating)) and np.isnan(x)):
+                    return None
+                if isinstance(x, np.generic):
+                    x = x.item()
+                if col is not None and col_types.get(col) in (
+                    "bigint",
+                    "long",
+                    "int",
+                    "integer",
+                ):
+                    return int(x)
+                return x
 
             spec = partition.spec
             cols = [
@@ -258,23 +276,21 @@ def make_cdf_datasource():
                     ignore_index=True,
                 ).drop_duplicates()
                 hit = old.merge(dvk, on=list(dvk.columns), how="inner")
-                for r in hit.itertuples(index=False):
-                    d = r._asdict()
+                for d in hit.to_dict("records"):
                     rows.append(
-                        tuple(d[k] for k in keys)
+                        tuple(_py(d[k], k) for k in keys)
                         + tuple(None for _ in val_cols)
                         + ("delete", v)
                     )
                 return iter(rows)
             new = _load(spec["new_files"])
             m = old.merge(
-                new, on=keys, how="outer", suffixes=("_o", "_n"), indicator=True
+                new, on=keys, how="outer", suffixes=("_o", "_n"), indicator="mrg"
             )
-            for r in m.itertuples(index=False):
-                d = r._asdict()
-                if d["_merge"] == "right_only":
+            for d in m.to_dict("records"):
+                if d["mrg"] == "right_only":
                     ct = "insert"
-                elif d["_merge"] == "left_only":
+                elif d["mrg"] == "left_only":
                     ct = "delete"
                 else:
                     changed = any(
@@ -288,9 +304,10 @@ def make_cdf_datasource():
                         continue
                     ct = "update_postimage"
                 vals = tuple(
-                    None if ct == "delete" else d[f"{c}_n"] for c in val_cols
+                    None if ct == "delete" else _py(d[f"{c}_n"], c)
+                    for c in val_cols
                 )
-                rows.append(tuple(d[k] for k in keys) + vals + (ct, v))
+                rows.append(tuple(_py(d[k], k) for k in keys) + vals + (ct, v))
             return iter(rows)
 
         def commit(self, end: dict) -> None:

@@ -143,6 +143,140 @@ def etl_versioned_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming CHANGE DATA FEED source (readStream over the commit log)
+# --------------------------------------------------------------------------
+
+# Deterministic lifecycle: v1 base (per-nation counts, band = nk % 5),
+# v2 upserts bands 0-1 with val+1 (every key's value changes ->
+# update_postimage), v3 inserts shifted keys (nk+1000, band 9, val=nk),
+# v4 DV-deletes keys {0, 1}. The stream starts AFTER v1
+# (startingversion=1) and the per-commit change rows aggregate to
+# closed-form expressions over `customer`.
+_CDF_STREAM_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS commit_version,
+         'update_postimage' AS change_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n + 1) AS BIGINT) AS sum_val
+  FROM base WHERE band IN (0, 1)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'insert',
+         CAST(count(*) AS BIGINT), CAST(sum(nk) AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'delete',
+         CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+  FROM base WHERE nk IN (0, 1)
+) t
+ORDER BY commit_version
+"""
+
+
+@register(
+    "stream_versioned_cdf_source",
+    oracle=_CDF_STREAM_ORACLE,
+    tags=("streaming", "versioned"),
+)
+def stream_versioned_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED as a STREAM SOURCE (etl/cdf_stream.py, round 12
+    — the source half whose sink half is `stream_versioned_upsert`;
+    Delta's `readStream.option('readChangeFeed')` re-expressed on the
+    manifest protocol via the Spark 4 Python DataSource streaming API).
+    Offsets ARE table versions: `latestOffset` lists manifests,
+    `partitions` diffs consecutive manifests' partition POINTERS
+    (driver-side dict compare, metadata only — a commit touching 2 of a
+    million partitions schedules 2 tasks), and each executor task
+    pyarrow-diffs ONE partition's pre/post files into
+    insert/update_postimage/delete rows. Batch equivalence with
+    `read_changes` is pinned per commit in tests/test_cdf_stream.py;
+    here the streamed feed aggregates to a closed form the oracle
+    recomputes from `customer`."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.cdf_stream import register_cdf_source
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        versioned_delete,
+        versioned_merge_upsert,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfsrc_{_uuid.uuid4().hex[:8]}_")
+    sink = f"cdf_feed_{_uuid.uuid4().hex[:8]}"
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        v2 = base.filter(F.col("band").isin(0, 1)).withColumn(
+            "val", F.col("val") + 1
+        )
+        versioned_merge_upsert(
+            spark, v2, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        v3 = base.select(
+            (F.col("nk") + 1000).alias("nk"),
+            F.lit(9).cast("long").alias("band"),
+            F.col("nk").alias("val"),
+        )
+        versioned_merge_upsert(
+            spark, v3, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        versioned_delete(
+            spark,
+            spark.createDataFrame([(0,), (1,)], "nk long"),
+            root,
+            key_cols=("nk",),
+        )
+        register_cdf_source(spark)
+        feed = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", root)
+            .option("keycols", "nk")
+            .option("tableschema", "nk long, band long, val long")
+            .option("startingversion", "1")
+            .load()
+        )
+        q = (
+            feed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(sink)
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+            )
+            .orderBy("commit_version")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # DESCRIBE HISTORY / RESTORE through the SQL front-end
 # --------------------------------------------------------------------------
 
