@@ -1,0 +1,100 @@
+"""Pure-Python reference equivalence for the unigram-LM tokenizer EM
+step (queries/round12_ops2.py): the same fixed-point L2FP scores,
+forward/backward Viterbi DPs and on-path re-estimation implemented with
+plain dicts/ints must reproduce the Spark result row-for-row."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from us_stock_data_pipeline_spark.queries.round12_ops2 import (
+    MAX_PIECE,
+    MAX_WLEN,
+    TOP_K,
+    TOP_WORDS,
+    tokenizer_unigram_em_step,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def l2fp(x: int) -> int:
+    e = x.bit_length() - 1
+    m = (x << 16) >> e
+    acc = 0
+    for _ in range(8):
+        m2 = (m * m) >> 16
+        if m2 >= 131072:
+            acc = acc * 2 + 1
+            m = m2 >> 1
+        else:
+            acc = acc * 2
+            m = m2
+    return e * 256 + acc
+
+
+def test_l2fp_fixed_point_properties():
+    for k in range(0, 40):
+        assert l2fp(1 << k) == k * 256
+    # 8-bit fraction of log2(3) = 1.58496... -> floor(0.58496*256) = 149
+    assert l2fp(3) == 256 + 149
+    vals = [l2fp(x) for x in range(1, 5000)]
+    assert vals == sorted(vals), "L2FP must be monotone"
+
+
+def _py_reference(sf_dir: str):
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    freq = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if 2 <= len(w) <= MAX_WLEN:
+                freq[w] += 1
+    words = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_WORDS]
+    spans = []  # (word, wfreq, i, j, piece)
+    seed = Counter()
+    for w, f in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + MAX_PIECE, len(w)) + 1):
+                spans.append((w, f, i, j, w[i:j]))
+                seed[w[i:j]] += f
+    total = sum(seed.values())
+    s = {p: l2fp(c) - l2fp(total) for p, c in seed.items()}
+    newc = Counter()
+    for w, f, *_ in {(w, f) for w, f, _i, _j, _p in spans}:
+        L = len(w)
+        dpf = [None] * (L + 1)
+        dpf[0] = 0
+        for j in range(1, L + 1):
+            dpf[j] = max(
+                dpf[i] + s[w[i:j]] for i in range(max(0, j - MAX_PIECE), j)
+            )
+        dpb = [None] * (L + 1)
+        dpb[L] = 0
+        for i in range(L - 1, -1, -1):
+            dpb[i] = max(
+                s[w[i:j]] + dpb[j]
+                for j in range(i + 1, min(i + MAX_PIECE, L) + 1)
+            )
+        for i in range(L):
+            for j in range(i + 1, min(i + MAX_PIECE, L) + 1):
+                if dpf[i] + s[w[i:j]] + dpb[j] == dpf[L]:
+                    newc[w[i:j]] += f
+    ranked = sorted(newc.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    return [
+        (p, seed[p], n, s[p], r + 1) for r, (p, n) in enumerate(ranked)
+    ]
+
+
+def test_spark_matches_python_reference(spark):
+    got = [
+        (r.piece, r.seed_count, r.new_count, r.score_fp, r.rank)
+        for r in tokenizer_unigram_em_step(spark, SF_DIR).collect()
+    ]
+    want = _py_reference(SF_DIR)
+    assert got == want

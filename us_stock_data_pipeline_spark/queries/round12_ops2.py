@@ -1,0 +1,448 @@
+"""Round-12: unigram-LM (SentencePiece-style) tokenizer training step.
+
+The tokenizer family had BPE (pair counting + UDF-free greedy encode,
+`round10_ops2.py`); this adds the second major family: the unigram
+language model's EM re-estimation + pruning step (Kudo 2018), as a
+hard-EM (Viterbi-support) variant whose every quantity is INTEGER-exact
+so the DuckDB oracle replays it hash-identically:
+
+- piece scores are fixed-point log2: L2FP(x) = 256*floor(log2 x) + 8
+  fraction bits computed by the classic shift-and-square integer
+  recursion (m <- m^2 >> 16, emit a bit when m >= 2^17). Every step is
+  integer/exact-double arithmetic available identically in Spark SQL
+  and DuckDB — no libm transcendentals anywhere near a hashed column
+  (the r9-r11 oracle-fragility rule).
+- the E-step marks a piece occurrence as ON-PATH iff forward[i] +
+  s(piece) + backward[j] == forward[L] — membership in SOME optimal
+  segmentation. This is deterministic even when the Viterbi optimum is
+  non-unique (no tie-breaking rule can drift between engines), and the
+  re-estimated count sums word frequencies over on-path occurrences:
+  the hard-EM analog of SentencePiece's expected counts.
+- the M/prune step ranks pieces by re-estimated count and keeps the
+  top K — one pruning round of the iterated train loop.
+
+Both engines run the SAME generated SQL (dialect differs only in
+floor(log2): Spark `length(bin(x))-1`, DuckDB `length(to_base(x,2))-1`);
+the Spark side feeds it from DataFrame-built temp views. Scale shape:
+the data-sized work is word extraction + span counting (one scan, two
+shuffles); the DP runs on the candidate-vocab spans of the top-W
+training words — the corpus-sample cap every production tokenizer
+trainer applies (stated, not silent) — and is constant in corpus size.
+A pure-Python reference is pinned in tests/test_unigram_lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+TOP_WORDS = 150  # training-sample cap (freq DESC, word ASC — total order)
+MAX_WLEN = 8
+MAX_PIECE = 4
+TOP_K = 40  # pieces kept by the pruning step
+
+
+def _l2fp_ctes(prefix: str, src: str, bin_len: str) -> str:
+    """CTE chain computing L2FP(cnt) = e*256 + acc for rows (id, cnt) of
+    `src`. `bin_len` is the dialect's exact floor(log2(x)) expression
+    with {x} as the operand. All arithmetic is integer or
+    exactly-representable double (cnt*65536 < 2^53, m < 2^17 so
+    m*m < 2^34), so both engines produce bit-identical results."""
+    e_expr = bin_len.format(x="cnt")
+    out = [
+        f"""{prefix}_m0 AS (
+  SELECT id, cnt,
+         CAST({e_expr} AS BIGINT) AS e,
+         CAST(floor(cnt * 65536.0 / pow(2.0, CAST({e_expr} AS BIGINT))) AS BIGINT) AS m,
+         CAST(0 AS BIGINT) AS acc
+  FROM {src}
+)"""
+    ]
+    prev = f"{prefix}_m0"
+    for r in range(1, 9):
+        out.append(
+            f"""{prefix}_r{r} AS (
+  SELECT id, cnt, e,
+         CASE WHEN m2 >= 131072 THEN CAST(floor(m2 / 2.0) AS BIGINT) ELSE m2 END AS m,
+         acc * 2 + CASE WHEN m2 >= 131072 THEN 1 ELSE 0 END AS acc
+  FROM (SELECT id, cnt, e, CAST(floor(m * m / 65536.0) AS BIGINT) AS m2, acc
+        FROM {prev}) {prefix}_t{r}
+)"""
+        )
+        prev = f"{prefix}_r{r}"
+    out.append(
+        f"{prefix} AS (SELECT id, cnt, e * 256 + acc AS l2 FROM {prev})"
+    )
+    return ",\n".join(out)
+
+
+def _unigram_core_sql(words: str, spans: str, bin_len: str) -> str:
+    """The shared EM-step SQL over views `words`(word, freq) and
+    `spans`(word, freq, i, j, piece): seed counts -> fixed-point scores
+    -> forward/backward Viterbi DP -> on-path counts -> top-K pruning.
+
+    The DPs are STATE-CARRYING linear chains: step CTE j references
+    ONLY step j-1, carrying every earlier dp value as a column (p0..pj
+    forward, r0..rk backward-from-the-end). A naive unrolling where
+    step j unions steps 0..j-1 is re-inlined exponentially by both
+    engines' CTE inlining (measured: DuckDB ran minutes at depth 8);
+    the linear chain plans in milliseconds. Undefined positions
+    (j > word length) stay NULL and propagate through max() naturally."""
+    # forward: p{j} = dp over word[0:j]
+    dpf = [
+        f"dpf0 AS (SELECT word, CAST(0 AS BIGINT) AS p0 FROM {words})"
+    ]
+    for j in range(1, MAX_WLEN + 1):
+        carried = ", ".join(f"d.p{k}" for k in range(j))
+        cases = " ".join(
+            f"WHEN {i} THEN d.p{i}"
+            for i in range(max(0, j - MAX_PIECE), j)
+        )
+        group = ", ".join(["d.word"] + [f"d.p{k}" for k in range(j)])
+        dpf.append(
+            f"""dpf{j} AS (
+  SELECT d.word, {carried},
+         max(CASE sp.i {cases} END + sp.s) AS p{j}
+  FROM dpf{j - 1} d
+  LEFT JOIN spans_s sp ON sp.word = d.word AND sp.j = {j}
+  GROUP BY {group}
+)"""
+        )
+    dpf_all = " UNION ALL ".join(
+        f"SELECT word, CAST({j} AS BIGINT) AS pos, p{j} AS sc FROM dpf{MAX_WLEN}"
+        f" WHERE p{j} IS NOT NULL"
+        for j in range(MAX_WLEN + 1)
+    )
+    # backward: r{k} = dp over word[L-k:L] (offset k from the END)
+    dpb = [
+        f"dpb0 AS (SELECT word, CAST(0 AS BIGINT) AS r0 FROM {words})"
+    ]
+    for k in range(1, MAX_WLEN + 1):
+        carried = ", ".join(f"d.r{t}" for t in range(k))
+        cases = " ".join(
+            f"WHEN {d} THEN d.r{k - d}"
+            for d in range(1, min(MAX_PIECE, k) + 1)
+        )
+        group = ", ".join(["d.word"] + [f"d.r{t}" for t in range(k)])
+        dpb.append(
+            f"""dpb{k} AS (
+  SELECT d.word, {carried},
+         max(sp.s + CASE sp.j - sp.i {cases} END) AS r{k}
+  FROM dpb{k - 1} d
+  LEFT JOIN spans_s sp
+    ON sp.word = d.word AND sp.i = CAST(length(d.word) AS BIGINT) - {k}
+  GROUP BY {group}
+)"""
+        )
+    dpb_all = " UNION ALL ".join(
+        f"SELECT word, CAST(length(word) AS BIGINT) - {k} AS pos,"
+        f" r{k} AS sc FROM dpb{MAX_WLEN}"
+        f" WHERE r{k} IS NOT NULL AND CAST(length(word) AS BIGINT) - {k} >= 0"
+        for k in range(MAX_WLEN + 1)
+    )
+    dpf_ctes = ",\n".join(dpf)
+    dpb_ctes = ",\n".join(dpb)
+    l2f_ctes = _l2fp_ctes("l2f", "lin", bin_len)
+    return f"""
+WITH seed AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM {spans} GROUP BY piece
+),
+lin AS (
+  SELECT piece AS id, cnt FROM seed
+  UNION ALL
+  SELECT '' AS id, (SELECT CAST(sum(cnt) AS BIGINT) FROM seed) AS cnt
+),
+{l2f_ctes},
+piece_s AS (
+  SELECT id AS piece, cnt AS seed_count,
+         l2 - (SELECT l2 FROM l2f WHERE id = '') AS s
+  FROM l2f WHERE id <> ''
+),
+spans_s AS (
+  SELECT sp.word, sp.freq, sp.i, sp.j, sp.piece, ps.s
+  FROM {spans} sp JOIN piece_s ps ON sp.piece = ps.piece
+),
+{dpf_ctes},
+dpf_all AS ({dpf_all}),
+{dpb_ctes},
+dpb_all AS ({dpb_all}),
+dptot AS (
+  SELECT f.word, f.sc FROM dpf_all f
+  JOIN {words} w ON w.word = f.word AND f.pos = CAST(length(w.word) AS BIGINT)
+),
+onpath AS (
+  SELECT sp.piece, sp.freq
+  FROM spans_s sp
+  JOIN dpf_all f ON f.word = sp.word AND f.pos = sp.i
+  JOIN dpb_all b ON b.word = sp.word AND b.pos = sp.j
+  JOIN dptot t ON t.word = sp.word
+  WHERE f.sc + sp.s + b.sc = t.sc
+),
+newc AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS new_count FROM onpath GROUP BY piece
+),
+ranked AS (
+  SELECT ps.piece, ps.seed_count, n.new_count, ps.s AS score_fp,
+         CAST(row_number() OVER (ORDER BY n.new_count DESC, ps.piece ASC)
+              AS BIGINT) AS rank
+  FROM piece_s ps JOIN newc n ON n.piece = ps.piece
+)
+SELECT piece, seed_count, new_count, score_fp, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY rank
+"""
+
+
+_DUCK_PREAMBLE = f"""
+WITH doc_words AS (
+  SELECT t.w AS word
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+  WHERE length(t.w) BETWEEN 2 AND {MAX_WLEN}
+),
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM doc_words GROUP BY word
+  ORDER BY freq DESC, word ASC LIMIT {TOP_WORDS}
+),
+spans AS (
+  SELECT w.word, w.freq, CAST(gi.i AS BIGINT) AS i, CAST(gj.j AS BIGINT) AS j,
+         substr(w.word, CAST(gi.i + 1 AS INT), CAST(gj.j - gi.i AS INT)) AS piece
+  FROM words w, generate_series(0, {MAX_WLEN - 1}) gi(i),
+       generate_series(1, {MAX_WLEN}) gj(j)
+  WHERE gi.i < length(w.word)
+    AND gj.j > gi.i
+    AND gj.j <= least(gi.i + {MAX_PIECE}, CAST(length(w.word) AS BIGINT))
+)
+"""
+
+# DuckDB oracle: preamble + core with the WITH merged (core starts its
+# own WITH, so splice the preamble CTEs in front of `seed`), then mark
+# every multiply-referenced CTE MATERIALIZED — DuckDB re-inlines plain
+# CTEs per reference, re-running the document scan inside each of the
+# 18 DP references (measured: 48s inlined -> ~1s materialized).
+_UNIGRAM_ORACLE = _unigram_core_sql(
+    "words", "spans", "length(to_base({x}, 2)) - 1"
+).replace("WITH seed AS", _DUCK_PREAMBLE.rstrip() + ",\nseed AS", 1)
+for _cte in (
+    "\nwords",  # newline-anchored: plain "words AS (" matches doc_words
+    "spans",
+    "seed",
+    "l2f",
+    "spans_s",
+    f"dpf{MAX_WLEN}",
+    f"dpb{MAX_WLEN}",
+    "dpf_all",
+    "dpb_all",
+):
+    _UNIGRAM_ORACLE = _UNIGRAM_ORACLE.replace(
+        f"{_cte} AS (", f"{_cte} AS MATERIALIZED (", 1
+    )
+
+
+def _l2fp_df(df: DataFrame, cnt_col: str = "cnt") -> DataFrame:
+    """DataFrame twin of `_l2fp_ctes` (same exact integer recursion)."""
+    df = (
+        df.withColumn(
+            "_e", F.expr(f"CAST(length(bin({cnt_col})) - 1 AS BIGINT)")
+        )
+        .withColumn(
+            "_m",
+            F.expr(f"CAST(floor({cnt_col} * 65536.0 / pow(2.0, _e)) AS BIGINT)"),
+        )
+        .withColumn("_acc", F.lit(0).cast("long"))
+    )
+    for _ in range(8):
+        df = (
+            df.withColumn("_m2", F.expr("CAST(floor(_m * _m / 65536.0) AS BIGINT)"))
+            .withColumn(
+                "_acc",
+                F.expr("_acc * 2 + CASE WHEN _m2 >= 131072 THEN 1 ELSE 0 END"),
+            )
+            .withColumn(
+                "_m",
+                F.expr(
+                    "CASE WHEN _m2 >= 131072 THEN CAST(floor(_m2 / 2.0) AS BIGINT)"
+                    " ELSE _m2 END"
+                ),
+            )
+            .drop("_m2")
+        )
+    return df.withColumn("l2", F.expr("_e * 256 + _acc")).drop(
+        "_e", "_m", "_acc"
+    )
+
+
+@register(
+    "tokenizer_unigram_em_step",
+    oracle=_UNIGRAM_ORACLE,
+    tags=("llm", "tokenizer"),
+)
+def tokenizer_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer EM re-estimation + pruning step (module
+    docstring has the full algorithm): words and candidate spans are
+    built with DataFrame ops (scan -> explode -> two shuffles — the
+    only data-sized stages); the fixed-point scoring and the
+    forward/backward Viterbi DPs run as state-carrying column chains
+    over the top-W training words (constant-size; the stated
+    corpus-sample cap every production trainer applies), with the
+    multiply-referenced small tables persisted so the 8-step DP chains
+    stay linear work. At 100 TB the word histogram is the same one
+    shuffle and the EM cost is unchanged — tokenizer training is
+    input-bound on counting, never on the EM arithmetic."""
+    from pyspark.sql import Window
+
+    from us_stock_data_pipeline_spark.registry import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = track_persist(
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.length("word").between(2, MAX_WLEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(TOP_WORDS)
+    )
+    spans = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("i0"),
+        )
+        .withColumn("i", F.col("i0").cast("long"))
+        .select(
+            "word",
+            "freq",
+            "i",
+            "i0",
+            F.explode(
+                F.sequence(
+                    F.col("i0") + 1,
+                    F.least(F.col("i0") + MAX_PIECE, F.length("word")),
+                )
+            ).alias("j0"),
+        )
+        .withColumn("j", F.col("j0").cast("long"))
+        .drop("i0", "j0")
+        .withColumn(
+            "piece", F.expr("substring(word, CAST(i+1 AS INT), CAST(j-i AS INT))")
+        )
+    )
+    seed = spans.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    lin = seed.select(F.col("piece").alias("id"), "cnt").unionAll(
+        seed.agg(F.sum("cnt").cast("long").alias("cnt")).select(
+            F.lit("").alias("id"), "cnt"
+        )
+    )
+    l2f = track_persist(_l2fp_df(lin))
+    tot = l2f.filter(F.col("id") == "").select(F.col("l2").alias("tot_l2"))
+    piece_s = l2f.filter(F.col("id") != "").crossJoin(F.broadcast(tot)).select(
+        F.col("id").alias("piece"),
+        F.col("cnt").alias("seed_count"),
+        (F.col("l2") - F.col("tot_l2")).alias("s"),
+    )
+    spans_s = track_persist(
+        spans.join(F.broadcast(piece_s.select("piece", "s")), "piece").select(
+            "word",
+            "freq",
+            "i",
+            "j",
+            "piece",
+            "s",
+            (F.length("word").cast("long") - F.col("i")).alias("ri"),
+            (F.col("j") - F.col("i")).alias("dlen"),
+        )
+    )
+    # forward DP: state row per word carrying p0..p8
+    state = words.select("word", F.lit(0).cast("long").alias("p0"))
+    for j in range(1, MAX_WLEN + 1):
+        sp_j = spans_s.filter(F.col("j") == j).select("word", "i", "s")
+        case = None
+        for i in range(max(0, j - MAX_PIECE), j):
+            branch = F.when(F.col("i") == i, F.col(f"p{i}"))
+            case = branch if case is None else case.when(
+                F.col("i") == i, F.col(f"p{i}")
+            )
+        carried = [f"p{k}" for k in range(j)]
+        state = (
+            state.join(sp_j, "word", "left")
+            .groupBy("word", *carried)
+            .agg(F.max(case + F.col("s")).alias(f"p{j}"))
+        )
+    state = track_persist(state)
+    dpf_all = state.selectExpr(
+        "word",
+        "stack("
+        + str(MAX_WLEN + 1)
+        + ", "
+        + ", ".join(f"CAST({j} AS BIGINT), p{j}" for j in range(MAX_WLEN + 1))
+        + ") AS (pos, sc)",
+    ).filter(F.col("sc").isNotNull())
+    # backward DP: r{k} = dp of the suffix starting k chars from the END
+    rstate = words.select("word", F.lit(0).cast("long").alias("r0"))
+    for k in range(1, MAX_WLEN + 1):
+        sp_k = spans_s.filter(F.col("ri") == k).select("word", "dlen", "s")
+        case = None
+        for d in range(1, min(MAX_PIECE, k) + 1):
+            case = (
+                F.when(F.col("dlen") == d, F.col(f"r{k - d}"))
+                if case is None
+                else case.when(F.col("dlen") == d, F.col(f"r{k - d}"))
+            )
+        carried = [f"r{t}" for t in range(k)]
+        rstate = (
+            rstate.join(sp_k, "word", "left")
+            .groupBy("word", *carried)
+            .agg(F.max(F.col("s") + case).alias(f"r{k}"))
+        )
+    rstate = track_persist(rstate)
+    dpb_all = rstate.selectExpr(
+        "word",
+        "stack("
+        + str(MAX_WLEN + 1)
+        + ", "
+        + ", ".join(
+            f"CAST(length(word) - {k} AS BIGINT), r{k}"
+            for k in range(MAX_WLEN + 1)
+        )
+        + ") AS (pos, sc)",
+    ).filter(F.col("sc").isNotNull() & (F.col("pos") >= 0))
+    dptot = dpf_all.filter(F.col("pos") == F.length("word")).select(
+        "word", F.col("sc").alias("tot_sc")
+    )
+    onpath = (
+        spans_s.join(
+            dpf_all.select(
+                "word", F.col("pos").alias("i"), F.col("sc").alias("fsc")
+            ),
+            ["word", "i"],
+        )
+        .join(
+            dpb_all.select(
+                "word", F.col("pos").alias("j"), F.col("sc").alias("bsc")
+            ),
+            ["word", "j"],
+        )
+        .join(dptot, "word")
+        .filter(F.col("fsc") + F.col("s") + F.col("bsc") == F.col("tot_sc"))
+    )
+    newc = onpath.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("new_count")
+    )
+    w_rank = Window.orderBy(F.desc("new_count"), F.asc("piece"))
+    return (
+        piece_s.join(newc, "piece")
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "piece",
+            "seed_count",
+            "new_count",
+            F.col("s").alias("score_fp"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
