@@ -1,0 +1,124 @@
+"""Pure-Python parquet page reader (functions/parquet_raw.py): byte-level
+cross-checks against TWO independent writers — pyarrow (C++) on crafted
+tables (nulls, tiny multi-page chunks, dict on/off, snappy on/off) and
+the driver fixtures — plus explicit scope gates."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from us_stock_data_pipeline_spark.functions import parquet_raw as PR
+
+SF = "/root/testdata/sf0.001"
+
+
+def _check_file(path: str):
+    buf = open(path, "rb").read()
+    t = pq.read_table(path)
+    for col in t.column_names:
+        got = PR.read_column(buf, col)
+        typ = t[col].type
+        if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
+            # the raw reader returns PHYSICAL values (epoch micros/days);
+            # logical-type conversion is the layer above, by design
+            want = t[col].cast(
+                pa.int32() if pa.types.is_date32(typ) else pa.int64()
+            ).to_pylist()
+        else:
+            want = t[col].to_pylist()
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            got = [None if g is None else g.decode("utf-8") for g in got]
+        assert got == want, (path, col)
+
+
+@pytest.mark.parametrize("table", ["nation", "region", "supplier", "orders"])
+def test_fixture_files_roundtrip(table):
+    _check_file(f"{SF}/{table}.parquet")
+
+
+@pytest.mark.parametrize("use_dictionary", [True, False])
+@pytest.mark.parametrize("compression", ["snappy", "none"])
+def test_crafted_multi_page_with_nulls(use_dictionary, compression):
+    n = 5000
+    t = pa.table(
+        {
+            "i64": pa.array(
+                [None if k % 7 == 0 else k * 1000003 for k in range(n)],
+                pa.int64(),
+            ),
+            "i32": pa.array(
+                [None if k % 11 == 0 else (k % 300) - 150 for k in range(n)],
+                pa.int32(),
+            ),
+            "f64": pa.array(
+                [None if k % 13 == 0 else k * 0.5 for k in range(n)],
+                pa.float64(),
+            ),
+            "s": pa.array(
+                [None if k % 5 == 0 else f"w{k % 97}" for k in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t,
+            path,
+            compression=compression,
+            use_dictionary=use_dictionary,
+            data_page_size=2048,  # forces many pages per chunk
+            data_page_version="1.0",
+            write_statistics=False,
+        )
+        _check_file(path)
+
+
+def test_required_columns_no_def_levels():
+    t = pa.table({"k": pa.array(list(range(100)), pa.int64())})
+    schema = pa.schema([pa.field("k", pa.int64(), nullable=False)])
+    t = t.cast(schema)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(t, path, compression="snappy", data_page_version="1.0")
+        _check_file(path)
+
+
+def test_scope_gates():
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    with tempfile.TemporaryDirectory() as d:
+        v2 = os.path.join(d, "v2.parquet")
+        pq.write_table(t, v2, data_page_version="2.0", compression="none")
+        with pytest.raises(NotImplementedError):
+            PR.read_column(open(v2, "rb").read(), "k")
+        gz = os.path.join(d, "gz.parquet")
+        pq.write_table(t, gz, compression="gzip", data_page_version="1.0")
+        with pytest.raises(NotImplementedError):
+            PR.read_column(open(gz, "rb").read(), "k")
+    with pytest.raises(ValueError):
+        PR.read_footer(b"NOPE" + b"\x00" * 16)
+
+
+def test_spark_written_file_roundtrip(spark):
+    """The JVM writer (snappy + dictionary, data page v1) is the
+    production layout; the raw reader must speak it byte-for-byte."""
+    import glob
+
+    df = spark.range(0, 20000).selectExpr(
+        "id AS k",
+        "CAST(id % 37 AS BIGINT) AS small",
+        "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 4.0 END AS x",
+        "concat('s', CAST(id % 101 AS STRING)) AS s",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "t")
+        df.coalesce(1).write.mode("overwrite").option(
+            "compression", "snappy"
+        ).parquet(out)
+        (path,) = glob.glob(os.path.join(out, "*.parquet"))
+        _check_file(path)
