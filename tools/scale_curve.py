@@ -131,6 +131,15 @@ QUERIES = [
     # shuffle serves windows + agg), bbox-cell-blocked polygon assignment
     "geo_trajectory_stats",
     "geo_polygon_join",
+    # round-12 heavy additions: forced-external window (spill bytes grow
+    # with data, answer stays exact), unigram-LM EM (counting is the only
+    # data-sized stage — DP is capped-vocab constant), raw parquet page
+    # decode (per-file Python decode — the curve shows the scan-bound
+    # profile), and the SQL-catalog time-travel joins (metadata-bound)
+    "scale_window_spill_external",
+    "tokenizer_unigram_em_step",
+    "storage_parquet_raw_scan",
+    "etl_versioned_sql_timetravel",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
