@@ -157,3 +157,40 @@ def test_unregistered_name_errors(spark):
         C.versioned_sql(spark, "DESCRIBE HISTORY no_such_table_xyz")
     with pytest.raises(ValueError):
         C.register_versioned(spark, "bad-name!", "/tmp/nowhere")
+
+
+def test_maintenance_statements(spark, table):
+    """VACUUM / OPTIMIZE / CREATE TAG / CREATE BRANCH via SQL."""
+    root, name = table
+    _commit_update(spark, root, [0], 1)
+    _commit_update(spark, root, [1], 2)
+    _commit_update(spark, root, [2], 3)
+    C.register_versioned(spark, name, root)
+    out = C.versioned_sql(
+        spark, f"ALTER TABLE {name} CREATE TAG stable AS OF VERSION 2"
+    )
+    assert out.first().version == 2
+    via_tag = C.versioned_sql(
+        spark, f"SELECT CAST(sum(val) AS BIGINT) s FROM {name} VERSION AS OF 'stable'"
+    ).first().s
+    assert via_tag == sum(k * 10 for k in range(8)) + 1
+    out = C.versioned_sql(spark, f"ALTER TABLE {name} CREATE BRANCH wip2")
+    assert out.first().fork_version == 4
+    br = C.versioned_sql(spark, f"DESCRIBE BRANCHES {name}")
+    assert [r.branch for r in br.collect()] == ["wip2"]
+    # vacuum: retention 2 removes expired manifests (tag pins v2) but the
+    # registered view still serves the current snapshot
+    before = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    out = C.versioned_sql(spark, f"VACUUM {name} RETAIN 2 VERSIONS")
+    assert out.first().paths_deleted >= 1
+    assert (
+        spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+        == before
+    )
+    # OPTIMIZE compacts into a fresh commit and swings the view
+    out = C.versioned_sql(spark, f"OPTIMIZE {name}")
+    assert out.first().committed_version > 4
+    assert (
+        spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+        == before
+    )

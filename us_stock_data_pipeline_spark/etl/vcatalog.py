@@ -31,6 +31,10 @@ SQL front-end:
     * ``DESCRIBE HISTORY <name> [LIMIT n]``
     * ``DESCRIBE BRANCHES <name>``
     * ``RESTORE TABLE <name> TO VERSION AS OF <n>``
+    * ``REFRESH TABLE <name>`` / ``VACUUM <name> [RETAIN n VERSIONS]``
+      / ``OPTIMIZE <name>`` (compaction + refresh)
+    * ``ALTER TABLE <name> CREATE TAG <tag> AS OF VERSION <n>`` and
+      ``ALTER TABLE <name> CREATE BRANCH <branch>`` (Iceberg syntax)
   Time-travel clauses are rewritten to lazily-registered snapshot views
   (``<name>__asof_v<n>``), then handed to the vanilla ``spark.sql`` —
   Catalyst sees ordinary views over parquet scans and optimizes as
@@ -156,6 +160,22 @@ _RESTORE = re.compile(
 _REFRESH = re.compile(
     rf"^\s*REFRESH\s+TABLE\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
 )
+_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+({_NAME_RE})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_TAG = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+CREATE\s+TAG\s+({_NAME_RE})"
+    rf"\s+AS\s+OF\s+VERSION\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_BRANCH = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+CREATE\s+BRANCH\s+({_NAME_RE})\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_ts_ms(spark: SparkSession, literal: str) -> int:
@@ -197,6 +217,36 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
     if m:
         refresh_versioned(spark, m.group(1))
         return spark.createDataFrame([(m.group(1),)], "table_name string")
+    m = _VACUUM.match(stmt)
+    if m:
+        keep = int(m.group(2)) if m.group(2) else 2
+        n = V.vacuum_versions(spark, _root_of(spark, m.group(1)), keep_last=keep)
+        return spark.createDataFrame(
+            [(m.group(1), n)], "table_name string, paths_deleted long"
+        )
+    m = _OPTIMIZE.match(stmt)
+    if m:
+        name = m.group(1)
+        ver = V.compact_table(spark, _root_of(spark, name))
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, ver)], "table_name string, committed_version long"
+        )
+    m = _CREATE_TAG.match(stmt)
+    if m:
+        name, tag, ver = m.group(1), m.group(2), int(m.group(3))
+        V.create_tag(spark, _root_of(spark, name), tag, ver)
+        return spark.createDataFrame(
+            [(name, tag, ver)], "table_name string, tag string, version long"
+        )
+    m = _CREATE_BRANCH.match(stmt)
+    if m:
+        name, branch = m.group(1), m.group(2)
+        fork = V.create_branch(spark, _root_of(spark, name), branch)
+        return spark.createDataFrame(
+            [(name, branch, fork)],
+            "table_name string, branch string, fork_version long",
+        )
 
     def sub_version(m: re.Match) -> str:
         name = m.group(1)
