@@ -450,3 +450,156 @@ def etl_versioned_sql_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         unregister_versioned(spark, name)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# CDF stream -> foreachBatch MERGE: incremental mart maintenance loop
+# --------------------------------------------------------------------------
+
+# Final mart state after replaying the feed: base with bands 0-1
+# incremented (v2), shifted inserts (v3), minus DV-deleted keys {0, 1}
+# (v4). Note nk 0 and 1 are IN bands 0/1, so their incremented rows are
+# deleted again — the oracle drops them from the updated set.
+_CDF_MERGE_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+final AS (
+  SELECT nk, band,
+         n + CASE WHEN band IN (0, 1) THEN 1 ELSE 0 END AS val
+  FROM base WHERE nk NOT IN (0, 1)
+  UNION ALL
+  SELECT nk + 1000 AS nk, CAST(9 AS BIGINT) AS band, nk AS val FROM base
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM final
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "stream_versioned_cdf_to_mart",
+    oracle=_CDF_MERGE_ORACLE,
+    tags=("streaming", "versioned"),
+)
+def stream_versioned_cdf_to_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE incremental-materialization loop (VERDICT r11 #3's
+    production pattern): `readStream` over the versioned table's change
+    feed -> `foreachBatch` applying each commit's changes IN VERSION
+    ORDER to a downstream mart — inserts/updates via the versioned
+    MERGE, deletes via a deletion-vector commit. The mart is seeded
+    from the v1 snapshot, the stream replays v2..v4, and the mart's
+    final state must equal the source's head snapshot exactly (the
+    oracle recomputes it from `customer`). At 100 TB this is how a
+    derived table tracks a base table without rescanning it: per
+    microbatch, work is proportional to the CHANGED partitions only —
+    manifest-diff planning upstream, partition-pruned MERGE downstream."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.cdf_stream import register_cdf_source
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        read_versioned,
+        versioned_delete,
+        versioned_merge_upsert,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    src = tempfile.mkdtemp(prefix=f"us_sdps_cdfm_src_{_uuid.uuid4().hex[:8]}_")
+    mart = tempfile.mkdtemp(prefix=f"us_sdps_cdfm_mart_{_uuid.uuid4().hex[:8]}_")
+    try:
+        versioned_merge_upsert(
+            spark, base, src, key_cols=("nk",), partition_cols=("band",)
+        )
+        # seed the mart from the v1 snapshot (the one full copy ever made)
+        versioned_merge_upsert(
+            spark,
+            read_versioned(spark, src, version=1),
+            mart,
+            key_cols=("nk",),
+            partition_cols=("band",),
+        )
+        v2 = base.filter(F.col("band").isin(0, 1)).withColumn(
+            "val", F.col("val") + 1
+        )
+        versioned_merge_upsert(
+            spark, v2, src, key_cols=("nk",), partition_cols=("band",)
+        )
+        v3 = base.select(
+            (F.col("nk") + 1000).alias("nk"),
+            F.lit(9).cast("long").alias("band"),
+            F.col("nk").alias("val"),
+        )
+        versioned_merge_upsert(
+            spark, v3, src, key_cols=("nk",), partition_cols=("band",)
+        )
+        versioned_delete(
+            spark,
+            spark.createDataFrame([(0,), (1,)], "nk long"),
+            src,
+            key_cols=("nk",),
+        )
+        register_cdf_source(spark)
+        feed = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", src)
+            .option("keycols", "nk")
+            .option("tableschema", "nk long, band long, val long")
+            .option("startingversion", "1")
+            .load()
+        )
+
+        def apply_changes(batch, _epoch):
+            # one microbatch may span several commits: apply in version
+            # order so an update-then-delete of the same key lands right
+            versions = [
+                r[0]
+                for r in batch.select("_commit_version").distinct().collect()
+            ]
+            for v in sorted(versions):
+                chg = batch.filter(F.col("_commit_version") == v)
+                ups = chg.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).select("nk", "band", "val")
+                if not ups.isEmpty():
+                    versioned_merge_upsert(
+                        spark, ups, mart, key_cols=("nk",), partition_cols=("band",)
+                    )
+                dels = chg.filter(F.col("_change_type") == "delete").select("nk")
+                if not dels.isEmpty():
+                    versioned_delete(spark, dels, mart, key_cols=("nk",))
+
+        q = (
+            feed.writeStream.foreachBatch(apply_changes)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            read_versioned(spark, mart)
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+            )
+            .orderBy("band")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(mart, ignore_errors=True)
