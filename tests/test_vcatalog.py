@@ -194,3 +194,48 @@ def test_maintenance_statements(spark, table):
         spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
         == before
     )
+
+
+def test_dml_statements(spark, table):
+    """INSERT / UPDATE / DELETE route through merge + DV commits."""
+    root, name = table
+    C.register_versioned(
+        spark, name, root, key_cols=("k",), partition_cols=("band",)
+    )
+    base = sum(k * 10 for k in range(8))
+
+    out = C.versioned_sql(
+        spark,
+        f"INSERT INTO {name} (k, band, val) VALUES "
+        "(CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(7 AS BIGINT)), "
+        "(CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT))",
+    )
+    assert out.first().committed_version == 2
+    s = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert s == base + 15
+
+    out = C.versioned_sql(
+        spark, f"UPDATE {name} SET val = val * 2, band = band WHERE k >= 100"
+    )
+    assert out.first().committed_version == 3
+    s = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert s == base + 30
+
+    out = C.versioned_sql(spark, f"DELETE FROM {name} WHERE k = 100")
+    assert out.first().committed_version == 4
+    s = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    assert s == base + 16
+    n = spark.sql(f"SELECT count(*) n FROM {name}").first().n
+    assert n == 9
+    # time travel still sees the pre-DML generations
+    old = C.versioned_sql(
+        spark, f"SELECT CAST(sum(val) AS BIGINT) s FROM {name} VERSION AS OF 1"
+    ).first().s
+    assert old == base
+
+
+def test_dml_requires_write_spec(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root)  # read-only registration
+    with pytest.raises(ValueError, match="key_cols"):
+        C.versioned_sql(spark, f"DELETE FROM {name} WHERE k = 1")

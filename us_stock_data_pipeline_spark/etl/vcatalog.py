@@ -35,6 +35,12 @@ SQL front-end:
       / ``OPTIMIZE <name>`` (compaction + refresh)
     * ``ALTER TABLE <name> CREATE TAG <tag> AS OF VERSION <n>`` and
       ``ALTER TABLE <name> CREATE BRANCH <branch>`` (Iceberg syntax)
+    * DML, when the registration declared key/partition cols:
+      ``INSERT INTO <name> [(cols)] SELECT ...|VALUES ...`` (a MERGE
+      commit), ``UPDATE <name> SET c = expr[, ...] WHERE pred`` (reads
+      the matching rows, rewrites their partitions), and ``DELETE FROM
+      <name> WHERE pred`` (a deletion-vector commit — kilobytes, no
+      rewrite). Each commits one new version and refreshes the view.
   Time-travel clauses are rewritten to lazily-registered snapshot views
   (``<name>__asof_v<n>``), then handed to the vanilla ``spark.sql`` —
   Catalyst sees ordinary views over parquet scans and optimizes as
@@ -55,9 +61,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from us_stock_data_pipeline_spark.etl import versioned as V
 
-# (applicationId, view name) -> table root; applicationId scoping keeps
-# the registry coherent if tests spin up more than one session profile.
-_TABLES: dict[tuple[str, str], str] = {}
+# (applicationId, view name) -> {root, key_cols, partition_cols};
+# applicationId scoping keeps the registry coherent if tests spin up
+# more than one session profile. key/partition cols are optional at
+# registration and required only by the DML statements.
+_TABLES: dict[tuple[str, str], dict] = {}
 
 _NAME_RE = r"[A-Za-z_][A-Za-z0-9_]*"
 
@@ -66,7 +74,7 @@ def _key(spark: SparkSession, name: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, name)
 
 
-def _root_of(spark: SparkSession, name: str) -> str:
+def _entry_of(spark: SparkSession, name: str) -> dict:
     try:
         return _TABLES[_key(spark, name)]
     except KeyError:
@@ -74,6 +82,20 @@ def _root_of(spark: SparkSession, name: str) -> str:
             f"{name!r} is not a registered versioned table; "
             "call register_versioned(spark, name, root) first"
         ) from None
+
+
+def _root_of(spark: SparkSession, name: str) -> str:
+    return _entry_of(spark, name)["root"]
+
+
+def _write_spec(spark: SparkSession, name: str) -> tuple[str, tuple, tuple]:
+    e = _entry_of(spark, name)
+    if not e.get("key_cols"):
+        raise ValueError(
+            f"{name!r} was registered without key_cols; DML statements need "
+            "register_versioned(..., key_cols=..., partition_cols=...)"
+        )
+    return e["root"], tuple(e["key_cols"]), tuple(e["partition_cols"] or ())
 
 
 def register_versioned(
@@ -85,13 +107,17 @@ def register_versioned(
     branch: str | None = None,
     partition_filter=None,
     stat_filter: dict | None = None,
+    key_cols: tuple[str, ...] | None = None,
+    partition_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Register a versioned table as SQL-addressable temp view `name`.
 
     `version`/`ref` pin time travel; `branch` reads a branch head;
     `partition_filter`/`stat_filter` apply the manifest/zone-map pruning
     of `read_versioned` so the registered view's scan lists only the
-    kept files. Returns the registered DataFrame."""
+    kept files. `key_cols`/`partition_cols` declare the write spec the
+    DML statements (INSERT/UPDATE/DELETE) route through — omit them for
+    read-only registrations. Returns the registered DataFrame."""
     if not re.fullmatch(_NAME_RE, name):
         raise ValueError(f"invalid SQL view name {name!r}")
     if branch is not None:
@@ -105,14 +131,26 @@ def register_versioned(
         stat_filter=stat_filter,
     )
     df.createOrReplaceTempView(name)
-    _TABLES[_key(spark, name)] = root
+    prev = _TABLES.get(_key(spark, name), {})
+    _TABLES[_key(spark, name)] = {
+        "root": root,
+        "key_cols": key_cols or prev.get("key_cols"),
+        "partition_cols": partition_cols or prev.get("partition_cols"),
+    }
     return df
 
 
 def refresh_versioned(spark: SparkSession, name: str) -> DataFrame:
     """REFRESH TABLE analog: re-resolve the CURRENT manifest and swing
     the temp view to it (one manifest read — metadata-only)."""
-    return register_versioned(spark, name, _root_of(spark, name))
+    e = _entry_of(spark, name)
+    return register_versioned(
+        spark,
+        name,
+        e["root"],
+        key_cols=e.get("key_cols"),
+        partition_cols=e.get("partition_cols"),
+    )
 
 
 def unregister_versioned(spark: SparkSession, name: str) -> None:
@@ -176,6 +214,53 @@ _CREATE_BRANCH = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+CREATE\s+BRANCH\s+({_NAME_RE})\s*;?\s*$",
     re.IGNORECASE,
 )
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_NAME_RE})\s*(?:\(([^)]*)\))?\s*(SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+({_NAME_RE})\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_NAME_RE})\s+WHERE\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(s: str) -> list[tuple[str, str]]:
+    """Top-level comma split of `col = expr, col2 = expr2` (parens and
+    quotes respected), then split each at the first `=`."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur = []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = []
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        if not eq or not re.fullmatch(_NAME_RE, col.strip()):
+            raise ValueError(f"unparseable SET assignment {p.strip()!r}")
+        out.append((col.strip(), expr.strip()))
+    return out
 
 
 def _parse_ts_ms(spark: SparkSession, literal: str) -> int:
@@ -246,6 +331,46 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         return spark.createDataFrame(
             [(name, branch, fork)],
             "table_name string, branch string, fork_version long",
+        )
+    m = _INSERT.match(stmt)
+    if m:
+        name, col_list, query = m.group(1), m.group(2), m.group(3)
+        root, key_cols, partition_cols = _write_spec(spark, name)
+        df = spark.sql(query)
+        if col_list:
+            df = df.toDF(*[c.strip() for c in col_list.split(",")])
+        ver = V.versioned_merge_upsert(
+            spark, df, root, key_cols=key_cols, partition_cols=partition_cols
+        )
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, ver)], "table_name string, committed_version long"
+        )
+    m = _UPDATE.match(stmt)
+    if m:
+        name, sets, pred = m.group(1), m.group(2), m.group(3)
+        root, key_cols, partition_cols = _write_spec(spark, name)
+        from pyspark.sql import functions as F
+
+        updated = spark.table(name).filter(pred)
+        for col, expr in _split_assignments(sets):
+            updated = updated.withColumn(col, F.expr(expr))
+        ver = V.versioned_merge_upsert(
+            spark, updated, root, key_cols=key_cols, partition_cols=partition_cols
+        )
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, ver)], "table_name string, committed_version long"
+        )
+    m = _DELETE.match(stmt)
+    if m:
+        name, pred = m.group(1), m.group(2)
+        root, key_cols, _ = _write_spec(spark, name)
+        keys = spark.table(name).filter(pred).select(*key_cols)
+        ver = V.versioned_delete(spark, keys, root, key_cols=key_cols)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, ver)], "table_name string, committed_version long"
         )
 
     def sub_version(m: re.Match) -> str:

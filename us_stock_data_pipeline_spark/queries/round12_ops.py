@@ -603,3 +603,101 @@ def stream_versioned_cdf_to_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(mart, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# full DML through the SQL front-end
+# --------------------------------------------------------------------------
+
+_SQL_DML_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+final AS (
+  SELECT nk, band, n + CASE WHEN band = 2 THEN 5 ELSE 0 END AS val
+  FROM base WHERE nk % 7 <> 0
+  UNION ALL
+  SELECT nk + 1000 AS nk, CAST(9 AS BIGINT) AS band, n AS val
+  FROM base WHERE (nk + 1000) % 7 <> 0
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM final
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "etl_versioned_sql_dml",
+    oracle=_SQL_DML_ORACLE,
+    tags=("etl", "versioned", "sql"),
+)
+def etl_versioned_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DML on the versioned table through plain SQL statements
+    (etl/vcatalog.py round 12): ``INSERT INTO t (cols) SELECT ... FROM
+    t`` (a MERGE commit — and a self-read, safe because the merge
+    stages its input against the pre-commit snapshot before touching
+    the manifest), ``UPDATE t SET val = val + 5 WHERE band = 2``
+    (reads matching rows off the registered view, rewrites only their
+    partitions), and ``DELETE FROM t WHERE nk % 7 = 0`` (a
+    deletion-vector commit: kilobytes, zero data rewrite — at 100 TB
+    the difference between a DELETE statement costing a table rewrite
+    and costing a key-list upload). Every statement commits one
+    version; `VERSION AS OF 1` still serves the pre-DML snapshot, so
+    the audit trail survives the edits."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        unregister_versioned,
+        versioned_sql,
+    )
+    from us_stock_data_pipeline_spark.etl.versioned import versioned_merge_upsert
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_vdml_{_uuid.uuid4().hex[:8]}_")
+    name = f"vdml_{_uuid.uuid4().hex[:8]}"
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        register_versioned(
+            spark, name, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        versioned_sql(
+            spark,
+            f"INSERT INTO {name} (nk, band, val) "
+            f"SELECT nk + 1000, CAST(9 AS BIGINT), val FROM {name}",
+        )
+        versioned_sql(
+            spark, f"UPDATE {name} SET val = val + 5 WHERE band = 2"
+        )
+        versioned_sql(spark, f"DELETE FROM {name} WHERE nk % 7 = 0")
+        out = (
+            spark.table(name)
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+            )
+            .orderBy("band")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        unregister_versioned(spark, name)
+        shutil.rmtree(root, ignore_errors=True)
