@@ -124,3 +124,52 @@ def test_initial_batch_streams_v1_as_inserts(spark, cdf):
     v1 = out.filter(F.col("_commit_version") == 1)
     assert v1.count() == 8
     assert {r._change_type for r in v1.collect()} == {"insert"}
+
+
+def test_max_versions_per_trigger_paces_microbatches(spark):
+    """maxversionspertrigger=1 must split the backlog into one
+    microbatch per commit (Delta's maxFilesPerTrigger analog), with
+    identical total output."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfpace_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)
+        register_cdf_source(spark)
+        sdf = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", root)
+            .option("keycols", "k")
+            .option("tableschema", DDL)
+            .option("startingversion", "1")
+            .option("maxversionspertrigger", "1")
+            .load()
+        )
+        name = f"cdf_paced_{uuid.uuid4().hex[:8]}"
+        batches = []
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda df, eid: batches.append(
+                    {r._commit_version for r in df.select("_commit_version").collect()}
+                )
+            )
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = 120
+            import time as _t
+
+            t0 = _t.time()
+            while _t.time() - t0 < deadline:
+                if sum(len(b) for b in batches if b) >= 3:
+                    break
+                _t.sleep(1)
+        finally:
+            q.stop()
+        nonempty = [b for b in batches if b]
+        assert all(len(b) == 1 for b in nonempty), nonempty
+        assert set().union(*nonempty) == {2, 3, 4}
+        # versions arrive in order
+        flat = [next(iter(b)) for b in nonempty]
+        assert flat == sorted(flat)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -239,3 +239,55 @@ def test_dml_requires_write_spec(spark, table):
     C.register_versioned(spark, name, root)  # read-only registration
     with pytest.raises(ValueError, match="key_cols"):
         C.versioned_sql(spark, f"DELETE FROM {name} WHERE k = 1")
+
+
+def test_merge_into_statement(spark, table):
+    """MERGE INTO: conditional update, conditional delete, insert —
+    first applicable clause wins per source row."""
+    root, name = table
+    C.register_versioned(
+        spark, name, root, key_cols=("k",), partition_cols=("band",)
+    )
+    # target: k=0..7 val=k*10. source rows:
+    #   k=0 val 99  (matched, val>tgt -> UPDATE)
+    #   k=2 val 5   (matched, val<=tgt -> falls to DELETE clause)
+    #   k=50 val 7  (not matched -> INSERT)
+    src = spark.createDataFrame(
+        [(0, 0, 99), (2, 0, 5), (50, 0, 7)], "k long, band long, val long"
+    )
+    src.createOrReplaceTempView("merge_src_v")
+    out = C.versioned_sql(
+        spark,
+        f"""
+        MERGE INTO {name} AS t USING merge_src_v AS s ON t.k = s.k
+        WHEN MATCHED AND s.val > t.val THEN UPDATE SET *
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    ).first()
+    assert out.n_upserted == 2  # k=0 update + k=50 insert
+    assert out.n_deleted == 1  # k=2
+    rows = {
+        r.k: r.val
+        for r in spark.sql(f"SELECT k, val FROM {name}").collect()
+    }
+    assert rows[0] == 99 and rows[50] == 7 and 2 not in rows
+    assert rows[4] == 40  # untouched keys intact
+    assert len(rows) == 8  # 8 original - 1 deleted + 1 inserted
+    spark.catalog.dropTempView("merge_src_v")
+
+
+def test_merge_into_rejects_non_key_on(spark, table):
+    root, name = table
+    C.register_versioned(
+        spark, name, root, key_cols=("k",), partition_cols=("band",)
+    )
+    spark.createDataFrame([(1, 1, 1)], "k long, band long, val long"
+                          ).createOrReplaceTempView("merge_bad_v")
+    with pytest.raises(ValueError, match="key"):
+        C.versioned_sql(
+            spark,
+            f"MERGE INTO {name} AS t USING merge_bad_v AS s ON t.val = s.val "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    spark.catalog.dropTempView("merge_bad_v")

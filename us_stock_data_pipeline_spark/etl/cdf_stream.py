@@ -124,14 +124,32 @@ def make_cdf_datasource():
             self.schema_ddl = schema_ddl
             self.table_ddl = options["tableschema"]
             self.starting = int(options.get("startingversion", "0"))
+            # Delta's maxFilesPerTrigger analog: cap how many COMMITS one
+            # microbatch may span, so a consumer catching up on a long
+            # backlog paces itself (bounded state per batch) instead of
+            # swallowing the whole history in one trigger. 0 = unbounded.
+            self.max_versions = int(options.get("maxversionspertrigger", "0"))
+            # pacing cursor: the last end offset THIS reader handed out.
+            # Advanced in latestOffset itself (the simple stream API does
+            # not guarantee a commit() callback between triggers); on a
+            # checkpoint restart it resets to startingversion, which is
+            # safe — partitions() clamps to the (start, end] the engine
+            # actually asks for, so a low cursor only means the first
+            # few latestOffset answers are no-ops.
+            self._cursor = self.starting
 
         # -- offsets ----------------------------------------------------
         def initialOffset(self) -> dict:
             return {"version": self.starting}
 
         def latestOffset(self) -> dict:
-            vs = _committed_versions(self.root)
-            return {"version": vs[-1] if vs else self.starting}
+            vs = [v for v in _committed_versions(self.root) if v > self._cursor]
+            if not vs:
+                return {"version": self._cursor}
+            if self.max_versions > 0:
+                vs = vs[: self.max_versions]
+            self._cursor = vs[-1]
+            return {"version": self._cursor}
 
         # -- planning (driver, metadata-only) ---------------------------
         def partitions(self, start: dict, end: dict):
@@ -311,7 +329,7 @@ def make_cdf_datasource():
             return iter(rows)
 
         def commit(self, end: dict) -> None:
-            pass
+            self._cursor = max(self._cursor, int(end["version"]))
 
     class VersionedCdfDataSource(DataSource):
         @classmethod

@@ -38,9 +38,13 @@ SQL front-end:
     * DML, when the registration declared key/partition cols:
       ``INSERT INTO <name> [(cols)] SELECT ...|VALUES ...`` (a MERGE
       commit), ``UPDATE <name> SET c = expr[, ...] WHERE pred`` (reads
-      the matching rows, rewrites their partitions), and ``DELETE FROM
+      the matching rows, rewrites their partitions), ``DELETE FROM
       <name> WHERE pred`` (a deletion-vector commit — kilobytes, no
-      rewrite). Each commits one new version and refreshes the view.
+      rewrite), and ``MERGE INTO <name> USING src ON <key equality>
+      WHEN MATCHED [AND cond] THEN UPDATE SET *|DELETE WHEN NOT MATCHED
+      [AND cond] THEN INSERT *`` (first applicable clause wins per
+      source row — see `_merge_into`). Each statement commits one new
+      version and refreshes the view.
   Time-travel clauses are rewritten to lazily-registered snapshot views
   (``<name>__asof_v<n>``), then handed to the vanilla ``spark.sql`` —
   Catalyst sees ordinary views over parquet scans and optimizes as
@@ -226,6 +230,17 @@ _DELETE = re.compile(
     rf"^\s*DELETE\s+FROM\s+({_NAME_RE})\s+WHERE\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_NAME_RE})(?:\s+(?:AS\s+)?({_NAME_RE}))?"
+    rf"\s+USING\s+(?:({_NAME_RE})|\((.*?)\))(?:\s+(?:AS\s+)?({_NAME_RE}))?"
+    rf"\s+ON\s+(.*?)\s+(WHEN\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+    r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)\s*",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:
@@ -261,6 +276,118 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
             raise ValueError(f"unparseable SET assignment {p.strip()!r}")
         out.append((col.strip(), expr.strip()))
     return out
+
+
+def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
+    """MERGE INTO (the Delta workhorse statement), canonical subset:
+
+        MERGE INTO t [AS ta] USING src|(subquery) [AS sa] ON <key equality>
+          WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE
+          WHEN NOT MATCHED [AND cond] THEN INSERT *
+          (any number of clauses; per source row the FIRST applicable
+           clause in statement order wins — Delta's semantics)
+
+    The ON clause must be exactly the registered key_cols' equality
+    (`ta.k = sa.k [AND ...]` covering every key): this engine's merge
+    commits upsert BY KEY, so any other match condition would silently
+    change semantics — it is rejected loudly instead. Clause conditions
+    may reference both aliases (`sa.val > ta.val`). UPDATE SET * /
+    INSERT * take the full source row (schemas align by name).
+    Execution: one left join source->target evaluates matched-ness and
+    every clause condition; UPDATE/INSERT rows land in ONE merge commit
+    (touched partitions only), DELETE keys in one deletion-vector
+    commit. Returns (table_name, n_upserted, n_deleted, version)."""
+    from pyspark.sql import functions as F
+
+    name = m.group(1)
+    t_alias = m.group(2) or name
+    src_name, src_sub, s_alias = m.group(3), m.group(4), m.group(5)
+    on_clause, clause_text = m.group(6), m.group(7)
+    root, key_cols, partition_cols = _write_spec(spark, name)
+    if src_name:
+        src = spark.table(src_name)
+        s_alias = s_alias or src_name
+    else:
+        src = spark.sql(src_sub)
+        if not s_alias:
+            raise ValueError("MERGE USING (subquery) needs an alias")
+    # ON must be the key equality, every key covered
+    seen_keys = set()
+    for part in re.split(r"\bAND\b", on_clause, flags=re.IGNORECASE):
+        mm = re.fullmatch(
+            rf"\s*({_NAME_RE})\.({_NAME_RE})\s*=\s*({_NAME_RE})\.({_NAME_RE})\s*",
+            part,
+        )
+        if not mm:
+            raise ValueError(f"unsupported MERGE ON term {part.strip()!r}")
+        pairs = {mm.group(1): mm.group(2), mm.group(3): mm.group(4)}
+        if set(pairs) != {t_alias, s_alias} or pairs[t_alias] != pairs[s_alias]:
+            raise ValueError(f"MERGE ON term {part.strip()!r} is not key equality")
+        if pairs[t_alias] not in key_cols:
+            raise ValueError(
+                f"MERGE ON column {pairs[t_alias]!r} is not in key_cols {key_cols}"
+            )
+        seen_keys.add(pairs[t_alias])
+    if seen_keys != set(key_cols):
+        raise ValueError(f"MERGE ON must cover all key_cols {key_cols}")
+    clauses = []
+    for cm in _MERGE_CLAUSE.finditer(clause_text):
+        is_matched = cm.group(1) is None
+        cond = cm.group(2)
+        action = re.sub(r"\s+", " ", cm.group(3)).upper()
+        if is_matched and action == "INSERT *":
+            raise ValueError("WHEN MATCHED cannot INSERT")
+        if not is_matched and action != "INSERT *":
+            raise ValueError("WHEN NOT MATCHED can only INSERT *")
+        clauses.append((is_matched, cond, action))
+    if not clauses:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    tgt = spark.table(name).alias(t_alias)
+    s = src.alias(s_alias)
+    join_cond = None
+    for k in key_cols:
+        c = F.col(f"{s_alias}.{k}") == F.col(f"{t_alias}.{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = s.join(tgt, join_cond, "left")
+    matched = F.col(f"{t_alias}.{key_cols[0]}").isNotNull()
+    # first applicable clause wins, per row
+    pick = None
+    for idx, (is_matched, cond, _action) in enumerate(clauses):
+        c = matched if is_matched else ~matched
+        if cond:
+            c = c & F.expr(cond)
+        pick = F.when(c, idx) if pick is None else pick.when(c, idx)
+    joined = joined.withColumn("_clause", pick.otherwise(F.lit(-1)))
+    src_cols = src.columns
+    ups_idx = [
+        i
+        for i, (_m, _c, a) in enumerate(clauses)
+        if a in ("UPDATE SET *", "INSERT *")
+    ]
+    del_idx = [i for i, (_m, _c, a) in enumerate(clauses) if a == "DELETE"]
+    n_ups = n_del = 0
+    ver = V.current_version(spark, root)
+    if ups_idx:
+        ups = joined.filter(F.col("_clause").isin(ups_idx)).select(
+            *[F.col(f"{s_alias}.{c}") for c in src_cols]
+        )
+        n_ups = ups.count()
+        if n_ups:
+            ver = V.versioned_merge_upsert(
+                spark, ups, root, key_cols=key_cols, partition_cols=partition_cols
+            )
+    if del_idx:
+        dels = joined.filter(F.col("_clause").isin(del_idx)).select(
+            *[F.col(f"{s_alias}.{k}") for k in key_cols]
+        )
+        n_del = dels.count()
+        if n_del:
+            ver = V.versioned_delete(spark, dels, root, key_cols=key_cols)
+    refresh_versioned(spark, name)
+    return spark.createDataFrame(
+        [(name, n_ups, n_del, ver)],
+        "table_name string, n_upserted long, n_deleted long, committed_version long",
+    )
 
 
 def _parse_ts_ms(spark: SparkSession, literal: str) -> int:
@@ -332,6 +459,9 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
             [(name, branch, fork)],
             "table_name string, branch string, fork_version long",
         )
+    m = _MERGE.match(stmt)
+    if m:
+        return _merge_into(spark, m)
     m = _INSERT.match(stmt)
     if m:
         name, col_list, query = m.group(1), m.group(2), m.group(3)

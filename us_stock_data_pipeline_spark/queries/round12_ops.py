@@ -701,3 +701,120 @@ def etl_versioned_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         unregister_versioned(spark, name)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO through the SQL front-end
+# --------------------------------------------------------------------------
+
+# target: per-nation counts. source: every nation with val = n+10 for
+# even nk / 0 for odd, plus shifted rows (nk+1000). Clause order:
+#   WHEN MATCHED AND s.val > t.val THEN UPDATE SET *   (even nk)
+#   WHEN MATCHED THEN DELETE                           (odd nk: 0 <= n)
+#   WHEN NOT MATCHED THEN INSERT *                     (shifted rows)
+_SQL_MERGE_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+final AS (
+  SELECT nk, band, n + 10 AS val FROM base WHERE nk % 2 = 0
+  UNION ALL
+  SELECT nk + 1000 AS nk, CAST(9 AS BIGINT) AS band, nk AS val FROM base
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(val) AS BIGINT) AS sum_val
+FROM final
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "etl_versioned_sql_merge_into",
+    oracle=_SQL_MERGE_ORACLE,
+    tags=("etl", "versioned", "sql"),
+)
+def etl_versioned_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO`` — the Delta workhorse statement — through the SQL
+    front-end (etl/vcatalog.py `_merge_into`, round 12): conditional
+    UPDATE SET *, fall-through DELETE, and INSERT * in ONE statement,
+    first-applicable-clause-wins per source row. Execution is one left
+    join evaluating matched-ness and every clause condition, then ONE
+    merge commit for the update+insert rows (touched partitions only)
+    and ONE deletion-vector commit for the delete keys — at 100 TB a
+    MERGE's cost is the changed partitions plus a key-list upload,
+    never a table rewrite. The ON clause is validated to be exactly
+    the registered key equality (anything else would silently change
+    upsert-by-key semantics and is rejected loudly)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        unregister_versioned,
+        versioned_sql,
+    )
+    from us_stock_data_pipeline_spark.etl.versioned import versioned_merge_upsert
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_vmrg_{_uuid.uuid4().hex[:8]}_")
+    name = f"vmrg_{_uuid.uuid4().hex[:8]}"
+    src_view = f"vmrg_src_{_uuid.uuid4().hex[:8]}"
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        register_versioned(
+            spark, name, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        src = base.select(
+            "nk",
+            "band",
+            F.when(F.col("nk") % 2 == 0, F.col("val") + 10)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("val"),
+        ).unionByName(
+            base.select(
+                (F.col("nk") + 1000).alias("nk"),
+                F.lit(9).cast("long").alias("band"),
+                F.col("nk").cast("long").alias("val"),
+            )
+        )
+        src.createOrReplaceTempView(src_view)
+        versioned_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t USING {src_view} AS s ON t.nk = s.nk
+            WHEN MATCHED AND s.val > t.val THEN UPDATE SET *
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        out = (
+            spark.table(name)
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+            )
+            .orderBy("band")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView(src_view)
+        unregister_versioned(spark, name)
+        shutil.rmtree(root, ignore_errors=True)
