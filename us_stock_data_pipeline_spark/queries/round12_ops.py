@@ -307,9 +307,11 @@ ORDER BY l_returnflag
 def scale_window_spill_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPILL EVIDENCE for the memory-bound story (round 12, VERDICT r11
     #4): the per-partition running-sum window is executed with
-    `spark.sql.windowExec.buffer.spill.threshold` forced to 4096 rows,
-    so every returnflag partition (15k+ rows at sf0.01, 200k+ at sf0.1)
-    runs in EXTERNAL mode — Spark's ExternalAppendOnlyUnsafeRowArray
+    `spark.sql.windowExec.buffer.spill.threshold` forced far below the
+    partition size (rows/48, floor 4096 — bounding the spill-FILE count
+    so merge-time readahead buffers stay constant; see the inline
+    comment), so every returnflag partition (15k+ rows at sf0.01, 200k+
+    at sf0.1) runs in EXTERNAL mode — Spark's ExternalAppendOnlyUnsafeRowArray
     spills the partition buffer to disk and streams it back. The
     `spilled` column is read from the engine's OWN task metrics
     (diagnostics.spill_bytes_recent walks the SQL status store's
@@ -341,12 +343,21 @@ def scale_window_spill_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+    # Size the threshold so the spill-FILE count stays bounded (~16 per
+    # partition) at ANY input scale: every open spill reader allocates
+    # MB-scale readahead buffers at merge time, so a fixed small
+    # threshold turns 10x data into 10x concurrently-open files and
+    # OOMs a default-heap driver session (observed at sf0.1 under a
+    # vanilla 1g session: 600k rows / 4096 = ~146 spill files per
+    # partition). Spill BYTES still grow with data; file count doesn't.
+    n_rows = li.count()
+    threshold = str(max(4096, n_rows // 48))
     key_mem = "spark.sql.windowExec.buffer.in.memory.threshold"
     key_spill = "spark.sql.windowExec.buffer.spill.threshold"
     prev_mem = spark.conf.get(key_mem, None)
     prev_spill = spark.conf.get(key_spill, None)
-    spark.conf.set(key_mem, "4096")
-    spark.conf.set(key_spill, "4096")
+    spark.conf.set(key_mem, threshold)
+    spark.conf.set(key_spill, threshold)
     try:
         rows = agg.collect()
     finally:
