@@ -291,3 +291,22 @@ def test_merge_into_rejects_non_key_on(spark, table):
             "WHEN MATCHED THEN UPDATE SET *",
         )
     spark.catalog.dropTempView("merge_bad_v")
+
+
+def test_register_branch_by_name(spark, table):
+    """branch= registration points the SQL name at the branch head."""
+    root, name = table
+    V.create_branch(spark, root, "exp")
+    broot = V._branch_root(root, "exp")
+    upd = spark.createDataFrame([(0, 0, 777)], "k long, band long, val long")
+    V.versioned_merge_upsert(spark, upd, broot, key_cols=("k",), partition_cols=("band",))
+    bname = f"{name}_branch"
+    C.register_versioned(spark, bname, root, branch="exp")
+    try:
+        rows = {r.k: r.val for r in spark.sql(f"SELECT k, val FROM {bname}").collect()}
+        assert rows[0] == 777  # branch write visible
+        C.register_versioned(spark, name, root)
+        main_rows = {r.k: r.val for r in spark.sql(f"SELECT k, val FROM {name}").collect()}
+        assert main_rows[0] == 0  # main untouched (snapshot isolation)
+    finally:
+        C.unregister_versioned(spark, bname)
