@@ -122,3 +122,46 @@ def test_spark_written_file_roundtrip(spark):
         ).parquet(out)
         (path,) = glob.glob(os.path.join(out, "*.parquet"))
         _check_file(path)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=2**31),
+    st.booleans(),
+    st.sampled_from(["snappy", "none"]),
+    st.sampled_from([512, 4096]),
+)
+def test_fuzz_random_tables_match_pyarrow(n, seed, use_dict, comp, page):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t = pa.table(
+        {
+            "a": pa.array(
+                [None if rng.integers(4) == 0 else int(v) for v in
+                 rng.integers(-(2**40), 2**40, n)], pa.int64()
+            ),
+            "b": pa.array(
+                [None if rng.integers(5) == 0 else float(v) for v in
+                 rng.normal(size=n)], pa.float64()
+            ),
+            "c": pa.array(
+                [None if rng.integers(6) == 0 else
+                 "".join(chr(97 + int(x)) for x in rng.integers(0, 26, int(rng.integers(0, 9))))
+                 for _ in range(n)], pa.string()
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t, path, compression=comp, use_dictionary=use_dict,
+            data_page_size=page, data_page_version="1.0",
+            write_statistics=False,
+        )
+        _check_file(path)
