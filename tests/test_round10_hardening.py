@@ -72,27 +72,59 @@ def test_fold_lint_clean_corpus_wide():
 
 def test_verify_rotation_prioritizes_never_sampled():
     """The first 50 names queries() yields must be ≥90% never-driver-
-    sampled (plus the red recheck) — r9 burned 34/50 slots re-sampling
+    sampled (plus red rechecks) — r9 burned 34/50 slots re-sampling
     green queries off a stale static list."""
     sampled = registry._driver_sampled_names()
     order = registry._ordered_names()
     assert order, "registry is empty"
     first50 = order[:50]
     first_time = [n for n in first50 if n not in sampled]
-    rechecks = [n for n in first50 if n in registry._RED_RECHECK]
-    assert len(first_time) + len(rechecks) >= 45, (
-        f"only {len(first_time)} first-time + {len(rechecks)} rechecks in "
-        f"the first 50: {first50}"
+    rechecks = set(registry._red_recheck_names())
+    recheck_hits = [n for n in first50 if n in rechecks]
+    assert len(first_time) + len(recheck_hits) >= 45, (
+        f"only {len(first_time)} first-time + {len(recheck_hits)} rechecks "
+        f"in the first 50: {first50}"
     )
-    # the red recheck rides near the front (right after new-this-round)
-    assert "survival_kaplan_meier" in order[: len(registry._NEW_THIS_ROUND) + 1]
     # no duplicates, full coverage
     assert len(order) == len(set(order)) == len(registry.all_queries())
 
 
-def test_new_this_round_names_exist():
-    for n in registry._NEW_THIS_ROUND:
-        assert n in registry.all_queries(), n
+_ROUND12_QUERIES = (
+    "etl_versioned_sql_timetravel",
+    "etl_versioned_sql_history",
+    "etl_versioned_sql_dml",
+    "etl_versioned_sql_merge_into",
+    "stream_versioned_cdf_source",
+    "stream_versioned_cdf_to_mart",
+    "scale_window_spill_external",
+    "tokenizer_unigram_em_step",
+    "storage_parquet_raw_scan",
+)
+
+
+def test_round_tagged_never_sampled_lead_the_order():
+    """VERDICT r12 #1: the static new-this-round tuple rotted and r12's 9
+    queries were never driver-sampled. The fix keys priority off the
+    ``round=`` metadata committed WITH each registration: every tagged
+    query the driver has never sampled must lead the order, oldest round
+    first, so the 9 round-12 queries outrank round-13 additions until
+    CORRECTNESS_r13.json lands."""
+    sampled = registry._driver_sampled_names()
+    order = registry._ordered_names()
+    all_q = registry.all_queries()
+    tagged_never = [
+        n for n in all_q if all_q[n].round > 0 and n not in sampled
+    ]
+    head = order[: len(tagged_never)]
+    assert set(head) == set(tagged_never), (head, tagged_never)
+    # tagged block is sorted oldest-round-first
+    rounds = [all_q[n].round for n in head]
+    assert rounds == sorted(rounds), rounds
+    # until driver-sampled, the 9 round-12 queries lead everything
+    for n in _ROUND12_QUERIES:
+        assert all_q[n].round == 12, n
+        if n not in sampled:
+            assert n in head, n
 
 
 # --------------------------------------------------------------------------

@@ -53,6 +53,7 @@ ORDER BY band
     "etl_versioned_sql_timetravel",
     oracle=_SQL_TT_ORACLE,
     tags=("etl", "versioned", "sql"),
+    round=12,
 )
 def etl_versioned_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned table read BY NAME through ``spark.sql``, with all
@@ -182,6 +183,7 @@ ORDER BY commit_version
     "stream_versioned_cdf_source",
     oracle=_CDF_STREAM_ORACLE,
     tags=("streaming", "versioned"),
+    round=12,
 )
 def stream_versioned_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED as a STREAM SOURCE (etl/cdf_stream.py, round 12
@@ -303,6 +305,7 @@ ORDER BY l_returnflag
     "scale_window_spill_external",
     oracle=_SPILL_ORACLE,
     tags=("scale", "window"),
+    round=12,
 )
 def scale_window_spill_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPILL EVIDENCE for the memory-bound story (round 12, VERDICT r11
@@ -405,6 +408,7 @@ ORDER BY v.version
     "etl_versioned_sql_history",
     oracle=_SQL_HIST_ORACLE,
     tags=("etl", "versioned", "sql"),
+    round=12,
 )
 def etl_versioned_sql_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`DESCRIBE HISTORY <name> LIMIT n` and `RESTORE TABLE <name> TO
@@ -498,6 +502,7 @@ ORDER BY band
     "stream_versioned_cdf_to_mart",
     oracle=_CDF_MERGE_ORACLE,
     tags=("streaming", "versioned"),
+    round=12,
 )
 def stream_versioned_cdf_to_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE incremental-materialization loop (VERDICT r11 #3's
@@ -647,6 +652,7 @@ ORDER BY band
     "etl_versioned_sql_dml",
     oracle=_SQL_DML_ORACLE,
     tags=("etl", "versioned", "sql"),
+    round=12,
 )
 def etl_versioned_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DML on the versioned table through plain SQL statements
@@ -748,6 +754,7 @@ ORDER BY band
     "etl_versioned_sql_merge_into",
     oracle=_SQL_MERGE_ORACLE,
     tags=("etl", "versioned", "sql"),
+    round=12,
 )
 def etl_versioned_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``MERGE INTO`` — the Delta workhorse statement — through the SQL

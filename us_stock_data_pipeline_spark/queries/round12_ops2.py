@@ -278,6 +278,7 @@ def _l2fp_df(df: DataFrame, cnt_col: str = "cnt") -> DataFrame:
     "tokenizer_unigram_em_step",
     oracle=_UNIGRAM_ORACLE,
     tags=("llm", "tokenizer"),
+    round=12,
 )
 def tokenizer_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer EM re-estimation + pruning step (module
@@ -467,6 +468,7 @@ ORDER BY 1
     "storage_parquet_raw_scan",
     oracle=_PQRAW_ORACLE,
     tags=("storage", "multimodal"),
+    round=12,
 )
 def storage_parquet_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL parquet page reader, distributed (functions/parquet_raw.py,

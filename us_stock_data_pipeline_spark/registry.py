@@ -34,6 +34,7 @@ class Query:
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    round: int = 0  # build round that registered this query (0 = legacy)
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -83,50 +84,81 @@ def release_tracked_caches() -> None:
 
 # The correctness driver verifies ``queries()`` in iteration order with a
 # bounded per-round budget (~50/round), so iteration order IS verification
-# priority. Round-10 fix (VERDICT r9 #2): the order is computed DYNAMICALLY
-# from the committed CORRECTNESS_r*.json artifacts —
-#   1. round-10 additions (never sampled by construction, listed statically
-#      so they outrank the backlog),
-#   2. red rechecks (queries the driver last saw red),
-#   3. every never-driver-sampled name in registration order,
+# priority. Round-10 fix (VERDICT r9 #2) computed the order from the
+# committed CORRECTNESS_r*.json artifacts, but kept a STATIC
+# "new-this-round" tuple — which rotted in round 12 exactly like r9's
+# static backlog: the tuple still named r11's queries, so r12's 9 new
+# registrations were never sampled (VERDICT r12 "What's wrong" #1).
+# Round-13 fix: "new" is registration-time metadata committed WITH the
+# query (``register(..., round=N)``), never a separate list to forget.
+#   1. tagged (round > 0) never-driver-sampled queries, oldest round
+#      first (longest-waiting = most at risk of rotting un-verified),
+#   2. red rechecks — any query whose LATEST driver row was red/err,
+#      computed from the artifacts (no static list),
+#   3. every never-driver-sampled untagged name in registration order,
 #   4. the cumulatively-green remainder in registration order.
-# A static tuple rots: r9's hand-maintained backlog list had already been
-# consumed by the r7-r9 drivers, so r9 burned 34 of 50 slots re-sampling
-# green queries. Reading the artifacts makes the rotation self-updating.
 
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "multimodal_jpeg_color_decode",
-)
 
-_RED_RECHECK: tuple[str, ...] = ("survival_kaplan_meier",)
+def _driver_rows() -> dict[str, tuple[int, dict]]:
+    """name -> (highest round sampled, that round's result row)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except Exception:  # noqa: BLE001 — a malformed artifact must not break queries()
+            continue
+        for name, row in rows.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row if isinstance(row, dict) else {})
+    return latest
 
 
 def _driver_sampled_names() -> frozenset[str]:
     """Names ever sampled by the external driver (CORRECTNESS_r*.json)."""
-    import glob
-    import json
-    import os
+    return frozenset(_driver_rows())
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sampled: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            with open(path, encoding="utf-8") as fh:
-                sampled.update(json.load(fh).keys())
-        except Exception:  # noqa: BLE001 — a malformed artifact must not break queries()
-            continue
-    return frozenset(sampled)
+
+def _red_recheck_names() -> list[str]:
+    """Queries whose most recent driver row was red or errored."""
+    reds = []
+    for name, (_rnd, row) in _driver_rows().items():
+        ok = (
+            row.get("rows_match") is True
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
+            and row.get("err") in (None, "")
+        )
+        if not ok:
+            reds.append(name)
+    return sorted(reds)
 
 
 def _ordered_names() -> list[str]:
-    """Verification-priority order: new-this-round, red rechecks,
-    never-driver-sampled (registration order), then the green remainder."""
+    """Verification-priority order: tagged never-sampled (oldest round
+    first), red rechecks, never-sampled untagged, then the remainder."""
     sampled = _driver_sampled_names()
-    pri = [n for n in (*_NEW_THIS_ROUND, *_RED_RECHECK) if n in _REGISTRY]
-    seen = set(pri)
-    never = [n for n in _REGISTRY if n not in sampled and n not in seen]
-    rest = [n for n in _REGISTRY if n in sampled and n not in seen]
-    return pri + never + rest
+    order = list(_REGISTRY)
+    pos = {n: i for i, n in enumerate(order)}
+    tagged = sorted(
+        (n for n in order if n not in sampled and _REGISTRY[n].round > 0),
+        key=lambda n: (_REGISTRY[n].round, pos[n]),
+    )
+    seen = set(tagged)
+    reds = [n for n in _red_recheck_names() if n in _REGISTRY and n not in seen]
+    seen.update(reds)
+    never = [n for n in order if n not in sampled and n not in seen]
+    seen.update(never)
+    rest = [n for n in order if n not in seen]
+    return tagged + reds + never + rest
 
 
 def register(
@@ -134,8 +166,14 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    round: int = 0,
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn`` under ``name`` with its oracle twin."""
+    """Decorator: register ``fn`` under ``name`` with its oracle twin.
+
+    ``round`` is the build round that added the query; until the driver's
+    CORRECTNESS artifacts show a sample, round-tagged queries lead the
+    verification order (oldest round first).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -149,7 +187,13 @@ def register(
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         _REGISTRY[name] = Query(
-            name=name, fn=wrapped, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or "", bench=bench
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            tags=tuple(tags),
+            doc=fn.__doc__ or "",
+            bench=bench,
+            round=round,
         )
         return fn
 
