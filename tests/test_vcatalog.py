@@ -310,3 +310,196 @@ def test_register_branch_by_name(spark, table):
         assert main_rows[0] == 0  # main untouched (snapshot isolation)
     finally:
         C.unregister_versioned(spark, bname)
+
+
+# --------------------------------------------------------------------------
+# round 13: key/partition-column guards, atomic moves, widened MERGE
+# --------------------------------------------------------------------------
+
+
+def test_update_rejects_key_column(spark, table):
+    """Assigning a key column would leave the pre-image row alive under
+    its old key (advisor r12 medium) — rejected loudly."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    with pytest.raises(ValueError, match="key column"):
+        C.versioned_sql(spark, f"UPDATE {name} SET k = k + 100 WHERE k = 0")
+
+
+def test_update_moves_partition_atomically(spark, table):
+    """UPDATE SET band=... moves rows across partitions in ONE commit:
+    the old-partition pre-image is removed (no duplicate key), history
+    gains exactly one version (advisor r12 medium)."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    v0 = V.current_version(spark, root)
+    out = C.versioned_sql(spark, f"UPDATE {name} SET band = 1 - band WHERE k IN (0, 1)")
+    assert out.first().committed_version == v0 + 1
+    assert V.current_version(spark, root) == v0 + 1  # single commit
+    rows = spark.sql(f"SELECT k, band, val FROM {name} WHERE k IN (0, 1)").collect()
+    assert sorted((r.k, r.band) for r in rows) == [(0, 1), (1, 0)]  # moved
+    n = spark.sql(f"SELECT count(*) n FROM {name}").first().n
+    assert n == 8  # no pre-image survivors in the old partitions
+
+
+def test_merge_update_set_assignments(spark, table):
+    """UPDATE SET col = expr lists referencing both aliases."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    src = spark.createDataFrame([(0, 0, 5), (3, 1, 6)], "k long, band long, val long")
+    src.createOrReplaceTempView("merge_set_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t USING merge_set_v AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET val = t.val + s.val * 2
+            """,
+        ).first()
+        assert out.n_upserted == 2
+        rows = {r.k: r.val for r in spark.sql(f"SELECT k, val FROM {name}").collect()}
+        assert rows[0] == 0 + 5 * 2
+        assert rows[3] == 30 + 6 * 2
+        assert rows[4] == 40  # untouched
+        assert len(rows) == 8
+    finally:
+        spark.catalog.dropTempView("merge_set_v")
+
+
+def test_merge_insert_column_list_values(spark, table):
+    """INSERT (cols) VALUES (exprs): listed columns from expressions,
+    unlisted target columns NULL; key columns must be listed."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    src = spark.createDataFrame([(60, 0, 9), (61, 1, 4)], "k long, band long, val long")
+    src.createOrReplaceTempView("merge_ins_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t USING merge_ins_v AS s ON t.k = s.k
+            WHEN NOT MATCHED AND s.val > 5
+              THEN INSERT (k, band) VALUES (s.k, s.band + 1)
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        ).first()
+        assert out.n_upserted == 2
+        rows = {
+            r.k: (r.band, r.val)
+            for r in spark.sql(f"SELECT k, band, val FROM {name} WHERE k >= 60").collect()
+        }
+        assert rows[60] == (1, None)  # column list: band=s.band+1, val NULL
+        assert rows[61] == (1, 4)  # INSERT * fallthrough
+        # key columns must be covered by the column list
+        with pytest.raises(ValueError, match="key_cols"):
+            C.versioned_sql(
+                spark,
+                f"MERGE INTO {name} AS t USING merge_ins_v AS s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (band) VALUES (s.band)",
+            )
+    finally:
+        spark.catalog.dropTempView("merge_ins_v")
+
+
+def test_merge_mixed_clauses_single_commit(spark, table):
+    """A MERGE with update + delete clauses commits ONE version (Delta's
+    atomicity — advisor r12 low): deletes are folded into the rewrite."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    v0 = V.current_version(spark, root)
+    src = spark.createDataFrame(
+        [(0, 0, 99), (2, 0, 5), (70, 0, 7)], "k long, band long, val long"
+    )
+    src.createOrReplaceTempView("merge_atomic_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t USING merge_atomic_v AS s ON t.k = s.k
+            WHEN MATCHED AND s.val > t.val THEN UPDATE SET *
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        ).first()
+        assert out.n_upserted == 2 and out.n_deleted == 1
+        assert out.committed_version == v0 + 1
+        assert V.current_version(spark, root) == v0 + 1  # ONE commit
+        rows = {r.k: r.val for r in spark.sql(f"SELECT k, val FROM {name}").collect()}
+        assert rows[0] == 99 and rows[70] == 7 and 2 not in rows
+        assert len(rows) == 8
+        # history shows a single new entry
+        hist = C.versioned_sql(spark, f"DESCRIBE HISTORY {name}")
+        assert [r.version for r in hist.collect()] == list(range(1, v0 + 2))
+    finally:
+        spark.catalog.dropTempView("merge_atomic_v")
+
+
+def test_merge_update_star_moves_partition(spark, table):
+    """UPDATE SET * where the source's partition value differs from the
+    target's: the row moves, the old-partition pre-image is removed in
+    the same commit (advisor r12 medium)."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    v0 = V.current_version(spark, root)
+    # k=0 currently band=0; source says band=1
+    src = spark.createDataFrame([(0, 1, 123)], "k long, band long, val long")
+    src.createOrReplaceTempView("merge_move_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"MERGE INTO {name} AS t USING merge_move_v AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *",
+        ).first()
+        assert out.n_upserted == 1
+        assert V.current_version(spark, root) == v0 + 1
+        rows = spark.sql(f"SELECT k, band, val FROM {name} WHERE k = 0").collect()
+        assert len(rows) == 1  # no duplicate in band=0
+        assert (rows[0].band, rows[0].val) == (1, 123)
+        assert spark.sql(f"SELECT count(*) n FROM {name}").first().n == 8
+    finally:
+        spark.catalog.dropTempView("merge_move_v")
+
+
+def test_merge_rejects_key_assignment(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    spark.createDataFrame([(1, 1, 1)], "k long, band long, val long"
+                          ).createOrReplaceTempView("merge_keyset_v")
+    try:
+        with pytest.raises(ValueError, match="key column"):
+            C.versioned_sql(
+                spark,
+                f"MERGE INTO {name} AS t USING merge_keyset_v AS s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET k = s.k + 1",
+            )
+    finally:
+        spark.catalog.dropTempView("merge_keyset_v")
+
+
+def test_merge_second_matched_clause_precedence(spark, table):
+    """Two WHEN MATCHED AND clauses with assignments: first applicable
+    wins per row; non-matching rows fall through in order."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    # target vals: k -> k*10. source: k=1 (val 10), k=2 (val 20), k=3 (30)
+    src = spark.createDataFrame(
+        [(1, 1, 1000), (2, 0, 20), (3, 1, 30)], "k long, band long, val long"
+    )
+    src.createOrReplaceTempView("merge_prec_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t USING merge_prec_v AS s ON t.k = s.k
+            WHEN MATCHED AND s.val > 100 THEN UPDATE SET val = s.val
+            WHEN MATCHED AND t.k = 2 THEN UPDATE SET val = t.val + 1
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        ).first()
+        # k=1 hits clause 1 (1000), k=2 hits clause 2 (21), k=3 matches
+        # neither matched clause -> untouched
+        assert out.n_upserted == 2
+        rows = {r.k: r.val for r in spark.sql(f"SELECT k, val FROM {name}").collect()}
+        assert rows[1] == 1000 and rows[2] == 21 and rows[3] == 30
+    finally:
+        spark.catalog.dropTempView("merge_prec_v")

@@ -237,15 +237,18 @@ _MERGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
-    r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)\s*",
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*?)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_VALUES = re.compile(
+    r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
-def _split_assignments(s: str) -> list[tuple[str, str]]:
-    """Top-level comma split of `col = expr, col2 = expr2` (parens and
-    quotes respected), then split each at the first `=`."""
+def _split_top_level(s: str) -> list[str]:
+    """Split `s` on commas at paren/quote depth zero."""
     parts: list[str] = []
     depth = 0
     quote: str | None = None
@@ -269,8 +272,14 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
         cur.append(ch)
     if cur:
         parts.append("".join(cur))
+    return parts
+
+
+def _split_assignments(s: str) -> list[tuple[str, str]]:
+    """Top-level comma split of `col = expr, col2 = expr2` (parens and
+    quotes respected), then split each at the first `=`."""
     out = []
-    for p in parts:
+    for p in _split_top_level(s):
         col, eq, expr = p.partition("=")
         if not eq or not re.fullmatch(_NAME_RE, col.strip()):
             raise ValueError(f"unparseable SET assignment {p.strip()!r}")
@@ -278,25 +287,68 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
     return out
 
 
+def _parse_merge_action(action_text: str, is_matched: bool):
+    """Parse one THEN action into ('update', assignments|None) /
+    ('delete', None) / ('insert', (cols, exprs)|None); None payload means
+    the star form (SET * / INSERT *)."""
+    a = action_text.strip()
+    au = re.sub(r"\s+", " ", a).upper()
+    if au == "DELETE":
+        kind, payload = "delete", None
+    elif au == "UPDATE SET *":
+        kind, payload = "update", None
+    elif au.startswith("UPDATE SET "):
+        kind, payload = "update", _split_assignments(a[len("UPDATE SET ") :])
+    elif au == "INSERT *":
+        kind, payload = "insert", None
+    else:
+        mm = _INSERT_VALUES.fullmatch(a)
+        if not mm:
+            raise ValueError(f"unsupported MERGE action {a!r}")
+        cols = [c.strip() for c in mm.group(1).split(",")]
+        exprs = [e.strip() for e in _split_top_level(mm.group(2))]
+        if len(cols) != len(exprs):
+            raise ValueError(
+                f"INSERT column/VALUES arity mismatch: {len(cols)} vs {len(exprs)}"
+            )
+        for c in cols:
+            if not re.fullmatch(_NAME_RE, c):
+                raise ValueError(f"invalid INSERT column {c!r}")
+        kind, payload = "insert", (cols, exprs)
+    if is_matched and kind == "insert":
+        raise ValueError("WHEN MATCHED cannot INSERT")
+    if not is_matched and kind != "insert":
+        raise ValueError("WHEN NOT MATCHED can only INSERT")
+    return kind, payload
+
+
 def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
     """MERGE INTO (the Delta workhorse statement), canonical subset:
 
         MERGE INTO t [AS ta] USING src|(subquery) [AS sa] ON <key equality>
-          WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE
-          WHEN NOT MATCHED [AND cond] THEN INSERT *
+          WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = expr[, ...] | DELETE
+          WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
           (any number of clauses; per source row the FIRST applicable
            clause in statement order wins — Delta's semantics)
 
     The ON clause must be exactly the registered key_cols' equality
     (`ta.k = sa.k [AND ...]` covering every key): this engine's merge
     commits upsert BY KEY, so any other match condition would silently
-    change semantics — it is rejected loudly instead. Clause conditions
-    may reference both aliases (`sa.val > ta.val`). UPDATE SET * /
-    INSERT * take the full source row (schemas align by name).
+    change semantics — it is rejected loudly instead. Clause conditions,
+    SET expressions and VALUES expressions may reference both aliases
+    (`sa.val > ta.val`). UPDATE SET assignments may not target key
+    columns (key identity is the merge axis — advisor r12 medium);
+    assignments that CHANGE a row's partition values are handled as an
+    atomic move (the old-partition pre-image is removed in the same
+    commit via `versioned_merge_upsert(delete_rows=...)`). INSERT
+    column lists must cover every key column; unlisted target columns
+    become NULL.
     Execution: one left join source->target evaluates matched-ness and
-    every clause condition; UPDATE/INSERT rows land in ONE merge commit
-    (touched partitions only), DELETE keys in one deletion-vector
-    commit. Returns (table_name, n_upserted, n_deleted, version)."""
+    every clause condition; UPDATE/INSERT rows AND clause-deleted /
+    partition-moved pre-images land in ONE merge commit (touched
+    partitions only) — single-version atomic, matching Delta. A merge
+    with only DELETE clauses commits one deletion vector instead (no
+    rewrite). Returns (table_name, n_upserted, n_deleted, version)."""
     from pyspark.sql import functions as F
 
     name = m.group(1)
@@ -334,15 +386,27 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
     for cm in _MERGE_CLAUSE.finditer(clause_text):
         is_matched = cm.group(1) is None
         cond = cm.group(2)
-        action = re.sub(r"\s+", " ", cm.group(3)).upper()
-        if is_matched and action == "INSERT *":
-            raise ValueError("WHEN MATCHED cannot INSERT")
-        if not is_matched and action != "INSERT *":
-            raise ValueError("WHEN NOT MATCHED can only INSERT *")
-        clauses.append((is_matched, cond, action))
+        kind, payload = _parse_merge_action(cm.group(3), is_matched)
+        if kind == "update" and payload:
+            for col, _e in payload:
+                if col in key_cols:
+                    raise ValueError(
+                        f"UPDATE SET may not target key column {col!r} "
+                        "(delete + insert instead)"
+                    )
+        if kind == "insert" and payload:
+            missing = [k for k in key_cols if k not in payload[0]]
+            if missing:
+                raise ValueError(
+                    f"INSERT column list must cover key_cols; missing {missing}"
+                )
+        clauses.append((is_matched, cond, kind, payload))
     if not clauses:
         raise ValueError("MERGE needs at least one WHEN clause")
-    tgt = spark.table(name).alias(t_alias)
+    tgt_df = spark.table(name)
+    tgt_types = {f.name: f.dataType for f in tgt_df.schema.fields}
+    src_types = {f.name: f.dataType for f in src.schema.fields}
+    tgt = tgt_df.alias(t_alias)
     s = src.alias(s_alias)
     join_cond = None
     for k in key_cols:
@@ -352,37 +416,126 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
     matched = F.col(f"{t_alias}.{key_cols[0]}").isNotNull()
     # first applicable clause wins, per row
     pick = None
-    for idx, (is_matched, cond, _action) in enumerate(clauses):
+    for idx, (is_matched, cond, _k, _p) in enumerate(clauses):
         c = matched if is_matched else ~matched
         if cond:
             c = c & F.expr(cond)
         pick = F.when(c, idx) if pick is None else pick.when(c, idx)
     joined = joined.withColumn("_clause", pick.otherwise(F.lit(-1)))
-    src_cols = src.columns
-    ups_idx = [
-        i
-        for i, (_m, _c, a) in enumerate(clauses)
-        if a in ("UPDATE SET *", "INSERT *")
-    ]
-    del_idx = [i for i, (_m, _c, a) in enumerate(clauses) if a == "DELETE"]
+    # Output schema: every target column, plus source columns a SET * /
+    # INSERT * may add (schema evolution). For a column absent from a
+    # clause's inputs the clause emits a typed NULL.
+    out_cols = list(
+        dict.fromkeys(list(tgt_df.columns) + list(src.columns))
+    )
+
+    def _null_as(col: str):
+        dt = tgt_types.get(col) or src_types.get(col)
+        return F.lit(None).cast(dt)
+
+    def _clause_expr(kind: str, payload, col: str):
+        """The value clause `kind/payload` writes to `col`."""
+        if kind == "update":
+            if payload is None:  # SET *: every source column, else keep target
+                if col in src_types:
+                    return F.col(f"{s_alias}.{col}")
+                return F.col(f"{t_alias}.{col}")
+            assigned = {c: e for c, e in payload}
+            if col in assigned:
+                return F.expr(assigned[col])
+            if col in tgt_types:
+                return F.col(f"{t_alias}.{col}")
+            return _null_as(col)
+        # insert
+        if payload is None:  # INSERT *
+            if col in src_types:
+                return F.col(f"{s_alias}.{col}")
+            return _null_as(col)
+        cols, exprs = payload
+        if col in cols:
+            return F.expr(exprs[cols.index(col)])
+        return _null_as(col)
+
+    ups_idx = [i for i, (_m, _c, k, _p) in enumerate(clauses) if k != "delete"]
+    upd_idx = [i for i, (_m, _c, k, _p) in enumerate(clauses) if k == "update"]
+    del_idx = [i for i, (_m, _c, k, _p) in enumerate(clauses) if k == "delete"]
     n_ups = n_del = 0
     ver = V.current_version(spark, root)
+    ups = None
     if ups_idx:
-        ups = joined.filter(F.col("_clause").isin(ups_idx)).select(
-            *[F.col(f"{s_alias}.{c}") for c in src_cols]
-        )
+        out_exprs = []
+        for col in out_cols:
+            e = None
+            for idx in ups_idx:
+                _m_, _c_, kind, payload = clauses[idx]
+                v = _clause_expr(kind, payload, col)
+                e = (
+                    F.when(F.col("_clause") == idx, v)
+                    if e is None
+                    else e.when(F.col("_clause") == idx, v)
+                )
+            out_exprs.append(e.alias(col))
+        ups = joined.filter(F.col("_clause").isin(ups_idx)).select(*out_exprs)
         n_ups = ups.count()
-        if n_ups:
-            ver = V.versioned_merge_upsert(
-                spark, ups, root, key_cols=key_cols, partition_cols=partition_cols
-            )
+    # Pre-images that must leave their current partition in this commit:
+    # rows a DELETE clause picked, and rows an UPDATE clause MOVES
+    # (new partition values differ from the target's — advisor r12).
+    pre_image_cols = [
+        F.col(f"{t_alias}.{c}").alias(c) for c in (*key_cols, *partition_cols)
+    ]
+    pre_parts = []
     if del_idx:
-        dels = joined.filter(F.col("_clause").isin(del_idx)).select(
-            *[F.col(f"{s_alias}.{k}") for k in key_cols]
+        pre_parts.append(
+            joined.filter(F.col("_clause").isin(del_idx)).select(*pre_image_cols)
         )
-        n_del = dels.count()
-        if n_del:
-            ver = V.versioned_delete(spark, dels, root, key_cols=key_cols)
+    move_upd = []
+    for idx in upd_idx:
+        _m_, _c_, kind, payload = clauses[idx]
+        changed = None
+        for p in partition_cols:
+            newv = _clause_expr(kind, payload, p)
+            ch = ~newv.eqNullSafe(F.col(f"{t_alias}.{p}"))
+            changed = ch if changed is None else (changed | ch)
+        if changed is not None:
+            move_upd.append((F.col("_clause") == idx) & changed)
+    if move_upd:
+        moved_cond = move_upd[0]
+        for c in move_upd[1:]:
+            moved_cond = moved_cond | c
+        pre_parts.append(joined.filter(moved_cond).select(*pre_image_cols))
+    deletes = None
+    if pre_parts:
+        deletes = pre_parts[0]
+        for p in pre_parts[1:]:
+            deletes = deletes.unionByName(p)
+        if del_idx:
+            n_del = (
+                joined.filter(F.col("_clause").isin(del_idx)).select(
+                    *[F.col(f"{t_alias}.{k}") for k in key_cols]
+                )
+            ).count()
+        if deletes.isEmpty():
+            deletes = None
+    if n_ups:
+        # ONE commit: upserts + clause deletes + partition-move pre-images.
+        ver = V.versioned_merge_upsert(
+            spark,
+            ups,
+            root,
+            key_cols=key_cols,
+            partition_cols=partition_cols,
+            delete_rows=deletes,
+        )
+    elif n_del:
+        # delete-only merge: a deletion-vector commit (no rewrite)
+        ver = V.versioned_delete(
+            spark,
+            joined.filter(F.col("_clause").isin(del_idx)).select(
+                *[F.col(f"{t_alias}.{k}").alias(k) for k in key_cols]
+            ),
+            root,
+            key_cols=key_cols,
+        )
     refresh_versioned(spark, name)
     return spark.createDataFrame(
         [(name, n_ups, n_del, ver)],
@@ -482,11 +635,31 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         root, key_cols, partition_cols = _write_spec(spark, name)
         from pyspark.sql import functions as F
 
-        updated = spark.table(name).filter(pred)
-        for col, expr in _split_assignments(sets):
+        assignments = _split_assignments(sets)
+        for col, _expr in assignments:
+            # Key identity is the merge axis: assigning a key column
+            # would leave the pre-image row alive under its old key
+            # (advisor r12 medium) — reject loudly.
+            if col in key_cols:
+                raise ValueError(
+                    f"UPDATE SET may not target key column {col!r} "
+                    "(DELETE + INSERT instead)"
+                )
+        pre = spark.table(name).filter(pred)
+        updated = pre
+        for col, expr in assignments:
             updated = updated.withColumn(col, F.expr(expr))
+        # An assignment to a partition column MOVES rows: remove the
+        # old-partition pre-images in the SAME commit, or they would
+        # survive as duplicate keys (advisor r12 medium).
+        moves = any(col in partition_cols for col, _e in assignments)
         ver = V.versioned_merge_upsert(
-            spark, updated, root, key_cols=key_cols, partition_cols=partition_cols
+            spark,
+            updated,
+            root,
+            key_cols=key_cols,
+            partition_cols=partition_cols,
+            delete_rows=pre.select(*key_cols, *partition_cols) if moves else None,
         )
         refresh_versioned(spark, name)
         return spark.createDataFrame(

@@ -628,6 +628,7 @@ def versioned_merge_upsert(
     max_commit_retries: int = 5,
     stats_cols: tuple[str, ...] = (),
     files_per_partition: int = 1,
+    delete_rows: DataFrame | None = None,
 ) -> int:
     """Upsert `updates` into the versioned table at `root`; returns the
     committed version number.
@@ -657,6 +658,16 @@ def versioned_merge_upsert(
     staging copy (not the caller's plan) so a nondeterministic source
     re-evaluated at join time cannot make the deleted keys diverge from
     the rows actually inserted.
+
+    `delete_rows` (optional) removes rows in the SAME commit: a frame of
+    PRE-IMAGE `key_cols + partition_cols` values. Its partitions join
+    the touched set and its keys join the anti-join set, so the one
+    atomic manifest CAS both deletes and upserts — this is how MERGE
+    INTO with a DELETE clause stays single-commit (Delta semantics), and
+    how an UPDATE that moves a row across partitions removes the old-
+    partition pre-image instead of leaving a duplicate key behind
+    (advisor r12 medium). Pre-image partition values must be accurate:
+    keys are only anti-joined within the touched partitions.
     """
     from us_stock_data_pipeline_spark.etl.sinks import _layout_for_write
 
@@ -665,9 +676,28 @@ def versioned_merge_upsert(
     _layout_for_write(updates, partition_cols, files_per_partition).write.mode(
         "overwrite"
     ).partitionBy(*partition_cols).parquet(scratch)
+    del_scratch: str | None = None
     try:
         touched = _leaf_partition_dirs(spark, scratch, len(partition_cols))
         staged = spark.read.option("basePath", scratch).parquet(scratch)
+        del_keys: DataFrame | None = None
+        if delete_rows is not None:
+            # Stage the pre-image rows partitioned the same way: their
+            # leaf dirs name the extra partitions this commit must
+            # rewrite, in Spark's own escaping (same trick as `updates`).
+            del_scratch = posixpath.join(root, f"_scratch_{uuid.uuid4().hex}")
+            delete_rows.select(*key_cols, *partition_cols).dropDuplicates().coalesce(
+                1
+            ).write.mode("overwrite").partitionBy(*partition_cols).parquet(del_scratch)
+            touched = sorted(
+                set(touched)
+                | set(_leaf_partition_dirs(spark, del_scratch, len(partition_cols)))
+            )
+            del_keys = (
+                spark.read.option("basePath", del_scratch)
+                .parquet(del_scratch)
+                .select(*key_cols)
+            )
         for attempt in range(max_commit_retries):
             base_ver = current_version(spark, root)
             new_ver = base_ver + 1
@@ -692,7 +722,10 @@ def versioned_merge_upsert(
                 # Keys from the MATERIALIZED staging copy, so the delete
                 # set and the insert set come from the same snapshot even
                 # when the caller's `updates` plan is nondeterministic.
-                keys = staged.select(*key_cols).dropDuplicates()
+                keys = staged.select(*key_cols)
+                if del_keys is not None:
+                    keys = keys.unionByName(del_keys)
+                keys = keys.dropDuplicates()
                 for v, dirs in sorted(by_ver.items()):
                     base = posixpath.join(root, v)
                     old = spark.read.option("basePath", base).parquet(
@@ -712,8 +745,15 @@ def versioned_merge_upsert(
                 "overwrite"
             ).partitionBy(*partition_cols).parquet(abs_ver)
             new_manifest = dict(manifest)
-            for d in _leaf_partition_dirs(spark, abs_ver, len(partition_cols)):
+            written = set(_leaf_partition_dirs(spark, abs_ver, len(partition_cols)))
+            for d in written:
                 new_manifest[d] = ver_dir
+            # A touched partition whose every row was deleted produces no
+            # output leaf dir — drop its manifest entry, or the stale old
+            # dir would keep serving the deleted rows.
+            for d in touched:
+                if d not in written:
+                    new_manifest.pop(d, None)
             # Zone maps: carry forward still-referenced files' stats and
             # add this attempt's freshly harvested ones. stats_cols
             # unions with whatever earlier commits tracked, so a table's
@@ -766,6 +806,8 @@ def versioned_merge_upsert(
         )
     finally:
         _delete(spark, scratch)
+        if del_scratch is not None:
+            _delete(spark, del_scratch)
 
 
 def versioned_delete(
