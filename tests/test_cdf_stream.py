@@ -173,3 +173,144 @@ def test_max_versions_per_trigger_paces_microbatches(spark):
         assert flat == sorted(flat)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# round 13: compaction / restore / DV-gating / key-order robustness
+# --------------------------------------------------------------------------
+
+
+def test_stream_across_optimize_emits_no_phantom_changes(spark):
+    """OPTIMIZE rewrites every partition data-identically (materializing
+    DVs); the stream must emit ZERO rows for that commit (VERDICT r12
+    #6) — the pre-image DV filter makes old-minus-DV equal new."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfopt_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)  # v1..v4 (v4 = DV delete of k=1, k=200)
+        v_opt = V.compact_table(spark, root)  # v5: rewrite, clear DVs
+        out = _run_stream(spark, root, starting=4)
+        assert out.filter(F.col("_commit_version") == v_opt).count() == 0
+        # batch oracle agrees: the compaction is change-free
+        batch = V.read_changes(spark, root, 4, v_opt, key_cols=("k",))
+        assert batch.count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_across_restore_errors_cleanly(spark):
+    """RESTORE to a pre-delete snapshot drops deletion vectors without
+    rewriting their partitions — keys reappear with nothing to diff, so
+    the stream must FAIL with a clear message, not emit a wrong feed."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfrst_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)  # v4 = DV delete
+        V.restore_version(spark, root, 3)  # v5: DV dropped, dirs unchanged
+        with pytest.raises(Exception, match="cannot stream across"):
+            register_cdf_source(spark)
+            sdf = (
+                spark.readStream.format("versioned_cdf")
+                .option("path", root)
+                .option("keycols", "k")
+                .option("tableschema", DDL)
+                .option("startingversion", "4")
+                .load()
+            )
+            name = f"cdf_rst_{uuid.uuid4().hex[:8]}"
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_repeated_dv_delete_not_reemitted(spark):
+    """Deleting an ALREADY-DELETED key again must not re-emit a delete
+    event: the pre-image is filtered through prior DVs (advisor r12
+    low), matching the batch diff exactly."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfdv_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)  # v4 deletes k=1, k=200
+        # v5 deletes k=1 AGAIN plus fresh k=3
+        V.versioned_delete(
+            spark, spark.createDataFrame([(1,), (3,)], "k long"), root, key_cols=("k",)
+        )
+        out = _run_stream(spark, root, starting=4)
+        v5 = out.filter(F.col("_commit_version") == 5)
+        assert sorted(r.k for r in v5.collect()) == [3]
+        batch = V.read_changes(spark, root, 4, 5, key_cols=("k",))
+        assert _norm(v5) == _norm(batch)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_branch_commit_repoint_plus_dv(spark):
+    """A merge_branch commit both repoints partitions AND adds DVs; the
+    stream must not fan DV tasks over the repointed partitions (double
+    emission) and must equal the batch diff (advisor r12 low)."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfmb_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)  # v1..v4 on main
+        pre = V.current_version(spark, root)
+        V.create_branch(spark, root, "wip")
+        broot = V._branch_root(root, "wip")
+        # branch: update k=0 (band 0) and DV-delete k=5 (band 1)
+        upd = spark.createDataFrame([(0, 0, 777)], DDL)
+        V.versioned_merge_upsert(
+            spark, upd, broot, key_cols=("k",), partition_cols=("band",)
+        )
+        V.versioned_delete(
+            spark, spark.createDataFrame([(5,)], "k long"), broot, key_cols=("k",)
+        )
+        mv = V.merge_branch(spark, root, "wip")
+        out = _run_stream(spark, root, starting=pre)
+        stream_m = out.filter(F.col("_commit_version") == mv)
+        batch = V.read_changes(spark, root, pre, mv, key_cols=("k",))
+        assert _norm(stream_m) == _norm(batch)
+        got = {(r.k, r._change_type) for r in stream_m.collect()}
+        assert (0, "update_postimage") in got
+        assert (5, "delete") in got
+        assert len(got) == 2  # no duplicates / spurious events
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_multikey_keycols_order_differs_from_ddl(spark):
+    """keycols given in a DIFFERENT order than the table DDL: emitted
+    key values must still land under the right columns (advisor r12
+    low — schema() orders keys by DDL position)."""
+    ddl2 = "a long, b long, val long"
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfmk_{uuid.uuid4().hex[:8]}_")
+    try:
+        df = spark.createDataFrame([(1, 10, 5), (2, 20, 6)], ddl2)
+        V.versioned_merge_upsert(
+            spark, df, root, key_cols=("a", "b"), partition_cols=()
+        )
+        register_cdf_source(spark)
+        sdf = (
+            spark.readStream.format("versioned_cdf")
+            .option("path", root)
+            .option("keycols", "b,a")  # REVERSED vs DDL order
+            .option("tableschema", ddl2)
+            .option("startingversion", "0")
+            .load()
+        )
+        name = f"cdf_mk_{uuid.uuid4().hex[:8]}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {(r.a, r.b, r.val) for r in spark.table(name).collect()}
+        assert rows == {(1, 10, 5), (2, 20, 6)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -86,7 +86,11 @@ class _Reader:
         if ctype == _CT_FALSE:
             return False
         if ctype == _CT_BYTE:
-            return self.zigzag()
+            # compact protocol encodes i8 as ONE raw signed byte, not a
+            # zigzag varint (advisor r12 low; parquet.thrift has no i8
+            # fields today, so this path is currently unreachable)
+            b = self.byte()
+            return b - 256 if b >= 128 else b
         if ctype in (_CT_I16, _CT_I32, _CT_I64):
             return self.zigzag()
         if ctype == _CT_DOUBLE:
