@@ -92,16 +92,83 @@ def test_required_columns_no_def_levels():
 def test_scope_gates():
     t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
     with tempfile.TemporaryDirectory() as d:
-        v2 = os.path.join(d, "v2.parquet")
-        pq.write_table(t, v2, data_page_version="2.0", compression="none")
+        # still-gated: ZSTD codec, nested schemas
+        zs = os.path.join(d, "zs.parquet")
+        pq.write_table(t, zs, compression="zstd", data_page_version="1.0")
         with pytest.raises(NotImplementedError):
-            PR.read_column(open(v2, "rb").read(), "k")
-        gz = os.path.join(d, "gz.parquet")
-        pq.write_table(t, gz, compression="gzip", data_page_version="1.0")
+            PR.read_column(open(zs, "rb").read(), "k")
+        nested = os.path.join(d, "nested.parquet")
+        pq.write_table(
+            pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}), nested
+        )
         with pytest.raises(NotImplementedError):
-            PR.read_column(open(gz, "rb").read(), "k")
+            PR.read_column(open(nested, "rb").read(), "l")
     with pytest.raises(ValueError):
         PR.read_footer(b"NOPE" + b"\x00" * 16)
+
+
+@pytest.mark.parametrize("compression", ["none", "snappy", "gzip", "lz4"])
+@pytest.mark.parametrize("use_dictionary", [True, False])
+def test_data_page_v2_with_nulls(compression, use_dictionary):
+    """pyarrow's data_page_version='2.0': levels uncompressed ahead of
+    the values, per-page is_compressed, 512-byte pages (VERDICT r12 #2)."""
+    n = 3000
+    t = pa.table(
+        {
+            "i64": pa.array(
+                [None if k % 7 == 0 else k * 1000003 for k in range(n)],
+                pa.int64(),
+            ),
+            "f64": pa.array(
+                [None if k % 13 == 0 else k * 0.5 for k in range(n)],
+                pa.float64(),
+            ),
+            "s": pa.array(
+                [None if k % 5 == 0 else f"w{k % 97}" for k in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t,
+            path,
+            compression=compression,
+            use_dictionary=use_dictionary,
+            data_page_size=512,
+            data_page_version="2.0",
+            write_statistics=False,
+        )
+        _check_file(path)
+
+
+@pytest.mark.parametrize("compression", ["gzip", "lz4"])
+def test_v1_new_codecs(compression):
+    """GZIP (stdlib zlib) and LZ4_RAW (in-repo block codec) on v1 pages."""
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "s": pa.array([f"x{k % 53}" for k in range(n)], pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t, path, compression=compression, data_page_size=2048,
+            data_page_version="1.0", write_statistics=False,
+        )
+        _check_file(path)
+
+
+def test_v2_required_columns():
+    t = pa.table({"k": pa.array(list(range(500)), pa.int64())})
+    t = t.cast(pa.schema([pa.field("k", pa.int64(), nullable=False)]))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(t, path, compression="gzip", data_page_version="2.0")
+        _check_file(path)
 
 
 def test_spark_written_file_roundtrip(spark):
@@ -128,15 +195,16 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     st.integers(min_value=1, max_value=400),
     st.integers(min_value=0, max_value=2**31),
     st.booleans(),
-    st.sampled_from(["snappy", "none"]),
+    st.sampled_from(["snappy", "none", "gzip", "lz4"]),
     st.sampled_from([512, 4096]),
+    st.sampled_from(["1.0", "2.0"]),
 )
-def test_fuzz_random_tables_match_pyarrow(n, seed, use_dict, comp, page):
+def test_fuzz_random_tables_match_pyarrow(n, seed, use_dict, comp, page, pv):
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -161,7 +229,7 @@ def test_fuzz_random_tables_match_pyarrow(n, seed, use_dict, comp, page):
         path = os.path.join(d, "t.parquet")
         pq.write_table(
             t, path, compression=comp, use_dictionary=use_dict,
-            data_page_size=page, data_page_version="1.0",
+            data_page_size=page, data_page_version=pv,
             write_statistics=False,
         )
         _check_file(path)
