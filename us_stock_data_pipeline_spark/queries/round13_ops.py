@@ -397,3 +397,432 @@ def etl_versioned_sql_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFra
         unregister_versioned(spark, name)
         spark.catalog.dropTempView(src_view)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# tokenizer: SECOND unigram-LM EM iteration on the pruned vocab (VERDICT #8)
+# --------------------------------------------------------------------------
+# Iteration 1 is exactly `tokenizer_unigram_em_step` (round12_ops2):
+# seed counts -> fixed-point scores -> Viterbi fwd/bwd -> on-path counts
+# -> top-K pruning. Iteration 2 re-scores the PRUNED vocabulary from the
+# re-estimated counts and runs the same E-step again — the SentencePiece
+# train loop's next turn, demonstrating the fixed-point scheme is stable
+# under iteration. Segmentability is preserved the way SentencePiece
+# does it: single-character pieces are ALWAYS retained (pruned ones keep
+# their seed counts), so every word still has a segmentation in round 2.
+# All arithmetic stays integer/exact-double (the oracle-fragility rule);
+# both engines run the same generated SQL shape.
+
+from us_stock_data_pipeline_spark.queries.round12_ops2 import (  # noqa: E402
+    MAX_PIECE,
+    MAX_WLEN,
+    TOP_K,
+    TOP_WORDS,
+    _DUCK_PREAMBLE,
+    _l2fp_ctes,
+    _l2fp_df,
+)
+
+
+def _dp_sql_blocks(words: str, spans_s: str, sfx: str) -> tuple[str, str, str]:
+    """State-carrying forward/backward Viterbi DP CTE chains over
+    `words`(word,...) and `spans_s`(word, freq, i, j, piece, s), with
+    CTE names suffixed `sfx` so two EM iterations coexist in one WITH.
+    Returns (ctes, dpf_all_name, dpb_all_name). Same linear-chain shape
+    as round12_ops2._unigram_core_sql (step j references only j-1 —
+    naive unrolling re-inlines exponentially in both engines)."""
+    dpf = [f"dpf0{sfx} AS (SELECT word, CAST(0 AS BIGINT) AS p0 FROM {words})"]
+    for j in range(1, MAX_WLEN + 1):
+        carried = ", ".join(f"d.p{k}" for k in range(j))
+        cases = " ".join(
+            f"WHEN {i} THEN d.p{i}" for i in range(max(0, j - MAX_PIECE), j)
+        )
+        group = ", ".join(["d.word"] + [f"d.p{k}" for k in range(j)])
+        dpf.append(
+            f"""dpf{j}{sfx} AS (
+  SELECT d.word, {carried},
+         max(CASE sp.i {cases} END + sp.s) AS p{j}
+  FROM dpf{j - 1}{sfx} d
+  LEFT JOIN {spans_s} sp ON sp.word = d.word AND sp.j = {j}
+  GROUP BY {group}
+)"""
+        )
+    dpf_all = " UNION ALL ".join(
+        f"SELECT word, CAST({j} AS BIGINT) AS pos, p{j} AS sc FROM dpf{MAX_WLEN}{sfx}"
+        f" WHERE p{j} IS NOT NULL"
+        for j in range(MAX_WLEN + 1)
+    )
+    dpb = [f"dpb0{sfx} AS (SELECT word, CAST(0 AS BIGINT) AS r0 FROM {words})"]
+    for k in range(1, MAX_WLEN + 1):
+        carried = ", ".join(f"d.r{t}" for t in range(k))
+        cases = " ".join(
+            f"WHEN {d} THEN d.r{k - d}" for d in range(1, min(MAX_PIECE, k) + 1)
+        )
+        group = ", ".join(["d.word"] + [f"d.r{t}" for t in range(k)])
+        dpb.append(
+            f"""dpb{k}{sfx} AS (
+  SELECT d.word, {carried},
+         max(sp.s + CASE sp.j - sp.i {cases} END) AS r{k}
+  FROM dpb{k - 1}{sfx} d
+  LEFT JOIN {spans_s} sp
+    ON sp.word = d.word AND sp.i = CAST(length(d.word) AS BIGINT) - {k}
+  GROUP BY {group}
+)"""
+        )
+    dpb_all = " UNION ALL ".join(
+        f"SELECT word, CAST(length(word) AS BIGINT) - {k} AS pos,"
+        f" r{k} AS sc FROM dpb{MAX_WLEN}{sfx}"
+        f" WHERE r{k} IS NOT NULL AND CAST(length(word) AS BIGINT) - {k} >= 0"
+        for k in range(MAX_WLEN + 1)
+    )
+    ctes = ",\n".join(
+        dpf
+        + [f"dpf_all{sfx} AS ({dpf_all})"]
+        + dpb
+        + [f"dpb_all{sfx} AS ({dpb_all})"]
+    )
+    return ctes, f"dpf_all{sfx}", f"dpb_all{sfx}"
+
+
+def _em_pass_sql(words: str, spans_s: str, sfx: str) -> str:
+    """E-step CTEs: on-path counting for scored spans `spans_s` ->
+    `newc{sfx}`(piece, new_count)."""
+    dp_ctes, dpf_all, dpb_all = _dp_sql_blocks(words, spans_s, sfx)
+    return f"""{dp_ctes},
+dptot{sfx} AS (
+  SELECT f.word, f.sc FROM {dpf_all} f
+  JOIN {words} w ON w.word = f.word AND f.pos = CAST(length(w.word) AS BIGINT)
+),
+newc{sfx} AS (
+  SELECT sp.piece, CAST(sum(sp.freq) AS BIGINT) AS new_count
+  FROM {spans_s} sp
+  JOIN {dpf_all} f ON f.word = sp.word AND f.pos = sp.i
+  JOIN {dpb_all} b ON b.word = sp.word AND b.pos = sp.j
+  JOIN dptot{sfx} t ON t.word = sp.word
+  WHERE f.sc + sp.s + b.sc = t.sc
+  GROUP BY sp.piece
+)"""
+
+
+def _unigram_em2_sql(bin_len: str) -> str:
+    """Two chained EM iterations; expects CTEs/views `words`(word, freq)
+    and `spans`(word, freq, i, j, piece) in scope."""
+    l2f1 = _l2fp_ctes("l2f1", "lin1", bin_len)
+    l2f2 = _l2fp_ctes("l2f2", "lin2", bin_len)
+    em1 = _em_pass_sql("words", "spans_s1", "_1")
+    em2 = _em_pass_sql("words", "spans_s2", "_2")
+    return f"""
+WITH seed AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM spans GROUP BY piece
+),
+lin1 AS (
+  SELECT piece AS id, cnt FROM seed
+  UNION ALL
+  SELECT '' AS id, (SELECT CAST(sum(cnt) AS BIGINT) FROM seed) AS cnt
+),
+{l2f1},
+piece_s1 AS (
+  SELECT id AS piece, cnt AS seed_count,
+         l2 - (SELECT l2 FROM l2f1 WHERE id = '') AS s
+  FROM l2f1 WHERE id <> ''
+),
+spans_s1 AS (
+  SELECT sp.word, sp.freq, sp.i, sp.j, sp.piece, ps.s
+  FROM spans sp JOIN piece_s1 ps ON sp.piece = ps.piece
+),
+{em1},
+ranked1 AS (
+  SELECT piece, new_count,
+         CAST(row_number() OVER (ORDER BY new_count DESC, piece ASC)
+              AS BIGINT) AS rank
+  FROM newc_1
+),
+vocab2 AS (
+  SELECT piece, new_count AS cnt FROM ranked1 WHERE rank <= {TOP_K}
+  UNION ALL
+  SELECT s.piece, s.cnt FROM seed s
+  WHERE CAST(length(s.piece) AS BIGINT) = 1
+    AND s.piece NOT IN (SELECT piece FROM ranked1 WHERE rank <= {TOP_K})
+),
+lin2 AS (
+  SELECT piece AS id, cnt FROM vocab2
+  UNION ALL
+  SELECT '' AS id, (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab2) AS cnt
+),
+{l2f2},
+piece_s2 AS (
+  SELECT id AS piece, cnt AS count1,
+         l2 - (SELECT l2 FROM l2f2 WHERE id = '') AS s
+  FROM l2f2 WHERE id <> ''
+),
+spans_s2 AS (
+  SELECT sp.word, sp.freq, sp.i, sp.j, sp.piece, ps.s
+  FROM spans sp JOIN piece_s2 ps ON sp.piece = ps.piece
+),
+{em2},
+ranked2 AS (
+  SELECT ps.piece, ps.count1, n.new_count AS new_count2, ps.s AS score2_fp,
+         CAST(row_number() OVER (ORDER BY n.new_count DESC, ps.piece ASC)
+              AS BIGINT) AS rank
+  FROM piece_s2 ps JOIN newc_2 n ON n.piece = ps.piece
+)
+SELECT piece, count1, new_count2, score2_fp, rank
+FROM ranked2 WHERE rank <= {TOP_K} ORDER BY rank
+"""
+
+
+_EM2_ORACLE = _unigram_em2_sql("length(to_base({x}, 2)) - 1").replace(
+    "WITH seed AS", _DUCK_PREAMBLE.rstrip() + ",\nseed AS", 1
+)
+for _cte in (
+    "\nwords",  # newline-anchored: plain "words AS (" matches doc_words
+    "spans",
+    "seed",
+    "l2f1",
+    "l2f2",
+    "piece_s1",
+    "piece_s2",
+    "spans_s1",
+    "spans_s2",
+    f"dpf{MAX_WLEN}_1",
+    f"dpb{MAX_WLEN}_1",
+    f"dpf{MAX_WLEN}_2",
+    f"dpb{MAX_WLEN}_2",
+    "dpf_all_1",
+    "dpb_all_1",
+    "dpf_all_2",
+    "dpb_all_2",
+    "ranked1",
+    "vocab2",
+):
+    _EM2_ORACLE = _EM2_ORACLE.replace(f"{_cte} AS (", f"{_cte} AS MATERIALIZED (", 1)
+
+
+def _words_and_spans(spark: SparkSession, sf_dir: str):
+    """Training words (top-W by freq) and candidate spans — the same
+    DataFrame construction as `tokenizer_unigram_em_step` (the only
+    data-sized stages: one scan, two shuffles)."""
+    from us_stock_data_pipeline_spark.registry import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = track_persist(
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.length("word").between(2, MAX_WLEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(TOP_WORDS)
+    )
+    spans = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("i0"),
+        )
+        .withColumn("i", F.col("i0").cast("long"))
+        .select(
+            "word",
+            "freq",
+            "i",
+            "i0",
+            F.explode(
+                F.sequence(
+                    F.col("i0") + 1,
+                    F.least(F.col("i0") + MAX_PIECE, F.length("word")),
+                )
+            ).alias("j0"),
+        )
+        .withColumn("j", F.col("j0").cast("long"))
+        .drop("i0", "j0")
+        .withColumn(
+            "piece", F.expr("substring(word, CAST(i+1 AS INT), CAST(j-i AS INT))")
+        )
+    )
+    return words, spans
+
+
+def _em_pass_df(words: DataFrame, spans_s: DataFrame) -> DataFrame:
+    """One E-step over scored spans (word, freq, i, j, piece, s, ri,
+    dlen): state-carrying forward/backward Viterbi -> on-path counts.
+    Returns (piece, new_count). Same column-chain shape as
+    `tokenizer_unigram_em_step` — step j's frame references only step
+    j-1, so the plan stays linear in MAX_WLEN."""
+    from us_stock_data_pipeline_spark.registry import track_persist
+
+    state = words.select("word", F.lit(0).cast("long").alias("p0"))
+    for j in range(1, MAX_WLEN + 1):
+        sp_j = spans_s.filter(F.col("j") == j).select("word", "i", "s")
+        case = None
+        for i in range(max(0, j - MAX_PIECE), j):
+            case = (
+                F.when(F.col("i") == i, F.col(f"p{i}"))
+                if case is None
+                else case.when(F.col("i") == i, F.col(f"p{i}"))
+            )
+        carried = [f"p{k}" for k in range(j)]
+        state = (
+            state.join(sp_j, "word", "left")
+            .groupBy("word", *carried)
+            .agg(F.max(case + F.col("s")).alias(f"p{j}"))
+        )
+    state = track_persist(state)
+    dpf_all = state.selectExpr(
+        "word",
+        "stack("
+        + str(MAX_WLEN + 1)
+        + ", "
+        + ", ".join(f"CAST({j} AS BIGINT), p{j}" for j in range(MAX_WLEN + 1))
+        + ") AS (pos, sc)",
+    ).filter(F.col("sc").isNotNull())
+    rstate = words.select("word", F.lit(0).cast("long").alias("r0"))
+    for k in range(1, MAX_WLEN + 1):
+        sp_k = spans_s.filter(F.col("ri") == k).select("word", "dlen", "s")
+        case = None
+        for d in range(1, min(MAX_PIECE, k) + 1):
+            case = (
+                F.when(F.col("dlen") == d, F.col(f"r{k - d}"))
+                if case is None
+                else case.when(F.col("dlen") == d, F.col(f"r{k - d}"))
+            )
+        carried = [f"r{t}" for t in range(k)]
+        rstate = (
+            rstate.join(sp_k, "word", "left")
+            .groupBy("word", *carried)
+            .agg(F.max(F.col("s") + case).alias(f"r{k}"))
+        )
+    rstate = track_persist(rstate)
+    dpb_all = rstate.selectExpr(
+        "word",
+        "stack("
+        + str(MAX_WLEN + 1)
+        + ", "
+        + ", ".join(
+            f"CAST(length(word) - {k} AS BIGINT), r{k}" for k in range(MAX_WLEN + 1)
+        )
+        + ") AS (pos, sc)",
+    ).filter(F.col("sc").isNotNull() & (F.col("pos") >= 0))
+    dptot = dpf_all.filter(F.col("pos") == F.length("word")).select(
+        "word", F.col("sc").alias("tot_sc")
+    )
+    onpath = (
+        spans_s.join(
+            dpf_all.select("word", F.col("pos").alias("i"), F.col("sc").alias("fsc")),
+            ["word", "i"],
+        )
+        .join(
+            dpb_all.select("word", F.col("pos").alias("j"), F.col("sc").alias("bsc")),
+            ["word", "j"],
+        )
+        .join(dptot, "word")
+        .filter(F.col("fsc") + F.col("s") + F.col("bsc") == F.col("tot_sc"))
+    )
+    return onpath.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("new_count")
+    )
+
+
+def _scored_spans(spans: DataFrame, piece_s: DataFrame) -> DataFrame:
+    """spans x per-piece fixed-point scores, with the backward-DP helper
+    columns (ri = distance from the END, dlen = piece length)."""
+    from us_stock_data_pipeline_spark.registry import track_persist
+
+    return track_persist(
+        spans.join(F.broadcast(piece_s.select("piece", "s")), "piece").select(
+            "word",
+            "freq",
+            "i",
+            "j",
+            "piece",
+            "s",
+            (F.length("word").cast("long") - F.col("i")).alias("ri"),
+            (F.col("j") - F.col("i")).alias("dlen"),
+        )
+    )
+
+
+def _fp_scores(lin: DataFrame) -> DataFrame:
+    """(id, cnt) -> (piece, cnt, s) with s = L2FP(cnt) - L2FP(total);
+    `lin` must contain the '' total row."""
+    from us_stock_data_pipeline_spark.registry import track_persist
+
+    l2f = track_persist(_l2fp_df(lin))
+    tot = l2f.filter(F.col("id") == "").select(F.col("l2").alias("tot_l2"))
+    return l2f.filter(F.col("id") != "").crossJoin(F.broadcast(tot)).select(
+        F.col("id").alias("piece"),
+        F.col("cnt"),
+        (F.col("l2") - F.col("tot_l2")).alias("s"),
+    )
+
+
+@register(
+    "tokenizer_unigram_em2",
+    oracle=_EM2_ORACLE,
+    tags=("llm", "tokenizer"),
+    round=13,
+)
+def tokenizer_unigram_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND unigram-LM EM iteration on the pruned vocabulary (round
+    13, VERDICT r12 #8 — the SentencePiece train loop's next turn,
+    proving the fixed-point scheme is stable under iteration).
+    Iteration 1 = `tokenizer_unigram_em_step` exactly: seed counts ->
+    fixed-point log2 scores -> state-carrying Viterbi fwd/bwd -> on-path
+    counts -> top-K prune. Iteration 2 re-scores the SURVIVING vocab
+    from the re-estimated counts (single-character pieces are always
+    retained — pruned ones at their seed counts — so every word stays
+    segmentable, SentencePiece's required-chars rule), restricts spans
+    to that vocab, and runs the same E-step. Every quantity remains
+    integer-exact; DuckDB replays both iterations hash-identically.
+    Scale shape is unchanged from iteration 1: data-sized work is the
+    one word-histogram shuffle; both EM passes run on the constant-size
+    training sample."""
+    words, spans = _words_and_spans(spark, sf_dir)
+    seed = spans.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    lin1 = seed.select(F.col("piece").alias("id"), "cnt").unionAll(
+        seed.agg(F.sum("cnt").cast("long").alias("cnt")).select(
+            F.lit("").alias("id"), "cnt"
+        )
+    )
+    piece_s1 = _fp_scores(lin1)
+    newc1 = _em_pass_df(words, _scored_spans(spans, piece_s1))
+    from pyspark.sql import Window
+
+    w_rank1 = Window.orderBy(F.desc("new_count"), F.asc("piece"))
+    kept1 = (
+        newc1.withColumn("rank", F.row_number().over(w_rank1).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("piece", F.col("new_count").alias("cnt"))
+    )
+    singles = (
+        seed.filter(F.length("piece") == 1)
+        .join(kept1.select("piece"), "piece", "left_anti")
+        .select("piece", "cnt")
+    )
+    # Materialize the (<= TOP_K + 26 rows) vocabulary between the two
+    # iterations: it truncates iteration 2's lineage at a literal frame,
+    # so Catalyst analyzes one EM DAG at a time instead of a doubled
+    # plan (the dim-table pattern — this is the iteration boundary a
+    # production trainer would checkpoint anyway).
+    vocab2_rows = kept1.unionByName(singles).collect()
+    vocab2 = spark.createDataFrame(vocab2_rows, "piece string, cnt long")
+    lin2 = vocab2.select(F.col("piece").alias("id"), "cnt").unionAll(
+        vocab2.agg(F.sum("cnt").cast("long").alias("cnt")).select(
+            F.lit("").alias("id"), "cnt"
+        )
+    )
+    piece_s2 = _fp_scores(lin2)
+    newc2 = _em_pass_df(words, _scored_spans(spans, piece_s2))
+    w_rank2 = Window.orderBy(F.desc("new_count"), F.asc("piece"))
+    return (
+        piece_s2.select("piece", F.col("cnt").alias("count1"), "s")
+        .join(newc2, "piece")
+        .withColumn("rank", F.row_number().over(w_rank2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "piece",
+            "count1",
+            F.col("new_count").alias("new_count2"),
+            F.col("s").alias("score2_fp"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
