@@ -197,9 +197,11 @@ def test_roundtrip_every_predictor_mode(h, w, seed, mode):
 
 
 # ------------------------------------ progressive color JPEG (advice 3)
-def test_progressive_color_jpeg_gates_not_implemented():
-    """A syntactically valid SOF2 3-component header must gate as
-    NotImplementedError (valid-but-unsupported), not ValueError."""
+def test_progressive_color_jpeg_now_decodes_for_real():
+    """Round 13 retires the r12 NotImplementedError gate: a valid SOF2
+    3-component payload routes to decode_jpeg_color_progressive.
+    A TRUNCATED stream (SOF but no SOS/EOI) is a ValueError — the gate
+    convention now applies only to lossy VP8."""
     sof2 = (
         b"\xff\xd8"
         + b"\xff\xc2"
@@ -210,8 +212,11 @@ def test_progressive_color_jpeg_gates_not_implemented():
         + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # routed to the real decoder: no SOS
         M.decode_image(sof2)
+    # a complete progressive color payload decodes end to end
+    img = M.decode_image(M.encode_jpeg_progressive_color_card(3, 2, 2))
+    assert img.shape == (32, 32, 3)
     # grayscale progressive still routes to the real decoder (and fails
     # later for this truncated stream with ValueError, not the gate)
     gray = (

