@@ -140,6 +140,15 @@ QUERIES = [
     "tokenizer_unigram_em_step",
     "storage_parquet_raw_scan",
     "etl_versioned_sql_timetravel",
+    # round-13 heavy additions: second EM iteration (still capped-vocab
+    # constant after the word histogram), v2+gzip per-file re-encode +
+    # raw decode (scan-bound), CDF stream across compaction (per-commit
+    # manifest diffs — metadata-bound planning, partition-parallel read),
+    # progressive color JPEG Arrow codec pipeline
+    "tokenizer_unigram_em2",
+    "storage_parquet_raw_scan_v2",
+    "stream_versioned_cdf_compaction",
+    "multimodal_jpeg_progressive_color_decode",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
