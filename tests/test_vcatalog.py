@@ -503,3 +503,82 @@ def test_merge_second_matched_clause_precedence(spark, table):
         assert rows[1] == 1000 and rows[2] == 21 and rows[3] == 30
     finally:
         spark.catalog.dropTempView("merge_prec_v")
+
+
+def test_merge_not_matched_by_source(spark, table):
+    """Delta's third clause type: WHEN NOT MATCHED BY SOURCE acts on
+    TARGET rows with no source match (full-outer execution join) —
+    the sync-to-source statement. Conditional update + uncond delete,
+    plus ordinary matched/not-matched clauses, in ONE commit."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    v0 = V.current_version(spark, root)
+    # target k=0..7, val=k*10. source: k=0 (update), k=50 (insert).
+    # by-source rows: k=1..7; k<=3 -> val=-1 flagging, k>3 -> DELETE
+    src = spark.createDataFrame([(0, 0, 99), (50, 0, 7)], "k long, band long, val long")
+    src.createOrReplaceTempView("merge_bysrc_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t USING merge_bysrc_v AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.k <= 3 THEN UPDATE SET val = -1
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+            """,
+        ).first()
+        # upserts: k=0 (matched), k=50 (insert), k=1,2,3 (by-source update)
+        assert out.n_upserted == 5
+        assert out.n_deleted == 4  # k=4..7
+        assert out.committed_version == v0 + 1  # single commit
+        rows = {r.k: r.val for r in spark.sql(f"SELECT k, val FROM {name}").collect()}
+        assert rows == {0: 99, 50: 7, 1: -1, 2: -1, 3: -1}
+    finally:
+        spark.catalog.dropTempView("merge_bysrc_v")
+
+
+def test_merge_by_source_rejects_invalid_actions(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    spark.createDataFrame([(1, 1, 1)], "k long, band long, val long"
+                          ).createOrReplaceTempView("merge_bysrc_bad_v")
+    try:
+        with pytest.raises(ValueError, match="BY SOURCE"):
+            C.versioned_sql(
+                spark,
+                f"MERGE INTO {name} AS t USING merge_bysrc_bad_v AS s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+            )
+        with pytest.raises(ValueError, match="assignment list"):
+            C.versioned_sql(
+                spark,
+                f"MERGE INTO {name} AS t USING merge_bysrc_bad_v AS s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            )
+        with pytest.raises(ValueError, match="only valid after NOT MATCHED"):
+            C.versioned_sql(
+                spark,
+                f"MERGE INTO {name} AS t USING merge_bysrc_bad_v AS s ON t.k = s.k "
+                "WHEN MATCHED BY SOURCE THEN DELETE",
+            )
+    finally:
+        spark.catalog.dropTempView("merge_bysrc_bad_v")
+
+
+def test_merge_not_matched_by_target_alias(spark, table):
+    """NOT MATCHED BY TARGET is the explicit spelling of NOT MATCHED."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    src = spark.createDataFrame([(80, 0, 8)], "k long, band long, val long")
+    src.createOrReplaceTempView("merge_bytgt_v")
+    try:
+        out = C.versioned_sql(
+            spark,
+            f"MERGE INTO {name} AS t USING merge_bytgt_v AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT *",
+        ).first()
+        assert out.n_upserted == 1
+        assert spark.sql(f"SELECT val FROM {name} WHERE k = 80").first().val == 8
+    finally:
+        spark.catalog.dropTempView("merge_bytgt_v")

@@ -237,7 +237,8 @@ _MERGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*?)"
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?\s*(?:AND\s+(.*?))?"
+    r"\s*THEN\s+(.*?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -287,10 +288,14 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def _parse_merge_action(action_text: str, is_matched: bool):
+def _parse_merge_action(action_text: str, mode: str):
     """Parse one THEN action into ('update', assignments|None) /
     ('delete', None) / ('insert', (cols, exprs)|None); None payload means
-    the star form (SET * / INSERT *)."""
+    the star form (SET * / INSERT *). `mode` is the clause's match kind:
+    'matched' allows UPDATE/DELETE, 'by_target' (plain NOT MATCHED)
+    allows INSERT, 'by_source' (NOT MATCHED BY SOURCE — target rows with
+    no source match, Delta's third clause type) allows DELETE and
+    assignment-list UPDATE (SET * is meaningless there: no source row)."""
     a = action_text.strip()
     au = re.sub(r"\s+", " ", a).upper()
     if au == "DELETE":
@@ -315,10 +320,18 @@ def _parse_merge_action(action_text: str, is_matched: bool):
             if not re.fullmatch(_NAME_RE, c):
                 raise ValueError(f"invalid INSERT column {c!r}")
         kind, payload = "insert", (cols, exprs)
-    if is_matched and kind == "insert":
+    if mode == "matched" and kind == "insert":
         raise ValueError("WHEN MATCHED cannot INSERT")
-    if not is_matched and kind != "insert":
+    if mode == "by_target" and kind != "insert":
         raise ValueError("WHEN NOT MATCHED can only INSERT")
+    if mode == "by_source":
+        if kind == "insert":
+            raise ValueError("WHEN NOT MATCHED BY SOURCE cannot INSERT")
+        if kind == "update" and payload is None:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE needs an assignment list "
+                "(UPDATE SET * has no source row to copy)"
+            )
     return kind, payload
 
 
@@ -327,9 +340,14 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
 
         MERGE INTO t [AS ta] USING src|(subquery) [AS sa] ON <key equality>
           WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = expr[, ...] | DELETE
-          WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
-          (any number of clauses; per source row the FIRST applicable
-           clause in statement order wins — Delta's semantics)
+          WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
+          WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = expr[, ...] | DELETE
+          (any number of clauses; per row the FIRST applicable clause in
+           statement order wins — Delta's semantics. BY SOURCE clauses
+           act on TARGET rows with no source match — Delta's third
+           clause type, the sync-to-source workhorse — and switch the
+           execution join from left to full-outer; matched-ness comes
+           from literal presence flags, null-safe even for NULL keys)
 
     The ON clause must be exactly the registered key_cols' equality
     (`ta.k = sa.k [AND ...]` covering every key): this engine's merge
@@ -343,12 +361,13 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
     commit via `versioned_merge_upsert(delete_rows=...)`). INSERT
     column lists must cover every key column; unlisted target columns
     become NULL.
-    Execution: one left join source->target evaluates matched-ness and
-    every clause condition; UPDATE/INSERT rows AND clause-deleted /
-    partition-moved pre-images land in ONE merge commit (touched
-    partitions only) — single-version atomic, matching Delta. A merge
-    with only DELETE clauses commits one deletion vector instead (no
-    rewrite). Returns (table_name, n_upserted, n_deleted, version)."""
+    Execution: one join source->target (left, or full-outer when a BY
+    SOURCE clause exists) evaluates matched-ness and every clause
+    condition; UPDATE/INSERT rows AND clause-deleted / partition-moved
+    pre-images land in ONE merge commit (touched partitions only) —
+    single-version atomic, matching Delta. A merge with only DELETE
+    clauses commits one deletion vector instead (no rewrite). Returns
+    (table_name, n_upserted, n_deleted, version)."""
     from pyspark.sql import functions as F
 
     name = m.group(1)
@@ -384,9 +403,15 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
         raise ValueError(f"MERGE ON must cover all key_cols {key_cols}")
     clauses = []
     for cm in _MERGE_CLAUSE.finditer(clause_text):
-        is_matched = cm.group(1) is None
-        cond = cm.group(2)
-        kind, payload = _parse_merge_action(cm.group(3), is_matched)
+        if cm.group(1) is None:
+            if cm.group(2):
+                raise ValueError("BY SOURCE/TARGET is only valid after NOT MATCHED")
+            mode = "matched"
+        else:
+            by = (cm.group(2) or "TARGET").upper()
+            mode = "by_source" if by == "SOURCE" else "by_target"
+        cond = cm.group(3)
+        kind, payload = _parse_merge_action(cm.group(4), mode)
         if kind == "update" and payload:
             for col, _e in payload:
                 if col in key_cols:
@@ -400,24 +425,37 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
                 raise ValueError(
                     f"INSERT column list must cover key_cols; missing {missing}"
                 )
-        clauses.append((is_matched, cond, kind, payload))
+        clauses.append((mode, cond, kind, payload))
     if not clauses:
         raise ValueError("MERGE needs at least one WHEN clause")
+    has_by_source = any(mode == "by_source" for mode, *_ in clauses)
     tgt_df = spark.table(name)
     tgt_types = {f.name: f.dataType for f in tgt_df.schema.fields}
     src_types = {f.name: f.dataType for f in src.schema.fields}
-    tgt = tgt_df.alias(t_alias)
-    s = src.alias(s_alias)
+    # literal presence flags: null-safe matched-ness even when a key
+    # value is legitimately NULL, and the only way to tell the sides
+    # apart under the full-outer join BY SOURCE clauses need
+    tgt = tgt_df.withColumn("_tgt_present", F.lit(True)).alias(t_alias)
+    s = src.withColumn("_src_present", F.lit(True)).alias(s_alias)
     join_cond = None
     for k in key_cols:
         c = F.col(f"{s_alias}.{k}") == F.col(f"{t_alias}.{k}")
         join_cond = c if join_cond is None else (join_cond & c)
-    joined = s.join(tgt, join_cond, "left")
-    matched = F.col(f"{t_alias}.{key_cols[0]}").isNotNull()
+    # BY SOURCE clauses act on target rows with NO source match — those
+    # only exist under a full-outer join; without them the cheaper left
+    # join suffices (target-only rows would never match any clause)
+    joined = s.join(tgt, join_cond, "full_outer" if has_by_source else "left")
+    src_p = F.coalesce(F.col(f"{s_alias}._src_present"), F.lit(False))
+    tgt_p = F.coalesce(F.col(f"{t_alias}._tgt_present"), F.lit(False))
+    mode_cond = {
+        "matched": src_p & tgt_p,
+        "by_target": src_p & ~tgt_p,
+        "by_source": tgt_p & ~src_p,
+    }
     # first applicable clause wins, per row
     pick = None
-    for idx, (is_matched, cond, _k, _p) in enumerate(clauses):
-        c = matched if is_matched else ~matched
+    for idx, (mode, cond, _k, _p) in enumerate(clauses):
+        c = mode_cond[mode]
         if cond:
             c = c & F.expr(cond)
         pick = F.when(c, idx) if pick is None else pick.when(c, idx)
