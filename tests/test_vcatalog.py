@@ -582,3 +582,137 @@ def test_merge_not_matched_by_target_alias(spark, table):
         assert spark.sql(f"SELECT val FROM {name} WHERE k = 80").first().val == 8
     finally:
         spark.catalog.dropTempView("merge_bytgt_v")
+
+
+def test_check_constraints_lifecycle(spark, table):
+    """ALTER TABLE ADD CONSTRAINT validates the snapshot, gates every
+    subsequent write batch (NULL passes, per SQL CHECK), survives
+    unrelated commits, and DROP lifts the gate."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    out = C.versioned_sql(
+        spark, f"ALTER TABLE {name} ADD CONSTRAINT val_nonneg CHECK (val >= 0)"
+    ).first()
+    assert out.constraint_name == "val_nonneg"
+    desc = C.versioned_sql(spark, f"DESCRIBE CONSTRAINTS {name}").collect()
+    assert [(r.constraint_name, r.expr) for r in desc] == [("val_nonneg", "val >= 0")]
+    # violating INSERT is rejected BEFORE any commit
+    v_before = V.current_version(spark, root)
+    with pytest.raises(V.ConstraintViolationError, match="val_nonneg"):
+        C.versioned_sql(
+            spark,
+            f"INSERT INTO {name} (k, band, val) VALUES "
+            "(CAST(900 AS BIGINT), CAST(0 AS BIGINT), CAST(-5 AS BIGINT))",
+        )
+    assert V.current_version(spark, root) == v_before  # nothing published
+    # valid insert passes; constraint carried across the commit
+    C.versioned_sql(
+        spark,
+        f"INSERT INTO {name} (k, band, val) VALUES "
+        "(CAST(901 AS BIGINT), CAST(0 AS BIGINT), CAST(5 AS BIGINT))",
+    )
+    assert V.table_constraints(spark, root) == {"val_nonneg": "val >= 0"}
+    # UPDATE producing a violation is rejected too
+    with pytest.raises(V.ConstraintViolationError):
+        C.versioned_sql(spark, f"UPDATE {name} SET val = -val WHERE k = 901")
+    # adding a constraint the EXISTING data violates is rejected
+    with pytest.raises(V.ConstraintViolationError):
+        C.versioned_sql(
+            spark, f"ALTER TABLE {name} ADD CONSTRAINT val_big CHECK (val > 100)"
+        )
+    # drop lifts the gate
+    C.versioned_sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT val_nonneg")
+    assert V.table_constraints(spark, root) == {}
+    C.versioned_sql(spark, f"UPDATE {name} SET val = -val WHERE k = 901")
+    assert (
+        spark.sql(f"SELECT val FROM {name} WHERE k = 901").first().val == -5
+    )
+    with pytest.raises(KeyError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT val_nonneg")
+
+
+def test_constraint_null_passes_and_survives_optimize(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    C.versioned_sql(
+        spark, f"ALTER TABLE {name} ADD CONSTRAINT v_cap CHECK (val < 1000)"
+    )
+    # NULL evaluations pass (SQL CHECK semantics)
+    C.versioned_sql(
+        spark,
+        f"INSERT INTO {name} (k, band, val) VALUES "
+        "(CAST(950 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT))",
+    )
+    # OPTIMIZE carries the constraint forward
+    C.versioned_sql(spark, f"OPTIMIZE {name}")
+    assert V.table_constraints(spark, root) == {"v_cap": "val < 1000"}
+    with pytest.raises(V.ConstraintViolationError):
+        C.versioned_sql(
+            spark,
+            f"INSERT INTO {name} (k, band, val) VALUES "
+            "(CAST(951 AS BIGINT), CAST(1 AS BIGINT), CAST(2000 AS BIGINT))",
+        )
+
+
+def test_optimize_zorder_by(spark):
+    """OPTIMIZE ... ZORDER BY (a, b): rewritten files carry DISJOINT
+    contiguous z-ranges, so per-file zone maps become tight boxes in
+    both dimensions — each file's (a, b) bbox must cover well under the
+    full domain, which a hash-salted layout cannot achieve."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    root = tempfile.mkdtemp(prefix=f"us_sdps_zord_{_uuid.uuid4().hex[:8]}_")
+    name = f"zord_{_uuid.uuid4().hex[:8]}"
+    try:
+        n = 4096
+        df = spark.range(n).selectExpr(
+            "id AS k",
+            "CAST(0 AS BIGINT) AS band",
+            "CAST(id % 64 AS BIGINT) AS x",
+            "CAST(CAST(id / 64 AS BIGINT) % 64 AS BIGINT) AS y",
+        )
+        V.versioned_merge_upsert(
+            spark, df, root, key_cols=("k",), partition_cols=("band",)
+        )
+        C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+        out = C.versioned_sql(spark, f"OPTIMIZE {name} ZORDER BY (x, y)").first()
+        doc = V._read_manifest_doc(spark, root, out.committed_version)
+        assert set(doc["stats_cols"]) >= {"x", "y"}
+        stats = doc["file_stats"]
+        assert len(stats) >= 3  # several z-range files
+        areas = []
+        for _f, s in stats.items():
+            (xmn, xmx), (ymn, ymx) = s["x"], s["y"]
+            areas.append((xmx - xmn + 1) * (ymx - ymn + 1))
+        # every file's bbox covers at most ~60% of the 64x64 domain, and
+        # the mean is far below — locality in BOTH dims at once
+        assert max(areas) <= 0.6 * 64 * 64, areas
+        assert sum(areas) / len(areas) <= 0.45 * 64 * 64, areas
+        # the table content is unchanged by the rewrite
+        assert spark.sql(f"SELECT count(*) n FROM {name}").first().n == n
+    finally:
+        C.unregister_versioned(spark, name)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_restore_to_timestamp(spark, table):
+    import datetime as _dt
+
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    t1 = V._read_manifest_doc(spark, root, 1)["committed_at"]
+    C.versioned_sql(spark, f"UPDATE {name} SET val = val + 100 WHERE k = 0")
+    lit = _dt.datetime.fromtimestamp(t1 / 1000, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    out = C.versioned_sql(
+        spark, f"RESTORE TABLE {name} TO TIMESTAMP AS OF '{lit}'"
+    ).first()
+    assert out.restored_to >= 1
+    s = spark.sql(f"SELECT CAST(sum(val) AS BIGINT) s FROM {name}").first().s
+    base = sum(k * 10 for k in range(8))
+    assert s in (base, base + 100)  # same-ms commits may tie to v2
+    if V._read_manifest_doc(spark, root, 2)["committed_at"] > t1:
+        assert s == base

@@ -29,12 +29,19 @@ SQL front-end:
     * ``<name> TIMESTAMP AS OF '<ts>'``  (Delta timestampAsOf; resolved
       against the manifests' ``committed_at`` wall clocks)
     * ``DESCRIBE HISTORY <name> [LIMIT n]``
-    * ``DESCRIBE BRANCHES <name>``
-    * ``RESTORE TABLE <name> TO VERSION AS OF <n>``
+    * ``DESCRIBE BRANCHES <name>`` / ``DESCRIBE CONSTRAINTS <name>``
+    * ``RESTORE TABLE <name> TO VERSION AS OF <n>`` and
+      ``RESTORE TABLE <name> TO TIMESTAMP AS OF '<ts>'``
     * ``REFRESH TABLE <name>`` / ``VACUUM <name> [RETAIN n VERSIONS]``
-      / ``OPTIMIZE <name>`` (compaction + refresh)
+      / ``OPTIMIZE <name> [ZORDER BY (c1[, c2])]`` (compaction +
+      refresh; ZORDER clusters files into disjoint contiguous
+      Morton-curve ranges so per-file zone maps box BOTH dimensions)
     * ``ALTER TABLE <name> CREATE TAG <tag> AS OF VERSION <n>`` and
       ``ALTER TABLE <name> CREATE BRANCH <branch>`` (Iceberg syntax)
+    * ``ALTER TABLE <name> ADD CONSTRAINT <c> CHECK (<expr>)`` /
+      ``ALTER TABLE <name> DROP CONSTRAINT <c>`` (Delta CHECK
+      constraints: the snapshot is validated at ADD, every later
+      write batch is validated before its manifest publishes)
     * DML, when the registration declared key/partition cols:
       ``INSERT INTO <name> [(cols)] SELECT ...|VALUES ...`` (a MERGE
       commit), ``UPDATE <name> SET c = expr[, ...] WHERE pred`` (reads
@@ -207,7 +214,25 @@ _VACUUM = re.compile(
     re.IGNORECASE,
 )
 _OPTIMIZE = re.compile(
-    rf"^\s*OPTIMIZE\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
+    rf"^\s*OPTIMIZE\s+({_NAME_RE})"
+    rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_TS = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_NAME_RE})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ADD_CONSTRAINT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+ADD\s+CONSTRAINT\s+({_NAME_RE})"
+    rf"\s+CHECK\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+DROP\s+CONSTRAINT\s+({_NAME_RE})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_CONSTRAINTS = re.compile(
+    rf"^\s*DESCRIBE\s+CONSTRAINTS\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
 )
 _CREATE_TAG = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+CREATE\s+TAG\s+({_NAME_RE})"
@@ -630,10 +655,61 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
     m = _OPTIMIZE.match(stmt)
     if m:
         name = m.group(1)
-        ver = V.compact_table(spark, _root_of(spark, name))
+        zcols = (
+            tuple(c.strip() for c in m.group(2).split(","))
+            if m.group(2)
+            else ()
+        )
+        ver = V.compact_table(
+            spark,
+            _root_of(spark, name),
+            zorder_by=zcols,
+            # z-ordering into one file per partition would leave nothing
+            # to skip between; Delta's default target produces several —
+            # 4 contiguous z-range files per partition is the demo shape
+            files_per_partition=4 if zcols else 1,
+        )
         refresh_versioned(spark, name)
         return spark.createDataFrame(
             [(name, ver)], "table_name string, committed_version long"
+        )
+    m = _RESTORE_TS.match(stmt)
+    if m:
+        name = m.group(1)
+        root = _root_of(spark, name)
+        version = V.resolve_timestamp(spark, root, _parse_ts_ms(spark, m.group(2)))
+        new_ver = V.restore_version(spark, root, version)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, version, new_ver)],
+            "table_name string, restored_to long, committed_version long",
+        )
+    m = _ADD_CONSTRAINT.match(stmt)
+    if m:
+        name, cname, expr = m.group(1), m.group(2), m.group(3).strip()
+        ver = V.add_constraint(spark, _root_of(spark, name), cname, expr)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, cname, expr, ver)],
+            "table_name string, constraint_name string, expr string,"
+            " committed_version long",
+        )
+    m = _DROP_CONSTRAINT.match(stmt)
+    if m:
+        name, cname = m.group(1), m.group(2)
+        ver = V.drop_constraint(spark, _root_of(spark, name), cname)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, cname, ver)],
+            "table_name string, constraint_name string, committed_version long",
+        )
+    m = _DESCRIBE_CONSTRAINTS.match(stmt)
+    if m:
+        name = m.group(1)
+        cons = V.table_constraints(spark, _root_of(spark, name))
+        rows = [(name, k, v) for k, v in sorted(cons.items())]
+        return spark.createDataFrame(
+            rows, "table_name string, constraint_name string, expr string"
         )
     m = _CREATE_TAG.match(stmt)
     if m:

@@ -619,6 +619,126 @@ def read_versioned(
 # --------------------------------------------------------------------------
 
 
+class ConstraintViolationError(ValueError):
+    """A write batch (or the existing snapshot, on add_constraint)
+    violates a declared CHECK constraint."""
+
+
+def _enforce_constraints(
+    spark: SparkSession, df: DataFrame, constraints: dict[str, str]
+) -> None:
+    """Raise ConstraintViolationError if any row of `df` FAILS a CHECK
+    expression (NULL passes, per SQL CHECK semantics). One map-side
+    count over `df` for all constraints together."""
+    if not constraints:
+        return
+    conds = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)), 1)
+        ).alias(name)
+        for name, expr in sorted(constraints.items())
+    ]
+    row = df.agg(*conds).first()
+    bad = {name: int(row[name]) for name in sorted(constraints) if row[name]}
+    if bad:
+        raise ConstraintViolationError(
+            "CHECK constraint violation(s): "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}) failed for {c} row(s)"
+                for n, c in bad.items()
+            )
+        )
+
+
+def table_constraints(spark: SparkSession, root: str) -> dict[str, str]:
+    """The CURRENT snapshot's CHECK constraints ({name: sql_expr})."""
+    cur = current_version(spark, root)
+    if cur == 0:
+        return {}
+    return dict(_read_manifest_doc(spark, root, cur).get("constraints", {}))
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """Delta `ALTER TABLE ADD CONSTRAINT name CHECK (expr)`: validate
+    the CURRENT snapshot satisfies `expr` (one scan — the price Delta
+    pays too), then commit a metadata-only version carrying the new
+    constraint. Every subsequent merge/insert/update batch is validated
+    against it before its manifest publishes. Returns the committed
+    version."""
+    if not expr or not expr.strip():
+        raise ValueError("empty constraint expression")
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        doc = _read_manifest_doc(spark, root, base_ver)
+        cons = dict(doc.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        # existing data must satisfy the new constraint (else readers
+        # could never trust it)
+        _enforce_constraints(
+            spark, read_versioned(spark, root, base_ver), {name: expr}
+        )
+        cons[name] = expr
+        new_ver = base_ver + 1
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "committed_at": _now_ms(spark),
+                "partitions": doc.get("partitions", {}),
+                "deletion_vectors": doc.get("deletion_vectors", []),
+                "stats_cols": doc.get("stats_cols", []),
+                "file_stats": doc.get("file_stats", {}),
+                "constraints": cons,
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"add_constraint lost 5 commit races at {root}")
+
+
+def drop_constraint(spark: SparkSession, root: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit); returns the
+    committed version. Unknown names raise KeyError."""
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        doc = _read_manifest_doc(spark, root, base_ver)
+        cons = dict(doc.get("constraints", {}))
+        if name not in cons:
+            raise KeyError(f"no constraint named {name!r}")
+        del cons[name]
+        new_ver = base_ver + 1
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "committed_at": _now_ms(spark),
+                "partitions": doc.get("partitions", {}),
+                "deletion_vectors": doc.get("deletion_vectors", []),
+                "stats_cols": doc.get("stats_cols", []),
+                "file_stats": doc.get("file_stats", {}),
+                "constraints": cons,
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"drop_constraint lost 5 commit races at {root}")
+
+
 def versioned_merge_upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -680,6 +800,24 @@ def versioned_merge_upsert(
     try:
         touched = _leaf_partition_dirs(spark, scratch, len(partition_cols))
         staged = spark.read.option("basePath", scratch).parquet(scratch)
+        # CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`): new
+        # rows must satisfy every declared constraint, or the commit is
+        # rejected BEFORE any manifest is published (kept rows already
+        # satisfy them by invariant — add_constraint validated the
+        # snapshot). NULL evaluations pass, matching SQL CHECK. One
+        # map-side count over the staged batch per declared constraint;
+        # validated once against the pre-commit constraint set (a
+        # concurrent ALTER between CAS retries re-validates on the next
+        # writer, not this one).
+        _enforce_constraints(
+            spark,
+            staged,
+            _read_manifest_doc(spark, root, current_version(spark, root)).get(
+                "constraints", {}
+            )
+            if current_version(spark, root)
+            else {},
+        )
         del_keys: DataFrame | None = None
         if delete_rows is not None:
             # Stage the pre-image rows partitioned the same way: their
@@ -786,6 +924,7 @@ def versioned_merge_upsert(
                     "deletion_vectors": dvs,
                     "stats_cols": list(eff_stats_cols),
                     "file_stats": new_stats,
+                    "constraints": doc.get("constraints", {}),
                 },
                 sort_keys=True,
             )
@@ -856,6 +995,7 @@ def versioned_delete(
                 # rows only make them conservative)
                 "stats_cols": doc.get("stats_cols", []),
                 "file_stats": doc.get("file_stats", {}),
+                "constraints": doc.get("constraints", {}),
             },
             sort_keys=True,
         )
@@ -1190,6 +1330,7 @@ def restore_version(spark: SparkSession, root: str, version: int) -> int:
                 "deletion_vectors": target.get("deletion_vectors", []),
                 "stats_cols": target.get("stats_cols", []),
                 "file_stats": target.get("file_stats", {}),
+                "constraints": target.get("constraints", {}),
                 "restored_from": version,
             },
             sort_keys=True,
@@ -1269,6 +1410,7 @@ def create_branch(spark: SparkSession, root: str, name: str) -> int:
         "file_stats": {
             _abs_under(root, k): v for k, v in doc.get("file_stats", {}).items()
         },
+        "constraints": doc.get("constraints", {}),
     }
     _mkdirs(spark, posixpath.join(broot, _MANIFESTS))
     _write_file(
@@ -1461,6 +1603,7 @@ def merge_branch(
                 "deletion_vectors": merged_dvs,
                 "stats_cols": stats_cols,
                 "file_stats": merged_stats,
+                "constraints": mdoc.get("constraints", {}),
                 "merged_from_branch": {"name": name, "fork_version": fork},
             },
             sort_keys=True,
@@ -1485,7 +1628,51 @@ def merge_branch(
     raise RuntimeError(f"merge_branch lost {max_commit_retries} races at {root}")
 
 
-def compact_table(spark: SparkSession, root: str) -> int:
+def _zorder_expr_sql(
+    spark: SparkSession, snapshot: DataFrame, cols: tuple[str, ...]
+) -> str:
+    """A portable integer SQL expression Z-ordering `snapshot` rows on
+    1 or 2 NUMERIC columns: each column is equi-width bucketed to 10
+    bits from its CURRENT min/max (one tiny agg job — the range
+    boundaries a production optimizer samples for), then Morton-
+    interleaved with the classic part1by1 bit spread. Pure map-side
+    arithmetic afterwards — no window, no UDF, scale-safe."""
+    if not 1 <= len(cols) <= 2:
+        raise ValueError("ZORDER BY supports 1 or 2 columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+    row = snapshot.agg(*aggs).first()
+    buckets = []
+    for c in cols:
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        if mn is None:
+            raise ValueError(f"ZORDER BY column {c!r} is not numeric or all-NULL")
+        span = (mx - mn) or 1.0
+        buckets.append(
+            "least(greatest(CAST(floor((coalesce(CAST("
+            f"{c} AS DOUBLE), {mn!r}) - {mn!r}) * 1024.0 / {span!r}) "
+            "AS BIGINT), 0), 1023)"
+        )
+    if len(buckets) == 1:
+        return buckets[0]
+
+    def part1by1(x: str) -> str:
+        e = f"({x})"
+        for mul, mask in ((256, 16711935), (16, 252645135), (4, 858993459), (2, 1431655765)):
+            e = f"(({e} | ({e} * {mul})) & {mask})"
+        return e
+
+    return f"({part1by1(buckets[0])} + 2 * {part1by1(buckets[1])})"
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    zorder_by: tuple[str, ...] = (),
+    files_per_partition: int = 1,
+) -> int:
     """Rewrite the CURRENT snapshot into one fresh version and commit it
     with the same atomic-rename protocol; returns the new version.
 
@@ -1497,7 +1684,16 @@ def compact_table(spark: SparkSession, root: str) -> int:
     compaction on Delta/Iceberg. Readers are never disturbed: the
     rewrite lands in a never-referenced directory and becomes visible
     only at the manifest rename; older snapshots stay readable until
-    vacuumed."""
+    vacuumed.
+
+    ``zorder_by`` (1 or 2 numeric columns — Delta's OPTIMIZE ZORDER BY)
+    additionally clusters rows on the Morton interleave of equi-width
+    10-bit buckets: with ``files_per_partition`` > 1 each partition's
+    files carry DISJOINT CONTIGUOUS z-ranges (file id = z-prefix, not a
+    hash salt), so the re-harvested per-file zone maps become tight
+    bounding boxes in BOTH dimensions at once — the multi-predicate
+    skipping a single-column sort cannot give. The z columns join the
+    table's tracked stats_cols so skipping works immediately."""
     from us_stock_data_pipeline_spark.etl.sinks import _layout_for_write
 
     cur = current_version(spark, root)
@@ -1508,6 +1704,9 @@ def compact_table(spark: SparkSession, root: str) -> int:
     # partition depth = segments of any manifest key ("a=1/b=2" -> 2)
     depth = next(iter(manifest)).count("/") + 1
     part_cols = [seg.split("=", 1)[0] for seg in next(iter(manifest)).split("/")]
+    z_sql = (
+        _zorder_expr_sql(spark, snapshot, tuple(zorder_by)) if zorder_by else None
+    )
     for attempt in range(5):
         base_ver = current_version(spark, root)
         new_ver = base_ver + 1
@@ -1516,18 +1715,40 @@ def compact_table(spark: SparkSession, root: str) -> int:
             _VERSIONS, f"v{new_ver:08d}-{uuid.uuid4().hex[:8]}"
         )
         abs_ver = posixpath.join(root, ver_dir)
-        _layout_for_write(snapshot, tuple(part_cols)).write.mode(
-            "overwrite"
-        ).partitionBy(*part_cols).parquet(abs_ver)
+        if z_sql is not None:
+            # One task per partition value, rows z-SORTED within it;
+            # the writer then splits each partition's output every
+            # maxRecordsPerFile rows IN ROW ORDER — so every emitted
+            # file carries a contiguous, disjoint z-range (tight 2-D
+            # zone maps), deterministically and without fighting AQE's
+            # shuffle-coalescing (a hash-salt split can't give
+            # contiguity; a column-only repartition can be coalesced
+            # into one task).
+            n_files = max(1, files_per_partition)
+            total = snapshot.count()
+            per_file = max(1, -(-total // max(1, len(manifest)) // n_files))
+            laid = snapshot.repartition(*part_cols).sortWithinPartitions(
+                *[F.col(c) for c in part_cols], F.expr(z_sql)
+            )
+            laid.write.mode("overwrite").option(
+                "maxRecordsPerFile", per_file
+            ).partitionBy(*part_cols).parquet(abs_ver)
+        else:
+            _layout_for_write(
+                snapshot, tuple(part_cols), files_per_partition
+            ).write.mode("overwrite").partitionBy(*part_cols).parquet(abs_ver)
         new_manifest = {
             d: ver_dir for d in _leaf_partition_dirs(spark, abs_ver, depth)
         }
         # Every partition was rewritten from the DV-filtered snapshot,
         # so all deletion vectors are materialized: clear the list.
         # Zone maps are re-harvested for the fresh dir with whatever
-        # stats columns the table was tracking.
+        # stats columns the table was tracking (plus the z columns).
+        base_doc = _read_manifest_doc(spark, root, base_ver)
         stats_cols = tuple(
-            _read_manifest_doc(spark, root, base_ver).get("stats_cols", ())
+            dict.fromkeys(
+                tuple(base_doc.get("stats_cols", ())) + tuple(zorder_by)
+            )
         )
         file_stats = (
             _collect_file_stats(spark, root, ver_dir, stats_cols)
@@ -1542,6 +1763,7 @@ def compact_table(spark: SparkSession, root: str) -> int:
                 "deletion_vectors": [],
                 "stats_cols": list(stats_cols),
                 "file_stats": file_stats,
+                "constraints": base_doc.get("constraints", {}),
             },
             sort_keys=True,
         )

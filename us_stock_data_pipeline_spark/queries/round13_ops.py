@@ -22,6 +22,9 @@
 - `etl_versioned_sql_merge_by_source` — MERGE with WHEN NOT MATCHED BY
   SOURCE (Delta's third clause type): sync-to-source flag/delete of
   target-only rows via a full-outer join, single atomic commit.
+- `etl_versioned_sql_constraints` — Delta CHECK constraints: ALTER
+  TABLE ADD/DROP CONSTRAINT, snapshot validation at ADD, pre-commit
+  write gating (violations publish nothing).
 """
 
 from __future__ import annotations
@@ -1078,4 +1081,125 @@ def etl_versioned_sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataF
     finally:
         unregister_versioned(spark, name)
         spark.catalog.dropTempView(src_view)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# catalog: CHECK constraints via SQL (ADD/DROP CONSTRAINT, write gating)
+# --------------------------------------------------------------------------
+
+# Lifecycle (deterministic versions): v1 base (per-nation counts, all
+# >= 1), v2 = ADD CONSTRAINT val_pos CHECK (val > 0) (snapshot
+# validated), then an INSERT with val = -1 is REJECTED pre-commit
+# (version stays 2), v3 = valid INSERT (nk 500, val 7), v4 = DROP
+# CONSTRAINT, v5 = the previously-rejected row now commits.
+_SQL_CONSTRAINTS_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+final AS (
+  SELECT nk, band, n AS val FROM base
+  UNION ALL SELECT CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(7 AS BIGINT)
+  UNION ALL SELECT CAST(501 AS BIGINT), CAST(1 AS BIGINT), CAST(-1 AS BIGINT)
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(1 AS BIGINT) AS n_rejected,
+       CAST(5 AS BIGINT) AS final_version
+FROM final
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "etl_versioned_sql_constraints",
+    oracle=_SQL_CONSTRAINTS_ORACLE,
+    tags=("etl", "versioned", "sql"),
+    round=13,
+)
+def etl_versioned_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CHECK constraints through the SQL front-end (round
+    13): `ALTER TABLE ADD CONSTRAINT val_pos CHECK (val > 0)` validates
+    the existing snapshot (one scan) and commits metadata-only; every
+    subsequent INSERT/UPDATE/MERGE batch is validated BEFORE its
+    manifest publishes, so a violating statement raises
+    ConstraintViolationError and the table version does not move (the
+    query pins that with n_rejected and final_version columns); DROP
+    CONSTRAINT lifts the gate. Enforcement is one map-side count over
+    the staged batch — no extra shuffle on the write path."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        unregister_versioned,
+        versioned_sql,
+    )
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        ConstraintViolationError,
+        current_version,
+        versioned_merge_upsert,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cons_{_uuid.uuid4().hex[:8]}_")
+    name = f"cons_{_uuid.uuid4().hex[:8]}"
+    bad_stmt = (
+        f"INSERT INTO {name} (nk, band, val) VALUES "
+        "(CAST(501 AS BIGINT), CAST(1 AS BIGINT), CAST(-1 AS BIGINT))"
+    )
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        register_versioned(
+            spark, name, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        versioned_sql(
+            spark, f"ALTER TABLE {name} ADD CONSTRAINT val_pos CHECK (val > 0)"
+        )
+        n_rejected = 0
+        try:
+            versioned_sql(spark, bad_stmt)
+        except ConstraintViolationError:
+            n_rejected = 1
+        assert current_version(spark, root) == 2  # rejection published nothing
+        versioned_sql(
+            spark,
+            f"INSERT INTO {name} (nk, band, val) VALUES "
+            "(CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(7 AS BIGINT))",
+        )
+        versioned_sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT val_pos")
+        versioned_sql(spark, bad_stmt)  # gate lifted: commits now
+        final_version = current_version(spark, root)
+        agg = versioned_sql(
+            spark,
+            f"""
+            SELECT band,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(val) AS BIGINT) AS sum_val,
+                   CAST({n_rejected} AS BIGINT) AS n_rejected,
+                   CAST({final_version} AS BIGINT) AS final_version
+            FROM {name}
+            GROUP BY band
+            ORDER BY band
+            """,
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        unregister_versioned(spark, name)
         shutil.rmtree(root, ignore_errors=True)
