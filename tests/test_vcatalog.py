@@ -716,3 +716,37 @@ def test_restore_to_timestamp(spark, table):
     assert s in (base, base + 100)  # same-ms commits may tie to v2
     if V._read_manifest_doc(spark, root, 2)["committed_at"] > t1:
         assert s == base
+
+
+def test_table_changes_sql_form(spark, table):
+    """Delta's table_changes('t', lo, hi) CDF form composes inside
+    larger SQL and equals the batch read_changes diff."""
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    C.versioned_sql(spark, f"UPDATE {name} SET val = val + 1 WHERE k IN (0, 2)")
+    C.versioned_sql(spark, f"DELETE FROM {name} WHERE k = 5")
+    got = {
+        (r.k, r._change_type)
+        for r in C.versioned_sql(
+            spark,
+            f"SELECT k, _change_type FROM table_changes('{name}', 1, 3) "
+            "ORDER BY k",
+        ).collect()
+    }
+    assert got == {(0, "update_postimage"), (2, "update_postimage"), (5, "delete")}
+    # composes with a join against the live table
+    n = C.versioned_sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes('{name}', 1, 2) c "
+        f"JOIN {name} t ON c.k = t.k",
+    ).first().n
+    assert n == 2
+    # read-only registrations cannot resolve keys
+    C.register_versioned(spark, f"{name}_ro", root)
+    try:
+        with pytest.raises(ValueError, match="key_cols"):
+            C.versioned_sql(
+                spark, f"SELECT * FROM table_changes('{name}_ro', 1, 2)"
+            )
+    finally:
+        C.unregister_versioned(spark, f"{name}_ro")

@@ -28,6 +28,9 @@ SQL front-end:
     * ``<name> VERSION AS OF '<ref>'``   (Iceberg-style: tag or branch)
     * ``<name> TIMESTAMP AS OF '<ts>'``  (Delta timestampAsOf; resolved
       against the manifests' ``committed_at`` wall clocks)
+    * ``table_changes('<name>', lo, hi)`` (Delta's CDF table-valued
+      form: rewritten to a view over the batch ``read_changes`` diff —
+      keys, TO-snapshot values, ``_change_type``)
     * ``DESCRIBE HISTORY <name> [LIMIT n]``
     * ``DESCRIBE BRANCHES <name>`` / ``DESCRIBE CONSTRAINTS <name>``
     * ``RESTORE TABLE <name> TO VERSION AS OF <n>`` and
@@ -168,9 +171,9 @@ def unregister_versioned(spark: SparkSession, name: str) -> None:
     """Drop the temp view and forget the name (ignores absent names)."""
     spark.catalog.dropTempView(name)
     _TABLES.pop(_key(spark, name), None)
-    # drop any time-travel snapshot views derived from the name
+    # drop any time-travel / change-feed views derived from the name
     for view in [v.name for v in spark.catalog.listTables() if v.isTemporary]:
-        if view.startswith(f"{name}__asof_v"):
+        if view.startswith(f"{name}__asof_v") or view.startswith(f"{name}__changes_"):
             spark.catalog.dropTempView(view)
 
 
@@ -187,6 +190,10 @@ def _asof_view(spark: SparkSession, name: str, version: int) -> str:
 
 # --- the SQL front-end -----------------------------------------------------
 
+_TABLE_CHANGES = re.compile(
+    rf"\bTABLE_CHANGES\s*\(\s*'({_NAME_RE})'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
 _VERSION_AS_OF = re.compile(
     rf"\b({_NAME_RE})\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')",
     re.IGNORECASE,
@@ -789,6 +796,29 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         return spark.createDataFrame(
             [(name, ver)], "table_name string, committed_version long"
         )
+
+    def sub_changes(m: re.Match) -> str:
+        """Delta's `table_changes('t', lo, hi)` CDF table-valued form:
+        rewritten to a lazily-registered view over the batch
+        `read_changes` diff (keys + TO-snapshot values + _change_type).
+        Metadata resolution only; the diff itself is the manifest-pruned
+        two-snapshot full-outer join, optimized by Catalyst like any
+        other view."""
+        name, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+        e = _entry_of(spark, name)
+        if not e.get("key_cols"):
+            raise ValueError(
+                f"table_changes({name!r}) needs key_cols: register with "
+                "register_versioned(..., key_cols=...)"
+            )
+        view = f"{name}__changes_{lo}_{hi}"
+        if not spark.catalog.tableExists(view):
+            V.read_changes(
+                spark, e["root"], lo, hi, key_cols=tuple(e["key_cols"])
+            ).createOrReplaceTempView(view)
+        return view
+
+    stmt = _TABLE_CHANGES.sub(sub_changes, stmt)
 
     def sub_version(m: re.Match) -> str:
         name = m.group(1)

@@ -25,6 +25,8 @@
 - `etl_versioned_sql_constraints` — Delta CHECK constraints: ALTER
   TABLE ADD/DROP CONSTRAINT, snapshot validation at ADD, pre-commit
   write gating (violations publish nothing).
+- `etl_versioned_sql_table_changes` — Delta's `table_changes('t', lo,
+  hi)` CDF table-valued form, composable inside arbitrary SQL.
 """
 
 from __future__ import annotations
@@ -1196,6 +1198,109 @@ def etl_versioned_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM {name}
             GROUP BY band
             ORDER BY band
+            """,
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        unregister_versioned(spark, name)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# catalog: table_changes('t', lo, hi) — Delta's CDF table-valued SQL form
+# --------------------------------------------------------------------------
+
+# Lifecycle: v1 base (per-nation counts, band = nk % 5), v2 updates
+# bands 0-1 with val+3, v3 DV-deletes keys {0,1}. table_changes('t',1,3)
+# diffs snapshots 1 and 3: bands 0-1 minus the deleted keys stream as
+# update_postimage (val = n+3), keys {0,1} as delete (NULL values).
+_SQL_TABLE_CHANGES_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT 'update_postimage' AS change_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n + 3) AS BIGINT) AS sum_val
+  FROM base WHERE band IN (0, 1) AND nk NOT IN (0, 1)
+  UNION ALL
+  SELECT 'delete', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+  FROM base WHERE nk IN (0, 1)
+) t
+ORDER BY change_type
+"""
+
+
+@register(
+    "etl_versioned_sql_table_changes",
+    oracle=_SQL_TABLE_CHANGES_ORACLE,
+    tags=("etl", "versioned", "sql"),
+    round=13,
+)
+def etl_versioned_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's `table_changes('t', lo, hi)` CDF table-valued form in
+    SQL (round 13): `versioned_sql` rewrites each occurrence to a
+    lazily-registered view over the batch `read_changes` two-snapshot
+    diff (manifest-pruned scans, one null-safe full-outer join on the
+    keys), so the change feed composes inside arbitrary SQL — joins,
+    aggregates, time-travel clauses — exactly like Delta's TVF. The
+    oracle replays the update/delete feed in closed form."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        unregister_versioned,
+        versioned_sql,
+    )
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        versioned_delete,
+        versioned_merge_upsert,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_tchg_{_uuid.uuid4().hex[:8]}_")
+    name = f"tchg_{_uuid.uuid4().hex[:8]}"
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        v2 = base.filter(F.col("band").isin(0, 1)).withColumn(
+            "val", F.col("val") + 3
+        )
+        versioned_merge_upsert(
+            spark, v2, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        versioned_delete(
+            spark,
+            spark.createDataFrame([(0,), (1,)], "nk long"),
+            root,
+            key_cols=("nk",),
+        )
+        register_versioned(
+            spark, name, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        agg = versioned_sql(
+            spark,
+            f"""
+            SELECT _change_type AS change_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(val) AS BIGINT) AS sum_val
+            FROM table_changes('{name}', 1, 3)
+            GROUP BY _change_type
+            ORDER BY change_type
             """,
         )
         rows = agg.collect()
