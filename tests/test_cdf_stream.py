@@ -314,3 +314,31 @@ def test_multikey_keycols_order_differs_from_ddl(spark):
         assert rows == {(1, 10, 5), (2, 20, 6)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_from_branch_root(spark):
+    """The CDF source works against a BRANCH root unchanged: branch
+    manifests resolve fork-inherited dirs (absolute, into main's tree)
+    and branch-written dirs (relative) alike, and the feed sees only
+    the branch's own commits after the fork."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfbr_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)  # main: v1..v4
+        V.create_branch(spark, root, "wip")
+        broot = V._branch_root(root, "wip")
+        fork = V.current_version(spark, broot)
+        # branch commit: update k=0 in band 0
+        V.versioned_merge_upsert(
+            spark,
+            spark.createDataFrame([(0, 0, 777)], DDL),
+            broot,
+            key_cols=("k",),
+            partition_cols=("band",),
+        )
+        out = _run_stream(spark, broot, starting=fork)
+        rows = [(r.k, r._change_type, r.val) for r in out.collect()]
+        assert rows == [(0, "update_postimage", 777)]
+        batch = V.read_changes(spark, broot, fork, fork + 1, key_cols=("k",))
+        assert _norm(out) == _norm(batch)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
