@@ -27,6 +27,9 @@
   write gating (violations publish nothing).
 - `etl_versioned_sql_table_changes` — Delta's `table_changes('t', lo,
   hi)` CDF table-valued form, composable inside arbitrary SQL.
+- `corpus_unimax_sampling` — UniMax budget allocation (waterfilling
+  with per-group epoch caps), the standard multilingual training
+  mixture, closed-form and integer-exact.
 """
 
 from __future__ import annotations
@@ -1308,3 +1311,130 @@ def etl_versioned_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         unregister_versioned(spark, name)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# corpus: UniMax budget allocation (waterfilling with per-group epoch caps)
+# --------------------------------------------------------------------------
+
+# UniMax (Chung et al., 2023): allocate a total training-token budget B
+# across groups (languages/sources) as equally as possible, capping each
+# group at E epochs of its corpus (cap_g = E * tokens_g). Waterfilling
+# closed form over caps sorted ascending with rank i and prefix sums:
+# group i is SATURATED iff cap_i * (n - i + 1) <= B - prefix_{i-1}
+# (multiplication form — integer-exact in both engines); k* = max
+# saturated rank; unsaturated groups get t = (B - prefix_{k*}) div
+# (n - k*). All quantities are integers (the floor-div remainder is
+# deliberately dropped), so the oracle replays bit-identically.
+_UNIMAX_E = 2  # epoch cap
+_UNIMAX_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+caps AS (
+  SELECT source, tokens, {_UNIMAX_E} * tokens AS cap,
+         CAST(row_number() OVER (ORDER BY {_UNIMAX_E} * tokens ASC, source ASC)
+              AS BIGINT) AS i,
+         CAST(sum({_UNIMAX_E} * tokens)
+              OVER (ORDER BY {_UNIMAX_E} * tokens ASC, source ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         (SELECT CAST(sum(tokens) AS BIGINT) // 2 FROM toks) AS budget
+  FROM toks
+),
+flagged AS (
+  SELECT *, CASE WHEN cap * (n - i + 1) <= budget - (prefix - cap)
+                 THEN i ELSE 0 END AS sat_i
+  FROM caps
+),
+kstar AS (
+  SELECT CAST(max(sat_i) AS BIGINT) AS k,
+         CAST(max(CASE WHEN sat_i > 0 THEN prefix ELSE 0 END) AS BIGINT)
+           AS prefix_k
+  FROM flagged
+)
+SELECT f.source, f.tokens, CAST(f.cap AS BIGINT) AS cap,
+       CAST(CASE WHEN f.i <= k.k THEN f.cap
+                 ELSE (f.budget - k.prefix_k) // (f.n - k.k) END
+            AS BIGINT) AS alloc,
+       CAST(CASE WHEN f.i <= k.k THEN 1 ELSE 0 END AS BIGINT) AS saturated,
+       f.i AS rank
+FROM flagged f, kstar k
+ORDER BY rank
+"""
+
+
+@register(
+    "corpus_unimax_sampling",
+    oracle=_UNIMAX_ORACLE,
+    tags=("llm", "corpus", "assembly"),
+    round=13,
+)
+def corpus_unimax_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (round 13) — the standard multilingual /
+    multi-source training-mixture scheme: spread the token budget as
+    equally as possible across groups while capping every group at E
+    epochs of its corpus, by closed-form waterfilling (sort caps, prefix
+    sums, multiplication-form saturation test, one floor division for
+    the waterline). One scan + one groupBy for the token histogram; the
+    waterfill runs on the per-GROUP table (constant-size — 100 TB of
+    documents still yields one row per source/language), all integer
+    arithmetic so DuckDB replays the allocation bit-identically."""
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("tokens")
+        )
+        .withColumn("cap", F.lit(_UNIMAX_E) * F.col("tokens"))
+    )
+    w = Window.orderBy(F.asc("cap"), F.asc("source"))
+    total = toks.agg(
+        F.expr("CAST(sum(tokens) AS BIGINT) div 2").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    caps = (
+        toks.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "prefix",
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    flagged = caps.withColumn(
+        "sat_i",
+        F.when(
+            F.col("cap") * (F.col("n") - F.col("i") + 1)
+            <= F.col("budget") - (F.col("prefix") - F.col("cap")),
+            F.col("i"),
+        ).otherwise(F.lit(0)),
+    )
+    kstar = flagged.agg(
+        F.max("sat_i").cast("long").alias("k"),
+        F.max(F.when(F.col("sat_i") > 0, F.col("prefix")).otherwise(0))
+        .cast("long")
+        .alias("prefix_k"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kstar))
+        .select(
+            "source",
+            "tokens",
+            F.col("cap").cast("long").alias("cap"),
+            F.when(F.col("i") <= F.col("k"), F.col("cap"))
+            .otherwise(
+                F.expr("(budget - prefix_k) div (n - k)")
+            )
+            .cast("long")
+            .alias("alloc"),
+            F.when(F.col("i") <= F.col("k"), 1).otherwise(0).cast("long").alias("saturated"),
+            F.col("i").alias("rank"),
+        )
+        .orderBy("rank")
+    )
