@@ -1,0 +1,158 @@
+"""Pure-Python parquet WRITER (functions/parquet_write.py): files it
+emits must be read back bit-identically by THREE independent readers —
+pyarrow (C++), Spark's JVM vectorized reader, and the in-repo raw page
+reader — across codecs, page sizes, null patterns, and a Hypothesis
+fuzz of values; plus statistics visibility and scope gates."""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from us_stock_data_pipeline_spark.functions import parquet_raw as PR
+from us_stock_data_pipeline_spark.functions.parquet_write import (
+    CODEC_GZIP,
+    CODEC_LZ4_RAW,
+    CODEC_SNAPPY,
+    CODEC_UNCOMPRESSED,
+    PQ_BYTE_ARRAY,
+    PQ_DOUBLE,
+    PQ_INT32,
+    PQ_INT64,
+    write_parquet,
+)
+
+
+def _cols(n):
+    return [
+        ("i64", PQ_INT64, False, [k * 1000003 - 5 for k in range(n)]),
+        ("i32", PQ_INT32, True, [None if k % 11 == 0 else (k % 300) - 150 for k in range(n)]),
+        ("f64", PQ_DOUBLE, True, [None if k % 13 == 0 else k * 0.5 for k in range(n)]),
+        ("s", PQ_BYTE_ARRAY, True, [None if k % 7 == 0 else f"v-{k}-é中" for k in range(n)]),
+    ]
+
+
+def _assert_pyarrow_roundtrip(buf: bytes, cols):
+    t = pq.read_table(io.BytesIO(buf))
+    for name, _pt, _opt, vals in cols:
+        assert t.column(name).to_pylist() == vals, name
+    assert t.schema.field("s").type == pa.string() if any(c[0] == "s" for c in cols) else True
+
+
+def _assert_own_roundtrip(buf: bytes, cols):
+    for name, ptype, _opt, vals in cols:
+        got = PR.read_column(buf, name)
+        if ptype == PQ_BYTE_ARRAY:
+            got = [None if g is None else g.decode("utf-8") for g in got]
+        assert got == vals, name
+
+
+@pytest.mark.parametrize(
+    "codec", [CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP, CODEC_LZ4_RAW]
+)
+@pytest.mark.parametrize("page_rows", [64, 1024, 100000])
+def test_roundtrip_codecs_pages(codec, page_rows):
+    cols = _cols(3000)
+    buf = write_parquet(cols, codec=codec, page_rows=page_rows)
+    _assert_pyarrow_roundtrip(buf, cols)
+    _assert_own_roundtrip(buf, cols)
+
+
+def test_spark_jvm_reads_our_files(spark):
+    cols = _cols(4000)
+    buf = write_parquet(cols, codec=CODEC_SNAPPY, page_rows=333)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "own.parquet")
+        with open(path, "wb") as f:
+            f.write(buf)
+        df = spark.read.parquet(path)
+        rows = df.orderBy("i64").collect()
+        assert [r.i64 for r in rows] == cols[0][3]
+        assert [r.i32 for r in rows] == cols[1][3]
+        assert [r.f64 for r in rows] == cols[2][3]
+        assert [r.s for r in rows] == cols[3][3]
+        # schema fidelity: UTF8 converted type -> StringType, nullability
+        assert dict(df.dtypes) == {
+            "i64": "bigint",
+            "i32": "int",
+            "f64": "double",
+            "s": "string",
+        }
+
+
+def test_statistics_visible_and_correct():
+    cols = _cols(2000)
+    buf = write_parquet(cols)
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    by_name = {
+        md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i).statistics
+        for i in range(md.num_columns)
+    }
+    i64 = [v for v in cols[0][3]]
+    assert by_name["i64"].min == min(i64) and by_name["i64"].max == max(i64)
+    assert by_name["i64"].null_count == 0
+    i32 = [v for v in cols[1][3] if v is not None]
+    assert by_name["i32"].min == min(i32) and by_name["i32"].max == max(i32)
+    assert by_name["i32"].null_count == sum(1 for v in cols[1][3] if v is None)
+    s = [v for v in cols[3][3] if v is not None]
+    assert by_name["s"].min == min(s) and by_name["s"].max == max(s)
+
+
+def test_all_null_and_tiny_tables():
+    cols = [
+        ("a", PQ_INT64, True, [None, None, None]),
+        ("b", PQ_BYTE_ARRAY, True, [None, "", None]),
+    ]
+    buf = write_parquet(cols, codec=CODEC_SNAPPY)
+    _assert_pyarrow_roundtrip(buf, cols)
+    one = [("x", PQ_DOUBLE, False, [1.5])]
+    buf = write_parquet(one, codec=CODEC_GZIP)
+    _assert_pyarrow_roundtrip(buf, one)
+    _assert_own_roundtrip(buf, one)
+
+
+def test_null_in_required_column_rejected():
+    with pytest.raises(ValueError, match="required"):
+        write_parquet([("a", PQ_INT64, False, [1, None, 3])])
+
+
+def test_length_mismatch_rejected():
+    with pytest.raises(ValueError, match="length"):
+        write_parquet(
+            [("a", PQ_INT64, False, [1, 2]), ("b", PQ_INT64, False, [1])]
+        )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=True)),
+            st.one_of(st.none(), st.text(max_size=40)),
+        ),
+        min_size=1,
+        max_size=500,
+    ),
+    codec=st.sampled_from([CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP, CODEC_LZ4_RAW]),
+    page_rows=st.sampled_from([7, 100, 4096]),
+)
+def test_fuzz_roundtrip_vs_pyarrow(data, codec, page_rows):
+    cols = [
+        ("i", PQ_INT64, True, [t[0] for t in data]),
+        ("f", PQ_DOUBLE, True, [t[1] for t in data]),
+        ("s", PQ_BYTE_ARRAY, True, [t[2] for t in data]),
+    ]
+    buf = write_parquet(cols, codec=codec, page_rows=page_rows)
+    t = pq.read_table(io.BytesIO(buf))
+    assert t.column("i").to_pylist() == cols[0][3]
+    assert t.column("f").to_pylist() == cols[1][3]
+    assert t.column("s").to_pylist() == cols[2][3]
+    _assert_own_roundtrip(buf, cols)

@@ -1,0 +1,309 @@
+"""REAL parquet page WRITER, pure Python (round 13).
+
+The write-side twin of `parquet_raw.py`'s reader: emits a complete
+parquet file from raw Python values — Thrift COMPACT-protocol metadata
+(FileMetaData / SchemaElement / RowGroup / ColumnChunk / ColumnMetaData
+/ PageHeader), v1 data pages with PLAIN values and RLE/bit-packed
+definition levels, min/max column statistics, and per-page compression
+via the in-repo SNAPPY and LZ4 block compressors (both proven
+byte-interoperable with the Java codecs, tests/test_snappy.py /
+test_lz4.py) or stdlib GZIP — no pyarrow, no JVM.
+
+Like the reader, this is a correctness witness, not the production
+write path (Spark's vectorized JVM writer owns that): the value is that
+files THIS module writes are read back bit-identically by pyarrow, by
+Spark's JVM reader, AND by the in-repo `parquet_raw.read_column` — a
+three-way interop proof that the engine's byte-level understanding of
+its own storage format runs in both directions. Scope: flat schemas,
+INT32 / INT64 / DOUBLE / BYTE_ARRAY(UTF8) leaves, required or optional
+repetition, one row group, PLAIN encoding (dictionary encoding is a
+read-side feature; writers may always choose PLAIN per the spec),
+UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs.
+
+Format references: parquet-format/src/main/thrift/parquet.thrift,
+Encodings.md, Compression.md (public Apache specs).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from us_stock_data_pipeline_spark.functions.multimodal import (
+    lz4_block_compress,
+    snappy_compress,
+)
+
+# thrift compact type ids (write side)
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_STRUCT = 12
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> bytes:
+    return _varint((v << 1) ^ (v >> 63)) if v < 0 else _varint(v << 1)
+
+
+class _Writer:
+    """Thrift compact struct writer: fields must be appended in
+    ascending field-id order (the short-form delta encoding relies on
+    it, and every parquet implementation writes them that way)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.last_fid = 0
+
+    def _field(self, fid: int, ctype: int) -> None:
+        delta = fid - self.last_fid
+        if 0 < delta <= 15:
+            self.buf.append((delta << 4) | ctype)
+        else:
+            self.buf.append(ctype)
+            self.buf += _zigzag(fid)
+        self.last_fid = fid
+
+    def field_bool(self, fid: int, v: bool) -> None:
+        self._field(fid, _CT_TRUE if v else _CT_FALSE)
+
+    def field_i32(self, fid: int, v: int) -> None:
+        self._field(fid, _CT_I32)
+        self.buf += _zigzag(v)
+
+    def field_i64(self, fid: int, v: int) -> None:
+        self._field(fid, _CT_I64)
+        self.buf += _zigzag(v)
+
+    def field_binary(self, fid: int, v: bytes) -> None:
+        self._field(fid, _CT_BINARY)
+        self.buf += _varint(len(v))
+        self.buf += v
+
+    def field_list(self, fid: int, etype: int, items: list[bytes]) -> None:
+        self._field(fid, _CT_LIST)
+        if len(items) < 15:
+            self.buf.append((len(items) << 4) | etype)
+        else:
+            self.buf.append(0xF0 | etype)
+            self.buf += _varint(len(items))
+        for it in items:
+            self.buf += it
+
+    def field_struct(self, fid: int, body: bytes) -> None:
+        self._field(fid, _CT_STRUCT)
+        self.buf += body
+
+    def done(self) -> bytes:
+        return bytes(self.buf) + b"\x00"  # STOP
+
+
+def _i32_item(v: int) -> bytes:
+    return _zigzag(v)
+
+
+def _binary_item(v: bytes) -> bytes:
+    return _varint(len(v)) + v
+
+
+# parquet physical types / codecs (parquet.thrift enums)
+PQ_INT32, PQ_INT64, PQ_DOUBLE, PQ_BYTE_ARRAY = 1, 2, 5, 6
+CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP, CODEC_LZ4_RAW = 0, 1, 2, 7
+_CONVERTED_UTF8 = 0  # ConvertedType.UTF8
+
+
+def _compress(data: bytes, codec: int) -> bytes:
+    if codec == CODEC_UNCOMPRESSED:
+        return data
+    if codec == CODEC_SNAPPY:
+        return snappy_compress(data)
+    if codec == CODEC_GZIP:
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(data) + co.flush()
+    if codec == CODEC_LZ4_RAW:
+        return lz4_block_compress(data)
+    raise NotImplementedError(f"parquet write codec {codec} not in scope")
+
+
+def _plain_encode(vals: list, ptype: int) -> bytes:
+    if ptype == PQ_INT32:
+        return struct.pack(f"<{len(vals)}i", *vals)
+    if ptype == PQ_INT64:
+        return struct.pack(f"<{len(vals)}q", *vals)
+    if ptype == PQ_DOUBLE:
+        return struct.pack(f"<{len(vals)}d", *vals)
+    if ptype == PQ_BYTE_ARRAY:
+        out = bytearray()
+        for v in vals:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out += struct.pack("<I", len(b)) + b
+        return bytes(out)
+    raise NotImplementedError(f"parquet write physical type {ptype} not in scope")
+
+
+def _rle_def_levels(defs: list[int]) -> bytes:
+    """Definition levels as ONE RLE/bit-packed hybrid stream, bit width 1
+    (flat optional column). Runs of equal bits become RLE runs — the
+    exact shape parquet-mr emits for mostly-non-null data."""
+    out = bytearray()
+    i, n = 0, len(defs)
+    while i < n:
+        j = i
+        while j < n and defs[j] == defs[i]:
+            j += 1
+        run = j - i
+        out += _varint(run << 1)  # LSB 0 -> RLE run
+        out.append(defs[i])  # bit width 1 -> ceil(1/8)=1 value byte
+        i = j
+    return bytes(out)
+
+
+def _stats(vals: list, ptype: int, n_nulls: int) -> bytes:
+    """Statistics struct: min_value/max_value (fields 5/6, the modern
+    pair readers trust) + null_count (field 3), PLAIN-encoded."""
+    w = _Writer()
+    present = [v for v in vals if v is not None]
+    w.field_i64(3, n_nulls)
+    if present:
+        if ptype == PQ_BYTE_ARRAY:
+            enc = [
+                v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                for v in present
+            ]
+            mx, mn = max(enc), min(enc)
+        else:
+            mx, mn = max(present), min(present)
+            mx = _plain_encode([mx], ptype)
+            mn = _plain_encode([mn], ptype)
+        if ptype == PQ_BYTE_ARRAY:
+            w.field_binary(5, mx)
+            w.field_binary(6, mn)
+        else:
+            w.field_binary(5, mx)
+            w.field_binary(6, mn)
+    return w.done()
+
+
+def write_parquet(
+    columns: list[tuple[str, int, bool, list]],
+    codec: int = CODEC_SNAPPY,
+    page_rows: int = 1024,
+    created_by: str = "us-stock-data-pipeline-spark parquet_write",
+) -> bytes:
+    """Serialize `columns` = [(name, physical_type, optional, values)]
+    (all value lists the same length; None marks a null in optional
+    columns) into one complete parquet file: PAR1 magic, per-column v1
+    data pages (PLAIN values, RLE def levels, `page_rows` rows per
+    page), one row group, thrift-compact footer with statistics."""
+    n_rows = len(columns[0][3]) if columns else 0
+    for name, _t, _o, vals in columns:
+        if len(vals) != n_rows:
+            raise ValueError(f"column {name!r} length != {n_rows}")
+    body = bytearray(b"PAR1")
+    chunk_metas: list[bytes] = []
+    total_bytes = 0
+    for name, ptype, optional, vals in columns:
+        data_page_offset = len(body)
+        chunk_comp = chunk_uncomp = 0
+        for start in range(0, n_rows, page_rows) or [0]:
+            page_vals = vals[start : start + page_rows]
+            if not page_vals and n_rows:
+                break
+            defs = [0 if v is None else 1 for v in page_vals]
+            present = [v for v in page_vals if v is not None]
+            payload = bytearray()
+            if optional:
+                lv = _rle_def_levels(defs)
+                payload += struct.pack("<I", len(lv)) + lv  # v1: length prefix
+            elif any(d == 0 for d in defs):
+                raise ValueError(f"nulls in required column {name!r}")
+            payload += _plain_encode(present, ptype)
+            raw = bytes(payload)
+            comp = _compress(raw, codec)
+            ph = _Writer()
+            ph.field_i32(1, 0)  # PageType.DATA_PAGE
+            ph.field_i32(2, len(raw))
+            ph.field_i32(3, len(comp))
+            dph = _Writer()
+            dph.field_i32(1, len(page_vals))
+            dph.field_i32(2, 0)  # Encoding.PLAIN
+            dph.field_i32(3, 3)  # def levels: Encoding.RLE
+            dph.field_i32(4, 3)  # rep levels: Encoding.RLE (absent, flat)
+            ph.field_struct(5, dph.done())
+            header_bytes = ph.done()
+            body += header_bytes
+            body += comp
+            # chunk totals INCLUDE the page-header bytes (parquet.thrift:
+            # "total byte size of all compressed pages ... including the
+            # headers") — readers bound the chunk stream by them
+            chunk_comp += len(header_bytes) + len(comp)
+            chunk_uncomp += len(header_bytes) + len(raw)
+            if n_rows == 0:
+                break
+        if n_rows == 0:
+            # zero-row file: still emit one empty page so the chunk has
+            # a valid data_page_offset target
+            pass
+        cm = _Writer()
+        cm.field_i32(1, ptype)
+        cm.field_list(2, _CT_I32, [_i32_item(0), _i32_item(3)])  # PLAIN, RLE
+        cm.field_list(3, _CT_BINARY, [_binary_item(name.encode("utf-8"))])
+        cm.field_i32(4, codec)
+        cm.field_i64(5, n_rows)
+        cm.field_i64(6, chunk_uncomp)
+        cm.field_i64(7, chunk_comp)
+        cm.field_i64(9, data_page_offset)
+        cm.field_struct(12, _stats(vals, ptype, sum(1 for v in vals if v is None)))
+        cc = _Writer()
+        cc.field_i64(2, data_page_offset)  # file_offset
+        cc.field_struct(3, cm.done())
+        chunk_metas.append(cc.done())
+        total_bytes += chunk_comp
+    # schema elements: root + leaves
+    root = _Writer()
+    root.field_binary(4, b"schema")
+    root.field_i32(5, len(columns))
+    schema_items = [root.done()]
+    for name, ptype, optional, _vals in columns:
+        se = _Writer()
+        se.field_i32(1, ptype)
+        se.field_i32(3, 1 if optional else 0)  # OPTIONAL / REQUIRED
+        se.field_binary(4, name.encode("utf-8"))
+        if ptype == PQ_BYTE_ARRAY:
+            se.field_i32(6, _CONVERTED_UTF8)
+        schema_items.append(se.done())
+    rg = _Writer()
+    rg.field_list(1, _CT_STRUCT, chunk_metas)
+    rg.field_i64(2, total_bytes)
+    rg.field_i64(3, n_rows)
+    fmd = _Writer()
+    fmd.field_i32(1, 2)  # format version
+    fmd.field_list(2, _CT_STRUCT, schema_items)
+    fmd.field_i64(3, n_rows)
+    fmd.field_list(4, _CT_STRUCT, [rg.done()])
+    fmd.field_binary(6, created_by.encode("utf-8"))
+    # column_orders (field 7): readers only trust min_value/max_value
+    # statistics when the column's order is declared TYPE_ORDER
+    order = _Writer()
+    order.field_struct(1, b"\x00")  # ColumnOrder union: TYPE_ORDER {}
+    fmd.field_list(7, _CT_STRUCT, [order.done()] * len(columns))
+    footer = fmd.done()
+    body += footer
+    body += struct.pack("<I", len(footer))
+    body += b"PAR1"
+    return bytes(body)
