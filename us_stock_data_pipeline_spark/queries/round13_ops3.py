@@ -1,0 +1,224 @@
+"""Round-13 operators, part 3 — streaming state backends and
+versioned-table writer concurrency.
+
+- `stream_rocksdb_state_store` — the same stateful streaming
+  aggregation the engine runs everywhere else, executed on the
+  RocksDB state store provider (Spark's production state backend for
+  large state), with the provider's engagement PROVEN from the
+  query's own state-operator metrics, not assumed from the conf.
+- `etl_versioned_concurrent_writers` — optimistic-concurrency proof
+  for the versioned table: two interleaved writers race the same
+  base version; the CAS commit protocol forces a deterministic
+  serialization (retry on conflict), and the final table equals the
+  serial application of both writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_ROCKSDB_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "stream_rocksdb_state_store",
+    oracle=_ROCKSDB_ORACLE,
+    tags=("streaming", "scale"),
+    round=13,
+)
+def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming aggregation on the RocksDB state store
+    provider — the backend a 100 TB stream actually runs on (HDFS-backed
+    in-memory stores OOM once keyed state outgrows executor heap;
+    RocksDB spills state to local SSD and checkpoints changelogs). The
+    aggregation itself is the engine's standard shape (per-type counts,
+    exact per-row cents quantization before the sum/min/max); what this query adds is the backend
+    swap under `spark.sql.streaming.stateStore.providerClass` AND a
+    hard in-query assertion that the finished run's state-operator
+    metrics are RocksDB's (`rocksdb*` custom metrics present, memory
+    provider's absent) — the conf alone proves nothing if the query
+    falls back. State store count is pinned to 4 like every other
+    streaming query (store open/commit overhead dominates at fixture
+    scale; sized to executors on a cluster)."""
+    from us_stock_data_pipeline_spark.queries.streaming_ops import _events_stream
+
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.min(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("min_cents"),
+            F.max(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("max_cents"),
+        )
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        None,
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    name = "stream_sink_rocksdb"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        ops = (progress or {}).get("stateOperators") or []
+        rocks_metrics = [
+            k
+            for op in ops
+            for k in (op.get("customMetrics") or {})
+            if k.startswith("rocksdb")
+        ]
+        if not ops or not rocks_metrics:
+            raise RuntimeError(
+                "RocksDB state store provider did not engage: "
+                f"stateOperators={ops!r}"
+            )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("event_type")
+
+
+_CONCURRENT_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         CAST(n_regionkey AS BIGINT) AS part,
+         CAST(n_nationkey * 10 AS BIGINT) AS val
+  FROM nation
+)
+SELECT k, part,
+       CAST(CASE WHEN k % 2 = 0 THEN val + 1
+                 WHEN k % 3 = 0 THEN val + 100
+                 ELSE val END AS BIGINT) AS val,
+       CAST(3 AS BIGINT) AS final_version
+FROM base
+ORDER BY k
+"""
+
+
+@register(
+    "etl_versioned_concurrent_writers",
+    oracle=_CONCURRENT_ORACLE,
+    tags=("etl", "versioned"),
+    round=13,
+)
+def etl_versioned_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency for the versioned table, raced FOR REAL:
+    two driver threads plan their upserts against the SAME base
+    snapshot (version 1) and publish concurrently. The commit protocol
+    is an atomic compare-and-swap on the manifest name (versioned.py
+    step 4): exactly one thread claims v2; the other's CAS loses, and
+    its internal retry recomputes against the winner's manifest before
+    landing v3 — the lost-update anomaly Delta's OCC exists to prevent.
+    The two writers touch DISJOINT key sets (evens +1; odd multiples of
+    3 +100), so the final table is deterministic whichever thread wins
+    the race, while the version trail is not optional: if CAS were
+    broken and both writers claimed v2, one write would vanish and the
+    final_version/val hash would miss. Run under an interpreter barrier
+    (both threads released together) to make the collision real, not
+    theoretical. At 100 TB this is the multi-job reality: ingest and
+    compaction race the same table and must serialize without losing
+    either write."""
+    import shutil
+    import tempfile
+    import threading
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl import versioned as V
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS k",
+        "CAST(n_regionkey AS BIGINT) AS part",
+        "CAST(n_nationkey * 10 AS BIGINT) AS val",
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_occ_{_uuid.uuid4().hex[:8]}_")
+    try:
+        V.versioned_merge_upsert(
+            spark, nation, root, key_cols=("k",), partition_cols=("part",)
+        )
+        base = V.read_versioned(spark, root, 1)
+        # both writers' plans pin the SAME base snapshot; materialize the
+        # update rows up front so each thread's commit is pure publish
+        w1_rows = (
+            base.filter(F.col("k") % 2 == 0)
+            .withColumn("val", F.col("val") + F.lit(1))
+            .collect()
+        )
+        w2_rows = (
+            base.filter((F.col("k") % 2 == 1) & (F.col("k") % 3 == 0))
+            .withColumn("val", F.col("val") + F.lit(100))
+            .collect()
+        )
+        barrier = threading.Barrier(2)
+        errors: list[BaseException] = []
+
+        def write(rows):
+            try:
+                df = spark.createDataFrame(rows, base.schema)
+                barrier.wait(timeout=60)
+                V.versioned_merge_upsert(
+                    spark, df, root, key_cols=("k",), partition_cols=("part",)
+                )
+            except BaseException as e:  # surfaced after join
+                errors.append(e)
+
+        t1 = threading.Thread(target=write, args=(w1_rows,))
+        t2 = threading.Thread(target=write, args=(w2_rows,))
+        t1.start()
+        t2.start()
+        t1.join()
+        t2.join()
+        if errors:
+            raise errors[0]
+        head = V.current_version(spark, root)
+        if head != 3:
+            raise AssertionError(
+                f"OCC serialization broken: expected head version 3, got {head}"
+            )
+        final = V.read_versioned(spark, root, head).select(
+            "k",
+            "part",
+            F.col("val").cast("long").alias("val"),
+            F.lit(int(head)).cast("long").alias("final_version"),
+        )
+        rows = final.orderBy("k").collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
