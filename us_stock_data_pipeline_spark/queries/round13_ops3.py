@@ -222,3 +222,125 @@ def etl_versioned_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFr
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# multimodal: FLAC lossless audio — distributed encode -> decode roundtrip
+# --------------------------------------------------------------------------
+
+_FLAC_N = 2048  # samples per channel per document
+
+# Lossless codec => the decoded samples EQUAL the synthesis formula, so
+# the oracle evaluates the formula directly (the JPEG-card scheme, but
+# with zero tolerance anywhere: FLAC has no "survives exactly" subset —
+# everything survives exactly, or the codec is broken).
+_FLAC_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 23 = 0
+),
+t AS (SELECT unnest(generate_series(0, {_FLAC_N - 1})) AS t),
+pcm AS (
+  SELECT i.doc_id, i.source, t.t,
+         ((i.doc_id * 37 + t.t * t.t * 13) % 4001) - 2000 AS s0,
+         ((i.doc_id * 11 + t.t * 29) % 3001) - 1500 AS s1
+  FROM ids i CROSS JOIN t
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) * 2 AS BIGINT) AS n_samples,
+       CAST(sum(s0) + sum(s1) AS BIGINT) AS sum_pcm,
+       CAST(sum(abs(s0)) + sum(abs(s1)) AS BIGINT) AS sum_abs,
+       CAST(min(least(s0, s1)) AS BIGINT) AS min_s,
+       CAST(max(greatest(s0, s1)) AS BIGINT) AS max_s,
+       CAST(sum((t + 1) * (s0 - s1)) AS BIGINT) AS weighted_diff
+FROM pcm
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_flac_roundtrip",
+    oracle=_FLAC_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    round=13,
+)
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC lossless audio codec, distributed (round 13): every
+    23rd document synthesizes a deterministic 2-channel 16-bit PCM clip
+    ({_FLAC_N} samples/channel), encodes it to a genuine FLAC stream
+    with `functions/flac.py` (STREAMINFO, fixed-blocksize frames, UTF-8
+    frame numbers, CRC-8/CRC-16, CONSTANT/FIXED/VERBATIM subframes by
+    exact cost, Rice residuals, mid/side decorrelation by exact cost),
+    then DECODES the bytes back in the same Arrow batch and aggregates
+    the decoded samples. FLAC is lossless, so the oracle evaluates the
+    synthesis formula in closed form — one flipped sample anywhere in
+    ~4M decoded values misses the hash. The decoder also verifies both
+    CRCs on every frame, so the bitstream structure itself is checked,
+    not just the sample values. Plan: one scan, one Arrow codec stage,
+    one rollup; audio bytes never visit the driver — the 100 TB shape
+    for bulk audio validation/transcode."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.flac import (
+        flac_decode,
+        flac_encode,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select("doc_id", "source")
+    )
+
+    def codec(batches):
+        for pdf in batches:
+            rows = []
+            for d, src in zip(pdf["doc_id"], pdf["source"]):
+                d = int(d)
+                c0 = [((d * 37 + t * t * 13) % 4001) - 2000 for t in range(_FLAC_N)]
+                c1 = [((d * 11 + t * 29) % 3001) - 1500 for t in range(_FLAC_N)]
+                enc = flac_encode([c0, c1], sample_rate=16000, bps=16, block_size=512)
+                dec = flac_decode(enc)
+                d0, d1 = dec["channels"]
+                if len(d0) != _FLAC_N or len(d1) != _FLAC_N:
+                    raise ValueError("FLAC roundtrip length mismatch")
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": src,
+                        "n_samples": len(d0) + len(d1),
+                        "sum_pcm": sum(d0) + sum(d1),
+                        "sum_abs": sum(abs(v) for v in d0)
+                        + sum(abs(v) for v in d1),
+                        "min_s": min(min(d0), min(d1)),
+                        "max_s": max(max(d0), max(d1)),
+                        "weighted_diff": sum(
+                            (t + 1) * (a - b) for t, (a, b) in enumerate(zip(d0, d1))
+                        ),
+                        "enc_bytes": len(enc),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    decoded = docs.mapInPandas(
+        codec,
+        schema=(
+            "doc_id long, source string, n_samples long, sum_pcm long,"
+            " sum_abs long, min_s long, max_s long, weighted_diff long,"
+            " enc_bytes long"
+        ),
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum("sum_pcm").cast("long").alias("sum_pcm"),
+            F.sum("sum_abs").cast("long").alias("sum_abs"),
+            F.min("min_s").cast("long").alias("min_s"),
+            F.max("max_s").cast("long").alias("max_s"),
+            F.sum("weighted_diff").cast("long").alias("weighted_diff"),
+        )
+        .orderBy("source")
+    )
