@@ -149,6 +149,15 @@ QUERIES = [
     "storage_parquet_raw_scan_v2",
     "stream_versioned_cdf_compaction",
     "multimodal_jpeg_progressive_color_decode",
+    # round-13 second wave: hybrid RRF (inverted-index-probe lexical leg
+    # + broadcast-query dense leg), per-task parquet WRITE + dual-decoder
+    # read-back (Python-codec-bound, partition-parallel), FLAC
+    # encode->decode Arrow stage (codec-bound, per-doc constant work),
+    # RocksDB-backed stateful streaming aggregation
+    "search_hybrid_rrf",
+    "storage_parquet_raw_write",
+    "multimodal_flac_roundtrip",
+    "stream_rocksdb_state_store",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
