@@ -156,3 +156,74 @@ def test_fuzz_roundtrip_vs_pyarrow(data, codec, page_rows):
     assert t.column("f").to_pylist() == cols[1][3]
     assert t.column("s").to_pylist() == cols[2][3]
     _assert_own_roundtrip(buf, cols)
+
+
+@pytest.mark.parametrize("codec", [CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP])
+@pytest.mark.parametrize("rg_rows", [None, 500, 1499])
+def test_dictionary_and_row_groups(codec, rg_rows):
+    n = 4000
+    cols = [
+        ("id", PQ_INT64, False, list(range(n))),
+        ("cat", PQ_BYTE_ARRAY, True, [None if k % 13 == 0 else f"c{k % 7}" for k in range(n)]),
+        ("code", PQ_INT32, False, [k % 30 for k in range(n)]),
+        ("score", PQ_DOUBLE, True, [None if k % 5 == 0 else float(k % 11) for k in range(n)]),
+    ]
+    buf = write_parquet(cols, codec=codec, use_dictionary=True, row_group_rows=rg_rows)
+    _assert_pyarrow_roundtrip(buf, cols)
+    _assert_own_roundtrip(buf, cols)
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    if rg_rows:
+        assert md.num_row_groups == -(-n // rg_rows)
+    # high-cardinality id falls back to PLAIN; low-cardinality cols dict
+    encs = {
+        md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i).encodings
+        for i in range(md.num_columns)
+    }
+    assert "PLAIN_DICTIONARY" not in encs["id"]
+    assert "PLAIN_DICTIONARY" in encs["cat"]
+
+
+def test_dictionary_shrinks_low_cardinality():
+    n = 4000
+    cols = [("code", PQ_INT32, False, [k % 30 for k in range(n)])]
+    plain = len(write_parquet(cols, codec=CODEC_UNCOMPRESSED))
+    dicted = len(write_parquet(cols, codec=CODEC_UNCOMPRESSED, use_dictionary=True))
+    assert dicted < plain // 2
+
+
+def test_single_value_dictionary():
+    one = [("k", PQ_BYTE_ARRAY, False, ["same"] * 100)]
+    buf = write_parquet(one, use_dictionary=True)
+    assert pq.read_table(io.BytesIO(buf)).column("k").to_pylist() == ["same"] * 100
+    assert PR.read_column(buf, "k") == [b"same"] * 100
+
+
+def test_spark_reads_dictionary_row_groups(spark):
+    cols = _cols(3000)
+    buf = write_parquet(cols, use_dictionary=True, row_group_rows=777, page_rows=250)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "own_dict.parquet")
+        with open(path, "wb") as f:
+            f.write(buf)
+        rows = spark.read.parquet(path).orderBy("i64").collect()
+        assert [r.i64 for r in rows] == cols[0][3]
+        assert [r.s for r in rows] == cols[3][3]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=400
+    ),
+    page_rows=st.sampled_from([7, 64, 1000]),
+    rg_rows=st.sampled_from([None, 37, 150]),
+)
+def test_fuzz_dictionary_rle_runs(vals, page_rows, rg_rows):
+    # tiny domain -> long equal runs and mixed run/bit-pack segments in
+    # the index stream, the _rle_bp_write greedy boundaries under test
+    cols = [("v", PQ_INT64, True, vals)]
+    buf = write_parquet(
+        cols, use_dictionary=True, page_rows=page_rows, row_group_rows=rg_rows
+    )
+    assert pq.read_table(io.BytesIO(buf)).column("v").to_pylist() == vals
+    assert PR.read_column(buf, "v") == vals

@@ -16,9 +16,11 @@ Spark's JVM reader, AND by the in-repo `parquet_raw.read_column` — a
 three-way interop proof that the engine's byte-level understanding of
 its own storage format runs in both directions. Scope: flat schemas,
 INT32 / INT64 / DOUBLE / BYTE_ARRAY(UTF8) leaves, required or optional
-repetition, one row group, PLAIN encoding (dictionary encoding is a
-read-side feature; writers may always choose PLAIN per the spec),
-UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs.
+repetition, multiple row groups (`row_group_rows`), PLAIN or
+DICTIONARY encoding (`use_dictionary`: PLAIN_DICTIONARY dict page +
+RLE/bit-packed index pages — the layout Spark's own writer defaults
+to — with parquet-mr's fallback to PLAIN when cardinality stops
+paying), UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs.
 
 Format references: parquet-format/src/main/thrift/parquet.thrift,
 Encodings.md, Compression.md (public Apache specs).
@@ -173,6 +175,55 @@ def _rle_def_levels(defs: list[int]) -> bytes:
     return bytes(out)
 
 
+def _rle_bp_write(values: list[int], bit_width: int) -> bytes:
+    """General RLE/bit-packed hybrid writer (dictionary indices):
+    greedy — equal-value runs of >=8 become RLE runs; everything else
+    accumulates into bit-packed groups of 8 (only the FINAL group may
+    be zero-padded, per Encodings.md: mid-stream padding would shift
+    every later value)."""
+    out = bytearray()
+    nbytes = (bit_width + 7) // 8
+    pending: list[int] = []
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        n_groups = (len(pending) + 7) // 8
+        padded = pending + [0] * (n_groups * 8 - len(pending))
+        out.extend(_varint((n_groups << 1) | 1))
+        acc = 0
+        for k, v in enumerate(padded):
+            acc |= (v & ((1 << bit_width) - 1)) << (k * bit_width)
+        out.extend(acc.to_bytes((n_groups * 8 * bit_width + 7) // 8, "little"))
+        pending.clear()
+
+    i, n = 0, len(values)
+    while i < n:
+        j = i
+        while j < n and values[j] == values[i]:
+            j += 1
+        run = j - i
+        # an RLE run can only start when pending is empty (the packed
+        # group before it must be complete); top pending up to a
+        # multiple of 8 from the run's head first
+        if run >= 8 and pending and len(pending) % 8:
+            take = min(8 - len(pending) % 8, run)
+            pending.extend([values[i]] * take)
+            i += take
+            run -= take
+        if run == 0:
+            continue  # the top-up consumed the whole run
+        if run >= 8 and len(pending) % 8 == 0:
+            flush_pending()
+            out.extend(_varint(run << 1))
+            out.extend((values[i] & ((1 << max(bit_width, 1)) - 1)).to_bytes(nbytes, "little"))
+        else:
+            pending.extend([values[i]] * run)
+        i += run
+    flush_pending()
+    return bytes(out)
+
+
 def _stats(vals: list, ptype: int, n_nulls: int) -> bytes:
     """Statistics struct: min_value/max_value (fields 5/6, the modern
     pair readers trust) + null_count (field 3), PLAIN-encoded."""
@@ -199,81 +250,172 @@ def _stats(vals: list, ptype: int, n_nulls: int) -> bytes:
     return w.done()
 
 
+def _write_chunk(
+    body: bytearray,
+    name: str,
+    ptype: int,
+    optional: bool,
+    vals: list,
+    codec: int,
+    page_rows: int,
+    use_dict: bool,
+) -> bytes:
+    """Write one column chunk (optionally dictionary-encoded) at the
+    current end of `body`; returns the serialized ColumnChunk struct."""
+    n_rows = len(vals)
+    first_page_offset = len(body)
+    dict_page_offset = None
+    chunk_comp = chunk_uncomp = 0
+    encodings = [0, 3]  # PLAIN, RLE (levels)
+    dictionary: dict | None = None
+    if use_dict:
+        uniq = []
+        index_of: dict = {}
+        for v in vals:
+            if v is None:
+                continue
+            if v not in index_of:
+                index_of[v] = len(uniq)
+                uniq.append(v)
+        # parquet-mr falls back to PLAIN when the dictionary stops
+        # paying; mirror that with a simple cardinality cut
+        if uniq and len(uniq) <= max(1, len(vals) // 2):
+            dictionary = index_of
+            dict_page_offset = len(body)
+            raw = _plain_encode(uniq, ptype)
+            comp = _compress(raw, codec)
+            ph = _Writer()
+            ph.field_i32(1, 2)  # PageType.DICTIONARY_PAGE
+            ph.field_i32(2, len(raw))
+            ph.field_i32(3, len(comp))
+            dph = _Writer()
+            dph.field_i32(1, len(uniq))
+            dph.field_i32(2, 2)  # Encoding.PLAIN_DICTIONARY
+            ph.field_struct(7, dph.done())
+            hdr = ph.done()
+            body += hdr
+            body += comp
+            chunk_comp += len(hdr) + len(comp)
+            chunk_uncomp += len(hdr) + len(raw)
+            encodings = [2, 3]  # PLAIN_DICTIONARY, RLE
+            first_page_offset = len(body)
+    for start in range(0, max(n_rows, 1), page_rows):
+        page_vals = vals[start : start + page_rows]
+        if not page_vals and n_rows:
+            break
+        defs = [0 if v is None else 1 for v in page_vals]
+        present = [v for v in page_vals if v is not None]
+        payload = bytearray()
+        if optional:
+            lv = _rle_def_levels(defs)
+            payload += struct.pack("<I", len(lv)) + lv  # v1: length prefix
+        elif any(d == 0 for d in defs):
+            raise ValueError(f"nulls in required column {name!r}")
+        if dictionary is not None:
+            # minimum width 1: a width-0 stream has no tokens at all,
+            # which readers reject (they expect at least one RLE header)
+            bw = max(max(len(dictionary) - 1, 0).bit_length(), 1)
+            payload.append(bw)
+            payload += _rle_bp_write([dictionary[v] for v in present], bw)
+            enc = 2  # PLAIN_DICTIONARY
+        else:
+            payload += _plain_encode(present, ptype)
+            enc = 0  # PLAIN
+        raw = bytes(payload)
+        comp = _compress(raw, codec)
+        ph = _Writer()
+        ph.field_i32(1, 0)  # PageType.DATA_PAGE
+        ph.field_i32(2, len(raw))
+        ph.field_i32(3, len(comp))
+        dph = _Writer()
+        dph.field_i32(1, len(page_vals))
+        dph.field_i32(2, enc)
+        dph.field_i32(3, 3)  # def levels: Encoding.RLE
+        dph.field_i32(4, 3)  # rep levels: Encoding.RLE (absent, flat)
+        ph.field_struct(5, dph.done())
+        header_bytes = ph.done()
+        body += header_bytes
+        body += comp
+        # chunk totals INCLUDE the page-header bytes (parquet.thrift:
+        # "total byte size of all compressed pages ... including the
+        # headers") — readers bound the chunk stream by them
+        chunk_comp += len(header_bytes) + len(comp)
+        chunk_uncomp += len(header_bytes) + len(raw)
+        if n_rows == 0:
+            break
+    cm = _Writer()
+    cm.field_i32(1, ptype)
+    cm.field_list(2, _CT_I32, [_i32_item(e) for e in encodings])
+    cm.field_list(3, _CT_BINARY, [_binary_item(name.encode("utf-8"))])
+    cm.field_i32(4, codec)
+    cm.field_i64(5, n_rows)
+    cm.field_i64(6, chunk_uncomp)
+    cm.field_i64(7, chunk_comp)
+    cm.field_i64(9, first_page_offset)
+    if dict_page_offset is not None:
+        cm.field_i64(11, dict_page_offset)
+    cm.field_struct(12, _stats(vals, ptype, sum(1 for v in vals if v is None)))
+    cc = _Writer()
+    cc.field_i64(2, dict_page_offset if dict_page_offset is not None else first_page_offset)
+    cc.field_struct(3, cm.done())
+    return cc.done()
+
+
 def write_parquet(
     columns: list[tuple[str, int, bool, list]],
     codec: int = CODEC_SNAPPY,
     page_rows: int = 1024,
+    row_group_rows: int | None = None,
+    use_dictionary: bool | set[str] = False,
     created_by: str = "us-stock-data-pipeline-spark parquet_write",
 ) -> bytes:
     """Serialize `columns` = [(name, physical_type, optional, values)]
     (all value lists the same length; None marks a null in optional
     columns) into one complete parquet file: PAR1 magic, per-column v1
-    data pages (PLAIN values, RLE def levels, `page_rows` rows per
-    page), one row group, thrift-compact footer with statistics."""
+    data pages (`page_rows` rows per page, RLE def levels), PLAIN or —
+    when `use_dictionary` is True or names the column — dictionary
+    encoding (PLAIN_DICTIONARY dict page + RLE/bit-packed indices, the
+    layout Spark's own writer defaults to, with parquet-mr's fallback
+    to PLAIN when cardinality stops paying), `row_group_rows`-sized row
+    groups (default: one), thrift-compact footer with min/max
+    statistics and declared column orders."""
     n_rows = len(columns[0][3]) if columns else 0
     for name, _t, _o, vals in columns:
         if len(vals) != n_rows:
             raise ValueError(f"column {name!r} length != {n_rows}")
+    rg_rows = row_group_rows if row_group_rows and row_group_rows > 0 else max(n_rows, 1)
     body = bytearray(b"PAR1")
-    chunk_metas: list[bytes] = []
-    total_bytes = 0
-    for name, ptype, optional, vals in columns:
-        data_page_offset = len(body)
-        chunk_comp = chunk_uncomp = 0
-        for start in range(0, n_rows, page_rows) or [0]:
-            page_vals = vals[start : start + page_rows]
-            if not page_vals and n_rows:
-                break
-            defs = [0 if v is None else 1 for v in page_vals]
-            present = [v for v in page_vals if v is not None]
-            payload = bytearray()
-            if optional:
-                lv = _rle_def_levels(defs)
-                payload += struct.pack("<I", len(lv)) + lv  # v1: length prefix
-            elif any(d == 0 for d in defs):
-                raise ValueError(f"nulls in required column {name!r}")
-            payload += _plain_encode(present, ptype)
-            raw = bytes(payload)
-            comp = _compress(raw, codec)
-            ph = _Writer()
-            ph.field_i32(1, 0)  # PageType.DATA_PAGE
-            ph.field_i32(2, len(raw))
-            ph.field_i32(3, len(comp))
-            dph = _Writer()
-            dph.field_i32(1, len(page_vals))
-            dph.field_i32(2, 0)  # Encoding.PLAIN
-            dph.field_i32(3, 3)  # def levels: Encoding.RLE
-            dph.field_i32(4, 3)  # rep levels: Encoding.RLE (absent, flat)
-            ph.field_struct(5, dph.done())
-            header_bytes = ph.done()
-            body += header_bytes
-            body += comp
-            # chunk totals INCLUDE the page-header bytes (parquet.thrift:
-            # "total byte size of all compressed pages ... including the
-            # headers") — readers bound the chunk stream by them
-            chunk_comp += len(header_bytes) + len(comp)
-            chunk_uncomp += len(header_bytes) + len(raw)
-            if n_rows == 0:
-                break
+    rg_structs: list[bytes] = []
+    for rg_start in range(0, max(n_rows, 1), rg_rows):
+        chunk_metas: list[bytes] = []
+        total_bytes = 0
+        rg_n = min(rg_rows, n_rows - rg_start) if n_rows else 0
+        for name, ptype, optional, vals in columns:
+            use_dict = (
+                use_dictionary is True
+                or (isinstance(use_dictionary, set) and name in use_dictionary)
+            )
+            before = len(body)
+            chunk_metas.append(
+                _write_chunk(
+                    body,
+                    name,
+                    ptype,
+                    optional,
+                    vals[rg_start : rg_start + rg_rows],
+                    codec,
+                    page_rows,
+                    use_dict,
+                )
+            )
+            total_bytes += len(body) - before
+        rg = _Writer()
+        rg.field_list(1, _CT_STRUCT, chunk_metas)
+        rg.field_i64(2, total_bytes)
+        rg.field_i64(3, rg_n)
+        rg_structs.append(rg.done())
         if n_rows == 0:
-            # zero-row file: still emit one empty page so the chunk has
-            # a valid data_page_offset target
-            pass
-        cm = _Writer()
-        cm.field_i32(1, ptype)
-        cm.field_list(2, _CT_I32, [_i32_item(0), _i32_item(3)])  # PLAIN, RLE
-        cm.field_list(3, _CT_BINARY, [_binary_item(name.encode("utf-8"))])
-        cm.field_i32(4, codec)
-        cm.field_i64(5, n_rows)
-        cm.field_i64(6, chunk_uncomp)
-        cm.field_i64(7, chunk_comp)
-        cm.field_i64(9, data_page_offset)
-        cm.field_struct(12, _stats(vals, ptype, sum(1 for v in vals if v is None)))
-        cc = _Writer()
-        cc.field_i64(2, data_page_offset)  # file_offset
-        cc.field_struct(3, cm.done())
-        chunk_metas.append(cc.done())
-        total_bytes += chunk_comp
+            break
     # schema elements: root + leaves
     root = _Writer()
     root.field_binary(4, b"schema")
@@ -287,15 +429,11 @@ def write_parquet(
         if ptype == PQ_BYTE_ARRAY:
             se.field_i32(6, _CONVERTED_UTF8)
         schema_items.append(se.done())
-    rg = _Writer()
-    rg.field_list(1, _CT_STRUCT, chunk_metas)
-    rg.field_i64(2, total_bytes)
-    rg.field_i64(3, n_rows)
     fmd = _Writer()
     fmd.field_i32(1, 2)  # format version
     fmd.field_list(2, _CT_STRUCT, schema_items)
     fmd.field_i64(3, n_rows)
-    fmd.field_list(4, _CT_STRUCT, [rg.done()])
+    fmd.field_list(4, _CT_STRUCT, rg_structs)
     fmd.field_binary(6, created_by.encode("utf-8"))
     # column_orders (field 7): readers only trust min_value/max_value
     # statistics when the column's order is declared TYPE_ORDER

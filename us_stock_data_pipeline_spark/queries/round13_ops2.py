@@ -442,6 +442,9 @@ def storage_parquet_raw_write(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 codec=CODEC_SNAPPY,
                 page_rows=256,
+                # dict+snappy v1 = Spark's own default layout; nk (25
+                # values) dict-encodes, ck (unique) falls back to PLAIN
+                use_dictionary=True,
             )
             # decoder 1: pyarrow C++
             t = pq.read_table(io.BytesIO(buf))
