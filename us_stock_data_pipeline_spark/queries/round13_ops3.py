@@ -497,3 +497,118 @@ def multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# extensibility: STREAMING Python DataSource (Spark 4 simpleStreamReader)
+# --------------------------------------------------------------------------
+
+_PYDS_PAGES = 8
+_PYDS_ROWS = 50
+
+_PYDS_STREAM_ORACLE = f"""
+WITH pages AS (SELECT unnest(generate_series(0, {_PYDS_PAGES - 1})) AS page),
+rows_ AS (SELECT unnest(generate_series(0, {_PYDS_ROWS - 1})) AS i),
+feed AS (
+  SELECT p.page, r.i,
+         CAST((p.page * 7919 + r.i * 104729) % 100000 AS BIGINT) AS v
+  FROM pages p CROSS JOIN rows_ r
+)
+SELECT CAST(page AS BIGINT) AS page,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM feed
+GROUP BY page
+ORDER BY page
+"""
+
+
+@register(
+    "source_python_datasource_stream",
+    oracle=_PYDS_STREAM_ORACLE,
+    tags=("extensibility", "streaming"),
+    round=13,
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (round 13) — the Spark 4 extension
+    tier the batch `source_python_datasource` connector left open: a
+    `SimpleDataSourceStreamReader` whose OFFSETS are page numbers (the
+    paged-REST-API shape of the reference's polygon_client.py:19-94,
+    re-expressed as a replayable streaming source). `read(start)`
+    serves the next page and advances the offset; `readBetweenOffsets`
+    replays any committed range deterministically (the exactly-once
+    replay contract a crash recovery needs — same pages, same rows);
+    the source parks at the final offset so `processAllAvailable`
+    drains cleanly. Microbatch boundaries are an engine choice, so the
+    aggregate is batching-invariant and the closed-form oracle pins
+    every page's contents. At 100 TB the same reader shape tails any
+    cursored API/changefeed with offsets checkpointed by the engine."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    pages, rows = _PYDS_PAGES, _PYDS_ROWS
+
+    class PagedFeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"page": 0}
+
+        def read(self, start):
+            p = start["page"]
+            if p >= pages:
+                return (iter([]), start)  # parked: no progress, no rows
+            return (
+                iter(
+                    [
+                        (p, i, (p * 7919 + i * 104729) % 100000)
+                        for i in range(rows)
+                    ]
+                ),
+                {"page": p + 1},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [
+                    (p, i, (p * 7919 + i * 104729) % 100000)
+                    for p in range(start["page"], end["page"])
+                    for i in range(rows)
+                ]
+            )
+
+    class PagedFeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "us_sdps_paged_feed"
+
+        def schema(self):
+            return "page int, i int, v bigint"
+
+        def simpleStreamReader(self, schema):
+            return PagedFeedReader()
+
+    spark.dataSource.register(PagedFeedSource)
+    sdf = spark.readStream.format("us_sdps_paged_feed").load()
+    name = "sink_pyds_stream"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("page").cast("long").alias("page"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+        .orderBy("page")
+    )
