@@ -112,6 +112,10 @@ def _write_spec(spark: SparkSession, name: str) -> tuple[str, tuple, tuple]:
     return e["root"], tuple(e["key_cols"]), tuple(e["partition_cols"] or ())
 
 
+def _generated_of(spark: SparkSession, name: str) -> dict[str, str]:
+    return dict(_entry_of(spark, name).get("generated_cols") or {})
+
+
 def register_versioned(
     spark: SparkSession,
     name: str,
@@ -123,6 +127,7 @@ def register_versioned(
     stat_filter: dict | None = None,
     key_cols: tuple[str, ...] | None = None,
     partition_cols: tuple[str, ...] | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Register a versioned table as SQL-addressable temp view `name`.
 
@@ -150,6 +155,7 @@ def register_versioned(
         "root": root,
         "key_cols": key_cols or prev.get("key_cols"),
         "partition_cols": partition_cols or prev.get("partition_cols"),
+        "generated_cols": generated_cols or prev.get("generated_cols"),
     }
     return df
 
@@ -401,6 +407,13 @@ def _merge_into(spark: SparkSession, m: re.Match) -> DataFrame:
     clauses commits one deletion vector instead (no rewrite). Returns
     (table_name, n_upserted, n_deleted, version)."""
     from pyspark.sql import functions as F
+
+    if _generated_of(spark, m.group(1)):
+        raise NotImplementedError(
+            "MERGE INTO a table with generated columns is not supported "
+            "yet (clause-level recompute/move semantics); use INSERT/"
+            "UPDATE/DELETE, which enforce generation"
+        )
 
     name = m.group(1)
     t_alias = m.group(2) or name
@@ -743,6 +756,12 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         df = spark.sql(query)
         if col_list:
             df = df.toDF(*[c.strip() for c in col_list.split(",")])
+        gen = _generated_of(spark, name)
+        if gen:
+            from us_stock_data_pipeline_spark.etl.generated import apply_generated
+
+            # omitted -> computed; supplied -> validated (Delta's rule)
+            df = apply_generated(df, gen, validate=True)
         ver = V.versioned_merge_upsert(
             spark, df, root, key_cols=key_cols, partition_cols=partition_cols
         )
@@ -757,6 +776,7 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         assignments = _split_assignments(sets)
+        gen = _generated_of(spark, name)
         for col, _expr in assignments:
             # Key identity is the merge axis: assigning a key column
             # would leave the pre-image row alive under its old key
@@ -766,14 +786,35 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
                     f"UPDATE SET may not target key column {col!r} "
                     "(DELETE + INSERT instead)"
                 )
+            if col in gen:
+                raise ValueError(
+                    f"UPDATE SET may not target generated column {col!r} "
+                    "(assign its base column; the value is recomputed)"
+                )
         pre = spark.table(name).filter(pred)
         updated = pre
         for col, expr in assignments:
             updated = updated.withColumn(col, F.expr(expr))
+        if gen:
+            from us_stock_data_pipeline_spark.etl.generated import (
+                apply_generated,
+                generation_bases,
+            )
+
+            # an assignment to a base column recomputes its generated
+            # columns (already-consistent rows are unchanged)
+            updated = apply_generated(updated, gen, validate=False)
         # An assignment to a partition column MOVES rows: remove the
         # old-partition pre-images in the SAME commit, or they would
-        # survive as duplicate keys (advisor r12 medium).
-        moves = any(col in partition_cols for col, _e in assignments)
+        # survive as duplicate keys (advisor r12 medium). A generated
+        # partition column moves when its BASE column was assigned.
+        assigned = {col for col, _e in assignments}
+        moves = any(col in partition_cols for col in assigned)
+        if gen and not moves:
+            bases = generation_bases(gen)
+            moves = any(
+                g in partition_cols and bases[g] in assigned for g in gen
+            )
         ver = V.versioned_merge_upsert(
             spark,
             updated,

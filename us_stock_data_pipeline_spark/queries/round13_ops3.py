@@ -612,3 +612,125 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("page")
     )
+
+
+# --------------------------------------------------------------------------
+# catalog: GENERATED ALWAYS AS columns + derived partition pruning
+# --------------------------------------------------------------------------
+
+_GENCOL_ORACLE = """
+WITH in_range AS (
+  SELECT year(o_orderdate) AS oyear,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+),
+span AS (
+  SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_parts_total
+  FROM orders
+)
+SELECT CAST(i.oyear AS BIGINT) AS oyear,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(i.cents) AS BIGINT) AS sum_cents,
+       s.n_parts_total,
+       CAST(3 AS BIGINT) AS n_parts_kept
+FROM in_range i CROSS JOIN span s
+GROUP BY i.oyear, s.n_parts_total
+ORDER BY oyear
+"""
+
+
+@register(
+    "etl_versioned_generated_columns",
+    oracle=_GENCOL_ORACLE,
+    tags=("etl", "versioned", "catalog"),
+    round=13,
+)
+def etl_versioned_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (round 13, Delta parity): the table
+    partitions on `oyear` GENERATED AS YEAR(o_orderdate); the INSERT
+    never mentions it (the write path computes it, `etl/generated.py`),
+    and the time-range read never filters on it — the engine DERIVES
+    the partition filter from the base-column predicate
+    (o_orderdate in [1997, 1999)) and prunes AT THE MANIFEST: 3 of the
+    table's year-partitions are planned (1997, 1998 + the 1999 boundary
+    partition the safe-superset contract keeps), the other years are
+    never listed or scanned. The query output pins BOTH the data (the
+    pruned read still returns exactly the predicate's rows) and the
+    pruning itself (n_parts_kept=3 counted from the manifest plan vs
+    n_parts_total from the data). At 100 TB this is the table layout
+    for every time-series fact: queries write and filter the timestamp,
+    the layout maintains itself."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl import versioned as V
+    from us_stock_data_pipeline_spark.etl.generated import derive_partition_filter
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        versioned_sql,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderdate",
+    ).createOrReplaceTempView("gen_orders_src")
+    gen = {"oyear": "YEAR(o_orderdate)"}
+    root = tempfile.mkdtemp(prefix=f"us_sdps_gencol_{_uuid.uuid4().hex[:8]}_")
+    try:
+        # seed v1 with one row (a versioned table needs a first commit
+        # before it can be registered), then the INSERT upserts the full
+        # set WITHOUT mentioning oyear — the write path computes it
+        V.versioned_merge_upsert(
+            spark,
+            spark.table("gen_orders_src")
+            .limit(1)
+            .withColumn("oyear", F.expr("YEAR(o_orderdate)")),
+            root,
+            key_cols=("o_orderkey",),
+            partition_cols=("oyear",),
+        )
+        register_versioned(
+            spark,
+            "gen_orders",
+            root,
+            key_cols=("o_orderkey",),
+            partition_cols=("oyear",),
+            generated_cols=gen,
+        )
+        versioned_sql(
+            spark, "INSERT INTO gen_orders SELECT * FROM gen_orders_src"
+        )
+        lo, hi = "1997-01-01", "1999-01-01"
+        keep = derive_partition_filter(gen, "o_orderdate", lo, hi)
+        ver = V.current_version(spark, root)
+        manifest = V.read_manifest(spark, root, ver)
+        parts = [V._parse_partition_values(p) for p in manifest]
+        n_total = len(parts)
+        n_kept = sum(1 for p in parts if keep(p))
+        pruned = V.read_versioned(spark, root, partition_filter=keep)
+        agg = (
+            pruned.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy(F.col("oyear").cast("long").alias("oyear"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .withColumn("n_parts_total", F.lit(n_total).cast("long"))
+            .withColumn("n_parts_kept", F.lit(n_kept).cast("long"))
+            .orderBy("oyear")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
