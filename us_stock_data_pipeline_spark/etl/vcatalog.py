@@ -45,6 +45,10 @@ SQL front-end:
       ``ALTER TABLE <name> DROP CONSTRAINT <c>`` (Delta CHECK
       constraints: the snapshot is validated at ADD, every later
       write batch is validated before its manifest publishes)
+    * ``CREATE TABLE <new> SHALLOW CLONE <src> [VERSION AS OF <n>]
+      LOCATION '<path>'`` (Delta shallow clone: zero-copy independent
+      table whose first manifest points at the source's data dirs;
+      the source snapshot is vacuum-pinned, unlike Delta's footgun)
     * DML, when the registration declared key/partition cols:
       ``INSERT INTO <name> [(cols)] SELECT ...|VALUES ...`` (a MERGE
       commit), ``UPDATE <name> SET c = expr[, ...] WHERE pred`` (reads
@@ -254,6 +258,11 @@ _CREATE_TAG = re.compile(
 )
 _CREATE_BRANCH = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+CREATE\s+BRANCH\s+({_NAME_RE})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHALLOW_CLONE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_NAME_RE})\s+SHALLOW\s+CLONE\s+({_NAME_RE})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$",
     re.IGNORECASE,
 )
 _INSERT = re.compile(
@@ -745,6 +754,30 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         return spark.createDataFrame(
             [(name, branch, fork)],
             "table_name string, branch string, fork_version long",
+        )
+    m = _SHALLOW_CLONE.match(stmt)
+    if m:
+        dst_name, src_name, ver, dst_root = (
+            m.group(1),
+            m.group(2),
+            int(m.group(3)) if m.group(3) else None,
+            m.group(4),
+        )
+        e = _entry_of(spark, src_name)
+        clone_ver = V.shallow_clone(spark, e["root"], dst_root, version=ver)
+        register_versioned(
+            spark,
+            dst_name,
+            dst_root,
+            key_cols=tuple(e["key_cols"]) if e.get("key_cols") else None,
+            partition_cols=(
+                tuple(e["partition_cols"]) if e.get("partition_cols") else None
+            ),
+            generated_cols=e.get("generated_cols"),
+        )
+        return spark.createDataFrame(
+            [(dst_name, src_name, clone_ver)],
+            "table_name string, cloned_from string, clone_version long",
         )
     m = _MERGE.match(stmt)
     if m:

@@ -1427,6 +1427,75 @@ def create_branch(spark: SparkSession, root: str, name: str) -> int:
     return fork
 
 
+def shallow_clone(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> int:
+    """Delta's CREATE TABLE ... SHALLOW CLONE: a new INDEPENDENT table
+    at `dst_root` whose first manifest points at the SOURCE's data
+    directories by absolute path — zero bytes of data copied, metadata
+    only (the create_branch fork mechanism, aimed at an arbitrary
+    destination instead of branches/<name>/). `version` pins a
+    time-travel clone (VERSION AS OF). The clone's manifest lineage
+    STARTS at the source version number, so every clone-written data
+    dir is numbered above any carried deletion vector's horizon — the
+    same invariant branches rely on. Unlike Delta (where vacuuming the
+    source breaks clones, a documented footgun), the source version is
+    pinned with an internal `_clone_*` tag so `vacuum_versions` on the
+    source keeps the referenced dirs live. Writes to either table
+    never affect the other. Returns the clone's head (= fork) version."""
+    import hashlib
+
+    if version is None:
+        version = current_version(spark, src_root)
+    if version == 0:
+        raise FileNotFoundError(f"no committed version under {src_root}")
+    if current_version(spark, dst_root) != 0:
+        raise FileExistsError(f"destination {dst_root} already has commits")
+    # pin the source snapshot against vacuum; idempotent per destination
+    pin = f"_clone_{hashlib.sha1(dst_root.encode()).hexdigest()[:12]}"
+    try:
+        create_tag(spark, src_root, pin, version)
+    except FileExistsError:
+        pass  # re-clone to the same destination path after a failure
+    doc = _read_manifest_doc(spark, src_root, version)
+    cdoc = {
+        "version": version,
+        "committed_at": _now_ms(spark),
+        "partitions": {
+            d: _abs_under(src_root, v)
+            for d, v in doc.get("partitions", {}).items()
+        },
+        "deletion_vectors": [
+            {**dv, "dir": _abs_under(src_root, dv["dir"])}
+            for dv in doc.get("deletion_vectors", [])
+        ],
+        "stats_cols": doc.get("stats_cols", []),
+        "file_stats": {
+            _abs_under(src_root, k): v
+            for k, v in doc.get("file_stats", {}).items()
+        },
+        "constraints": doc.get("constraints", {}),
+    }
+    _mkdirs(spark, posixpath.join(dst_root, _MANIFESTS))
+    _write_file(
+        spark,
+        posixpath.join(dst_root, "meta.json"),
+        json.dumps(
+            {"cloned_from": src_root, "clone_version": version}, sort_keys=True
+        ),
+    )
+    tmp = posixpath.join(dst_root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+    final = posixpath.join(dst_root, _MANIFESTS, f"v{version:08d}.json")
+    _write_file(spark, tmp, json.dumps(cdoc, sort_keys=True))
+    if not _rename(spark, tmp, final):
+        _delete(spark, tmp)
+        raise FileExistsError(f"clone raced at {dst_root}")
+    return version
+
+
 def list_branches(spark: SparkSession, root: str) -> dict[str, int]:
     """{branch name -> current head version} for every live branch."""
     out: dict[str, int] = {}

@@ -734,3 +734,122 @@ def etl_versioned_generated_columns(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# catalog: SHALLOW CLONE — zero-copy independent table fork
+# --------------------------------------------------------------------------
+
+_CLONE_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         CAST(n_regionkey AS BIGINT) AS part,
+         CAST(n_nationkey * 10 AS BIGINT) AS val
+  FROM nation
+)
+SELECT k,
+       -- source diverged after the clone: evens got +7 at v3
+       CAST(CASE WHEN k % 2 = 0 THEN val + 7 ELSE val END AS BIGINT) AS src_val,
+       -- clone was taken AS OF v1 and diverged independently: k<10 got +1000
+       CAST(CASE WHEN k < 10 THEN val + 1000 ELSE val END AS BIGINT) AS clone_val,
+       CAST(1 AS BIGINT) AS clone_version,
+       CAST(0 AS BIGINT) AS clone_datafiles_at_fork
+FROM base
+ORDER BY k
+"""
+
+
+@register(
+    "etl_versioned_shallow_clone",
+    oracle=_CLONE_ORACLE,
+    tags=("etl", "versioned", "catalog"),
+    round=13,
+)
+def etl_versioned_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (round 13, Delta parity): `CREATE TABLE c SHALLOW
+    CLONE s VERSION AS OF 1 LOCATION ...` forks an INDEPENDENT table
+    whose first manifest points at the source's data directories by
+    absolute path — zero data bytes copied (the query PROVES it:
+    clone_datafiles_at_fork counts parquet files under the clone root
+    at fork time, pinned at 0). Both tables then diverge: the source
+    upserts +7 on even keys (v3 invisible to the clone — it was cut AS
+    OF v1, before the source's v2 tombstones), the clone upserts +1000
+    on k<10 (invisible to the source). The output joins both final
+    states per key, so a clone that leaked writes in either direction
+    misses the hash. The source snapshot is vacuum-pinned by an
+    internal clone tag — the footgun Delta documents ("vacuum on the
+    source breaks clones") is closed, not inherited. At 100 TB this is
+    the instant dev/test copy of a petabyte table: metadata-priced,
+    write-isolated."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl import versioned as V
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        versioned_sql,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS k",
+        "CAST(n_regionkey AS BIGINT) AS part",
+        "CAST(n_nationkey * 10 AS BIGINT) AS val",
+    )
+    src_root = tempfile.mkdtemp(prefix=f"us_sdps_clsrc_{_uuid.uuid4().hex[:8]}_")
+    dst_root = os.path.join(
+        tempfile.gettempdir(), f"us_sdps_cldst_{_uuid.uuid4().hex[:8]}"
+    )
+    try:
+        V.versioned_merge_upsert(
+            spark, nation, src_root, key_cols=("k",), partition_cols=("part",)
+        )
+        # v2 on the source BEFORE the clone decision point: a NEW row
+        # (k=99) the v1 clone must never see — proof the clone pins a
+        # real historical snapshot, not the head
+        V.versioned_merge_upsert(
+            spark,
+            spark.createDataFrame([(99, 0, 990)], "k long, part long, val long"),
+            src_root,
+            key_cols=("k",),
+            partition_cols=("part",),
+        )
+        register_versioned(
+            spark, "clone_src", src_root, key_cols=("k",), partition_cols=("part",)
+        )
+        versioned_sql(
+            spark,
+            f"CREATE TABLE clone_dst SHALLOW CLONE clone_src "
+            f"VERSION AS OF 1 LOCATION '{dst_root}'",
+        )
+        n_files = sum(
+            1
+            for dirpath, _dirs, files in os.walk(dst_root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        # diverge AFTER the fork: source +7 on evens, clone +1000 on k<10
+        versioned_sql(
+            spark, "UPDATE clone_src SET val = val + 7 WHERE k % 2 = 0"
+        )
+        versioned_sql(spark, "UPDATE clone_dst SET val = val + 1000 WHERE k < 10")
+        src = spark.table("clone_src").select("k", F.col("val").alias("src_val"))
+        clone = spark.table("clone_dst").select(
+            "k", F.col("val").alias("clone_val")
+        )
+        if clone.filter(F.col("k") == 99).count() != 0:
+            raise AssertionError("clone leaked the post-fork source row k=99")
+        # the inner join drops the source's post-fork k=99 row; every
+        # nation key must pair up (the hash pins 25 rows)
+        out = (
+            src.join(clone, "k")
+            .withColumn("clone_version", F.lit(1).cast("long"))
+            .withColumn("clone_datafiles_at_fork", F.lit(n_files).cast("long"))
+            .orderBy("k")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+        shutil.rmtree(dst_root, ignore_errors=True)
