@@ -177,3 +177,34 @@ def test_decode_rice2_multi_partition_and_wasted_bits():
 def test_fuzz_roundtrip(data, block, stereo):
     chans = [data, [(-v) & 0x7FFF for v in data]] if stereo else [data]
     _roundtrip(chans, block=block)
+
+
+def test_encoder_picks_lpc_on_tonal_content():
+    from us_stock_data_pipeline_spark.functions.flac import _lpc_analyze
+
+    tone = [
+        int(9000 * math.sin(i * 0.07) + 4000 * math.sin(i * 0.19 + 1.0))
+        for i in range(4096)
+    ]
+    r = _lpc_analyze(tone)
+    assert r is not None and 1 <= r[0] <= 8
+    enc = _roundtrip([tone])
+    assert len(enc) < 0.4 * 2 * len(tone)  # LPC-level compression
+
+
+def test_lpc_roundtrip_matrix():
+    import random
+
+    random.seed(17)
+    for chans, kw in [
+        ([[2000 + int(100 * math.sin(i * 0.5)) for i in range(2000)]], dict(block=192)),
+        (
+            [
+                [int(5000 * math.sin(i * 0.03)) for i in range(4000)],
+                [int(5000 * math.sin(i * 0.03 + 0.2)) for i in range(4000)],
+            ],
+            {},
+        ),
+        ([[int(30000 * math.sin(i * 0.001)) for i in range(5000)]], {}),
+    ]:
+        _roundtrip(chans, **kw)

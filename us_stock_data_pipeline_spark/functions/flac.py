@@ -267,15 +267,87 @@ def _read_residual(
 # ---------------------------------------------------------------- encode
 
 
+_LPC_MAX_ORDER = 8
+_LPC_PRECISION = 12  # quantized coefficient bits
+
+
+def _lpc_analyze(samples: list[int]) -> tuple[int, int, list[int], list[int]] | None:
+    """Levinson-Durbin LPC analysis + coefficient quantization:
+    returns (order, shift, quantized_coeffs, residual) for the best
+    order by exact Rice cost, or None when LPC is unusable (constant /
+    degenerate block). Quantization uses error feedback (libFLAC's
+    scheme) so rounding error doesn't accumulate across coefficients."""
+    n = len(samples)
+    max_order = min(_LPC_MAX_ORDER, n - 1)
+    if max_order < 1:
+        return None
+    # autocorrelation on the raw integer signal
+    r = [float(sum(samples[i] * samples[i + lag] for i in range(n - lag)))
+         for lag in range(max_order + 1)]
+    if r[0] == 0.0:
+        return None
+    # Levinson-Durbin, keeping the coefficient set per order
+    err = r[0]
+    a: list[float] = []
+    per_order: list[list[float]] = []
+    for m in range(1, max_order + 1):
+        acc = r[m] - sum(a[j] * r[m - 1 - j] for j in range(m - 1))
+        if err == 0.0:
+            break
+        k = acc / err
+        a = [a[j] - k * a[m - 2 - j] for j in range(m - 1)] + [k]
+        err *= 1.0 - k * k
+        per_order.append(list(a))
+        if err <= 0.0:
+            break
+    best = None  # (bits, order, shift, qcoeffs, residual)
+    for coeffs in per_order:
+        order = len(coeffs)
+        cmax = max(abs(c) for c in coeffs)
+        if cmax == 0.0 or cmax != cmax or cmax in (float("inf"),):
+            continue
+        # choose shift so the largest coefficient fills the precision
+        import math
+
+        shift = _LPC_PRECISION - 2 - int(math.floor(math.log2(cmax)))
+        shift = max(0, min(15, shift))
+        lim = 1 << (_LPC_PRECISION - 1)
+        q: list[int] = []
+        e = 0.0
+        for c in coeffs:
+            v = c * (1 << shift) + e
+            qi = int(round(v))
+            qi = max(-lim, min(lim - 1, qi))
+            e = v - qi
+            q.append(qi)
+        if all(v == 0 for v in q):
+            continue
+        res = []
+        for i in range(order, n):
+            acc = sum(q[j] * samples[i - 1 - j] for j in range(order))
+            res.append(samples[i] - (acc >> shift))
+        if any(abs(x) > (1 << 40) for x in res):
+            continue
+        _p, cost = _best_rice_param(res)
+        bits = order * 16 + 4 + 5 + order * _LPC_PRECISION + 6 + cost
+        if best is None or bits < best[0]:
+            best = (bits, order, shift, q, res)
+    if best is None:
+        return None
+    return best[1], best[2], best[3], best[4]
+
+
 def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
-    """Pick CONSTANT / FIXED(0-4) / VERBATIM by exact bit cost."""
+    """Pick CONSTANT / FIXED(0-4) / LPC(1-8) / VERBATIM by exact bit
+    cost (the real encoder decision: LPC wins on tonal content, FIXED
+    on smooth ramps, VERBATIM on noise, CONSTANT on silence)."""
     if all(s == samples[0] for s in samples):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)  # no wasted bits
         bw.write_signed(samples[0], bps)
         return
-    best = None  # (bits, order, residual)
+    best = None  # (bits, kind, payload)
     max_order = min(4, len(samples) - 1)
     for order in range(0, max_order + 1):
         res = _fixed_residual(samples, order)
@@ -284,7 +356,14 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
         _p, cost = _best_rice_param(res)
         total = order * bps + 6 + cost
         if best is None or total < best[0]:
-            best = (total, order, res)
+            best = (total, "fixed", (order, res))
+    lpc = _lpc_analyze(samples)
+    if lpc is not None:
+        order, shift, q, res = lpc
+        _p, cost = _best_rice_param(res)
+        total = order * bps + 4 + 5 + order * _LPC_PRECISION + 6 + cost
+        if best is None or total < best[0]:
+            best = (total, "lpc", (order, shift, q, res))
     verbatim_bits = bps * len(samples)
     if best is None or best[0] >= verbatim_bits:
         bw.write(0, 1)
@@ -293,12 +372,26 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
         for s in samples:
             bw.write_signed(s, bps)
         return
-    _bits, order, res = best
+    _bits, kind, payload = best
+    if kind == "fixed":
+        order, res = payload
+        bw.write(0, 1)
+        bw.write(0b001000 | order, 6)  # FIXED, order
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write_signed(s, bps)
+        _write_residual(bw, res)
+        return
+    order, shift, q, res = payload
     bw.write(0, 1)
-    bw.write(0b001000 | order, 6)  # FIXED, order
-    bw.write(0, 1)
+    bw.write(32 + (order - 1), 6)  # LPC, order
+    bw.write(0, 1)  # no wasted bits
     for s in samples[:order]:
         bw.write_signed(s, bps)
+    bw.write(_LPC_PRECISION - 1, 4)
+    bw.write_signed(shift, 5)
+    for c in q:
+        bw.write_signed(c, _LPC_PRECISION)
     _write_residual(bw, res)
 
 
