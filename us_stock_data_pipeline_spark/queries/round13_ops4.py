@@ -1,0 +1,272 @@
+"""Round-13 operators, part 4 — Python DataSource V2 surface: filter
+pushdown into a Python reader, and a Python writer whose files are
+produced by the in-repo pure-Python parquet writer.
+
+Reference scope note: the reference's connectors are driver-side REST
+pagers (polygon_client.py / massive_client.py); these re-express the
+connector tier on Spark 4's Python DataSource API with the planner
+integration (pushdown) and commit protocol (writer) a real connector
+needs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark.registry import register
+
+# --------------------------------------------------------------------------
+# extensibility: filter PUSHDOWN into a Python DataSource reader
+# --------------------------------------------------------------------------
+
+_PDP_PAGES = 16
+_PDP_ROWS = 40
+_PDP_LO, _PDP_HI = 3, 7  # inclusive page range the query filters to
+
+_PUSHDOWN_ORACLE = f"""
+WITH pages AS (
+  SELECT unnest(generate_series({_PDP_LO}, {_PDP_HI})) AS page
+),
+rows_ AS (SELECT unnest(generate_series(0, {_PDP_ROWS - 1})) AS i),
+feed AS (
+  SELECT p.page, r.i,
+         CAST((p.page * 131 + r.i * 17) % 1000 AS BIGINT) AS v
+  FROM pages p CROSS JOIN rows_ r
+)
+SELECT CAST(page AS BIGINT) AS page,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST({_PDP_HI - _PDP_LO + 1} AS BIGINT) AS n_pages_planned
+FROM feed
+GROUP BY page
+ORDER BY page
+"""
+
+
+@register(
+    "source_python_datasource_pushdown",
+    oracle=_PUSHDOWN_ORACLE,
+    tags=("extensibility",),
+    round=13,
+)
+def source_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN into a Python DataSource (round 13): the reader
+    implements `pushFilters`, accepts >=/<= bounds on the page column
+    (returning every other filter back to Spark), and `partitions()`
+    then plans ONE input partition per page INSIDE the pushed bounds —
+    {_PDP_HI - _PDP_LO + 1} of {_PDP_PAGES} pages. The proof rides in
+    the data: every row carries the planned-partition count, and the
+    oracle pins it at the pruned number — if pushdown silently failed,
+    the reader would plan all {_PDP_PAGES} pages and every row would
+    carry the wrong count (Spark's re-applied residual filter cannot
+    hide that). This is the planner contract a 100 TB REST/changefeed
+    connector needs: predicates reach the source, pages that can't
+    match are never fetched."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThanOrEqual,
+    )
+
+    pages, rows = _PDP_PAGES, _PDP_ROWS
+
+    class PageRangeReader(DataSourceReader):
+        def __init__(self):
+            self.lo, self.hi = 0, pages - 1
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if (
+                    isinstance(f, GreaterThanOrEqual)
+                    and f.attribute == ("page",)
+                ):
+                    self.lo = max(self.lo, int(f.value))
+                elif isinstance(f, LessThanOrEqual) and f.attribute == ("page",):
+                    self.hi = min(self.hi, int(f.value))
+                else:
+                    yield f  # unsupported: Spark re-applies it
+
+        def partitions(self):
+            planned = max(0, self.hi - self.lo + 1)
+            return [
+                InputPartition((p, planned)) for p in range(self.lo, self.hi + 1)
+            ]
+
+        def read(self, partition):
+            p, planned = partition.value
+            for i in range(rows):
+                yield (p, i, (p * 131 + i * 17) % 1000, planned)
+
+    class PageRangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "us_sdps_page_range"
+
+        def schema(self):
+            return "page int, i int, v bigint, n_pages_planned int"
+
+        def reader(self, schema):
+            return PageRangeReader()
+
+    spark.dataSource.register(PageRangeSource)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("us_sdps_page_range")
+            .load()
+            .filter((F.col("page") >= _PDP_LO) & (F.col("page") <= _PDP_HI))
+        )
+        out = (
+            df.groupBy(F.col("page").cast("long").alias("page"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").cast("long").alias("sum_v"),
+                F.max("n_pages_planned").cast("long").alias("n_pages_planned"),
+            )
+            .orderBy("page")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+# --------------------------------------------------------------------------
+# extensibility: Python DataSource WRITER backed by the in-repo parquet
+# writer (functions/parquet_write.py)
+# --------------------------------------------------------------------------
+
+_SINK_ORACLE = """
+SELECT CAST(n_nationkey % 4 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+       CAST(sum(length(n_name)) AS BIGINT) AS sum_name_len
+FROM nation
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "sink_python_datasource_writer",
+    oracle=_SINK_ORACLE,
+    tags=("extensibility", "storage"),
+    round=13,
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITER (round 13) — the commit-protocol tier:
+    `df.write.format(...)` drives a Python `DataSourceWriter` whose
+    per-task `write()` serializes its partition to a REAL parquet file
+    using the engine's own pure-Python writer (thrift footer, v1
+    pages, dictionary encoding, in-repo Snappy), staged under a task-
+    unique name; `commit()` then publishes a manifest naming exactly
+    the committed tasks' files — the two-phase rename-free commit every
+    distributed sink needs (a failed/speculative task's orphan file is
+    never named, so readers can't see it). The round trip is closed by
+    Spark's JVM vectorized reader scanning the manifest-listed files
+    back and the oracle hashing the result. Connector tier complete:
+    Python batch reader (+pushdown), streaming reader (+offsets),
+    and now writer (+commit protocol)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    target = tempfile.mkdtemp(prefix=f"us_sdps_pyw_{_uuid.uuid4().hex[:8]}_")
+
+    class FileMessage(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class ParquetTaskWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def write(self, rows):
+            import uuid as _u
+
+            from us_stock_data_pipeline_spark.functions.parquet_write import (
+                CODEC_SNAPPY,
+                PQ_BYTE_ARRAY,
+                PQ_INT64,
+                write_parquet,
+            )
+
+            ks, names = [], []
+            for r in rows:
+                ks.append(int(r[0]))
+                names.append(str(r[1]))
+            path = os.path.join(self.dir, f"task-{_u.uuid4().hex}.parquet")
+            if ks:
+                buf = write_parquet(
+                    [
+                        ("n_nationkey", PQ_INT64, False, ks),
+                        ("n_name", PQ_BYTE_ARRAY, False, names),
+                    ],
+                    codec=CODEC_SNAPPY,
+                    use_dictionary=True,
+                )
+                with open(path, "wb") as f:
+                    f.write(buf)
+            else:
+                path = ""
+            return FileMessage(path)
+
+        def commit(self, messages):
+            paths = sorted(m.path for m in messages if m and m.path)
+            with open(os.path.join(self.dir, "_committed.txt"), "w") as f:
+                f.write("\n".join(paths))
+
+        def abort(self, messages):
+            for m in messages:
+                if m and m.path and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class ParquetSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "us_sdps_pyparquet_sink"
+
+        def writer(self, schema, overwrite):
+            return ParquetTaskWriter(self.options)
+
+    spark.dataSource.register(ParquetSink)
+    try:
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long"), "n_name"
+        )
+        nation.repartition(4).write.format("us_sdps_pyparquet_sink").option(
+            "path", target
+        ).mode("append").save()
+        with open(os.path.join(target, "_committed.txt")) as f:
+            committed = [p for p in f.read().splitlines() if p]
+        if not committed:
+            raise ValueError("Python writer committed no files")
+        back = spark.read.parquet(*committed)
+        out = (
+            back.groupBy((F.col("n_nationkey") % 4).cast("long").alias("band"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("sum_key"),
+                F.sum(F.length("n_name")).cast("long").alias("sum_name_len"),
+            )
+            .orderBy("band")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
