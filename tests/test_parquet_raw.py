@@ -233,3 +233,95 @@ def test_fuzz_random_tables_match_pyarrow(n, seed, use_dict, comp, page, pv):
             write_statistics=False,
         )
         _check_file(path)
+
+
+# ---------------------------------------------------------------- DELTA_*
+# (round 13): DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+# DELTA_BYTE_ARRAY — v2 writers' default encodings for ints and strings.
+
+def _check_delta(table, **kw):
+    import io
+
+    sink = io.BytesIO()
+    pq.write_table(table, sink, use_dictionary=False, **kw)
+    buf = sink.getvalue()
+    t = pq.read_table(io.BytesIO(buf))
+    for col in table.column_names:
+        got = PR.read_column(buf, col)
+        want = t.column(col).to_pylist()
+        if pa.types.is_string(table.schema.field(col).type):
+            got = [None if g is None else g.decode() for g in got]
+        assert got == want, col
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("comp", ["none", "snappy", "gzip"])
+def test_delta_encodings_vs_pyarrow(dpv, comp):
+    import random
+
+    random.seed(5)
+    n = 3000
+    tbl = pa.table(
+        {
+            "i64": pa.array([random.randint(-10**12, 10**12) for _ in range(n)], pa.int64()),
+            "i64n": pa.array(
+                [None if i % 7 == 0 else i * 1000003 for i in range(n)], pa.int64()
+            ),
+            "i32": pa.array([random.randint(-2**31, 2**31 - 1) for _ in range(n)], pa.int32()),
+            "mono": pa.array(list(range(-100, n - 100)), pa.int64()),
+            "s": pa.array([f"common-prefix-{i//50:04d}/suffix-{i}" for i in range(n)]),
+        }
+    )
+    _check_delta(
+        tbl,
+        data_page_version=dpv,
+        compression=comp,
+        column_encoding={
+            "i64": "DELTA_BINARY_PACKED",
+            "i64n": "DELTA_BINARY_PACKED",
+            "i32": "DELTA_BINARY_PACKED",
+            "mono": "DELTA_BINARY_PACKED",
+            "s": "DELTA_BYTE_ARRAY",
+        },
+    )
+
+
+def test_delta_extremes_and_multi_page():
+    edge = pa.table(
+        {
+            "i": pa.array([2**63 - 1, -(2**63), 0, 1, -1], pa.int64()),
+            "s": pa.array(["", "a", "", "ab", "abc"]),
+            "sl": pa.array(["x" * k for k in range(5)]),
+        }
+    )
+    _check_delta(
+        edge,
+        column_encoding={
+            "i": "DELTA_BINARY_PACKED",
+            "s": "DELTA_BYTE_ARRAY",
+            "sl": "DELTA_LENGTH_BYTE_ARRAY",
+        },
+    )
+    big = pa.table({"i": pa.array([k * k for k in range(4000)], pa.int64())})
+    _check_delta(
+        big,
+        data_page_version="2.0",
+        data_page_size=512,
+        column_encoding={"i": "DELTA_BINARY_PACKED"},
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ints=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=600),
+    texts=st.lists(st.text(max_size=30), min_size=1, max_size=600),
+    senc=st.sampled_from(["DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY"]),
+)
+def test_delta_fuzz_vs_pyarrow(ints, texts, senc):
+    n = min(len(ints), len(texts))
+    tbl = pa.table(
+        {"i": pa.array(ints[:n], pa.int64()), "s": pa.array(texts[:n])}
+    )
+    _check_delta(
+        tbl, column_encoding={"i": "DELTA_BINARY_PACKED", "s": senc}
+    )

@@ -19,11 +19,14 @@ level, and giving the Python DataSource tier a dependency-free reader
 for environments where pyarrow is absent. Scope (documented): data
 pages v1 + v2 (v2: levels uncompressed ahead of the values section,
 per-page is_compressed honored), no repetition levels (flat schemas),
-PLAIN / (PLAIN|RLE)_DICTIONARY value encodings, UNCOMPRESSED / SNAPPY /
-GZIP / LZ4_RAW codecs — Spark's default writer output (v1 + snappy +
-dict) plus pyarrow's `data_page_version='2.0'` and gzip/lz4 variants.
-Still gated NotImplementedError: ZSTD/BROTLI/hadoop-framed-LZ4 codecs,
-nested/repeated schemas, DELTA_* encodings, index pages.
+PLAIN / (PLAIN|RLE)_DICTIONARY / DELTA_BINARY_PACKED /
+DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY value encodings (the
+DELTA_* trio is v2 writers' default for ints and strings — r13),
+UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs — Spark's default writer
+output (v1 + snappy + dict) plus pyarrow's `data_page_version='2.0'`,
+gzip/lz4, and delta-encoded variants. Still gated NotImplementedError:
+ZSTD/BROTLI/hadoop-framed-LZ4 codecs, nested/repeated schemas,
+BYTE_STREAM_SPLIT, index pages.
 
 Format references: parquet-format/src/main/thrift/parquet.thrift and
 Encodings.md (public Apache specs).
@@ -204,6 +207,81 @@ def _plain_decode(data: bytes, ptype: int, n: int) -> list:
     raise NotImplementedError(f"parquet physical type {ptype} not in scope")
 
 
+def _delta_binary_packed(data: bytes, pos: int = 0) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (Encodings.md): header = block size (a
+    multiple of 128), miniblocks per block, total value count, first
+    value (zigzag); each block = min_delta (zigzag) + per-miniblock bit
+    widths + LSB-first bit-packed deltas. Returns (values, end_pos) —
+    the end position matters because DELTA_BYTE_ARRAY concatenates two
+    of these streams ahead of its byte payload."""
+    r = _Reader(data, pos)
+    block_size = r.varint()
+    n_mini = r.varint()
+    total = r.varint()
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("invalid DELTA_BINARY_PACKED geometry")
+    per_mini = block_size // n_mini
+    if total == 0:
+        return [], r.pos
+    first = r.zigzag()
+    vals = [first]
+    while len(vals) < total:
+        min_delta = r.zigzag()
+        bws = [r.byte() for _ in range(n_mini)]
+        for bw in bws:
+            if len(vals) >= total:
+                # trailing miniblocks after the last value carry no
+                # data bytes (the writer omits them; widths remain)
+                continue
+            if bw == 0:
+                deltas = [0] * per_mini
+            else:
+                nbytes = per_mini * bw // 8
+                raw = r.buf[r.pos : r.pos + nbytes]
+                if len(raw) != nbytes:
+                    raise ValueError("truncated DELTA_BINARY_PACKED miniblock")
+                r.pos += nbytes
+                acc = int.from_bytes(raw, "little")
+                mask = (1 << bw) - 1
+                deltas = [(acc >> (k * bw)) & mask for k in range(per_mini)]
+            for d in deltas:
+                if len(vals) >= total:
+                    break
+                vals.append(vals[-1] + min_delta + d)
+    return vals[:total], r.pos
+
+
+def _delta_length_byte_array(data: bytes, n: int) -> list[bytes]:
+    """DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED, then
+    the concatenated value bytes."""
+    lengths, pos = _delta_binary_packed(data)
+    if len(lengths) != n:
+        raise ValueError("DELTA_LENGTH_BYTE_ARRAY length-count mismatch")
+    out = []
+    for ln in lengths:
+        out.append(bytes(data[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def _delta_byte_array(data: bytes, n: int) -> list[bytes]:
+    """DELTA_BYTE_ARRAY (incremental/front coding): shared-prefix
+    lengths and suffix lengths as two back-to-back DELTA_BINARY_PACKED
+    streams, then the concatenated suffix bytes."""
+    prefixes, pos = _delta_binary_packed(data)
+    suffix_lens, pos = _delta_binary_packed(data, pos)
+    if len(prefixes) != n or len(suffix_lens) != n:
+        raise ValueError("DELTA_BYTE_ARRAY count mismatch")
+    out: list[bytes] = []
+    prev = b""
+    for pfx, sln in zip(prefixes, suffix_lens):
+        cur = prev[:pfx] + bytes(data[pos : pos + sln])
+        pos += sln
+        out.append(cur)
+        prev = cur
+    return out
+
+
 _CODEC_UNCOMPRESSED, _CODEC_SNAPPY, _CODEC_GZIP, _CODEC_LZ4_RAW = 0, 1, 2, 7
 
 
@@ -358,6 +436,30 @@ def read_column(buf: bytes, column: str) -> list:
                     present = [dictionary[i] for i in idx]
                 elif enc == 0:  # PLAIN
                     present = _plain_decode(vals_buf, ptype, n_present)
+                elif enc == 5:  # DELTA_BINARY_PACKED
+                    if ptype not in (_PQ_INT32, _PQ_INT64):
+                        raise ValueError(
+                            "DELTA_BINARY_PACKED is only valid for INT32/INT64"
+                        )
+                    present, _end = _delta_binary_packed(bytes(vals_buf))
+                    if len(present) != n_present:
+                        raise ValueError("DELTA_BINARY_PACKED count mismatch")
+                    if ptype == _PQ_INT32:
+                        present = [((v + 2**31) % 2**32) - 2**31 for v in present]
+                    else:
+                        present = [((v + 2**63) % 2**64) - 2**63 for v in present]
+                elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+                    if ptype != _PQ_BYTE_ARRAY:
+                        raise ValueError(
+                            "DELTA_LENGTH_BYTE_ARRAY is only valid for BYTE_ARRAY"
+                        )
+                    present = _delta_length_byte_array(bytes(vals_buf), n_present)
+                elif enc == 7:  # DELTA_BYTE_ARRAY
+                    if ptype != _PQ_BYTE_ARRAY:
+                        raise ValueError(
+                            "DELTA_BYTE_ARRAY is only valid for BYTE_ARRAY"
+                        )
+                    present = _delta_byte_array(bytes(vals_buf), n_present)
                 else:
                     raise NotImplementedError(f"value encoding {enc} not in scope")
                 it = iter(present)

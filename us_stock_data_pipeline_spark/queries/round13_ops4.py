@@ -270,3 +270,123 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# storage: page reader on the DELTA_* encodings (v2 writers' defaults)
+# --------------------------------------------------------------------------
+
+_PQRAW_DELTA_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(length(c_name)) AS BIGINT) AS sum_name_len,
+       CAST(count(*) FILTER (WHERE c_custkey % 9 = 0) AS BIGINT) AS n_nulled
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "storage_parquet_raw_scan_delta",
+    oracle=_PQRAW_DELTA_ORACLE,
+    tags=("storage", "multimodal"),
+    round=13,
+)
+def storage_parquet_raw_scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Python parquet page reader on the DELTA_* encodings (round
+    13): DELTA_BINARY_PACKED for the int columns (zigzag header,
+    per-block min_delta, LSB-first bit-packed miniblocks) and
+    DELTA_BYTE_ARRAY front coding for the string column (two
+    back-to-back DBP streams + suffix bytes) — the encodings v2-era
+    writers emit BY DEFAULT, i.e. what foreign files actually contain.
+    Same distributed shape as the v1/v2 scan queries: Spark's JVM
+    writer lands customer, each binaryFile->mapInPandas task re-encodes
+    ITS file with pyarrow `column_encoding=DELTA_*` (512-byte pages so
+    multi-page delta streams are load-bearing) and parses the bytes
+    with `functions/parquet_raw.py` — no pyarrow on the DECODE side."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "c_name AS nm",
+        "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE CAST(c_custkey AS BIGINT) END"
+        " AS ck_nullable",
+    )
+    stage = tempfile.mkdtemp(prefix=f"us_sdps_pqdelta_{_uuid.uuid4().hex[:8]}_")
+    try:
+        out_dir = f"{stage}/t"
+        cust.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        assert glob.glob(f"{out_dir}/*.parquet")
+
+        def decode(batches):
+            import io
+
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from us_stock_data_pipeline_spark.functions.parquet_raw import (
+                read_column,
+            )
+
+            for b in batches:
+                for _, row in b.iterrows():
+                    t = pq.read_table(io.BytesIO(bytes(row["content"])))
+                    sink = io.BytesIO()
+                    pq.write_table(
+                        t,
+                        sink,
+                        use_dictionary=False,
+                        data_page_version="2.0",
+                        data_page_size=512,
+                        write_statistics=False,
+                        column_encoding={
+                            "ck": "DELTA_BINARY_PACKED",
+                            "nk": "DELTA_BINARY_PACKED",
+                            "nm": "DELTA_BYTE_ARRAY",
+                            "ck_nullable": "DELTA_BINARY_PACKED",
+                        },
+                    )
+                    buf = sink.getvalue()
+                    yield pd.DataFrame(
+                        {
+                            "ck": read_column(buf, "ck"),
+                            "nk": read_column(buf, "nk"),
+                            "nm_len": [
+                                None if v is None else len(v)
+                                for v in read_column(buf, "nm")
+                            ],
+                            "ck_nullable": read_column(buf, "ck_nullable"),
+                        }
+                    )
+
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .load(out_dir)
+            .select("content")
+        )
+        decoded = files.mapInPandas(
+            decode, "ck long, nk long, nm_len long, ck_nullable long"
+        )
+        agg = (
+            decoded.groupBy("nk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("ck").cast("long").alias("sum_key"),
+                F.sum("nm_len").cast("long").alias("sum_name_len"),
+                F.sum(F.when(F.col("ck_nullable").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulled"),
+            )
+            .orderBy("nk")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
