@@ -227,3 +227,36 @@ def test_fuzz_dictionary_rle_runs(vals, page_rows, rg_rows):
     )
     assert pq.read_table(io.BytesIO(buf)).column("v").to_pylist() == vals
     assert PR.read_column(buf, "v") == vals
+
+
+@pytest.mark.parametrize("codec", [CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP, CODEC_LZ4_RAW])
+@pytest.mark.parametrize("use_dict", [False, True])
+def test_v2_pages_roundtrip(codec, use_dict):
+    cols = _cols(3500)
+    buf = write_parquet(
+        cols,
+        codec=codec,
+        page_version=2,
+        use_dictionary=use_dict,
+        page_rows=300,
+        row_group_rows=1700,
+    )
+    _assert_pyarrow_roundtrip(buf, cols)
+    _assert_own_roundtrip(buf, cols)
+
+
+def test_v2_pages_spark_reads(spark):
+    cols = _cols(2500)
+    buf = write_parquet(cols, page_version=2, use_dictionary=True, page_rows=400)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "own_v2.parquet")
+        with open(path, "wb") as f:
+            f.write(buf)
+        rows = spark.read.parquet(path).orderBy("i64").collect()
+        assert [r.i64 for r in rows] == cols[0][3]
+        assert [r.s for r in rows] == cols[3][3]
+
+
+def test_bad_page_version_rejected():
+    with pytest.raises(ValueError, match="page_version"):
+        write_parquet([("a", PQ_INT64, False, [1])], page_version=3)

@@ -20,7 +20,10 @@ repetition, multiple row groups (`row_group_rows`), PLAIN or
 DICTIONARY encoding (`use_dictionary`: PLAIN_DICTIONARY dict page +
 RLE/bit-packed index pages — the layout Spark's own writer defaults
 to — with parquet-mr's fallback to PLAIN when cardinality stops
-paying), UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs.
+paying), DATA PAGE V1 or V2 (`page_version=2`: levels uncompressed
+and un-prefixed ahead of the separately-compressed values section,
+per-page num_nulls, RLE_DICTIONARY data-page encoding),
+UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs.
 
 Format references: parquet-format/src/main/thrift/parquet.thrift,
 Encodings.md, Compression.md (public Apache specs).
@@ -259,6 +262,7 @@ def _write_chunk(
     codec: int,
     page_rows: int,
     use_dict: bool,
+    page_version: int = 1,
 ) -> bytes:
     """Write one column chunk (optionally dictionary-encoded) at the
     current end of `body`; returns the serialized ColumnChunk struct."""
@@ -297,7 +301,7 @@ def _write_chunk(
             body += comp
             chunk_comp += len(hdr) + len(comp)
             chunk_uncomp += len(hdr) + len(raw)
-            encodings = [2, 3]  # PLAIN_DICTIONARY, RLE
+            encodings = [2 if page_version == 1 else 8, 3]  # *_DICTIONARY, RLE
             first_page_offset = len(body)
     for start in range(0, max(n_rows, 1), page_rows):
         page_vals = vals[start : start + page_rows]
@@ -305,37 +309,70 @@ def _write_chunk(
             break
         defs = [0 if v is None else 1 for v in page_vals]
         present = [v for v in page_vals if v is not None]
-        payload = bytearray()
-        if optional:
-            lv = _rle_def_levels(defs)
-            payload += struct.pack("<I", len(lv)) + lv  # v1: length prefix
-        elif any(d == 0 for d in defs):
+        if not optional and any(d == 0 for d in defs):
             raise ValueError(f"nulls in required column {name!r}")
+        values = bytearray()
         if dictionary is not None:
             # minimum width 1: a width-0 stream has no tokens at all,
             # which readers reject (they expect at least one RLE header)
             bw = max(max(len(dictionary) - 1, 0).bit_length(), 1)
-            payload.append(bw)
-            payload += _rle_bp_write([dictionary[v] for v in present], bw)
-            enc = 2  # PLAIN_DICTIONARY
+            values.append(bw)
+            values += _rle_bp_write([dictionary[v] for v in present], bw)
+            enc = 2 if page_version == 1 else 8  # PLAIN_/RLE_DICTIONARY
         else:
-            payload += _plain_encode(present, ptype)
+            values += _plain_encode(present, ptype)
             enc = 0  # PLAIN
-        raw = bytes(payload)
-        comp = _compress(raw, codec)
-        ph = _Writer()
-        ph.field_i32(1, 0)  # PageType.DATA_PAGE
-        ph.field_i32(2, len(raw))
-        ph.field_i32(3, len(comp))
-        dph = _Writer()
-        dph.field_i32(1, len(page_vals))
-        dph.field_i32(2, enc)
-        dph.field_i32(3, 3)  # def levels: Encoding.RLE
-        dph.field_i32(4, 3)  # rep levels: Encoding.RLE (absent, flat)
-        ph.field_struct(5, dph.done())
-        header_bytes = ph.done()
-        body += header_bytes
-        body += comp
+        if page_version == 2:
+            # v2 layout: def levels UNCOMPRESSED and un-prefixed ahead
+            # of the (separately compressed) values section
+            lv = _rle_def_levels(defs) if optional else b""
+            comp_vals = _compress(bytes(values), codec)
+            raw_len = len(lv) + len(values)
+            comp_len = len(lv) + len(comp_vals)
+            ph = _Writer()
+            ph.field_i32(1, 3)  # PageType.DATA_PAGE_V2
+            ph.field_i32(2, raw_len)
+            ph.field_i32(3, comp_len)
+            dph = _Writer()
+            dph.field_i32(1, len(page_vals))
+            dph.field_i32(2, len(page_vals) - len(present))  # num_nulls
+            dph.field_i32(3, len(page_vals))  # num_rows (flat schema)
+            dph.field_i32(4, enc)
+            dph.field_i32(5, len(lv))
+            dph.field_i32(6, 0)  # no repetition levels (flat)
+            if codec == CODEC_UNCOMPRESSED:
+                dph.field_bool(7, False)  # is_compressed
+            ph.field_struct(8, dph.done())
+            header_bytes = ph.done()
+            body += header_bytes
+            body += lv
+            body += comp_vals
+            chunk_comp += len(header_bytes) + comp_len
+            chunk_uncomp += len(header_bytes) + raw_len
+            if n_rows == 0:
+                break
+            continue
+        else:
+            payload = bytearray()
+            if optional:
+                lv = _rle_def_levels(defs)
+                payload += struct.pack("<I", len(lv)) + lv  # v1: length prefix
+            payload += values
+            raw = bytes(payload)
+            comp = _compress(raw, codec)
+            ph = _Writer()
+            ph.field_i32(1, 0)  # PageType.DATA_PAGE
+            ph.field_i32(2, len(raw))
+            ph.field_i32(3, len(comp))
+            dph = _Writer()
+            dph.field_i32(1, len(page_vals))
+            dph.field_i32(2, enc)
+            dph.field_i32(3, 3)  # def levels: Encoding.RLE
+            dph.field_i32(4, 3)  # rep levels: Encoding.RLE (absent, flat)
+            ph.field_struct(5, dph.done())
+            header_bytes = ph.done()
+            body += header_bytes
+            body += comp
         # chunk totals INCLUDE the page-header bytes (parquet.thrift:
         # "total byte size of all compressed pages ... including the
         # headers") — readers bound the chunk stream by them
@@ -367,6 +404,7 @@ def write_parquet(
     page_rows: int = 1024,
     row_group_rows: int | None = None,
     use_dictionary: bool | set[str] = False,
+    page_version: int = 1,
     created_by: str = "us-stock-data-pipeline-spark parquet_write",
 ) -> bytes:
     """Serialize `columns` = [(name, physical_type, optional, values)]
@@ -378,7 +416,13 @@ def write_parquet(
     layout Spark's own writer defaults to, with parquet-mr's fallback
     to PLAIN when cardinality stops paying), `row_group_rows`-sized row
     groups (default: one), thrift-compact footer with min/max
-    statistics and declared column orders."""
+    statistics and declared column orders. `page_version=2` emits
+    DATA_PAGE_V2 pages (def levels uncompressed and un-prefixed ahead
+    of the separately-compressed values section, per-page num_nulls,
+    is_compressed honored — pyarrow's `data_page_version='2.0'`
+    layout)."""
+    if page_version not in (1, 2):
+        raise ValueError("page_version must be 1 or 2")
     n_rows = len(columns[0][3]) if columns else 0
     for name, _t, _o, vals in columns:
         if len(vals) != n_rows:
@@ -406,6 +450,7 @@ def write_parquet(
                     codec,
                     page_rows,
                     use_dict,
+                    page_version=page_version,
                 )
             )
             total_bytes += len(body) - before
