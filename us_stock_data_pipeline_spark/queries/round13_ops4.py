@@ -390,3 +390,113 @@ def storage_parquet_raw_scan_delta(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# source: Avro Object Container Files without the spark-avro jar
+# --------------------------------------------------------------------------
+
+_AVRO_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(length(c_name)) FILTER (WHERE c_custkey % 6 <> 0) AS BIGINT)
+         AS sum_name_len,
+       CAST(count(*) FILTER (WHERE c_custkey % 6 = 0) AS BIGINT) AS n_nulled,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "source_avro_scan",
+    oracle=_AVRO_ORACLE,
+    tags=("source", "storage"),
+    round=13,
+)
+def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container Files WITHOUT the spark-avro jar (round
+    13): the environment prohibits installing Spark's Avro module, so
+    the format sat env-gated since round 1 — `functions/avro_io.py`
+    retires the gate with a byte-level pure-Python OCF reader+writer
+    (zigzag varints, union-coded nulls, deflate/snappy blocks with the
+    spec's CRC32, sync markers verified per block). Each mapInPandas
+    task serializes ITS customer batch to a real deflate-coded OCF,
+    reads the bytes back, and the DECODED rows (with per-row cents
+    quantization of the double field) feed the hash-checked aggregate —
+    write and read paths both load-bearing. At 100 TB the same reader
+    runs over `binaryFile`-listed Avro landing files one task per file,
+    with block sync markers as intra-file split points."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.avro_io import (
+        avro_read,
+        avro_write,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_name END AS nm",
+        "CAST(c_acctbal AS DOUBLE) AS bal",
+    )
+    schema = {
+        "type": "record",
+        "name": "cust",
+        "fields": [
+            {"name": "ck", "type": "long"},
+            {"name": "nk", "type": "long"},
+            {"name": "nm", "type": ["null", "string"]},
+            {"name": "bal", "type": "double"},
+        ],
+    }
+
+    def roundtrip(batches):
+        for b in batches:
+            if b.empty:
+                continue
+            rows = [
+                {
+                    "ck": int(r.ck),
+                    "nk": int(r.nk),
+                    "nm": None if pd.isna(r.nm) else str(r.nm),
+                    "bal": float(r.bal),
+                }
+                for r in b.itertuples()
+            ]
+            buf = avro_write(schema, rows, codec="deflate", block_rows=256)
+            sch, got = avro_read(buf)
+            if got != rows:
+                raise ValueError("Avro roundtrip mismatch")
+            yield pd.DataFrame(
+                {
+                    "ck": [g["ck"] for g in got],
+                    "nk": [g["nk"] for g in got],
+                    "nm_len": [
+                        None if g["nm"] is None else len(g["nm"]) for g in got
+                    ],
+                    "bal_cents": [
+                        int((g["bal"] * 100 + 0.5) // 1) for g in got
+                    ],
+                }
+            )
+
+    decoded = cust.mapInPandas(
+        roundtrip, "ck long, nk long, nm_len long, bal_cents long"
+    )
+    return (
+        decoded.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("ck").cast("long").alias("sum_key"),
+            F.sum("nm_len").cast("long").alias("sum_name_len"),
+            F.sum(F.when(F.col("nm_len").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulled"),
+            F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+        )
+        .orderBy("nk")
+    )
