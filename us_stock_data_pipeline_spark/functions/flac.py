@@ -214,25 +214,66 @@ def _best_rice_param(residual: list[int], max_param: int = 14) -> tuple[int, int
     return best_p, best_c
 
 
-def _write_residual(bw: _BitWriter, residual: list[int]) -> None:
-    """Rice method 0 (4-bit params), one partition (order 0), with the
-    escape hatch when raw is cheaper."""
-    param, cost = _best_rice_param(residual)
+def _partition_plan(
+    residual: list[int], blocksize: int, pred_order: int
+) -> tuple[int, list[tuple[int, int, int]]]:
+    """Choose the Rice partition order (0-4) by exact total bit cost.
+    Returns (porder, [(start, end, param) ...]) over the residual
+    array; per the spec, partition 0 of 2^p covers blocksize/2^p -
+    pred_order residuals and the rest cover blocksize/2^p each."""
+    best = None  # (bits, porder, parts)
+    for porder in range(0, 5):
+        n_part = 1 << porder
+        if blocksize % n_part:
+            continue
+        per = blocksize // n_part
+        if per <= pred_order:
+            continue
+        parts = []
+        total = 4  # partition order field... (method bits counted by caller)
+        pos = 0
+        ok = True
+        for p in range(n_part):
+            n = per - (pred_order if p == 0 else 0)
+            seg = residual[pos : pos + n]
+            if len(seg) != n:
+                ok = False
+                break
+            param, cost = _best_rice_param(seg)
+            parts.append((pos, pos + n, param))
+            total += 4 + cost
+            pos += n
+        if ok and pos == len(residual) and (best is None or total < best[0]):
+            best = (total, porder, parts)
+    assert best is not None  # porder 0 always fits
+    return best[1], best[2]
+
+
+def _write_residual(
+    bw: _BitWriter, residual: list[int], blocksize: int, pred_order: int
+) -> None:
+    """Rice method 0 (4-bit params) with per-block partition-order
+    search (0-4, exact cost) and the escape hatch when raw beats Rice
+    for a whole-block partition."""
     raw_bits = max((max(_zigzag(r) for r in residual).bit_length() + 1) if residual else 1, 1)
     raw_bits = min(raw_bits, 31)
+    porder, parts = _partition_plan(residual, blocksize, pred_order)
     bw.write(0, 2)  # coding method 0: 4-bit rice
-    bw.write(0, 4)  # partition order 0
-    if residual and cost > 5 + raw_bits * len(residual):
-        bw.write(0xF, 4)  # escape
-        bw.write(raw_bits, 5)
-        for r in residual:
-            bw.write_signed(r, raw_bits)
-        return
-    bw.write(param, 4)
-    for r in residual:
-        u = _zigzag(r)
-        bw.write_unary(u >> param)
-        bw.write(u & ((1 << param) - 1), param)
+    bw.write(porder, 4)
+    for start, end, param in parts:
+        seg = residual[start:end]
+        cost = _rice_cost(seg, param)
+        if seg and porder == 0 and cost > 5 + raw_bits * len(seg):
+            bw.write(0xF, 4)  # escape
+            bw.write(raw_bits, 5)
+            for r in seg:
+                bw.write_signed(r, raw_bits)
+            continue
+        bw.write(param, 4)
+        for r in seg:
+            u = _zigzag(r)
+            bw.write_unary(u >> param)
+            bw.write(u & ((1 << param) - 1), param)
 
 
 def _read_residual(
@@ -380,7 +421,7 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
         bw.write(0, 1)
         for s in samples[:order]:
             bw.write_signed(s, bps)
-        _write_residual(bw, res)
+        _write_residual(bw, res, len(samples), order)
         return
     order, shift, q, res = payload
     bw.write(0, 1)
@@ -392,7 +433,7 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
     bw.write_signed(shift, 5)
     for c in q:
         bw.write_signed(c, _LPC_PRECISION)
-    _write_residual(bw, res)
+    _write_residual(bw, res, len(samples), order)
 
 
 def flac_encode(
