@@ -500,3 +500,169 @@ def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal: AVI/MJPEG video decode — container + frame codec, both real
+# --------------------------------------------------------------------------
+
+_AVI_MX, _AVI_MY, _AVI_FRAMES = 3, 2, 4
+
+_AVI_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 31 = 0
+),
+cards AS (
+  SELECT i.doc_id, i.source, fr.g AS frame,
+         i.doc_id + fr.g * 131 AS card
+  FROM ids i, LATERAL (SELECT unnest(range(0, {_AVI_FRAMES})) AS g) fr
+),
+mcus AS (
+  SELECT c.doc_id, c.source, c.frame,
+         CAST((c.card * 5 + mx.g * 11 + my.g * 3) % 256 AS BIGINT) AS r,
+         CAST((c.card * 9 + mx.g * 7 + my.g * 13) % 256 AS BIGINT) AS g,
+         CAST((c.card * 3 + mx.g * 17 + my.g * 5) % 256 AS BIGINT) AS b
+  FROM cards c,
+       LATERAL (SELECT unnest(range(0, {_AVI_MX})) AS g) mx,
+       LATERAL (SELECT unnest(range(0, {_AVI_MY})) AS g) my
+),
+ycc AS (
+  SELECT doc_id, source, frame,
+         least(greatest((299000*r + 587000*g + 114000*b + 500000) // 1000000, 0), 255) AS y,
+         least(greatest((128000000 - 168736*r - 331264*g + 500000*b + 500000) // 1000000, 0), 255) AS cb,
+         least(greatest((128000000 + 500000*r - 418688*g - 81312*b + 500000) // 1000000, 0), 255) AS cr
+  FROM mcus
+),
+rgb AS (
+  SELECT doc_id, source, frame,
+         least(greatest((1000000*y + 1402000*(cr - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS er,
+         least(greatest((1000000*y - 344136*(cb - 128) - 714136*(cr - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS eg,
+         least(greatest((1000000*y + 1772000*(cb - 128) + 500000 + 512000000) // 1000000 - 512, 0), 255) AS eb
+  FROM ycc
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       CAST(count(DISTINCT (doc_id, frame)) AS BIGINT) AS n_frames,
+       CAST(count(*) * 256 AS BIGINT) AS n_pixels,
+       CAST(sum(er) * 256 AS BIGINT) AS sum_r,
+       CAST(sum(eg) * 256 AS BIGINT) AS sum_g,
+       CAST(sum(eb) * 256 AS BIGINT) AS sum_b
+FROM rgb
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_avi_mjpeg_decode",
+    oracle=_AVI_ORACLE,
+    tags=("llm", "multimodal", "udf"),
+    round=13,
+)
+def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO decode (round 13): every 31st document carries a
+    4-frame MJPEG AVI — RIFF container (hdrl/strl/movi lists, idx1
+    index, word alignment) assembled by `functions/avi.py`, each frame
+    a genuine baseline 4:2:0 color JPEG test card whose id folds in the
+    frame number. The decode stage walks the container (frame count
+    cross-checked against the avih header, MJPG fourcc enforced), then
+    runs the engine's own `decode_jpeg_color` on every frame — both
+    layers real, no media libraries. Constant-MCU cards survive the
+    JPEG transit bit-exactly, so the oracle enumerates all frames'
+    channel sums in closed form. Plan: one scan, one Arrow
+    encode stage, one Arrow decode stage, one rollup; video bytes never
+    visit the driver. At 100 TB this is the frame-sampling shape of a
+    video-corpus pipeline: one task per video, frames decoded where
+    the bytes are."""
+    import pandas as pd
+
+    from us_stock_data_pipeline_spark.functions.avi import (
+        avi_mjpeg_read,
+        avi_mjpeg_write,
+    )
+    from us_stock_data_pipeline_spark.functions.multimodal import (
+        encode_jpeg_color_card,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 31 == 0)
+        .select("doc_id", "source")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "payload": [
+                        avi_mjpeg_write(
+                            [
+                                encode_jpeg_color_card(
+                                    int(d) + fr * 131, _AVI_MX, _AVI_MY
+                                )
+                                for fr in range(_AVI_FRAMES)
+                            ],
+                            _AVI_MX * 16,
+                            _AVI_MY * 16,
+                            fps=8,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode(batches):
+        import numpy as np
+
+        from us_stock_data_pipeline_spark.functions.multimodal import (
+            decode_jpeg_color,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d, src, payload in zip(pdf["doc_id"], pdf["source"], pdf["payload"]):
+                video = avi_mjpeg_read(bytes(payload))
+                if video["width"] != _AVI_MX * 16 or len(video["frames"]) != _AVI_FRAMES:
+                    raise ValueError("AVI geometry mismatch")
+                sr = sg = sb = px = 0
+                for fjpg in video["frames"]:
+                    img = decode_jpeg_color(fjpg).astype(np.int64)
+                    px += img.shape[0] * img.shape[1]
+                    sr += int(img[:, :, 0].sum())
+                    sg += int(img[:, :, 1].sum())
+                    sb += int(img[:, :, 2].sum())
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "source": src,
+                        "n_frames": len(video["frames"]),
+                        "n_pixels": px,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    encoded = docs.mapInPandas(
+        encode, "doc_id long, source string, payload binary"
+    )
+    decoded = encoded.mapInPandas(
+        decode,
+        "doc_id long, source string, n_frames long, n_pixels long,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_videos"),
+            F.sum("n_frames").cast("long").alias("n_frames"),
+            F.sum("n_pixels").cast("long").alias("n_pixels"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+        )
+        .orderBy("source")
+    )
