@@ -200,29 +200,46 @@ def _fixed_residual(samples: list[int], order: int) -> list[int]:
     return res
 
 
+def _rice_cost_u(us: list[int], param: int) -> int:
+    return sum(u >> param for u in us) + len(us) * (1 + param)
+
+
 def _rice_cost(residual: list[int], param: int) -> int:
-    return sum((_zigzag(r) >> param) + 1 + param for r in residual)
+    return _rice_cost_u([_zigzag(r) for r in residual], param)
+
+
+def _best_rice_param_u(us: list[int], max_param: int = 14) -> tuple[int, int]:
+    """(param, bits) over pre-zigzagged residuals: seed from the mean
+    magnitude (libFLAC's estimate), refine exactly in a +/-2 window —
+    the Rice cost curve is convex in the parameter, so the windowed
+    search finds the global optimum the full sweep would."""
+    if not us:
+        return 0, 0
+    mean = sum(us) // len(us)
+    p0 = max(0, min(max_param, mean.bit_length() - 1))
+    best_p, best_c = None, None
+    for p in range(max(0, p0 - 2), min(max_param, p0 + 2) + 1):
+        c = _rice_cost_u(us, p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
 
 
 def _best_rice_param(residual: list[int], max_param: int = 14) -> tuple[int, int]:
-    """(param, bits); mean-magnitude seeded then refined exactly."""
-    best_p, best_c = 0, _rice_cost(residual, 0)
-    for p in range(1, max_param + 1):
-        c = _rice_cost(residual, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    return _best_rice_param_u([_zigzag(r) for r in residual], max_param)
 
 
 def _partition_plan(
     residual: list[int], blocksize: int, pred_order: int
 ) -> tuple[int, list[tuple[int, int, int]]]:
-    """Choose the Rice partition order (0-4) by exact total bit cost.
-    Returns (porder, [(start, end, param) ...]) over the residual
-    array; per the spec, partition 0 of 2^p covers blocksize/2^p -
-    pred_order residuals and the rest cover blocksize/2^p each."""
+    """Choose the Rice partition order (0-2) by exact total bit cost
+    over windowed-optimal per-partition parameters. Returns (porder,
+    [(start, end, param) ...]) over the residual array; per the spec,
+    partition 0 of 2^p covers blocksize/2^p - pred_order residuals and
+    the rest cover blocksize/2^p each."""
+    us_all = [_zigzag(r) for r in residual]
     best = None  # (bits, porder, parts)
-    for porder in range(0, 5):
+    for porder in range(0, 3):
         n_part = 1 << porder
         if blocksize % n_part:
             continue
@@ -235,11 +252,11 @@ def _partition_plan(
         ok = True
         for p in range(n_part):
             n = per - (pred_order if p == 0 else 0)
-            seg = residual[pos : pos + n]
+            seg = us_all[pos : pos + n]
             if len(seg) != n:
                 ok = False
                 break
-            param, cost = _best_rice_param(seg)
+            param, cost = _best_rice_param_u(seg)
             parts.append((pos, pos + n, param))
             total += 4 + cost
             pos += n
@@ -342,8 +359,13 @@ def _lpc_analyze(samples: list[int]) -> tuple[int, int, list[int], list[int]] | 
         if err <= 0.0:
             break
     best = None  # (bits, order, shift, qcoeffs, residual)
+    # evaluate a geometric order ladder (1/2/4/8) instead of every
+    # order: residual generation is the O(n x order) hot loop, and the
+    # ladder tracks the cost curve closely on real signals
     for coeffs in per_order:
         order = len(coeffs)
+        if order not in (1, 2, 4, 8) and order != len(per_order):
+            continue
         cmax = max(abs(c) for c in coeffs)
         if cmax == 0.0 or cmax != cmax or cmax in (float("inf"),):
             continue
@@ -378,44 +400,59 @@ def _lpc_analyze(samples: list[int]) -> tuple[int, int, list[int], list[int]] | 
     return best[1], best[2], best[3], best[4]
 
 
-def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
-    """Pick CONSTANT / FIXED(0-4) / LPC(1-8) / VERBATIM by exact bit
-    cost (the real encoder decision: LPC wins on tonal content, FIXED
-    on smooth ramps, VERBATIM on noise, CONSTANT on silence)."""
+def _plan_subframe(samples: list[int], bps: int) -> tuple[int, tuple]:
+    """(bits, plan) for the cheapest of CONSTANT / FIXED(0-4) /
+    LPC(order ladder) / VERBATIM — planning only, no bit writing, so a
+    stereo frame can cost all four channel assignments from one plan
+    per distinct signal (the real encoder decision: LPC wins on tonal
+    content, FIXED on smooth ramps, VERBATIM on noise, CONSTANT on
+    silence)."""
     if all(s == samples[0] for s in samples):
-        bw.write(0, 1)
-        bw.write(0, 6)  # CONSTANT
-        bw.write(0, 1)  # no wasted bits
-        bw.write_signed(samples[0], bps)
-        return
-    best = None  # (bits, kind, payload)
-    max_order = min(4, len(samples) - 1)
-    for order in range(0, max_order + 1):
-        res = _fixed_residual(samples, order)
+        return 8 + bps, ("const",)
+    best = None  # (bits, plan)
+    prev = list(samples)
+    for order in range(0, min(4, len(samples) - 1) + 1):
+        res = prev if order == 0 else [
+            prev[i] - prev[i - 1] for i in range(1, len(prev))
+        ]
+        if order:
+            prev = res
         if any(abs(r) > (1 << 40) for r in res):
             continue  # pathological growth; skip this order
         _p, cost = _best_rice_param(res)
         total = order * bps + 6 + cost
         if best is None or total < best[0]:
-            best = (total, "fixed", (order, res))
+            best = (total, ("fixed", order, res))
     lpc = _lpc_analyze(samples)
     if lpc is not None:
         order, shift, q, res = lpc
         _p, cost = _best_rice_param(res)
         total = order * bps + 4 + 5 + order * _LPC_PRECISION + 6 + cost
         if best is None or total < best[0]:
-            best = (total, "lpc", (order, shift, q, res))
-    verbatim_bits = bps * len(samples)
+            best = (total, ("lpc", order, shift, q, res))
+    verbatim_bits = 8 + bps * len(samples)
     if best is None or best[0] >= verbatim_bits:
+        return verbatim_bits, ("verbatim",)
+    return best
+
+
+def _emit_subframe(bw: _BitWriter, plan: tuple, samples: list[int], bps: int) -> None:
+    kind = plan[0]
+    if kind == "const":
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(samples[0], bps)
+        return
+    if kind == "verbatim":
         bw.write(0, 1)
         bw.write(1, 6)  # VERBATIM
         bw.write(0, 1)
         for s in samples:
             bw.write_signed(s, bps)
         return
-    _bits, kind, payload = best
     if kind == "fixed":
-        order, res = payload
+        _k, order, res = plan
         bw.write(0, 1)
         bw.write(0b001000 | order, 6)  # FIXED, order
         bw.write(0, 1)
@@ -423,7 +460,7 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
             bw.write_signed(s, bps)
         _write_residual(bw, res, len(samples), order)
         return
-    order, shift, q, res = payload
+    _k, order, shift, q, res = plan
     bw.write(0, 1)
     bw.write(32 + (order - 1), 6)  # LPC, order
     bw.write(0, 1)  # no wasted bits
@@ -434,6 +471,10 @@ def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
     for c in q:
         bw.write_signed(c, _LPC_PRECISION)
     _write_residual(bw, res, len(samples), order)
+
+
+def _encode_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
+    _emit_subframe(bw, _plan_subframe(samples, bps)[1], samples, bps)
 
 
 def flac_encode(
@@ -479,34 +520,38 @@ def flac_encode(
     return bytes(out)
 
 
-def _subframe_cost(samples: list[int], bps: int) -> int:
-    probe = _BitWriter()
-    _encode_subframe(probe, samples, bps)
-    return len(probe.buf) * 8 + probe.nbits
-
-
 def _encode_frame(blocks: list[list[int]], frame_no: int, bs: int, bps: int) -> bytes:
     n_ch = len(blocks)
     assignment = n_ch - 1
+    plans = [_plan_subframe(b, bps) for b in blocks]
     subframes = blocks
     sub_bps = [bps] * n_ch
     if n_ch == 2:
         left, right = blocks
         mid = [(l + r) >> 1 for l, r in zip(left, right)]
         side = [l - r for l, r in zip(left, right)]
+        # ONE plan per distinct signal; the four assignments are cost
+        # sums over those plans (the probe-encode-everything version
+        # cost 6 full subframe encodes per frame)
+        pl = {"l": plans[0], "r": plans[1]}
+        pl["m"] = _plan_subframe(mid, bps)
+        pl["s"] = _plan_subframe(side, bps + 1)
         costs = {
-            1: _subframe_cost(left, bps) + _subframe_cost(right, bps),
-            8: _subframe_cost(left, bps) + _subframe_cost(side, bps + 1),
-            9: _subframe_cost(side, bps + 1) + _subframe_cost(right, bps),
-            10: _subframe_cost(mid, bps) + _subframe_cost(side, bps + 1),
+            1: pl["l"][0] + pl["r"][0],
+            8: pl["l"][0] + pl["s"][0],
+            9: pl["s"][0] + pl["r"][0],
+            10: pl["m"][0] + pl["s"][0],
         }
         assignment = min(costs, key=lambda k: (costs[k], k))
         if assignment == 8:
             subframes, sub_bps = [left, side], [bps, bps + 1]
+            plans = [pl["l"], pl["s"]]
         elif assignment == 9:
             subframes, sub_bps = [side, right], [bps + 1, bps]
+            plans = [pl["s"], pl["r"]]
         elif assignment == 10:
             subframes, sub_bps = [mid, side], [bps, bps + 1]
+            plans = [pl["m"], pl["s"]]
     hdr = _BitWriter()
     hdr.write(0b11111111111110, 14)  # sync
     hdr.write(0, 1)  # reserved
@@ -524,8 +569,8 @@ def _encode_frame(blocks: list[list[int]], frame_no: int, bs: int, bps: int) -> 
     head += struct.pack(">H", bs - 1)
     head.append(_crc8(bytes(head)))
     body = _BitWriter()
-    for sf, sbps in zip(subframes, sub_bps):
-        _encode_subframe(body, sf, sbps)
+    for sf, sbps, plan in zip(subframes, sub_bps, plans):
+        _emit_subframe(body, plan[1], sf, sbps)
     body.align()
     frame = bytes(head) + body.bytes()
     return frame + struct.pack(">H", _crc16(frame))

@@ -291,6 +291,10 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 23 == 0)
         .select("doc_id", "source")
+        # the filtered id list collapses into one input split; spread
+        # the Python codec work across the executor pool (at 100 TB the
+        # per-file split does this naturally)
+        .repartition(32)
     )
 
     def codec(batches):

@@ -48,6 +48,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source requires a directory; stage the fixture file
     # into a per-sf_dir temp dir (this mirrors production, where a landing
     # DIRECTORY accumulates files and the source tails it).
+    if os.path.isdir(path):
+        # already a directory of part files (e.g. the scale tool's
+        # inflated fixture): stream straight from it, no staging copy
+        skey = (path, 0, 0.0)
+        schema = _SCHEMA_CACHE.get(skey)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            _SCHEMA_CACHE[skey] = schema
+        return fix_nanos_ts(spark.readStream.schema(schema).parquet(path))
     stage = os.path.join(
         tempfile.gettempdir(), "us_sdps_stream", hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     )
