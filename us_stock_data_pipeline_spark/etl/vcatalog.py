@@ -73,6 +73,7 @@ the new head; `versioned_sql` also accepts ``REFRESH TABLE <name>``.
 
 from __future__ import annotations
 
+import posixpath
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -218,6 +219,9 @@ _DESCRIBE_HISTORY = re.compile(
 )
 _DESCRIBE_BRANCHES = re.compile(
     rf"^\s*DESCRIBE\s+BRANCHES\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_DETAIL = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
 )
 _RESTORE = re.compile(
     rf"^\s*RESTORE\s+TABLE\s+({_NAME_RE})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
@@ -661,6 +665,50 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
     m = _DESCRIBE_BRANCHES.match(stmt)
     if m:
         return V.describe_branches(spark, _root_of(spark, m.group(1)))
+    m = _DESCRIBE_DETAIL.match(stmt)
+    if m:
+        # Delta's DESCRIBE DETAIL: one metadata-only row summarizing the
+        # current snapshot — no data scan, one manifest read plus the
+        # refs/branches listings (all driver-side, bounded by metadata)
+        name = m.group(1)
+        root = _root_of(spark, name)
+        ver = V.current_version(spark, root)
+        doc = V._read_manifest_doc(spark, root, ver)
+        parts = doc.get("partitions", {})
+        n_files = sum(
+            max(
+                1,
+                sum(
+                    1
+                    for f in doc.get("file_stats", {})
+                    if f.startswith(posixpath.join(vdir, pdir) + "/")
+                ),
+            )
+            for pdir, vdir in parts.items()
+        )
+        part_cols = sorted(
+            {k for p in parts for k in V._parse_partition_values(p)}
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    name,
+                    "versioned-parquet",
+                    root,
+                    int(ver),
+                    len(parts),
+                    int(n_files),
+                    ",".join(part_cols),
+                    len(doc.get("deletion_vectors", [])),
+                    len(doc.get("constraints", {})),
+                    len(V.list_branches(spark, root)),
+                )
+            ],
+            "table_name string, format string, location string,"
+            " version long, num_partitions long, num_files long,"
+            " partition_columns string, num_deletion_vectors long,"
+            " num_constraints long, num_branches long",
+        )
     m = _RESTORE.match(stmt)
     if m:
         name, version = m.group(1), int(m.group(2))

@@ -666,3 +666,83 @@ def multimodal_avi_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# catalog: DESCRIBE DETAIL — metadata-only table summary
+# --------------------------------------------------------------------------
+
+_DETAIL_ORACLE = """
+SELECT 'dd_nation' AS table_name,
+       'versioned-parquet' AS format,
+       CAST(4 AS BIGINT) AS version,  -- seed, UPDATE, DV delete, ADD CONSTRAINT
+       CAST(count(DISTINCT n_regionkey) AS BIGINT) AS num_partitions,
+       CAST(count(DISTINCT n_regionkey) AS BIGINT) AS num_files,
+       'part' AS partition_columns,
+       CAST(1 AS BIGINT) AS num_deletion_vectors,
+       CAST(1 AS BIGINT) AS num_constraints,
+       CAST(1 AS BIGINT) AS num_branches
+FROM nation
+"""
+
+
+@register(
+    "etl_versioned_sql_describe_detail",
+    oracle=_DETAIL_ORACLE,
+    tags=("etl", "versioned", "catalog"),
+    round=13,
+)
+def etl_versioned_sql_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's `DESCRIBE DETAIL` (round 13): one metadata-only row
+    summarizing the current snapshot — version, partition/file counts,
+    partition columns, live deletion vectors, CHECK constraints,
+    branches. Resolution is one manifest read plus the refs listing:
+    driver-side, bounded by metadata, NO data scan at any table size
+    (the same property DESCRIBE HISTORY has). The staged lifecycle
+    (upsert -> UPDATE commit -> DV delete -> ADD CONSTRAINT -> CREATE
+    BRANCH) makes every reported count non-trivial and the oracle pins
+    them all; `location` is projected out (a temp path)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl import versioned as V
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        versioned_sql,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS k",
+        "CAST(n_regionkey AS BIGINT) AS part",
+        "CAST(n_nationkey * 2 AS BIGINT) AS val",
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_detail_{_uuid.uuid4().hex[:8]}_")
+    try:
+        V.versioned_merge_upsert(
+            spark, nation, root, key_cols=("k",), partition_cols=("part",)
+        )
+        register_versioned(
+            spark, "dd_nation", root, key_cols=("k",), partition_cols=("part",)
+        )
+        versioned_sql(spark, "UPDATE dd_nation SET val = val + 1 WHERE k < 5")
+        versioned_sql(spark, "DELETE FROM dd_nation WHERE k = 7")
+        versioned_sql(
+            spark, "ALTER TABLE dd_nation ADD CONSTRAINT val_pos CHECK (val >= 0)"
+        )
+        versioned_sql(spark, "ALTER TABLE dd_nation CREATE BRANCH audit")
+        out = versioned_sql(spark, "DESCRIBE DETAIL dd_nation").select(
+            "table_name",
+            "format",
+            "version",
+            "num_partitions",
+            "num_files",
+            "partition_columns",
+            "num_deletion_vectors",
+            "num_constraints",
+            "num_branches",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
