@@ -92,17 +92,21 @@ def test_required_columns_no_def_levels():
 def test_scope_gates():
     t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
     with tempfile.TemporaryDirectory() as d:
-        # still-gated: ZSTD codec, nested schemas
+        # still-gated: ZSTD codec
         zs = os.path.join(d, "zs.parquet")
         pq.write_table(t, zs, compression="zstd", data_page_version="1.0")
         with pytest.raises(NotImplementedError):
             PR.read_column(open(zs, "rb").read(), "k")
+        # nested schemas read since round 13; the flat-only legacy API
+        # still gates them
         nested = os.path.join(d, "nested.parquet")
         pq.write_table(
             pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}), nested
         )
+        nbuf = open(nested, "rb").read()
+        assert PR.read_column(nbuf, "l") == [[1, 2], [3]]
         with pytest.raises(NotImplementedError):
-            PR.read_column(open(nested, "rb").read(), "l")
+            PR.schema_columns(PR.read_footer(nbuf))
     with pytest.raises(ValueError):
         PR.read_footer(b"NOPE" + b"\x00" * 16)
 
@@ -325,3 +329,145 @@ def test_delta_fuzz_vs_pyarrow(ints, texts, senc):
     _check_delta(
         tbl, column_encoding={"i": "DELTA_BINARY_PACKED", "s": senc}
     )
+
+
+# ---------------------------------------------------------------- nested
+# Round 13: repetition levels + Dremel single-leaf record assembly.
+# Cross-checked against pyarrow's writer in both page versions, all
+# in-scope codecs, dict on/off, multi-page and multi-row-group splits,
+# plus the REAL Spark-written embeddings fixture (array<float>).
+
+_NESTED_LISTS = [[1, 2, 3], None, [], [None, 5], [7], [None], [0, None, -9]]
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("comp", ["none", "snappy", "gzip"])
+@pytest.mark.parametrize("use_dict", [True, False])
+def test_nested_list_matrix(dpv, comp, use_dict):
+    t = pa.table(
+        {
+            "a": pa.array(_NESTED_LISTS, pa.list_(pa.int64())),
+            "k": pa.array(range(len(_NESTED_LISTS)), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t, p, compression=comp, data_page_version=dpv, use_dictionary=use_dict
+        )
+        buf = open(p, "rb").read()
+        assert PR.read_column(buf, "a") == _NESTED_LISTS
+        assert PR.read_column(buf, "k") == list(range(len(_NESTED_LISTS)))
+
+
+def test_nested_list_of_list_and_types():
+    ll = [[[1, 2], []], None, [[3], [None, 4]], [], [[None]]]
+    fl = [[1.5, 2.5], [], None, [0.25], [-3.75]]
+    sl = [["ab", "cd"], None, [None], [], ["x"]]
+    t = pa.table(
+        {
+            "ll": pa.array(ll, pa.list_(pa.list_(pa.int64()))),
+            "fl": pa.array(fl, pa.list_(pa.float32())),
+            "sl": pa.array(sl, pa.list_(pa.string())),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        for kw in (
+            dict(compression="snappy"),
+            dict(compression="none", data_page_version="2.0"),
+        ):
+            p = os.path.join(d, "t.parquet")
+            pq.write_table(t, p, **kw)
+            buf = open(p, "rb").read()
+            assert PR.read_column(buf, "ll") == ll
+            assert PR.read_column(buf, "fl") == fl
+            assert PR.read_column(buf, "sl") == [
+                None if v is None else [None if e is None else e.encode() for e in v]
+                for v in sl
+            ]
+
+
+def test_struct_leaves_dotted_path():
+    st_arr = pa.array(
+        [{"x": 1, "y": "a"}, None, {"x": None, "y": "c"}],
+        pa.struct([("x", pa.int64()), ("y", pa.string())]),
+    )
+    t = pa.table({"s": st_arr, "k": pa.array([1, 2, 3], pa.int64())})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(t, p, compression="snappy")
+        buf = open(p, "rb").read()
+        meta = PR.read_footer(buf)
+        assert [".".join(x["path"]) for x in PR.schema_leaves(meta)] == [
+            "s.x",
+            "s.y",
+            "k",
+        ]
+        assert PR.read_column(buf, "s.x") == [1, None, None]
+        assert PR.read_column(buf, "s.y") == [b"a", None, b"c"]
+        # a group name with >1 leaf must be addressed by dotted path
+        with pytest.raises(KeyError):
+            PR.read_column(buf, "s")
+
+
+def test_nested_multi_page_multi_rowgroup():
+    lists = [
+        None if i % 11 == 0 else [j if j % 3 else None for j in range(i % 7)]
+        for i in range(500)
+    ]
+    t = pa.table({"a": pa.array(lists, pa.list_(pa.int64()))})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t,
+            p,
+            compression="snappy",
+            data_page_size=512,
+            row_group_size=128,
+            use_dictionary=False,
+        )
+        buf = open(p, "rb").read()
+        assert PR.read_column(buf, "a") == lists
+
+
+def test_spark_fixture_embeddings_nested(spark):
+    # the driver fixture is written by Spark's JVM writer: 3-level LIST
+    # encoding, snappy, dictionary where profitable — a foreign file
+    # this repo did not craft
+    path = f"{SF}/embeddings.parquet"
+    buf = open(path, "rb").read()
+    t = pq.read_table(path)
+    for col in t.column_names:
+        assert PR.read_column(buf, col) == t[col].to_pylist(), col
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**40), 2**40)), max_size=9
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    use_dict=st.booleans(),
+    comp=st.sampled_from(["none", "snappy", "gzip"]),
+    page=st.sampled_from([512, 4096]),
+    pv=st.sampled_from(["1.0", "2.0"]),
+)
+def test_nested_fuzz_vs_pyarrow(lists, use_dict, comp, page, pv):
+    t = pa.table({"a": pa.array(lists, pa.list_(pa.int64()))})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t,
+            p,
+            compression=comp,
+            use_dictionary=use_dict,
+            data_page_size=page,
+            data_page_version=pv,
+        )
+        assert PR.read_column(open(p, "rb").read(), "a") == lists

@@ -24,9 +24,15 @@ DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY value encodings (the
 DELTA_* trio is v2 writers' default for ints and strings — r13),
 UNCOMPRESSED / SNAPPY / GZIP / LZ4_RAW codecs — Spark's default writer
 output (v1 + snappy + dict) plus pyarrow's `data_page_version='2.0'`,
-gzip/lz4, and delta-encoded variants. Still gated NotImplementedError:
-ZSTD/BROTLI/hadoop-framed-LZ4 codecs, nested/repeated schemas,
-BYTE_STREAM_SPLIT, index pages.
+gzip/lz4, and delta-encoded variants. Round 13 adds NESTED columns:
+the full schema tree is parsed (num_children walk), repetition +
+definition levels are decoded at their true bit widths, and a generic
+single-leaf Dremel record assembly rebuilds arbitrarily nested
+list<...> values (3-level LIST encoding as written by Spark and
+pyarrow, including null lists / empty lists / null elements and
+multi-level list<list<...>>) plus struct leaves addressed by dotted
+path ("s.a"). Still gated NotImplementedError: ZSTD/BROTLI/
+hadoop-framed-LZ4 codecs, BYTE_STREAM_SPLIT, index pages.
 
 Format references: parquet-format/src/main/thrift/parquet.thrift and
 Encodings.md (public Apache specs).
@@ -326,39 +332,167 @@ def read_footer(buf: bytes) -> dict:
     return _Reader(buf, start).struct()
 
 
-def schema_columns(meta: dict) -> list[tuple[str, int, int]]:
-    """[(name, physical_type, max_def_level)] for the flat leaf columns
-    (depth-1 schemas: root + leaves; nesting is out of scope)."""
+def schema_leaves(meta: dict) -> list[dict]:
+    """Full schema-tree walk (SchemaElement.num_children, field 5):
+    one dict per LEAF column with
+
+      path     tuple of names root->leaf (dotted join = column address)
+      ptype    physical type
+      max_def  cumulative optional+repeated count on the path
+      max_rep  cumulative repeated count on the path
+      nodes    per path node: {repeated, cumdef, cumrep} — the Dremel
+               assembly walks these to rebuild nested values
+
+    repetition_type (field 3): 0 required, 1 optional, 2 repeated."""
     schema = meta[2]
-    root, leaves = schema[0], schema[1:]
-    if root.get(5, 0) != len(leaves):
-        raise NotImplementedError("nested parquet schemas not in scope")
-    out = []
-    for el in leaves:
+    leaves: list[dict] = []
+    pos = [1]  # schema[0] is the root; children follow depth-first
+
+    def walk(prefix: tuple, nodes: list[dict], cumdef: int, cumrep: int):
+        el = schema[pos[0]]
+        pos[0] += 1
         name = el[4].decode("utf-8")
-        ptype = el[1]
-        # repetition_type: 0 required, 1 optional
-        max_def = 1 if el.get(3, 0) == 1 else 0
-        if el.get(3, 0) == 2:
-            raise NotImplementedError("repeated fields not in scope")
-        out.append((name, ptype, max_def))
+        rep = el.get(3, 0)
+        if rep == 1:
+            cumdef += 1
+        elif rep == 2:
+            cumdef += 1
+            cumrep += 1
+        node = {"repeated": rep == 2, "cumdef": cumdef, "cumrep": cumrep}
+        path = prefix + (name,)
+        nodes = nodes + [node]
+        nch = el.get(5, 0)
+        if nch == 0:
+            leaves.append(
+                {
+                    "path": path,
+                    "ptype": el[1],
+                    "max_def": cumdef,
+                    "max_rep": cumrep,
+                    "nodes": nodes,
+                }
+            )
+        else:
+            for _ in range(nch):
+                walk(path, nodes, cumdef, cumrep)
+
+    for _ in range(schema[0].get(5, 0)):
+        walk((), [], 0, 0)
+    return leaves
+
+
+def schema_columns(meta: dict) -> list[tuple[str, int, int]]:
+    """[(name, physical_type, max_def_level)] — the original flat-schema
+    API, kept for callers that predate nesting support. Raises on
+    schemas with nested leaves (use schema_leaves for those)."""
+    out = []
+    for leaf in schema_leaves(meta):
+        if len(leaf["path"]) != 1:
+            raise NotImplementedError(
+                "schema_columns is flat-only; use schema_leaves"
+            )
+        out.append((leaf["path"][0], leaf["ptype"], leaf["max_def"]))
     return out
 
 
+def _assemble_nested(entries, nodes: list[dict], max_rep: int) -> list:
+    """Generic single-leaf Dremel record assembly (Melnik et al. 2010,
+    'Dremel: Interactive Analysis of Web-Scale Datasets' §4.2 — public
+    paper; also parquet-format LogicalTypes.md).
+
+    entries: iterable of (rep_level, def_level, value_or_None); value is
+    meaningful only when def_level == max_def. nodes: the leaf's path
+    metadata from schema_leaves. Returns one Python value per record:
+    None (null at some optional ancestor), nested lists for repeated
+    nodes ([] where a list is defined-but-empty, None elements where an
+    optional element is null), or the scalar itself for max_rep == 0."""
+    _UNSET = object()
+    rows: list = []
+    row = _UNSET
+    # open_lists[k] = the Python list currently open at repeated-depth k
+    open_lists: list = [None] * (max_rep + 1)
+    # node index to resume from when an entry continues repetition at
+    # depth r: the node AFTER the r-th repeated node
+    resume = [0] * (max_rep + 1)
+    for j, nd in enumerate(nodes):
+        if nd["repeated"]:
+            resume[nd["cumrep"]] = j + 1
+    for r, d, v in entries:
+        if r == 0:
+            if row is not _UNSET:
+                rows.append(row)
+            row = _UNSET
+            j = 0
+        else:
+            j = resume[r]
+        at_row = r == 0
+        depth = r
+        out_val = _UNSET
+        while True:
+            if j == len(nodes):
+                out_val = v  # fully defined leaf value
+                break
+            nd = nodes[j]
+            if nd["cumdef"] > d:
+                # definition stops here: an absent repeated node means
+                # the list at this level is empty; an absent optional
+                # node means null
+                out_val = [] if nd["repeated"] else None
+                break
+            if nd["repeated"]:
+                lst: list = []
+                if at_row:
+                    row = lst
+                    at_row = False
+                else:
+                    open_lists[depth].append(lst)
+                depth = nd["cumrep"]
+                open_lists[depth] = lst
+            j += 1
+        if at_row:
+            row = out_val
+        else:
+            open_lists[depth].append(out_val)
+    if row is not _UNSET:
+        rows.append(row)
+    return rows
+
+
+def _resolve_leaf(meta: dict, column: str) -> dict:
+    """Leaf lookup: exact dotted path first, else a UNIQUE leaf whose
+    top-level name matches (so `read_column(buf, "embedding")` finds the
+    embedding.list.element leaf of a Spark LIST column)."""
+    leaves = schema_leaves(meta)
+    by_dotted = {".".join(leaf["path"]): leaf for leaf in leaves}
+    if column in by_dotted:
+        return by_dotted[column]
+    prefixed = [leaf for leaf in leaves if leaf["path"][0] == column]
+    if len(prefixed) == 1:
+        return prefixed[0]
+    if len(prefixed) > 1:
+        raise KeyError(
+            f"column {column!r} is a group with {len(prefixed)} leaves; "
+            f"address one by dotted path: {sorted(by_dotted)}"
+        )
+    raise KeyError(f"no column {column!r}; have {sorted(by_dotted)}")
+
+
 def read_column(buf: bytes, column: str) -> list:
-    """All values of `column` across every row group, Nones for nulls.
-    Walks dictionary + data pages v1, per-page decompression."""
+    """One value per RECORD of `column` across every row group: Nones
+    for nulls, nested Python lists for LIST columns (Dremel assembly).
+    Walks dictionary + data pages v1/v2, per-page decompression."""
     meta = read_footer(buf)
-    cols = {name: (ptype, max_def) for name, ptype, max_def in schema_columns(meta)}
-    if column not in cols:
-        raise KeyError(f"no column {column!r}; have {sorted(cols)}")
-    ptype, max_def = cols[column]
-    values: list = []
+    leaf = _resolve_leaf(meta, column)
+    ptype, max_def, max_rep = leaf["ptype"], leaf["max_def"], leaf["max_rep"]
+    def_bw = max_def.bit_length()
+    rep_bw = max_rep.bit_length()
+    leaf_path = list(leaf["path"])
+    entries: list = []  # (rep, def, value_or_None) per leaf entry
     for rg in meta[4]:
         for chunk in rg[1]:
             cmeta = chunk[3]
             path = [p.decode("utf-8") for p in cmeta[3]]
-            if path != [column]:
+            if path != leaf_path:
                 continue
             codec = cmeta.get(4, 0)
             num_values = cmeta[5]
@@ -385,13 +519,21 @@ def read_column(buf: bytes, column: str) -> list:
                     n = dph[1]
                     enc = dph[2]
                     p = 0
+                    reps = [0] * n
                     defs = [max_def] * n
+                    if max_rep > 0:
+                        # v1 levels: repetition first, each section a
+                        # 4-byte length prefix + RLE/bit-packed at the
+                        # level's true bit width, compressed with the
+                        # values as one unit
+                        (rl_len,) = struct.unpack_from("<I", data, p)
+                        p += 4
+                        reps = _rle_bp_hybrid(data[p : p + rl_len], rep_bw, n)
+                        p += rl_len
                     if max_def > 0:
-                        # v1 levels: 4-byte length prefix, compressed with
-                        # the values as one unit
                         (dl_len,) = struct.unpack_from("<I", data, p)
                         p += 4
-                        defs = _rle_bp_hybrid(data[p : p + dl_len], 1, n)
+                        defs = _rle_bp_hybrid(data[p : p + dl_len], def_bw, n)
                         p += dl_len
                     vals_buf = data[p:]
                 elif page_type == 3:  # DATA_PAGE_V2
@@ -401,18 +543,17 @@ def read_column(buf: bytes, column: str) -> list:
                     enc = dph[4]
                     dl_len = dph[5]
                     rl_len = dph[6]
-                    if rl_len:
-                        # flat schemas only (max_rep = 0 everywhere);
-                        # schema_columns already rejects repeated fields
-                        raise NotImplementedError(
-                            "repetition levels not in scope"
-                        )
                     # v2 layout: levels sit UNCOMPRESSED (and un-prefixed —
                     # lengths come from the header) ahead of the values;
                     # only the VALUES section is compressed, and only when
                     # is_compressed (field 7, default true) says so.
+                    reps = (
+                        _rle_bp_hybrid(raw[:rl_len], rep_bw, n)
+                        if max_rep > 0 and rl_len
+                        else [0] * n
+                    )
                     defs = (
-                        _rle_bp_hybrid(raw[rl_len : rl_len + dl_len], 1, n)
+                        _rle_bp_hybrid(raw[rl_len : rl_len + dl_len], def_bw, n)
                         if max_def > 0 and dl_len
                         else [max_def] * n
                     )
@@ -463,8 +604,12 @@ def read_column(buf: bytes, column: str) -> list:
                 else:
                     raise NotImplementedError(f"value encoding {enc} not in scope")
                 it = iter(present)
-                values.extend(
-                    next(it) if d == max_def else None for d in defs
+                entries.extend(
+                    (r, d, next(it) if d == max_def else None)
+                    for r, d in zip(reps, defs)
                 )
                 seen += n
-    return values
+    if max_rep == 0:
+        # flat / struct leaf: one entry per record already
+        return [v for _r, _d, v in entries]
+    return _assemble_nested(entries, leaf["nodes"], max_rep)
