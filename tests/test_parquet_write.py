@@ -260,3 +260,108 @@ def test_v2_pages_spark_reads(spark):
 def test_bad_page_version_rejected():
     with pytest.raises(ValueError, match="page_version"):
         write_parquet([("a", PQ_INT64, False, [1])], page_version=3)
+
+
+# ---------------------------------------------------------------- nested
+# Round 13: LIST columns (3-level encoding, repetition + definition
+# levels) through the same three-reader interop bar.
+
+from us_stock_data_pipeline_spark.functions.parquet_write import list_type
+
+_L_INT = [[1, 2, 3], None, [], [None, 5], [7], [None], [0, None, -9]]
+_L_STR = [["ab", "cd"], None, [None], [], ["x"], ["y", "z", "w"], []]
+_L_DBL = [[1.5, 2.5], [], None, [0.25], [-3.75], [1.0], [2.0, 3.0]]
+
+
+def _nested_cols():
+    return [
+        ("a", list_type(PQ_INT64), True, _L_INT),
+        ("s", list_type(PQ_BYTE_ARRAY), True, _L_STR),
+        ("d", list_type(PQ_DOUBLE), True, _L_DBL),
+        ("k", PQ_INT64, False, list(range(7))),
+    ]
+
+
+@pytest.mark.parametrize("page_version", [1, 2])
+@pytest.mark.parametrize(
+    "codec", [CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP, CODEC_LZ4_RAW]
+)
+@pytest.mark.parametrize("use_dict", [False, True])
+def test_nested_list_three_readers(page_version, codec, use_dict):
+    cols = _nested_cols()
+    buf = write_parquet(
+        cols,
+        codec=codec,
+        page_rows=3,
+        row_group_rows=4,
+        use_dictionary=use_dict,
+        page_version=page_version,
+    )
+    t = pq.read_table(io.BytesIO(buf))
+    assert t["a"].to_pylist() == _L_INT
+    assert t["s"].to_pylist() == _L_STR
+    assert t["d"].to_pylist() == _L_DBL
+    assert t["k"].to_pylist() == list(range(7))
+    assert PR.read_column(buf, "a") == _L_INT
+    assert PR.read_column(buf, "d") == _L_DBL
+    assert PR.read_column(buf, "s") == [
+        None if v is None else [None if e is None else e.encode() for e in v]
+        for v in _L_STR
+    ]
+
+
+def test_nested_list_spark_jvm_reads(spark):
+    buf = write_parquet(
+        _nested_cols(), codec=CODEC_SNAPPY, page_rows=3, page_version=1
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        open(p, "wb").write(buf)
+        df = spark.read.parquet(p).orderBy("k")
+        rows = df.collect()
+        assert [r["a"] for r in rows] == _L_INT
+        assert [r["s"] for r in rows] == _L_STR
+        assert [r["d"] for r in rows] == _L_DBL
+        assert [str(f.dataType) for f in df.schema.fields if f.name == "a"] == [
+            "ArrayType(LongType(), True)"
+        ]
+
+
+def test_nested_required_violations_rejected():
+    with pytest.raises(ValueError):
+        write_parquet(
+            [("a", list_type(PQ_INT64, elem_optional=False), True, [[1, None]])]
+        )
+    with pytest.raises(ValueError):
+        write_parquet([("a", list_type(PQ_INT64), False, [None])])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**40), 2**40)), max_size=7
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    codec=st.sampled_from([CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP]),
+    page_rows=st.sampled_from([3, 17, 1024]),
+    rg_rows=st.sampled_from([None, 29]),
+    pv=st.sampled_from([1, 2]),
+    use_dict=st.booleans(),
+)
+def test_nested_fuzz_three_way(lists, codec, page_rows, rg_rows, pv, use_dict):
+    buf = write_parquet(
+        [("a", list_type(PQ_INT64), True, lists)],
+        codec=codec,
+        page_rows=page_rows,
+        row_group_rows=rg_rows,
+        use_dictionary=use_dict,
+        page_version=pv,
+    )
+    assert pq.read_table(io.BytesIO(buf))["a"].to_pylist() == lists
+    assert PR.read_column(buf, "a") == lists

@@ -398,6 +398,194 @@ def _write_chunk(
     return cc.done()
 
 
+def _list_entries(rows: list, col_optional: bool, elem_optional: bool):
+    """Per-row Dremel (rep, def, value) entries for a 3-level LIST
+    column: None row -> (0, 0); empty list -> (0, cumdef(col)); else one
+    entry per element, rep 0 for the first and 1 after, def = max_def
+    when the element is present."""
+    base = 1 if col_optional else 0
+    d_empty = base  # repeated node absent
+    d_null_elem = base + 1  # repeated defined, element null
+    max_def = base + 1 + (1 if elem_optional else 0)
+    out: list[list[tuple[int, int, object]]] = []
+    for row in rows:
+        if row is None:
+            if not col_optional:
+                raise ValueError("null row in required list column")
+            out.append([(0, 0, None)])
+        elif len(row) == 0:
+            out.append([(0, d_empty, None)])
+        else:
+            ents = []
+            for i, e in enumerate(row):
+                r = 0 if i == 0 else 1
+                if e is None:
+                    if not elem_optional:
+                        raise ValueError("null element in required-element list")
+                    ents.append((r, d_null_elem, None))
+                else:
+                    ents.append((r, max_def, e))
+            out.append(ents)
+    return out, max_def
+
+
+def _write_list_chunk(
+    body: bytearray,
+    name: str,
+    elem_ptype: int,
+    col_optional: bool,
+    elem_optional: bool,
+    rows: list,
+    codec: int,
+    page_rows: int,
+    use_dict: bool,
+    page_version: int = 1,
+) -> bytes:
+    """Write one LIST column chunk (3-level encoding: optional group
+    (LIST) -> repeated group "list" -> element): repetition levels at
+    bit width 1, definition levels at their true width, one leaf entry
+    per element (num_values counts ENTRIES, not rows). Pages split on
+    ROW boundaries so records never straddle pages (required for v2,
+    simplest for v1). Statistics are omitted for nested leaves."""
+    row_entries, max_def = _list_entries(rows, col_optional, elem_optional)
+    def_bw = max_def.bit_length()
+    n_rows = len(rows)
+    n_entries = sum(len(e) for e in row_entries)
+    first_page_offset = len(body)
+    dict_page_offset = None
+    chunk_comp = chunk_uncomp = 0
+    encodings = [0, 3]  # PLAIN, RLE (levels)
+    dictionary: dict | None = None
+    if use_dict:
+        uniq: list = []
+        index_of: dict = {}
+        for ents in row_entries:
+            for _r, d, v in ents:
+                if d == max_def and v not in index_of:
+                    index_of[v] = len(uniq)
+                    uniq.append(v)
+        if uniq and len(uniq) <= max(1, n_entries // 2):
+            dictionary = index_of
+            dict_page_offset = len(body)
+            raw = _plain_encode(uniq, elem_ptype)
+            comp = _compress(raw, codec)
+            ph = _Writer()
+            ph.field_i32(1, 2)  # PageType.DICTIONARY_PAGE
+            ph.field_i32(2, len(raw))
+            ph.field_i32(3, len(comp))
+            dph = _Writer()
+            dph.field_i32(1, len(uniq))
+            dph.field_i32(2, 2)  # Encoding.PLAIN_DICTIONARY
+            ph.field_struct(7, dph.done())
+            hdr = ph.done()
+            body += hdr
+            body += comp
+            chunk_comp += len(hdr) + len(comp)
+            chunk_uncomp += len(hdr) + len(raw)
+            encodings = [2 if page_version == 1 else 8, 3]
+            first_page_offset = len(body)
+    for start in range(0, max(n_rows, 1), page_rows):
+        page = row_entries[start : start + page_rows]
+        ents = [t for row in page for t in row]
+        reps = [r for r, _d, _v in ents]
+        defs = [d for _r, d, _v in ents]
+        present = [v for _r, d, v in ents if d == max_def]
+        values = bytearray()
+        if dictionary is not None:
+            bw = max(max(len(dictionary) - 1, 0).bit_length(), 1)
+            values.append(bw)
+            values += _rle_bp_write([dictionary[v] for v in present], bw)
+            enc = 2 if page_version == 1 else 8
+        else:
+            values += _plain_encode(present, elem_ptype)
+            enc = 0
+        rl = _rle_bp_write(reps, 1)
+        dl = _rle_bp_write(defs, def_bw)
+        if page_version == 2:
+            comp_vals = _compress(bytes(values), codec)
+            raw_len = len(rl) + len(dl) + len(values)
+            comp_len = len(rl) + len(dl) + len(comp_vals)
+            ph = _Writer()
+            ph.field_i32(1, 3)  # PageType.DATA_PAGE_V2
+            ph.field_i32(2, raw_len)
+            ph.field_i32(3, comp_len)
+            dph = _Writer()
+            dph.field_i32(1, len(ents))
+            dph.field_i32(2, len(ents) - len(present))  # num_nulls
+            dph.field_i32(3, len(page))  # num_rows
+            dph.field_i32(4, enc)
+            dph.field_i32(5, len(dl))
+            dph.field_i32(6, len(rl))
+            if codec == CODEC_UNCOMPRESSED:
+                dph.field_bool(7, False)
+            ph.field_struct(8, dph.done())
+            hdr = ph.done()
+            body += hdr
+            body += rl
+            body += dl
+            body += comp_vals
+            chunk_comp += len(hdr) + comp_len
+            chunk_uncomp += len(hdr) + raw_len
+        else:
+            payload = bytearray()
+            # v1 levels: repetition FIRST, each with a 4-byte length
+            # prefix, compressed together with the values
+            payload += struct.pack("<I", len(rl)) + rl
+            payload += struct.pack("<I", len(dl)) + dl
+            payload += values
+            raw = bytes(payload)
+            comp = _compress(raw, codec)
+            ph = _Writer()
+            ph.field_i32(1, 0)  # PageType.DATA_PAGE
+            ph.field_i32(2, len(raw))
+            ph.field_i32(3, len(comp))
+            dph = _Writer()
+            dph.field_i32(1, len(ents))
+            dph.field_i32(2, enc)
+            dph.field_i32(3, 3)  # def levels: Encoding.RLE
+            dph.field_i32(4, 3)  # rep levels: Encoding.RLE
+            ph.field_struct(5, dph.done())
+            hdr = ph.done()
+            body += hdr
+            body += comp
+            chunk_comp += len(hdr) + len(comp)
+            chunk_uncomp += len(hdr) + len(raw)
+        if n_rows == 0:
+            break
+    cm = _Writer()
+    cm.field_i32(1, elem_ptype)
+    cm.field_list(2, _CT_I32, [_i32_item(e) for e in encodings])
+    cm.field_list(
+        3,
+        _CT_BINARY,
+        [
+            _binary_item(name.encode("utf-8")),
+            _binary_item(b"list"),
+            _binary_item(b"element"),
+        ],
+    )
+    cm.field_i32(4, codec)
+    cm.field_i64(5, n_entries)
+    cm.field_i64(6, chunk_uncomp)
+    cm.field_i64(7, chunk_comp)
+    cm.field_i64(9, first_page_offset)
+    if dict_page_offset is not None:
+        cm.field_i64(11, dict_page_offset)
+    cc = _Writer()
+    cc.field_i64(
+        2, dict_page_offset if dict_page_offset is not None else first_page_offset
+    )
+    cc.field_struct(3, cm.done())
+    return cc.done()
+
+
+def list_type(elem_ptype: int, elem_optional: bool = True) -> tuple:
+    """Type spec for a LIST column in `write_parquet`'s column list:
+    values are Python lists (None row = null list, None element = null
+    element when `elem_optional`)."""
+    return ("list", elem_ptype, elem_optional)
+
+
 def write_parquet(
     columns: list[tuple[str, int, bool, list]],
     codec: int = CODEC_SNAPPY,
@@ -440,19 +628,35 @@ def write_parquet(
                 or (isinstance(use_dictionary, set) and name in use_dictionary)
             )
             before = len(body)
-            chunk_metas.append(
-                _write_chunk(
-                    body,
-                    name,
-                    ptype,
-                    optional,
-                    vals[rg_start : rg_start + rg_rows],
-                    codec,
-                    page_rows,
-                    use_dict,
-                    page_version=page_version,
+            if isinstance(ptype, tuple) and ptype[0] == "list":
+                chunk_metas.append(
+                    _write_list_chunk(
+                        body,
+                        name,
+                        ptype[1],
+                        optional,
+                        ptype[2],
+                        vals[rg_start : rg_start + rg_rows],
+                        codec,
+                        page_rows,
+                        use_dict,
+                        page_version=page_version,
+                    )
                 )
-            )
+            else:
+                chunk_metas.append(
+                    _write_chunk(
+                        body,
+                        name,
+                        ptype,
+                        optional,
+                        vals[rg_start : rg_start + rg_rows],
+                        codec,
+                        page_rows,
+                        use_dict,
+                        page_version=page_version,
+                    )
+                )
             total_bytes += len(body) - before
         rg = _Writer()
         rg.field_list(1, _CT_STRUCT, chunk_metas)
@@ -467,6 +671,29 @@ def write_parquet(
     root.field_i32(5, len(columns))
     schema_items = [root.done()]
     for name, ptype, optional, _vals in columns:
+        if isinstance(ptype, tuple) and ptype[0] == "list":
+            # 3-level LIST encoding (LogicalTypes.md): optional group
+            # name (LIST) -> repeated group "list" -> element
+            _tag, elem_ptype, elem_optional = ptype
+            grp = _Writer()
+            grp.field_i32(3, 1 if optional else 0)
+            grp.field_binary(4, name.encode("utf-8"))
+            grp.field_i32(5, 1)  # num_children
+            grp.field_i32(6, 3)  # ConvertedType.LIST
+            schema_items.append(grp.done())
+            mid = _Writer()
+            mid.field_i32(3, 2)  # REPEATED
+            mid.field_binary(4, b"list")
+            mid.field_i32(5, 1)
+            schema_items.append(mid.done())
+            se = _Writer()
+            se.field_i32(1, elem_ptype)
+            se.field_i32(3, 1 if elem_optional else 0)
+            se.field_binary(4, b"element")
+            if elem_ptype == PQ_BYTE_ARRAY:
+                se.field_i32(6, _CONVERTED_UTF8)
+            schema_items.append(se.done())
+            continue
         se = _Writer()
         se.field_i32(1, ptype)
         se.field_i32(3, 1 if optional else 0)  # OPTIONAL / REQUIRED

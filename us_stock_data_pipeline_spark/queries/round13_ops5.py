@@ -123,3 +123,148 @@ def storage_parquet_raw_scan_nested(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# storage: pure-Python parquet WRITER on a LIST column (write->read loop)
+# --------------------------------------------------------------------------
+
+_PQ_WRITE_NESTED_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE vec_id % 17 = 0) AS BIGINT) AS n_null_emb,
+       CAST(sum(len(embedding)) FILTER (WHERE vec_id % 17 <> 0) AS BIGINT)
+         AS sum_dim,
+       CAST(sum(
+         CASE WHEN vec_id % 17 = 0 THEN NULL ELSE
+           CAST(list_sum(list_transform(
+                  embedding[2:],
+                  e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT)
+           + CASE WHEN vec_id % 13 = 0 THEN 0 ELSE
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+             END
+         END) AS BIGINT) AS sum_qall
+FROM embeddings
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "storage_parquet_raw_write_nested",
+    oracle=_PQ_WRITE_NESTED_ORACLE,
+    tags=("storage", "multimodal"),
+    round=13,
+)
+def storage_parquet_raw_write_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Python parquet WRITER on a LIST column (round 13): each
+    mapInPandas task serializes its embeddings batch — vec_id, an
+    `array<double>` with crafted null rows (vec_id % 17) and null
+    elements (vec_id % 13 nulls element 0), label — through
+    `parquet_write.list_type` (3-level LIST schema, repetition levels
+    bit-width 1, definition levels bit-width 2, tiny pages so records
+    split across page boundaries), reads the bytes back through
+    pyarrow's C++ reader AND the in-repo Dremel reader, raises on any
+    disagreement, and feeds the DECODED values to the aggregate. The
+    hash-match vs DuckDB (which reads the ORIGINAL fixture) proves the
+    nested write->read loop preserved every list, null row, null
+    element, and double bit. Per-task in-memory files = the 100 TB
+    bulk-export shape."""
+    from us_stock_data_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(vec_id AS BIGINT) AS vec_id",
+        "embedding",
+        "CAST(label AS BIGINT) AS label",
+    )
+
+    def roundtrip(batches):
+        import io as _io
+        import math
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from us_stock_data_pipeline_spark.functions.parquet_raw import (
+            read_column,
+        )
+        from us_stock_data_pipeline_spark.functions.parquet_write import (
+            CODEC_SNAPPY,
+            PQ_DOUBLE,
+            PQ_INT64,
+            list_type,
+            write_parquet,
+        )
+
+        for b in batches:
+            if b.empty:
+                continue
+            vec_id = [int(v) for v in b["vec_id"]]
+            label = [int(v) for v in b["label"]]
+            rows = []
+            for vid, arr in zip(vec_id, b["embedding"]):
+                if vid % 17 == 0:
+                    rows.append(None)
+                else:
+                    vals = [float(x) for x in arr]
+                    if vid % 13 == 0 and vals:
+                        vals[0] = None
+                    rows.append(vals)
+            buf = write_parquet(
+                [
+                    ("vec_id", PQ_INT64, False, vec_id),
+                    ("emb", list_type(PQ_DOUBLE), True, rows),
+                    ("label", PQ_INT64, False, label),
+                ],
+                codec=CODEC_SNAPPY,
+                page_rows=7,  # forces many pages; rows never straddle
+                use_dictionary=True,  # label dict-encodes, emb falls back
+            )
+            t = pq.read_table(_io.BytesIO(buf))
+            if (
+                t.column("vec_id").to_pylist() != vec_id
+                or t.column("emb").to_pylist() != rows
+                or t.column("label").to_pylist() != label
+            ):
+                raise ValueError("pyarrow nested read-back mismatch")
+            if (
+                read_column(buf, "vec_id") != vec_id
+                or read_column(buf, "emb") != rows
+                or read_column(buf, "label") != label
+            ):
+                raise ValueError("raw-reader nested read-back mismatch")
+            dec = t.column("emb").to_pylist()
+            yield pd.DataFrame(
+                {
+                    "vec_id": vec_id,
+                    "label": label,
+                    "dim": [None if v is None else len(v) for v in dec],
+                    "qall": [
+                        None
+                        if v is None
+                        else sum(
+                            math.floor(e * 1000000)
+                            for e in v
+                            if e is not None
+                        )
+                        for v in dec
+                    ],
+                }
+            )
+
+    decoded = emb.mapInPandas(
+        roundtrip, "vec_id long, label long, dim long, qall long"
+    )
+    return (
+        decoded.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("dim").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_emb"),
+            F.sum("dim").cast("long").alias("sum_dim"),
+            F.sum("qall").cast("long").alias("sum_qall"),
+        )
+        .orderBy("label")
+    )
