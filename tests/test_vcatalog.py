@@ -750,3 +750,106 @@ def test_table_changes_sql_form(spark, table):
             )
     finally:
         C.unregister_versioned(spark, f"{name}_ro")
+
+
+# ------------------------------------------------- ALTER TABLE ADD/DROP COLUMN
+# Round 13: metadata-only schema evolution through the SQL front-end.
+
+
+def test_add_column_metadata_only(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    out = C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN note STRING")
+    ver = out.first().committed_version
+    # no data file was touched: the column reads as typed NULL
+    df = spark.sql(f"SELECT * FROM {name}")
+    assert "note" in df.columns
+    assert df.schema["note"].dataType.simpleString() == "string"
+    assert df.filter(F.col("note").isNotNull()).count() == 0
+    # time travel to the pre-ADD version shows the pre-ADD schema
+    old = C.versioned_sql(spark, f"SELECT * FROM {name} VERSION AS OF {ver - 1}")
+    assert "note" not in old.columns
+    # a later write materializes values; old rows stay NULL
+    upd = spark.createDataFrame([(0, 0, 99, "x")], "k long, band long, val long, note string")
+    V.versioned_merge_upsert(spark, upd, root, key_cols=("k",), partition_cols=("band",))
+    C.refresh_versioned(spark, name)
+    got = {r.k: r.note for r in spark.sql(f"SELECT k, note FROM {name}").collect()}
+    assert got[0] == "x" and got[1] is None
+
+
+def test_add_column_rejects_duplicates_and_bad_types(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN val LONG")
+    C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN extra DOUBLE")
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN extra STRING")
+    with pytest.raises(Exception):
+        C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN bad NOTATYPE")
+
+
+def test_drop_column_and_no_resurrection(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    drop_ver = C.versioned_sql(
+        spark, f"ALTER TABLE {name} DROP COLUMN val"
+    ).first().committed_version
+    assert "val" not in spark.sql(f"SELECT * FROM {name}").columns
+    # the physical data still serves older snapshots
+    old = C.versioned_sql(
+        spark, f"SELECT * FROM {name} VERSION AS OF {drop_ver - 1}"
+    )
+    assert "val" in old.columns
+    # writes carrying the dropped name are rejected
+    upd = spark.createDataFrame([(9, 1, 5)], "k long, band long, val long")
+    with pytest.raises(ValueError):
+        V.versioned_merge_upsert(
+            spark, upd, root, key_cols=("k",), partition_cols=("band",)
+        )
+    # re-ADD of a dropped name is rejected (no column mapping -> the
+    # old physical values would resurface)
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN val LONG")
+
+
+def test_drop_column_guards(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN k")
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN band")
+    with pytest.raises(KeyError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN nope")
+    C.versioned_sql(spark, f"ALTER TABLE {name} ADD CONSTRAINT v CHECK (val >= 0)")
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN val")
+
+
+def test_schema_meta_survives_other_commits(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN note STRING")
+    C.versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN val")
+    # run every other commit type; the schema record must survive each
+    _commit_update_noval(spark, root, [5], 3)
+    V.versioned_delete(spark, spark.createDataFrame([(7,)], "k long"), root, key_cols=("k",))
+    V.compact_table(spark, root)
+    C.versioned_sql(spark, f"ALTER TABLE {name} ADD CONSTRAINT pos CHECK (k >= 0)")
+    C.versioned_sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT pos")
+    added, dropped = V.table_schema_meta(spark, root)
+    assert added == [("note", "STRING")]
+    assert dropped == ["val"]
+    C.refresh_versioned(spark, name)
+    cols = spark.sql(f"SELECT * FROM {name}").columns
+    assert "note" in cols and "val" not in cols
+
+
+def _commit_update_noval(spark, root, ks, delta):
+    upd = spark.createDataFrame(
+        [(k, k % 2) for k in ks], "k long, band long"
+    )
+    return V.versioned_merge_upsert(
+        spark, upd, root, key_cols=("k",), partition_cols=("band",)
+    )

@@ -45,6 +45,13 @@ SQL front-end:
       ``ALTER TABLE <name> DROP CONSTRAINT <c>`` (Delta CHECK
       constraints: the snapshot is validated at ADD, every later
       write batch is validated before its manifest publishes)
+    * ``ALTER TABLE <name> ADD COLUMN <c> <type>`` /
+      ``ALTER TABLE <name> DROP COLUMN <c>`` (metadata-only schema
+      evolution: ADD reads as typed NULL until a write materializes
+      it; DROP projects the column away Delta-column-mapping style —
+      no data rewrite, schema versioned per snapshot; key/partition/
+      generated/constraint-referenced columns refuse to drop, dropped
+      names refuse to re-add without a rewrite)
     * ``CREATE TABLE <new> SHALLOW CLONE <src> [VERSION AS OF <n>]
       LOCATION '<path>'`` (Delta shallow clone: zero-copy independent
       table whose first manifest points at the source's data dirs;
@@ -254,6 +261,16 @@ _DROP_CONSTRAINT = re.compile(
 )
 _DESCRIBE_CONSTRAINTS = re.compile(
     rf"^\s*DESCRIBE\s+CONSTRAINTS\s+({_NAME_RE})\s*;?\s*$", re.IGNORECASE
+)
+_ADD_COLUMN = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+ADD\s+COLUMNS?\s+\(?\s*"
+    rf"({_NAME_RE})\s+([A-Za-z][A-Za-z0-9_<>,() ]*?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLUMN = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+DROP\s+COLUMNS?\s+\(?\s*"
+    rf"({_NAME_RE})\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CREATE_TAG = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+CREATE\s+TAG\s+({_NAME_RE})"
@@ -787,6 +804,38 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         rows = [(name, k, v) for k, v in sorted(cons.items())]
         return spark.createDataFrame(
             rows, "table_name string, constraint_name string, expr string"
+        )
+    m = _ADD_COLUMN.match(stmt)
+    if m:
+        name, col, ddl_type = m.group(1), m.group(2), m.group(3).strip()
+        gen = _generated_of(spark, name)
+        if col in gen:
+            raise ValueError(f"column {col!r} is a generated column")
+        ver = V.add_column(spark, _root_of(spark, name), col, ddl_type)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, col, ddl_type, ver)],
+            "table_name string, column_name string, data_type string,"
+            " committed_version long",
+        )
+    m = _DROP_COLUMN.match(stmt)
+    if m:
+        name, col = m.group(1), m.group(2)
+        e = _entry_of(spark, name)
+        if col in tuple(e.get("key_cols") or ()):
+            raise ValueError(f"cannot drop key column {col!r}")
+        if col in tuple(e.get("partition_cols") or ()):
+            raise ValueError(f"cannot drop partition column {col!r}")
+        if col in _generated_of(spark, name):
+            raise ValueError(
+                f"column {col!r} is a generated column; deregister its "
+                "generation rule first"
+            )
+        ver = V.drop_column(spark, _root_of(spark, name), col)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, col, ver)],
+            "table_name string, column_name string, committed_version long",
         )
     m = _CREATE_TAG.match(stmt)
     if m:

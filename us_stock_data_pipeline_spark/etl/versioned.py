@@ -50,6 +50,7 @@ table. Here nothing under a committed version directory is ever mutated.
 from __future__ import annotations
 
 import json
+import re
 import os
 import posixpath
 import uuid
@@ -611,6 +612,18 @@ def read_versioned(
         # exactly Delta/Iceberg's add-column semantics (drops/renames
         # still require a rewrite, as there).
         out = out.unionByName(df, allowMissingColumns=True)
+    # Declared schema evolution (ALTER TABLE ADD/DROP COLUMN): the
+    # manifest of THIS version records metadata-only schema commits —
+    # dropped columns are projected away (data files keep the physical
+    # values, Delta-column-mapping style), ADDed-but-never-written
+    # columns materialize as typed NULLs. Time travel naturally shows
+    # each version's own schema.
+    dropped = set(doc.get("dropped_columns", []))
+    if dropped:
+        out = out.select(*[c for c in out.columns if c not in dropped])
+    for cname, ctype in doc.get("added_columns", []):
+        if cname not in out.columns:
+            out = out.withColumn(cname, F.lit(None).cast(ctype))
     return out
 
 
@@ -693,6 +706,7 @@ def add_constraint(
                 "stats_cols": doc.get("stats_cols", []),
                 "file_stats": doc.get("file_stats", {}),
                 "constraints": cons,
+                **_schema_meta(doc),
             },
             sort_keys=True,
         )
@@ -727,6 +741,7 @@ def drop_constraint(spark: SparkSession, root: str, name: str) -> int:
                 "stats_cols": doc.get("stats_cols", []),
                 "file_stats": doc.get("file_stats", {}),
                 "constraints": cons,
+                **_schema_meta(doc),
             },
             sort_keys=True,
         )
@@ -737,6 +752,130 @@ def drop_constraint(spark: SparkSession, root: str, name: str) -> int:
             return new_ver
         _delete(spark, tmp)
     raise RuntimeError(f"drop_constraint lost 5 commit races at {root}")
+
+
+def _schema_meta(doc: dict) -> dict:
+    """Schema-evolution metadata (`added_columns`, `dropped_columns`)
+    that EVERY commit type must carry forward verbatim — merge, DV,
+    restore, branch merge, compaction, constraint edits. Manifest
+    bodies are built by explicit key lists at each commit site; this
+    helper is spread (**) into each so a new schema commit can never be
+    silently dropped by an unrelated commit type."""
+    return {
+        k: doc[k] for k in ("added_columns", "dropped_columns") if doc.get(k)
+    }
+
+
+def table_schema_meta(spark: SparkSession, root: str) -> tuple[list, list]:
+    """([(name, ddl_type), ...] added, [name, ...] dropped) recorded in
+    the CURRENT snapshot's manifest."""
+    cur = current_version(spark, root)
+    if cur == 0:
+        return [], []
+    doc = _read_manifest_doc(spark, root, cur)
+    return (
+        [tuple(x) for x in doc.get("added_columns", [])],
+        list(doc.get("dropped_columns", [])),
+    )
+
+
+def add_column(spark: SparkSession, root: str, col: str, ddl_type: str) -> int:
+    """Delta `ALTER TABLE ADD COLUMN col type`: a METADATA-ONLY commit —
+    no data file is touched; reads project the new column as
+    CAST(NULL AS type) until a write materializes it (and time travel
+    to earlier versions shows the pre-ADD schema, because the schema
+    record lives in the per-version manifest). Re-adding a DROPPED name
+    is rejected: without Delta's column-mapping indirection the old
+    physical values would resurface (document'd rewrite required)."""
+    # validate the DDL type with Spark's own parser
+    spark.createDataFrame([], f"`{col}` {ddl_type}")
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        doc = _read_manifest_doc(spark, root, base_ver)
+        added = [tuple(x) for x in doc.get("added_columns", [])]
+        dropped = list(doc.get("dropped_columns", []))
+        if col in dropped:
+            raise ValueError(
+                f"column {col!r} was dropped; re-adding it would resurface "
+                "old physical values — rewrite the table instead"
+            )
+        if any(c == col for c, _t in added):
+            raise ValueError(f"column {col!r} already added")
+        if col in read_versioned(spark, root, base_ver).columns:
+            raise ValueError(f"column {col!r} already exists")
+        added.append((col, ddl_type))
+        new_ver = base_ver + 1
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "committed_at": _now_ms(spark),
+                "partitions": doc.get("partitions", {}),
+                "deletion_vectors": doc.get("deletion_vectors", []),
+                "stats_cols": doc.get("stats_cols", []),
+                "file_stats": doc.get("file_stats", {}),
+                "constraints": doc.get("constraints", {}),
+                "added_columns": [list(x) for x in added],
+                "dropped_columns": dropped,
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"add_column lost 5 commit races at {root}")
+
+
+def drop_column(spark: SparkSession, root: str, col: str) -> int:
+    """Delta (column-mapping) `ALTER TABLE DROP COLUMN`: metadata-only —
+    data files keep the physical values, reads project the column away
+    from every snapshot at or after this commit. Rejected when a CHECK
+    constraint references the column (word-boundary match, the same
+    conservatism Delta applies)."""
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        doc = _read_manifest_doc(spark, root, base_ver)
+        cols = read_versioned(spark, root, base_ver).columns
+        if col not in cols:
+            raise KeyError(f"no column {col!r}; have {sorted(cols)}")
+        for cname, expr in doc.get("constraints", {}).items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"constraint {cname!r} references {col!r}; drop it first"
+                )
+        added = [
+            [c, t] for c, t in doc.get("added_columns", []) if c != col
+        ]
+        dropped = list(doc.get("dropped_columns", []))
+        dropped.append(col)
+        new_ver = base_ver + 1
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "committed_at": _now_ms(spark),
+                "partitions": doc.get("partitions", {}),
+                "deletion_vectors": doc.get("deletion_vectors", []),
+                "stats_cols": doc.get("stats_cols", []),
+                "file_stats": doc.get("file_stats", {}),
+                "constraints": doc.get("constraints", {}),
+                "added_columns": added,
+                "dropped_columns": dropped,
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"drop_column lost 5 commit races at {root}")
 
 
 def versioned_merge_upsert(
@@ -809,15 +948,17 @@ def versioned_merge_upsert(
         # validated once against the pre-commit constraint set (a
         # concurrent ALTER between CAS retries re-validates on the next
         # writer, not this one).
-        _enforce_constraints(
-            spark,
-            staged,
-            _read_manifest_doc(spark, root, current_version(spark, root)).get(
-                "constraints", {}
+        cur0 = current_version(spark, root)
+        doc0 = _read_manifest_doc(spark, root, cur0) if cur0 else {}
+        # a batch may not write a DROPPED column: without column-mapping
+        # indirection the new values would silently resurface the name
+        bad = sorted(set(staged.columns) & set(doc0.get("dropped_columns", [])))
+        if bad:
+            raise ValueError(
+                f"batch writes dropped column(s) {bad}; rewrite the table "
+                "to re-introduce them"
             )
-            if current_version(spark, root)
-            else {},
-        )
+        _enforce_constraints(spark, staged, doc0.get("constraints", {}))
         del_keys: DataFrame | None = None
         if delete_rows is not None:
             # Stage the pre-image rows partitioned the same way: their
@@ -925,6 +1066,7 @@ def versioned_merge_upsert(
                     "stats_cols": list(eff_stats_cols),
                     "file_stats": new_stats,
                     "constraints": doc.get("constraints", {}),
+                    **_schema_meta(doc),
                 },
                 sort_keys=True,
             )
@@ -996,6 +1138,7 @@ def versioned_delete(
                 "stats_cols": doc.get("stats_cols", []),
                 "file_stats": doc.get("file_stats", {}),
                 "constraints": doc.get("constraints", {}),
+                **_schema_meta(doc),
             },
             sort_keys=True,
         )
@@ -1331,6 +1474,7 @@ def restore_version(spark: SparkSession, root: str, version: int) -> int:
                 "stats_cols": target.get("stats_cols", []),
                 "file_stats": target.get("file_stats", {}),
                 "constraints": target.get("constraints", {}),
+                **_schema_meta(target),
                 "restored_from": version,
             },
             sort_keys=True,
@@ -1749,6 +1893,7 @@ def merge_branch(
                 "stats_cols": stats_cols,
                 "file_stats": merged_stats,
                 "constraints": mdoc.get("constraints", {}),
+                **_schema_meta(mdoc),
                 "merged_from_branch": {"name": name, "fork_version": fork},
             },
             sort_keys=True,
@@ -1909,6 +2054,7 @@ def compact_table(
                 "stats_cols": list(stats_cols),
                 "file_stats": file_stats,
                 "constraints": base_doc.get("constraints", {}),
+                **_schema_meta(base_doc),
             },
             sort_keys=True,
         )

@@ -417,3 +417,116 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# catalog: ALTER TABLE ADD/DROP COLUMN — metadata-only schema evolution
+# --------------------------------------------------------------------------
+
+_SQL_SCHEMA_EVO_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(c_nationkey % 5 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS val
+  FROM customer GROUP BY 1, 2
+),
+cur AS (
+  SELECT nk, band, CAST(NULL AS BIGINT) AS score FROM base
+  UNION ALL
+  SELECT nk + 1000, CAST(9 AS BIGINT), val * 2 FROM base
+),
+agg AS (
+  SELECT band,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) FILTER (WHERE score IS NULL) AS BIGINT) AS n_score_null,
+         CAST(sum(score) AS BIGINT) AS sum_score
+  FROM cur GROUP BY 1
+),
+v1 AS (SELECT band, CAST(sum(val) AS BIGINT) AS sum_val_v1 FROM base GROUP BY 1)
+SELECT a.band, a.n_rows, a.n_score_null, a.sum_score, v.sum_val_v1
+FROM agg a LEFT JOIN v1 v USING (band)
+ORDER BY a.band
+"""
+
+
+@register(
+    "etl_versioned_sql_schema_evolution",
+    oracle=_SQL_SCHEMA_EVO_ORACLE,
+    tags=("etl", "versioned", "sql"),
+    round=13,
+)
+def etl_versioned_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ALTER TABLE ADD COLUMN` / `DROP COLUMN` through the SQL
+    front-end (round 13, etl/vcatalog.py + versioned.add_column/
+    drop_column): both are METADATA-ONLY commits — kilobytes of
+    manifest, zero data rewrite, which at 100 TB is the difference
+    between an instant DDL and a day-long table rewrite (Delta's
+    add-column and column-mapping drop semantics). The script: build
+    per-nation counts, ADD COLUMN score (reads project typed NULL with
+    no write), INSERT shifted rows that MATERIALIZE score, DROP COLUMN
+    val (data files keep the bytes; reads at/after this version project
+    it away, while `VERSION AS OF 1` still serves it — schema evolution
+    is itself versioned). The final aggregate joins the post-evolution
+    table against the time-traveled v1 sums, and the oracle recomputes
+    both from the base fixture."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from us_stock_data_pipeline_spark.etl.vcatalog import (
+        register_versioned,
+        unregister_versioned,
+        versioned_sql,
+    )
+    from us_stock_data_pipeline_spark.etl.versioned import versioned_merge_upsert
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nk"),
+            (F.col("c_nationkey") % 5).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))
+    )
+    root = tempfile.mkdtemp(prefix=f"us_sdps_vevo_{_uuid.uuid4().hex[:8]}_")
+    name = f"vevo_{_uuid.uuid4().hex[:8]}"
+    try:
+        versioned_merge_upsert(
+            spark, base, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        register_versioned(
+            spark, name, root, key_cols=("nk",), partition_cols=("band",)
+        )
+        versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN score BIGINT")
+        assert (
+            spark.table(name).filter(F.col("score").isNotNull()).count() == 0
+        ), "metadata-only ADD COLUMN must read as NULL"
+        versioned_sql(
+            spark,
+            f"INSERT INTO {name} (nk, band, val, score) "
+            f"SELECT nk + 1000, CAST(9 AS BIGINT), val, val * 2 FROM {name}",
+        )
+        versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN val")
+        cur = spark.table(name)
+        assert "val" not in cur.columns, "DROP COLUMN must hide the column"
+        agg = (
+            cur.groupBy("band")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_score_null"),
+                F.sum("score").cast("long").alias("sum_score"),
+            )
+        )
+        v1 = versioned_sql(
+            spark,
+            f"SELECT band, CAST(sum(val) AS BIGINT) AS sum_val_v1 "
+            f"FROM {name} VERSION AS OF 1 GROUP BY band",
+        )
+        out = agg.join(v1, "band", "left").orderBy("band")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        unregister_versioned(spark, name)
+        shutil.rmtree(root, ignore_errors=True)
