@@ -853,3 +853,76 @@ def _commit_update_noval(spark, root, ks, delta):
     return V.versioned_merge_upsert(
         spark, upd, root, key_cols=("k",), partition_cols=("band",)
     )
+
+
+def test_rename_column_reads_and_writes(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    ver = C.versioned_sql(
+        spark, f"ALTER TABLE {name} RENAME COLUMN val TO amount"
+    ).first().committed_version
+    cols = spark.sql(f"SELECT * FROM {name}").columns
+    assert "amount" in cols and "val" not in cols
+    # pre-rename snapshot still shows the old name
+    old = C.versioned_sql(spark, f"SELECT * FROM {name} VERSION AS OF {ver - 1}")
+    assert "val" in old.columns and "amount" not in old.columns
+    # a write under the VISIBLE name translates to the physical column
+    C.versioned_sql(
+        spark, f"INSERT INTO {name} (k, band, amount) VALUES (100, 0, 777)"
+    )
+    got = {r.k: r.amount for r in spark.sql(f"SELECT k, amount FROM {name}").collect()}
+    assert got[100] == 777 and got[1] == 10
+    # DV delete keyed through the renamed world still lands
+    V.versioned_delete(spark, spark.createDataFrame([(100,)], "k long"), root, key_cols=("k",))
+    C.refresh_versioned(spark, name)
+    assert spark.sql(f"SELECT * FROM {name} WHERE k = 100").count() == 0
+
+
+def test_rename_chain_and_guards(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN val TO v2")
+    C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN v2 TO v3")
+    added, dropped = V.table_schema_meta(spark, root)
+    assert V._rename_map(V._read_manifest_doc(spark, root, V.current_version(spark, root))) == {"v3": "val"}
+    # rename back to the original physical name is the identity mapping
+    C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN v3 TO val")
+    assert "val" in spark.sql(f"SELECT * FROM {name}").columns
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN k TO kk")
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN band TO b2")
+    with pytest.raises(KeyError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN nope TO x")
+    C.versioned_sql(spark, f"ALTER TABLE {name} ADD CONSTRAINT c1 CHECK (val >= 0)")
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN val TO v9")
+
+
+def test_rename_then_drop_records_physical(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN val TO amount")
+    C.versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN amount")
+    added, dropped = V.table_schema_meta(spark, root)
+    assert dropped == ["val"]  # physical name recorded
+    assert "amount" not in spark.sql(f"SELECT * FROM {name}").columns
+    # neither the visible nor the physical name can come back
+    with pytest.raises(ValueError):
+        C.versioned_sql(spark, f"ALTER TABLE {name} ADD COLUMN val LONG")
+    upd = spark.createDataFrame([(9, 1, 5)], "k long, band long, val long")
+    with pytest.raises(ValueError):
+        V.versioned_merge_upsert(spark, upd, root, key_cols=("k",), partition_cols=("band",))
+
+
+def test_constraint_enforced_through_rename(spark, table):
+    root, name = table
+    C.register_versioned(spark, name, root, key_cols=("k",), partition_cols=("band",))
+    C.versioned_sql(spark, f"ALTER TABLE {name} RENAME COLUMN val TO amount")
+    # constraint declared against the VISIBLE schema
+    C.versioned_sql(spark, f"ALTER TABLE {name} ADD CONSTRAINT nn CHECK (amount >= 0)")
+    ok = spark.createDataFrame([(50, 0, 1)], "k long, band long, amount long")
+    V.versioned_merge_upsert(spark, ok, root, key_cols=("k",), partition_cols=("band",))
+    bad = spark.createDataFrame([(51, 1, -5)], "k long, band long, amount long")
+    with pytest.raises(Exception):
+        V.versioned_merge_upsert(spark, bad, root, key_cols=("k",), partition_cols=("band",))

@@ -46,12 +46,15 @@ SQL front-end:
       constraints: the snapshot is validated at ADD, every later
       write batch is validated before its manifest publishes)
     * ``ALTER TABLE <name> ADD COLUMN <c> <type>`` /
-      ``ALTER TABLE <name> DROP COLUMN <c>`` (metadata-only schema
-      evolution: ADD reads as typed NULL until a write materializes
-      it; DROP projects the column away Delta-column-mapping style —
-      no data rewrite, schema versioned per snapshot; key/partition/
-      generated/constraint-referenced columns refuse to drop, dropped
-      names refuse to re-add without a rewrite)
+      ``ALTER TABLE <name> DROP COLUMN <c>`` /
+      ``ALTER TABLE <name> RENAME COLUMN <old> TO <new>``
+      (metadata-only schema evolution: ADD reads as typed NULL until a
+      write materializes it; DROP projects the column away
+      Delta-column-mapping style; RENAME records a visible->physical
+      mapping — reads alias it, writes arriving under the visible name
+      translate back — no data rewrite, schema versioned per snapshot;
+      key/partition/generated/constraint-referenced columns refuse to
+      drop or rename, dropped names refuse to re-add)
     * ``CREATE TABLE <new> SHALLOW CLONE <src> [VERSION AS OF <n>]
       LOCATION '<path>'`` (Delta shallow clone: zero-copy independent
       table whose first manifest points at the source's data dirs;
@@ -270,6 +273,11 @@ _ADD_COLUMN = re.compile(
 _DROP_COLUMN = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+DROP\s+COLUMNS?\s+\(?\s*"
     rf"({_NAME_RE})\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COLUMN = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_NAME_RE})\s+RENAME\s+COLUMN\s+"
+    rf"({_NAME_RE})\s+TO\s+({_NAME_RE})\s*;?\s*$",
     re.IGNORECASE,
 )
 _CREATE_TAG = re.compile(
@@ -836,6 +844,27 @@ def versioned_sql(spark: SparkSession, stmt: str) -> DataFrame:
         return spark.createDataFrame(
             [(name, col, ver)],
             "table_name string, column_name string, committed_version long",
+        )
+    m = _RENAME_COLUMN.match(stmt)
+    if m:
+        name, old, new = m.group(1), m.group(2), m.group(3)
+        e = _entry_of(spark, name)
+        protected = tuple(e.get("key_cols") or ()) + tuple(
+            e.get("partition_cols") or ()
+        )
+        if old in protected or new in protected:
+            raise ValueError(
+                f"cannot rename across key/partition columns ({old!r} -> "
+                f"{new!r}); they anchor the table's write spec"
+            )
+        if old in _generated_of(spark, name) or new in _generated_of(spark, name):
+            raise ValueError("cannot rename a generated column")
+        ver = V.rename_column(spark, _root_of(spark, name), old, new)
+        refresh_versioned(spark, name)
+        return spark.createDataFrame(
+            [(name, old, new, ver)],
+            "table_name string, old_name string, new_name string,"
+            " committed_version long",
         )
     m = _CREATE_TAG.match(stmt)
     if m:

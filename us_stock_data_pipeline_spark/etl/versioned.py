@@ -612,18 +612,23 @@ def read_versioned(
         # exactly Delta/Iceberg's add-column semantics (drops/renames
         # still require a rewrite, as there).
         out = out.unionByName(df, allowMissingColumns=True)
-    # Declared schema evolution (ALTER TABLE ADD/DROP COLUMN): the
-    # manifest of THIS version records metadata-only schema commits —
-    # dropped columns are projected away (data files keep the physical
-    # values, Delta-column-mapping style), ADDed-but-never-written
-    # columns materialize as typed NULLs. Time travel naturally shows
-    # each version's own schema.
+    # Declared schema evolution (ALTER TABLE ADD/DROP/RENAME COLUMN):
+    # the manifest of THIS version records metadata-only schema
+    # commits — dropped columns are projected away (data files keep
+    # the physical values, Delta-column-mapping style),
+    # ADDed-but-never-written columns materialize as typed NULLs, and
+    # renamed columns alias their physical name LAST so both dropped
+    # and added records stay in physical-name space. Time travel
+    # naturally shows each version's own schema.
     dropped = set(doc.get("dropped_columns", []))
     if dropped:
         out = out.select(*[c for c in out.columns if c not in dropped])
     for cname, ctype in doc.get("added_columns", []):
         if cname not in out.columns:
             out = out.withColumn(cname, F.lit(None).cast(ctype))
+    for vis, phys in doc.get("renamed_columns", []):
+        if phys in out.columns:
+            out = out.withColumnRenamed(phys, vis)
     return out
 
 
@@ -755,15 +760,24 @@ def drop_constraint(spark: SparkSession, root: str, name: str) -> int:
 
 
 def _schema_meta(doc: dict) -> dict:
-    """Schema-evolution metadata (`added_columns`, `dropped_columns`)
-    that EVERY commit type must carry forward verbatim — merge, DV,
-    restore, branch merge, compaction, constraint edits. Manifest
-    bodies are built by explicit key lists at each commit site; this
-    helper is spread (**) into each so a new schema commit can never be
-    silently dropped by an unrelated commit type."""
+    """Schema-evolution metadata (`added_columns`, `dropped_columns`,
+    `renamed_columns`) that EVERY commit type must carry forward
+    verbatim — merge, DV, restore, branch merge, compaction, constraint
+    edits. Manifest bodies are built by explicit key lists at each
+    commit site; this helper is spread (**) into each so a new schema
+    commit can never be silently dropped by an unrelated commit
+    type."""
     return {
-        k: doc[k] for k in ("added_columns", "dropped_columns") if doc.get(k)
+        k: doc[k]
+        for k in ("added_columns", "dropped_columns", "renamed_columns")
+        if doc.get(k)
     }
+
+
+def _rename_map(doc: dict) -> dict[str, str]:
+    """{visible_name: physical_name} from the manifest's
+    `renamed_columns` pairs."""
+    return {vis: phys for vis, phys in doc.get("renamed_columns", [])}
 
 
 def table_schema_meta(spark: SparkSession, root: str) -> tuple[list, list]:
@@ -805,6 +819,11 @@ def add_column(spark: SparkSession, root: str, col: str, ddl_type: str) -> int:
             raise ValueError(f"column {col!r} already added")
         if col in read_versioned(spark, root, base_ver).columns:
             raise ValueError(f"column {col!r} already exists")
+        if col in set(_rename_map(doc).values()):
+            raise ValueError(
+                f"{col!r} is the physical name behind a renamed column; "
+                "adding it would resurface old values — rewrite instead"
+            )
         added.append((col, ddl_type))
         new_ver = base_ver + 1
         body = json.dumps(
@@ -849,11 +868,13 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
                 raise ValueError(
                     f"constraint {cname!r} references {col!r}; drop it first"
                 )
+        renames = _rename_map(doc)
+        phys = renames.pop(col, col)  # record the PHYSICAL name
         added = [
-            [c, t] for c, t in doc.get("added_columns", []) if c != col
+            [c, t] for c, t in doc.get("added_columns", []) if c != phys
         ]
         dropped = list(doc.get("dropped_columns", []))
-        dropped.append(col)
+        dropped.append(phys)
         new_ver = base_ver + 1
         body = json.dumps(
             {
@@ -866,6 +887,7 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
                 "constraints": doc.get("constraints", {}),
                 "added_columns": added,
                 "dropped_columns": dropped,
+                "renamed_columns": sorted([v, p] for v, p in renames.items()),
             },
             sort_keys=True,
         )
@@ -876,6 +898,73 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
             return new_ver
         _delete(spark, tmp)
     raise RuntimeError(f"drop_column lost 5 commit races at {root}")
+
+
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """Delta (column-mapping) `ALTER TABLE RENAME COLUMN old TO new`:
+    metadata-only — the manifest records a visible->physical mapping,
+    data files keep the physical name, reads alias it, and WRITE
+    batches arriving under the visible name are translated back to the
+    physical name before staging (versioned_merge_upsert). Chained
+    renames collapse to one mapping (A->B->C stores C->A). Rejected
+    when a CHECK constraint references the old name (the constraint
+    text would dangle)."""
+    if old == new:
+        raise ValueError("RENAME COLUMN requires a different name")
+    for attempt in range(5):
+        base_ver = current_version(spark, root)
+        if base_ver == 0:
+            raise FileNotFoundError(f"no committed version under {root}")
+        doc = _read_manifest_doc(spark, root, base_ver)
+        cols = read_versioned(spark, root, base_ver).columns
+        if old not in cols:
+            raise KeyError(f"no column {old!r}; have {sorted(cols)}")
+        if new in cols:
+            raise ValueError(f"column {new!r} already exists")
+        if new in doc.get("dropped_columns", []):
+            raise ValueError(
+                f"{new!r} names a dropped column; its old physical values "
+                "would resurface — rewrite the table instead"
+            )
+        for cname, expr in doc.get("constraints", {}).items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r}; drop it first"
+                )
+        renames = _rename_map(doc)
+        phys = renames.pop(old, old)
+        if new in set(renames.values()):
+            raise ValueError(
+                f"{new!r} is the physical name behind another renamed "
+                "column; two visible names cannot share one physical"
+            )
+        renames[new] = phys
+        # an ADDed column renames by rewriting its own record (its
+        # recorded name IS the physical name future writes use, so
+        # pointing the mapping at it keeps write translation uniform)
+        new_ver = base_ver + 1
+        body = json.dumps(
+            {
+                "version": new_ver,
+                "committed_at": _now_ms(spark),
+                "partitions": doc.get("partitions", {}),
+                "deletion_vectors": doc.get("deletion_vectors", []),
+                "stats_cols": doc.get("stats_cols", []),
+                "file_stats": doc.get("file_stats", {}),
+                "constraints": doc.get("constraints", {}),
+                "added_columns": doc.get("added_columns", []),
+                "dropped_columns": doc.get("dropped_columns", []),
+                "renamed_columns": sorted([v, p] for v, p in renames.items()),
+            },
+            sort_keys=True,
+        )
+        tmp = posixpath.join(root, _MANIFESTS, f".tmp_{uuid.uuid4().hex}.json")
+        final = posixpath.join(root, _MANIFESTS, f"v{new_ver:08d}.json")
+        _write_file(spark, tmp, body)
+        if _rename(spark, tmp, final):
+            return new_ver
+        _delete(spark, tmp)
+    raise RuntimeError(f"rename_column lost 5 commit races at {root}")
 
 
 def versioned_merge_upsert(
@@ -931,6 +1020,27 @@ def versioned_merge_upsert(
     from us_stock_data_pipeline_spark.etl.sinks import _layout_for_write
 
     _mkdirs(spark, posixpath.join(root, _MANIFESTS))
+    # RENAME COLUMN translation: batches arrive under VISIBLE names;
+    # data files use PHYSICAL names. Translate before staging so every
+    # downstream step (anti-join, union, stats) lives in one namespace.
+    _pre_ver = current_version(spark, root)
+    _pre_renames = (
+        _rename_map(_read_manifest_doc(spark, root, _pre_ver))
+        if _pre_ver
+        else {}
+    )
+    for _vis, _phys in _pre_renames.items():
+        if _vis in updates.columns:
+            if _phys in updates.columns:
+                raise ValueError(
+                    f"batch carries both {_vis!r} and its physical name "
+                    f"{_phys!r}"
+                )
+            updates = updates.withColumnRenamed(_vis, _phys)
+        if delete_rows is not None and _vis in delete_rows.columns:
+            delete_rows = delete_rows.withColumnRenamed(_vis, _phys)
+    key_cols = tuple(_pre_renames.get(c, c) for c in key_cols)
+    partition_cols = tuple(_pre_renames.get(c, c) for c in partition_cols)
     scratch = posixpath.join(root, f"_scratch_{uuid.uuid4().hex}")
     _layout_for_write(updates, partition_cols, files_per_partition).write.mode(
         "overwrite"
@@ -958,7 +1068,13 @@ def versioned_merge_upsert(
                 f"batch writes dropped column(s) {bad}; rewrite the table "
                 "to re-introduce them"
             )
-        _enforce_constraints(spark, staged, doc0.get("constraints", {}))
+        # constraints are declared against the VISIBLE schema; evaluate
+        # them on a visible-name view of the (physical-named) staging
+        staged_vis = staged
+        for _vis, _phys in _rename_map(doc0).items():
+            if _phys in staged_vis.columns:
+                staged_vis = staged_vis.withColumnRenamed(_phys, _vis)
+        _enforce_constraints(spark, staged_vis, doc0.get("constraints", {}))
         del_keys: DataFrame | None = None
         if delete_rows is not None:
             # Stage the pre-image rows partitioned the same way: their
@@ -1115,6 +1231,15 @@ def versioned_delete(
     # (advisor r8 low).
     if current_version(spark, root) == 0:
         raise FileNotFoundError(f"no committed version under {root}")
+    # RENAME COLUMN: DV key files live in physical-name space (readers
+    # anti-join them against raw data dirs), so translate visible names
+    _dv_renames = _rename_map(
+        _read_manifest_doc(spark, root, current_version(spark, root))
+    )
+    for _vis, _phys in _dv_renames.items():
+        if _vis in keys.columns:
+            keys = keys.withColumnRenamed(_vis, _phys)
+    key_cols = tuple(_dv_renames.get(c, c) for c in key_cols)
     dv_dir = posixpath.join(_DVS, f"dv-{uuid.uuid4().hex}")
     keys.select(*key_cols).dropDuplicates().coalesce(1).write.mode(
         "overwrite"

@@ -456,9 +456,10 @@ ORDER BY a.band
     round=13,
 )
 def etl_versioned_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`ALTER TABLE ADD COLUMN` / `DROP COLUMN` through the SQL
-    front-end (round 13, etl/vcatalog.py + versioned.add_column/
-    drop_column): both are METADATA-ONLY commits — kilobytes of
+    """`ALTER TABLE ADD COLUMN` / `DROP COLUMN` / `RENAME COLUMN`
+    through the SQL front-end (round 13, etl/vcatalog.py +
+    versioned.add_column/drop_column/rename_column): all
+    METADATA-ONLY commits — kilobytes of
     manifest, zero data rewrite, which at 100 TB is the difference
     between an instant DDL and a day-long table rewrite (Delta's
     add-column and column-mapping drop semantics). The script: build
@@ -466,7 +467,11 @@ def etl_versioned_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> Data
     no write), INSERT shifted rows that MATERIALIZE score, DROP COLUMN
     val (data files keep the bytes; reads at/after this version project
     it away, while `VERSION AS OF 1` still serves it — schema evolution
-    is itself versioned). The final aggregate joins the post-evolution
+    is itself versioned). RENAME COLUMN then maps score->quality
+    (visible->physical indirection: the following INSERT arrives under
+    the NEW name and is translated back before staging; a DV DELETE
+    removes the probe row so the oracle is unaffected). The final
+    aggregate joins the post-evolution
     table against the time-traveled v1 sums, and the oracle recomputes
     both from the base fixture."""
     import shutil
@@ -507,16 +512,29 @@ def etl_versioned_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> Data
             f"SELECT nk + 1000, CAST(9 AS BIGINT), val, val * 2 FROM {name}",
         )
         versioned_sql(spark, f"ALTER TABLE {name} DROP COLUMN val")
+        # RENAME COLUMN: metadata-only visible->physical mapping; the
+        # INSERT below arrives under the NEW name and is translated
+        # back to the physical column before staging
+        versioned_sql(
+            spark, f"ALTER TABLE {name} RENAME COLUMN score TO quality"
+        )
+        versioned_sql(
+            spark,
+            f"INSERT INTO {name} (nk, band, quality) "
+            f"VALUES (9999, CAST(9 AS BIGINT), CAST(1 AS BIGINT))",
+        )
+        versioned_sql(spark, f"DELETE FROM {name} WHERE nk = 9999")
         cur = spark.table(name)
         assert "val" not in cur.columns, "DROP COLUMN must hide the column"
+        assert "quality" in cur.columns and "score" not in cur.columns
         agg = (
             cur.groupBy("band")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("score").isNull(), 1).otherwise(0))
+                F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
                 .cast("long")
                 .alias("n_score_null"),
-                F.sum("score").cast("long").alias("sum_score"),
+                F.sum("quality").cast("long").alias("sum_score"),
             )
         )
         v1 = versioned_sql(
