@@ -471,3 +471,113 @@ def test_nested_fuzz_vs_pyarrow(lists, use_dict, comp, page, pv):
             data_page_version=pv,
         )
         assert PR.read_column(open(p, "rb").read(), "a") == lists
+
+
+# ----------------------------------------------------- types & encodings
+# Round 13: BOOLEAN (bit-packed PLAIN + RLE value encoding), decimal
+# FLBA, INT96 legacy timestamps, BYTE_STREAM_SPLIT.
+
+import datetime as _dt
+import decimal as _decimal
+import struct as _struct
+
+
+_BOOLS = [True, None, False, True, None, False, False, True, True]
+_DECS = [
+    _decimal.Decimal("1.23"),
+    None,
+    _decimal.Decimal("-4.56"),
+    _decimal.Decimal("0.01"),
+] * 2 + [None]
+_FLOATS = [1.5, 2.5, None, 3.5, -0.25, None, 7.0, 8.0, 9.5]
+_INTS = [10, None, -5, 2**40, 0, 3, None, 7, 9]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(compression="none", use_dictionary=False, use_byte_stream_split=["f", "i"]),
+        dict(compression="snappy", use_dictionary=True),
+        dict(
+            compression="gzip",
+            use_dictionary=False,
+            data_page_version="2.0",
+            use_byte_stream_split=["f"],
+        ),
+        dict(compression="snappy", use_dictionary=True, data_page_version="2.0"),
+        dict(compression="lz4", use_dictionary=False, data_page_size=64),
+    ],
+)
+def test_bool_decimal_bss_matrix(kw):
+    t = pa.table(
+        {
+            "b": pa.array(_BOOLS),
+            "dec": pa.array(_DECS, pa.decimal128(9, 2)),
+            "f": pa.array(_FLOATS, pa.float64()),
+            "i": pa.array(_INTS, pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(t, p, **kw)
+        buf = open(p, "rb").read()
+        assert PR.read_column(buf, "b") == _BOOLS
+        exp_dec = [
+            None if v is None else int(v.scaleb(2)).to_bytes(4, "big", signed=True)
+            for v in _DECS
+        ]
+        assert PR.read_column(buf, "dec") == exp_dec
+        assert PR.read_column(buf, "f") == _FLOATS
+        assert PR.read_column(buf, "i") == _INTS
+
+
+def test_int96_legacy_timestamps():
+    ts = [
+        _dt.datetime(2020, 1, 1, 12, 0, 0),
+        None,
+        _dt.datetime(1999, 12, 31, 23, 59, 59),
+        _dt.datetime(1970, 1, 1),
+    ]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("ns"))})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t, p, use_deprecated_int96_timestamps=True, compression="snappy"
+        )
+        raw = PR.read_column(open(p, "rb").read(), "ts")
+
+    def conv(v):
+        if v is None:
+            return None
+        nanos, jd = _struct.unpack("<qI", v)
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            days=jd - 2440588, microseconds=nanos // 1000
+        )
+
+    assert [conv(v) for v in raw] == ts
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)),
+        min_size=1,
+        max_size=300,
+    ),
+    pv=st.sampled_from(["1.0", "2.0"]),
+    comp=st.sampled_from(["none", "snappy"]),
+)
+def test_byte_stream_split_fuzz(vals, pv, comp):
+    t = pa.table({"f": pa.array(vals, pa.float64())})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        pq.write_table(
+            t,
+            p,
+            compression=comp,
+            data_page_version=pv,
+            use_dictionary=False,
+            use_byte_stream_split=["f"],
+            data_page_size=256,
+        )
+        assert PR.read_column(open(p, "rb").read(), "f") == vals

@@ -31,8 +31,14 @@ single-leaf Dremel record assembly rebuilds arbitrarily nested
 list<...> values (3-level LIST encoding as written by Spark and
 pyarrow, including null lists / empty lists / null elements and
 multi-level list<list<...>>) plus struct leaves addressed by dotted
-path ("s.a"). Still gated NotImplementedError: ZSTD/BROTLI/
-hadoop-framed-LZ4 codecs, BYTE_STREAM_SPLIT, index pages.
+path ("s.a"), and completes the physical-type / value-encoding
+matrix: BOOLEAN (bit-packed PLAIN and the RLE value encoding v2
+writers default to), FIXED_LEN_BYTE_ARRAY (decimals/UUIDs — raw
+big-endian bytes; logical conversion is the layer above, like
+timestamps), INT96 legacy timestamps (raw 12-byte values), and
+BYTE_STREAM_SPLIT (byte-transposed float/double/int/FLBA streams).
+Still gated NotImplementedError: ZSTD/BROTLI/hadoop-framed-LZ4
+codecs, index pages.
 
 Format references: parquet-format/src/main/thrift/parquet.thrift and
 Encodings.md (public Apache specs).
@@ -190,13 +196,22 @@ _PQ_BOOLEAN, _PQ_INT32, _PQ_INT64, _PQ_INT96, _PQ_FLOAT, _PQ_DOUBLE, _PQ_BYTE_AR
     5,
     6,
 )
+_PQ_FLBA = 7  # FIXED_LEN_BYTE_ARRAY (decimals, UUIDs, float16)
 
 
-def _plain_decode(data: bytes, ptype: int, n: int) -> list:
+def _plain_decode(data: bytes, ptype: int, n: int, type_length: int = 0) -> list:
+    if ptype == _PQ_BOOLEAN:
+        # PLAIN booleans are bit-packed LSB-first, one bit per value
+        return [bool((data[k >> 3] >> (k & 7)) & 1) for k in range(n)]
     if ptype == _PQ_INT32:
         return list(struct.unpack(f"<{n}i", data[: 4 * n]))
     if ptype == _PQ_INT64:
         return list(struct.unpack(f"<{n}q", data[: 8 * n]))
+    if ptype == _PQ_INT96:
+        # legacy 12-byte timestamps: returned RAW (8B nanos-of-day LE +
+        # 4B Julian day LE); logical conversion is the layer above,
+        # like timestamps/dates elsewhere in this reader
+        return [bytes(data[12 * k : 12 * k + 12]) for k in range(n)]
     if ptype == _PQ_FLOAT:
         return list(struct.unpack(f"<{n}f", data[: 4 * n]))
     if ptype == _PQ_DOUBLE:
@@ -210,7 +225,33 @@ def _plain_decode(data: bytes, ptype: int, n: int) -> list:
             out.append(bytes(data[pos : pos + ln]))
             pos += ln
         return out
+    if ptype == _PQ_FLBA:
+        if type_length <= 0:
+            raise ValueError("FIXED_LEN_BYTE_ARRAY without type_length")
+        w = type_length
+        return [bytes(data[w * k : w * k + w]) for k in range(n)]
     raise NotImplementedError(f"parquet physical type {ptype} not in scope")
+
+
+def _byte_stream_split(data: bytes, ptype: int, n: int, type_length: int) -> list:
+    """BYTE_STREAM_SPLIT (Encodings.md): K byte-streams of n bytes each
+    (K = element width); byte i of value j sits at stream i offset j.
+    Values reassemble by interleaving, then decode as PLAIN."""
+    width = {
+        _PQ_INT32: 4,
+        _PQ_INT64: 8,
+        _PQ_FLOAT: 4,
+        _PQ_DOUBLE: 8,
+        _PQ_FLBA: type_length,
+    }.get(ptype)
+    if not width:
+        raise ValueError(f"BYTE_STREAM_SPLIT invalid for physical type {ptype}")
+    if len(data) < n * width:
+        raise ValueError("truncated BYTE_STREAM_SPLIT page")
+    recombined = bytearray(n * width)
+    for i in range(width):
+        recombined[i::width] = data[i * n : (i + 1) * n]
+    return _plain_decode(bytes(recombined), ptype, n, type_length)
 
 
 def _delta_binary_packed(data: bytes, pos: int = 0) -> tuple[list[int], int]:
@@ -367,6 +408,7 @@ def schema_leaves(meta: dict) -> list[dict]:
                 {
                     "path": path,
                     "ptype": el[1],
+                    "type_length": el.get(2, 0),  # FLBA width
                     "max_def": cumdef,
                     "max_rep": cumrep,
                     "nodes": nodes,
@@ -484,6 +526,7 @@ def read_column(buf: bytes, column: str) -> list:
     meta = read_footer(buf)
     leaf = _resolve_leaf(meta, column)
     ptype, max_def, max_rep = leaf["ptype"], leaf["max_def"], leaf["max_rep"]
+    tlen = leaf.get("type_length", 0)
     def_bw = max_def.bit_length()
     rep_bw = max_rep.bit_length()
     leaf_path = list(leaf["path"])
@@ -511,7 +554,7 @@ def read_column(buf: bytes, column: str) -> list:
                 if page_type == 2:  # DICTIONARY_PAGE
                     data = _decompress(raw, codec, header[2])
                     dph = header[7]
-                    dictionary = _plain_decode(data, ptype, dph[1])
+                    dictionary = _plain_decode(data, ptype, dph[1], tlen)
                     continue
                 if page_type == 0:  # DATA_PAGE v1
                     data = _decompress(raw, codec, header[2])
@@ -576,7 +619,22 @@ def read_column(buf: bytes, column: str) -> list:
                     idx = _rle_bp_hybrid(vals_buf[1:], bw, n_present)
                     present = [dictionary[i] for i in idx]
                 elif enc == 0:  # PLAIN
-                    present = _plain_decode(vals_buf, ptype, n_present)
+                    present = _plain_decode(vals_buf, ptype, n_present, tlen)
+                elif enc == 9:  # BYTE_STREAM_SPLIT
+                    present = _byte_stream_split(
+                        bytes(vals_buf), ptype, n_present, tlen
+                    )
+                elif enc == 3 and ptype == _PQ_BOOLEAN:
+                    # RLE as a VALUE encoding (v2 writers' boolean
+                    # default): 4-byte length prefix + the hybrid at
+                    # bit width 1
+                    (rle_len,) = struct.unpack_from("<I", vals_buf, 0)
+                    present = [
+                        bool(v)
+                        for v in _rle_bp_hybrid(
+                            bytes(vals_buf[4 : 4 + rle_len]), 1, n_present
+                        )
+                    ]
                 elif enc == 5:  # DELTA_BINARY_PACKED
                     if ptype not in (_PQ_INT32, _PQ_INT64):
                         raise ValueError(

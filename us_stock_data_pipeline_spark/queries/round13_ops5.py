@@ -548,3 +548,127 @@ def etl_versioned_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> Data
     finally:
         unregister_versioned(spark, name)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# storage: page reader on BOOLEAN / DECIMAL-FLBA / BYTE_STREAM_SPLIT
+# --------------------------------------------------------------------------
+
+_PQRAW_TYPES_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE c_custkey % 2 = 0) AS BIGINT) AS n_even,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents,
+       CAST(sum(CAST(floor(CAST(c_custkey AS DOUBLE) / 4 * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_qratio
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "storage_parquet_raw_scan_types",
+    oracle=_PQRAW_TYPES_ORACLE,
+    tags=("storage", "multimodal"),
+    round=13,
+)
+def storage_parquet_raw_scan_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Python parquet page reader on the REMAINING physical types
+    and value encodings (round 13): BOOLEAN (bit-packed PLAIN in v1
+    pages AND the RLE value encoding v2 writers emit by default),
+    DECIMAL as FIXED_LEN_BYTE_ARRAY (big-endian two's-complement at
+    the declared width — the reader returns raw bytes and this query
+    does the e2-scale integer conversion, the same physical/logical
+    split as timestamps), and BYTE_STREAM_SPLIT byte-transposed
+    doubles. Same distributed shape as the delta-encoding scan: each
+    binaryFile->mapInPandas task re-encodes ITS file with pyarrow
+    (decimal128, BSS on the double, v2 pages with 512-byte pages) and
+    parses the bytes with `functions/parquet_raw.py` — no pyarrow on
+    the DECODE side. Exact integers end to end: cents for the decimal,
+    e6 fixed-point floor for the double."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "c_custkey % 2 = 0 AS is_even",
+        "CAST(c_acctbal AS DECIMAL(20, 2)) AS bal",
+        "CAST(c_custkey AS DOUBLE) / 4 AS ratio",
+    )
+    stage = tempfile.mkdtemp(prefix=f"us_sdps_pqtypes_{_uuid.uuid4().hex[:8]}_")
+    try:
+        out_dir = f"{stage}/t"
+        cust.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        assert glob.glob(f"{out_dir}/*.parquet")
+
+        def decode(batches):
+            import io
+
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from us_stock_data_pipeline_spark.functions.parquet_raw import (
+                read_column,
+            )
+
+            for b in batches:
+                for _, row in b.iterrows():
+                    t = pq.read_table(io.BytesIO(bytes(row["content"])))
+                    sink = io.BytesIO()
+                    pq.write_table(
+                        t,
+                        sink,
+                        use_dictionary=False,
+                        data_page_version="2.0",
+                        data_page_size=512,
+                        write_statistics=False,
+                        use_byte_stream_split=["ratio"],
+                    )
+                    buf = sink.getvalue()
+                    bal_raw = read_column(buf, "bal")
+                    yield pd.DataFrame(
+                        {
+                            "nk": read_column(buf, "nk"),
+                            "is_even": read_column(buf, "is_even"),
+                            "bal_cents": [
+                                None
+                                if v is None
+                                else int.from_bytes(v, "big", signed=True)
+                                for v in bal_raw
+                            ],
+                            "ratio": read_column(buf, "ratio"),
+                        }
+                    )
+
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .load(out_dir)
+            .select("content")
+        )
+        decoded = files.mapInPandas(
+            decode, "nk long, is_even boolean, bal_cents long, ratio double"
+        )
+        agg = (
+            decoded.groupBy("nk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("is_even"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_even"),
+                F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+                F.sum(F.floor(F.col("ratio") * 1000000))
+                .cast("long")
+                .alias("sum_qratio"),
+            )
+            .orderBy("nk")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
