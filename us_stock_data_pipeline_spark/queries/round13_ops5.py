@@ -672,3 +672,145 @@ def storage_parquet_raw_scan_types(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# tokenizer: WordPiece pair-likelihood scoring step
+# --------------------------------------------------------------------------
+
+# WordPiece picks the merge maximizing count(ab) / (count(a)*count(b))
+# (the likelihood-gain criterion, vs BPE's raw count(ab)). The score is
+# computed in e9 fixed point with pure BIGINT arithmetic — `div` in
+# Spark pairs with `//` in DuckDB (both truncate) — so the ranking is
+# cross-engine exact with no float in sight.
+_WORDPIECE_ORACLE = """
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  )
+  GROUP BY 1
+),
+sym AS (
+  SELECT s, CAST(sum(wcnt) AS BIGINT) AS scnt
+  FROM (
+    SELECT unnest(list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INTEGER), 1))) AS s,
+           wcnt
+    FROM words
+  )
+  GROUP BY 1
+),
+pairs AS (
+  SELECT p, CAST(sum(wcnt) AS BIGINT) AS pcnt
+  FROM (
+    SELECT unnest(list_transform(range(1, length(word)),
+                                 i -> substr(word, CAST(i AS INTEGER), 2))) AS p,
+           wcnt
+    FROM words
+    WHERE length(word) >= 2
+  )
+  GROUP BY 1
+),
+scored AS (
+  SELECT p AS pair, pcnt,
+         l.scnt AS lcnt, r.scnt AS rcnt,
+         CAST(pcnt * 1000000000 // (l.scnt * r.scnt) AS BIGINT) AS score_e9
+  FROM pairs
+  JOIN sym l ON l.s = substr(p, 1, 1)
+  JOIN sym r ON r.s = substr(p, 2, 1)
+),
+ranked AS (
+  SELECT pair, pcnt, lcnt, rcnt, score_e9,
+         row_number() OVER (ORDER BY score_e9 DESC, pair) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, pair, pcnt, lcnt, rcnt, score_e9
+FROM ranked WHERE rnk <= 30
+ORDER BY rnk
+"""
+
+
+@register(
+    "tokenizer_wordpiece_score_step",
+    oracle=_WORDPIECE_ORACLE,
+    tags=("llm", "text", "tokenizer"),
+    round=13,
+)
+def tokenizer_wordpiece_score_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece trainer selection step (round 13) — the THIRD
+    tokenizer-training algorithm alongside BPE (`bpe_merge_step`) and
+    unigram-LM (`tokenizer_unigram_em_step`): where BPE merges the most
+    FREQUENT adjacent pair, WordPiece merges the pair maximizing the
+    LIKELIHOOD GAIN count(ab)/(count(a))*count(b)) — frequent-but-
+    expected pairs lose to rarer-but-informative ones (Schuster & Nakajima
+    2012; the scheme behind BERT's vocabulary). Corpus counts are
+    word-scoped (pairs never straddle word boundaries): words explode
+    in-stage, symbol and pair counts are two-stage partial aggregates
+    over tiny key spaces (26 symbols, <= 676 pairs), the score is e9
+    fixed point in pure BIGINT (`div` <-> `//`, both truncate), and the
+    final rank sorts only the aggregated candidates. At 100 TB: one
+    scan + kilobyte shuffles — aggregate state moves, never the
+    corpus."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    )
+    sym = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("s"),
+            "wcnt",
+        )
+        .groupBy("s")
+        .agg(F.sum("wcnt").cast("long").alias("scnt"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("p"),
+            "wcnt",
+        )
+        .groupBy("p")
+        .agg(F.sum("wcnt").cast("long").alias("pcnt"))
+    )
+    left = sym.select(F.col("s").alias("ls"), F.col("scnt").alias("lcnt"))
+    right = sym.select(F.col("s").alias("rs"), F.col("scnt").alias("rcnt"))
+    scored = (
+        pairs.join(F.broadcast(left), F.expr("substring(p, 1, 1) = ls"))
+        .join(F.broadcast(right), F.expr("substring(p, 2, 1) = rs"))
+        .select(
+            F.col("p").alias("pair"),
+            "pcnt",
+            "lcnt",
+            "rcnt",
+            F.expr("CAST(pcnt * 1000000000 div (lcnt * rcnt) AS BIGINT)").alias(
+                "score_e9"
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("score_e9"), F.asc("pair"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 30)
+        .select("rnk", "pair", "pcnt", "lcnt", "rcnt", "score_e9")
+        .orderBy("rnk")
+    )
