@@ -342,3 +342,28 @@ def test_stream_from_branch_root(spark):
         assert _norm(out) == _norm(batch)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_changes_across_schema_evolution_commits(spark):
+    """ALTER TABLE ADD/RENAME/DROP COLUMN are metadata-only commits:
+    both the batch CDF (read_changes) and the stream must emit ZERO
+    rows for them — the diff only compares columns common to both
+    snapshots, so a schema commit can never masquerade as row churn."""
+    root = tempfile.mkdtemp(prefix=f"us_sdps_cdfevo_{uuid.uuid4().hex[:8]}_")
+    try:
+        _mk_table(spark, root)  # v1..v4
+        v_add = V.add_column(spark, root, "note", "STRING")
+        v_ren = V.rename_column(spark, root, "val", "amount")
+        v_drop = V.drop_column(spark, root, "note")
+        for lo, hi in [(4, v_add), (v_add, v_ren), (v_ren, v_drop)]:
+            assert (
+                V.read_changes(spark, root, lo, hi, key_cols=("k",)).count()
+                == 0
+            ), (lo, hi)
+        out = _run_stream(spark, root, starting=4)
+        assert (
+            out.filter(F.col("_commit_version").isin(v_add, v_ren, v_drop)).count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

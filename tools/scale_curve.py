@@ -158,6 +158,17 @@ QUERIES = [
     "storage_parquet_raw_write",
     "multimodal_flac_roundtrip",
     "stream_rocksdb_state_store",
+    # round-13 fifth wave: Dremel nested decode of the fixture's
+    # array<float> (entry-linear assembly, per-file tasks), nested LIST
+    # write->dual-decode loop, TIFF codec Arrow stage (strip-parallel
+    # inside per-image tasks), metadata-only schema evolution (manifest
+    # commits — should be FLAT at any data scale), WordPiece scoring
+    # (tiny-key aggregate shuffles)
+    "storage_parquet_raw_scan_nested",
+    "storage_parquet_raw_write_nested",
+    "multimodal_tiff_decode",
+    "etl_versioned_sql_schema_evolution",
+    "tokenizer_wordpiece_score_step",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
