@@ -814,3 +814,135 @@ def tokenizer_wordpiece_score_step(spark: SparkSession, sf_dir: str) -> DataFram
         .select("rnk", "pair", "pcnt", "lcnt", "rcnt", "score_e9")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# source: Arrow IPC / Feather v2 without pyarrow on the decode side
+# --------------------------------------------------------------------------
+
+_ARROW_IPC_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(count(*) FILTER (WHERE c_custkey % 2 = 0) AS BIGINT) AS n_even,
+       CAST(sum(length(c_name)) FILTER (WHERE c_custkey % 6 <> 0) AS BIGINT)
+         AS sum_name_len,
+       CAST(count(*) FILTER (WHERE c_custkey % 6 = 0) AS BIGINT) AS n_nulled,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents,
+       CAST(sum(c_custkey % 5 + 1) AS BIGINT) AS sum_tags
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "source_arrow_ipc_scan",
+    oracle=_ARROW_IPC_ORACLE,
+    tags=("source", "storage"),
+    round=13,
+)
+def source_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC / Feather v2 ingested WITHOUT pyarrow on the decode
+    side (round 13, `functions/arrow_ipc.py`): each mapInPandas task
+    serializes its customer batch to a genuine ARROW1 file (pyarrow
+    writer, 512-row record batches so multi-batch concatenation is
+    load-bearing) carrying int64/bool/utf8/float64 AND a list<int64>
+    column with nulls — then the in-repo reader parses it from raw
+    bytes: hand-rolled flatbuffers (vtables, unions, struct vectors),
+    encapsulated-message framing, and validity-bitmap array assembly.
+    The decoded (not original) values feed the aggregate, so the
+    hash-match vs DuckDB proves the full encode->decode loop down to
+    the list elements (sum_tags sums per-row list contents). Arrow IPC
+    is the wire format a modern data service hands back; speaking it
+    byte-level from any executor, dependency-free, is the connector
+    property that matters at fleet scale."""
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "c_custkey % 2 = 0 AS is_even",
+        "CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_name END AS nm",
+        "CAST(c_acctbal AS DOUBLE) AS bal",
+        "transform(sequence(1, CAST(c_custkey % 5 AS INT) + 1), i -> CAST(i AS BIGINT))"
+        " AS tags",
+    )
+
+    def roundtrip(batches):
+        import io as _io
+        import math
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from us_stock_data_pipeline_spark.functions.arrow_ipc import (
+            read_arrow_ipc,
+        )
+
+        for b in batches:
+            if b.empty:
+                continue
+            t = pa.table(
+                {
+                    "ck": pa.array([int(v) for v in b["ck"]], pa.int64()),
+                    "nk": pa.array([int(v) for v in b["nk"]], pa.int64()),
+                    "is_even": pa.array([bool(v) for v in b["is_even"]]),
+                    "nm": pa.array(
+                        [
+                            None if v is None else str(v)
+                            for v in b["nm"].astype(object).where(
+                                b["nm"].notna(), None
+                            )
+                        ],
+                        pa.string(),
+                    ),
+                    "bal": pa.array([float(v) for v in b["bal"]], pa.float64()),
+                    "tags": pa.array(
+                        [[int(x) for x in v] for v in b["tags"]],
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+            sink = _io.BytesIO()
+            with pa.ipc.new_file(sink, t.schema) as w:
+                for batch in t.to_batches(max_chunksize=512):
+                    w.write_batch(batch)
+            names, cols = read_arrow_ipc(sink.getvalue())
+            d = dict(zip(names, cols))
+            if d["ck"] != t["ck"].to_pylist() or d["tags"] != t["tags"].to_pylist():
+                raise ValueError("Arrow IPC read-back mismatch")
+            yield pd.DataFrame(
+                {
+                    "nk": d["nk"],
+                    "ck": d["ck"],
+                    "is_even": d["is_even"],
+                    "nm_len": [None if v is None else len(v) for v in d["nm"]],
+                    "bal_cents": [
+                        math.floor(v * 100 + 0.5) for v in d["bal"]
+                    ],
+                    "n_tags": [len(v) for v in d["tags"]],
+                }
+            )
+
+    decoded = cust.mapInPandas(
+        roundtrip,
+        "nk long, ck long, is_even boolean, nm_len long, bal_cents long,"
+        " n_tags long",
+    )
+    return (
+        decoded.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("ck").cast("long").alias("sum_key"),
+            F.sum(F.when(F.col("is_even"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_even"),
+            F.sum("nm_len").cast("long").alias("sum_name_len"),
+            F.sum(F.when(F.col("nm_len").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulled"),
+            F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+            F.sum("n_tags").cast("long").alias("sum_tags"),
+        )
+        .orderBy("nk")
+    )
