@@ -105,3 +105,62 @@ def test_fuzz_vs_pyarrow(ints, texts, mode, chunk):
     names, cols = read_arrow_ipc(_dump(t, mode, chunk))
     assert cols[0] == t["i"].to_pylist()
     assert cols[1] == t["s"].to_pylist()
+
+
+# ---------------------------------------------------------------- writer
+from us_stock_data_pipeline_spark.functions.arrow_ipc import write_arrow_ipc
+
+_W_NAMES = ["i", "f", "b", "s", "bin", "l", "ls"]
+_W_TYPES = ["int64", "float64", "bool", "utf8", "binary", "list<int64>", "list<utf8>"]
+_W_COLS = [
+    [1, None, -5, 2**40, 0],
+    [1.5, None, -0.25, 3.0, 0.0],
+    [True, False, None, True, False],
+    ["ab", None, "", "日本", "x"],
+    [b"\x00\x01", None, b"", b"xyz", b"q"],
+    [[1, 2], None, [], [None, 5], [7]],
+    [["a", "b"], None, [None], [], ["z"]],
+]
+
+
+@pytest.mark.parametrize("batch_rows", [None, 2, 1])
+def test_writer_two_decoders(batch_rows):
+    buf = write_arrow_ipc(_W_NAMES, _W_TYPES, _W_COLS, batch_rows=batch_rows)
+    t = pa.ipc.open_stream(io.BytesIO(buf)).read_all()
+    assert t.column_names == _W_NAMES
+    for nm, col in zip(_W_NAMES, _W_COLS):
+        assert t[nm].to_pylist() == col, nm
+    names, cols = read_arrow_ipc(buf)
+    assert names == _W_NAMES and cols == _W_COLS
+
+
+def test_writer_empty_and_validation():
+    buf = write_arrow_ipc(["x"], ["int64"], [[]])
+    assert pa.ipc.open_stream(io.BytesIO(buf)).read_all()["x"].to_pylist() == []
+    with pytest.raises(ValueError):
+        write_arrow_ipc(["a", "b"], ["int64", "int64"], [[1], [1, 2]])
+    with pytest.raises(NotImplementedError):
+        write_arrow_ipc(["a"], ["decimal"], [[1]])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    ints=st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=120),
+    lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.integers(-100, 100)), max_size=5),
+        ),
+        max_size=120,
+    ),
+    batch_rows=st.sampled_from([None, 1, 7]),
+)
+def test_writer_fuzz_two_decoders(ints, lists, batch_rows):
+    n = min(len(ints), len(lists))
+    cols = [ints[:n], lists[:n]]
+    buf = write_arrow_ipc(["i", "l"], ["int64", "list<int64>"], cols, batch_rows)
+    t = pa.ipc.open_stream(io.BytesIO(buf)).read_all()
+    assert t["i"].to_pylist() == cols[0]
+    assert t["l"].to_pylist() == cols[1]
+    _names, rc = read_arrow_ipc(buf)
+    assert rc == cols

@@ -325,3 +325,270 @@ def _read_arrow_ipc(buf: bytes) -> tuple[list[str], list[list]]:
     if not saw_batch and any(cols):
         raise ValueError("Arrow IPC payload had no record batches")
     return [f["name"] for f in fields], cols
+
+
+# --------------------------------------------------------------- writer
+# Flatbuffers EMISSION: parents are written before children (uoffsets
+# point forward: target = field_pos + value), each table's vtable sits
+# immediately before it (soffset = table_pos - vtable_pos > 0), and
+# offset fields are written as placeholders then patched once the
+# child's absolute position is known.
+
+
+class _FBBuilder:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def _align(self, n: int) -> None:
+        while len(self.buf) % n:
+            self.buf.append(0)
+
+    def table(self, fields: list[tuple[int, str, object]]) -> int:
+        """Write a table. fields: (fid, kind, value) with kind in
+        {'i8','i16','i32','i64','u8','bool','offset'} — 'offset' value
+        is a callback writing the child and returning its position.
+        Returns the table's absolute position."""
+        fields = [f for f in fields if f is not None]
+        max_fid = max((f[0] for f in fields), default=-1)
+        sizes = {"i8": 1, "u8": 1, "bool": 1, "i16": 2, "i32": 4, "offset": 4,
+                 "i64": 8}
+        # table layout: 4-byte soffset, then fields in declaration order
+        # (no reordering — simplicity beats packing here)
+        offs: dict[int, int] = {}
+        pos = 4
+        for fid, kind, _v in fields:
+            sz = sizes[kind]
+            pos = (pos + sz - 1) // sz * sz
+            offs[fid] = pos
+            pos += sz
+        table_size = pos
+        vt_size = 4 + 2 * (max_fid + 1)
+        # every scalar must be size-aligned ABSOLUTELY (flatbuffers
+        # verifiers check this): align the table start to the largest
+        # field size, since per-field offsets are already size-aligned
+        max_align = max([sizes[k] for _f, k, _v in fields] or [4] + [4])
+        max_align = max(max_align, 4)
+        self._align(2)
+        vt_pos = len(self.buf)
+        self.buf += struct.pack("<HH", vt_size, table_size)
+        for fid in range(max_fid + 1):
+            self.buf += struct.pack("<H", offs.get(fid, 0))
+        self._align(max_align)
+        t_pos = len(self.buf)
+        self.buf += struct.pack("<i", t_pos - vt_pos)
+        self.buf += b"\x00" * (table_size - 4)
+        patches: list[tuple[int, object]] = []
+        for fid, kind, v in fields:
+            p = t_pos + offs[fid]
+            if kind == "offset":
+                patches.append((p, v))
+            elif kind == "bool" or kind == "u8":
+                self.buf[p] = int(v) & 0xFF
+            elif kind == "i8":
+                struct.pack_into("<b", self.buf, p, v)
+            elif kind == "i16":
+                struct.pack_into("<h", self.buf, p, v)
+            elif kind == "i32":
+                struct.pack_into("<i", self.buf, p, v)
+            elif kind == "i64":
+                struct.pack_into("<q", self.buf, p, v)
+        for p, writer in patches:
+            child_pos = writer()
+            struct.pack_into("<I", self.buf, p, child_pos - p)
+        return t_pos
+
+    def string(self, s: str) -> int:
+        self._align(4)
+        pos = len(self.buf)
+        raw = s.encode("utf-8")
+        self.buf += struct.pack("<I", len(raw)) + raw + b"\x00"
+        return pos
+
+    def vector_offsets(self, writers: list) -> int:
+        """Vector of forward uoffsets to child tables."""
+        self._align(4)
+        pos = len(self.buf)
+        self.buf += struct.pack("<I", len(writers))
+        slots = []
+        for _ in writers:
+            slots.append(len(self.buf))
+            self.buf += b"\x00\x00\x00\x00"
+        for slot, w in zip(slots, writers):
+            child = w()
+            struct.pack_into("<I", self.buf, slot, child - slot)
+        return pos
+
+    def vector_structs(self, raw: bytes, count: int) -> int:
+        # elements hold i64s: pad so the data (count prefix + 4) lands
+        # on an 8-byte boundary
+        while (len(self.buf) + 4) % 8:
+            self.buf.append(0)
+        pos = len(self.buf)
+        self.buf += struct.pack("<I", count) + raw
+        return pos
+
+
+_WRITE_TYPES = {
+    "int64": (_T_INT, [(0, "i32", 64), (1, "bool", 1)]),
+    "int32": (_T_INT, [(0, "i32", 32), (1, "bool", 1)]),
+    "float64": (_T_FLOAT, [(0, "i16", 2)]),
+    "float32": (_T_FLOAT, [(0, "i16", 1)]),
+    "bool": (_T_BOOL, []),
+    "utf8": (_T_UTF8, []),
+    "binary": (_T_BINARY, []),
+}
+
+
+def _field_writer(b: _FBBuilder, name: str, typ: str):
+    """Callback writing one Field table (recursing for list<child>)."""
+
+    def write() -> int:
+        children: list = []
+        if typ.startswith("list<") and typ.endswith(">"):
+            inner = typ[5:-1]
+            ttag, tfields = _T_LIST, []
+            children = [_field_writer(b, "item", inner)]
+        elif typ in _WRITE_TYPES:
+            ttag, tfields = _WRITE_TYPES[typ]
+        else:
+            raise NotImplementedError(f"write type {typ!r} not in scope")
+        return b.table(
+            [
+                (0, "offset", lambda: b.string(name)),
+                (1, "bool", 1),  # nullable
+                (2, "u8", ttag),  # type_type
+                (3, "offset", lambda: b.table(tfields)),
+                (5, "offset", lambda: b.vector_offsets(children))
+                if children
+                else None,
+            ]
+        )
+
+    return write
+
+
+def _message(header_type: int, header_writer, body_len: int) -> bytes:
+    b = _FBBuilder()
+    b.buf += b"\x00\x00\x00\x00"  # root uoffset placeholder
+    root = b.table(
+        [
+            (0, "i16", 4),  # MetadataVersion V5
+            (1, "u8", header_type),
+            (2, "offset", lambda: header_writer(b)),
+            (3, "i64", body_len),
+        ]
+    )
+    struct.pack_into("<I", b.buf, 0, root)
+    meta = bytes(b.buf)
+    pad = (-(len(meta) + 8)) % 8
+    meta += b"\x00" * pad
+    return struct.pack("<Ii", 0xFFFFFFFF, len(meta)) + meta
+
+
+def _pad8(x: bytes) -> bytes:
+    return x + b"\x00" * ((-len(x)) % 8)
+
+
+def _serialize_array(typ: str, vals: list, nodes: list, bufs: list) -> None:
+    n = len(vals)
+    null_count = sum(1 for v in vals if v is None)
+    nodes.append((n, null_count))
+    if null_count:
+        bm = bytearray((n + 7) // 8)
+        for i, v in enumerate(vals):
+            if v is not None:
+                bm[i >> 3] |= 1 << (i & 7)
+        bufs.append(bytes(bm))
+    else:
+        bufs.append(b"")
+    if typ == "bool":
+        data = bytearray((n + 7) // 8)
+        for i, v in enumerate(vals):
+            if v:
+                data[i >> 3] |= 1 << (i & 7)
+        bufs.append(bytes(data))
+    elif typ in ("int64", "int32", "float64", "float32"):
+        fmt = {"int64": "q", "int32": "i", "float64": "d", "float32": "f"}[typ]
+        zero = 0 if typ.startswith("int") else 0.0
+        bufs.append(
+            struct.pack(f"<{n}{fmt}", *[zero if v is None else v for v in vals])
+        )
+    elif typ in ("utf8", "binary"):
+        offs = [0]
+        data = bytearray()
+        for v in vals:
+            if v is not None:
+                data += v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            offs.append(len(data))
+        bufs.append(struct.pack(f"<{n + 1}i", *offs))
+        bufs.append(bytes(data))
+    elif typ.startswith("list<"):
+        inner = typ[5:-1]
+        offs = [0]
+        flat: list = []
+        for v in vals:
+            if v is not None:
+                flat.extend(v)
+            offs.append(len(flat))
+        bufs.append(struct.pack(f"<{n + 1}i", *offs))
+        _serialize_array(inner, flat, nodes, bufs)
+    else:
+        raise NotImplementedError(f"write type {typ!r} not in scope")
+
+
+def write_arrow_ipc(
+    names: list[str], types: list[str], columns: list[list],
+    batch_rows: int | None = None,
+) -> bytes:
+    """Serialize columns into an Arrow IPC STREAM: Schema message,
+    one RecordBatch message per `batch_rows` rows (default: one), and
+    the end-of-stream marker — every flatbuffer byte emitted by this
+    module. Types: int64/int32/float64/float32/bool/utf8/binary and
+    list<...> of those. Readable by pyarrow (`pa.ipc.open_stream`) and
+    by this module's own `read_arrow_ipc` — the two-decoder bar every
+    writer here meets."""
+    n_rows = len(columns[0]) if columns else 0
+    for name, c in zip(names, columns):
+        if len(c) != n_rows:
+            raise ValueError(f"column {name!r} length != {n_rows}")
+
+    def schema_writer(b: _FBBuilder) -> int:
+        writers = [_field_writer(b, nm, tp) for nm, tp in zip(names, types)]
+        return b.table(
+            [
+                (0, "i16", 0),  # endianness: little
+                (1, "offset", lambda: b.vector_offsets(writers)),
+            ]
+        )
+
+    out = bytearray(_message(_MSG_SCHEMA, schema_writer, 0))
+    step = batch_rows if batch_rows and batch_rows > 0 else max(n_rows, 1)
+    for start in range(0, max(n_rows, 1), step):
+        nodes: list[tuple[int, int]] = []
+        raw_bufs: list[bytes] = []
+        for tp, col in zip(types, columns):
+            _serialize_array(tp, col[start : start + step], nodes, raw_bufs)
+        body = bytearray()
+        buf_meta: list[tuple[int, int]] = []
+        for rb in raw_bufs:
+            buf_meta.append((len(body), len(rb)))
+            body += _pad8(rb)
+        nodes_raw = b"".join(struct.pack("<qq", ln, nc) for ln, nc in nodes)
+        bufs_raw = b"".join(struct.pack("<qq", off, ln) for off, ln in buf_meta)
+        n_batch = min(step, n_rows - start) if n_rows else 0
+
+        def rb_writer(b: _FBBuilder) -> int:
+            return b.table(
+                [
+                    (0, "i64", n_batch),
+                    (1, "offset", lambda: b.vector_structs(nodes_raw, len(nodes))),
+                    (2, "offset", lambda: b.vector_structs(bufs_raw, len(buf_meta))),
+                ]
+            )
+
+        out += _message(_MSG_RECORD_BATCH, rb_writer, len(body))
+        out += body
+        if n_rows == 0:
+            break
+    out += struct.pack("<Ii", 0xFFFFFFFF, 0)  # end of stream
+    return bytes(out)

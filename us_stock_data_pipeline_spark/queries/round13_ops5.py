@@ -946,3 +946,113 @@ def source_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+# --------------------------------------------------------------------------
+# sink: Arrow IPC WRITER — flatbuffers emitted by the engine itself
+# --------------------------------------------------------------------------
+
+_ARROW_IPC_WRITE_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(length(c_name)) FILTER (WHERE c_custkey % 9 <> 0) AS BIGINT)
+         AS sum_name_len,
+       CAST(count(*) FILTER (WHERE c_custkey % 9 = 0) AS BIGINT) AS n_nulled,
+       CAST(sum(c_custkey % 4 + 1) AS BIGINT) AS sum_tags
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "sink_arrow_ipc_writer",
+    oracle=_ARROW_IPC_WRITE_ORACLE,
+    tags=("sink", "storage"),
+    round=13,
+)
+def sink_arrow_ipc_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC WRITER with every flatbuffer byte emitted by the
+    engine itself (round 13, `arrow_ipc.write_arrow_ipc`): each
+    mapInPandas task serializes its customer batch — int64s, nullable
+    strings, a list<int64> column — into an IPC STREAM (schema message
+    with hand-built vtables/unions, 128-row record batches, validity
+    bitmaps, end-of-stream marker), then reads it back through TWO
+    independent decoders — pyarrow's C++ reader (which runs its
+    flatbuffers VERIFIER on untrusted bytes, so alignment and vtable
+    shape are checked, not just parseable-by-us) and the in-repo
+    `read_arrow_ipc` — raising on any disagreement. Decoded values
+    feed the aggregate. With the parquet writer this completes the
+    dependency-free export matrix: an executor can hand Arrow IPC to
+    a downstream service with no pyarrow at all."""
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END AS nm",
+        "transform(sequence(1, CAST(c_custkey % 4 AS INT) + 1), i -> CAST(i AS BIGINT))"
+        " AS tags",
+    )
+
+    def roundtrip(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from us_stock_data_pipeline_spark.functions.arrow_ipc import (
+            read_arrow_ipc,
+            write_arrow_ipc,
+        )
+
+        for b in batches:
+            if b.empty:
+                continue
+            ck = [int(v) for v in b["ck"]]
+            nk = [int(v) for v in b["nk"]]
+            nm = [
+                None if v is None else str(v)
+                for v in b["nm"].astype(object).where(b["nm"].notna(), None)
+            ]
+            tags = [[int(x) for x in v] for v in b["tags"]]
+            buf = write_arrow_ipc(
+                ["ck", "nk", "nm", "tags"],
+                ["int64", "int64", "utf8", "list<int64>"],
+                [ck, nk, nm, tags],
+                batch_rows=128,
+            )
+            t = pa.ipc.open_stream(_io.BytesIO(buf)).read_all()
+            if (
+                t["ck"].to_pylist() != ck
+                or t["nm"].to_pylist() != nm
+                or t["tags"].to_pylist() != tags
+            ):
+                raise ValueError("pyarrow IPC read-back mismatch")
+            _names, cols = read_arrow_ipc(buf)
+            if cols != [ck, nk, nm, tags]:
+                raise ValueError("own-reader IPC read-back mismatch")
+            yield pd.DataFrame(
+                {
+                    "nk": nk,
+                    "ck": ck,
+                    "nm_len": [None if v is None else len(v) for v in nm],
+                    "n_tags": [len(v) for v in tags],
+                }
+            )
+
+    decoded = cust.mapInPandas(
+        roundtrip, "nk long, ck long, nm_len long, n_tags long"
+    )
+    return (
+        decoded.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("ck").cast("long").alias("sum_key"),
+            F.sum("nm_len").cast("long").alias("sum_name_len"),
+            F.sum(F.when(F.col("nm_len").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulled"),
+            F.sum("n_tags").cast("long").alias("sum_tags"),
+        )
+        .orderBy("nk")
+    )
