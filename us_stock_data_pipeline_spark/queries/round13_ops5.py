@@ -1056,3 +1056,119 @@ def sink_arrow_ipc_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+# --------------------------------------------------------------------------
+# storage: ORC decoded from raw bytes (protobuf + RLEv2, no JVM reader)
+# --------------------------------------------------------------------------
+
+_ORC_RAW_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(count(*) FILTER (WHERE c_custkey % 3 = 0) AS BIGINT) AS n_flagged,
+       CAST(sum(length(c_name)) FILTER (WHERE c_custkey % 9 <> 0) AS BIGINT)
+         AS sum_name_len,
+       CAST(count(*) FILTER (WHERE c_custkey % 9 = 0) AS BIGINT) AS n_nulled,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "storage_orc_raw_scan",
+    oracle=_ORC_RAW_ORACLE,
+    tags=("storage", "source"),
+    round=13,
+)
+def storage_orc_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC decoded from RAW BYTES (round 13, `functions/orc_raw.py`) —
+    the storage matrix's fourth format next to parquet, Avro OCF, and
+    Arrow IPC: Spark's own Java ORC writer lands customer (zlib
+    chunked streams, dictionary + direct strings, RLEv2 integers,
+    PRESENT bit-streams), and each binaryFile->mapInPandas task parses
+    ITS file with the pure-Python reader — protobuf postscript/footer/
+    stripe-footer walk, DEFLATE chunk framing, byte-RLE, and all four
+    RLEv2 sub-encodings (short-repeat, direct, patched-base with the
+    closest-fixed-bits patch-entry rounding, delta) — no JVM reader,
+    no pyarrow on the decode side. The decoded values feed the
+    aggregate; the oracle recomputes from the fixture. Per-FILE task
+    split = the 100 TB bulk re-decode shape; production scans stay on
+    Spark's vectorized reader."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "c_custkey % 3 = 0 AS flag",
+        "CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_name END AS nm",
+        "CAST(c_acctbal AS DOUBLE) AS bal",
+    )
+    stage = tempfile.mkdtemp(prefix=f"us_sdps_orcraw_{_uuid.uuid4().hex[:8]}_")
+    try:
+        out_dir = f"{stage}/t"
+        cust.coalesce(1).write.mode("overwrite").option(
+            "compression", "zlib"
+        ).orc(out_dir)
+        assert glob.glob(f"{out_dir}/*.orc")
+
+        def decode(batches):
+            import math
+
+            import pandas as pd
+
+            from us_stock_data_pipeline_spark.functions.orc_raw import read_orc
+
+            for b in batches:
+                for _, row in b.iterrows():
+                    names, cols = read_orc(bytes(row["content"]))
+                    d = dict(zip(names, cols))
+                    yield pd.DataFrame(
+                        {
+                            "nk": d["nk"],
+                            "ck": d["ck"],
+                            "flag": d["flag"],
+                            "nm_len": [
+                                None if v is None else len(v) for v in d["nm"]
+                            ],
+                            "bal_cents": [
+                                math.floor(v * 100 + 0.5) for v in d["bal"]
+                            ],
+                        }
+                    )
+
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.orc")
+            .load(out_dir)
+            .select("content")
+        )
+        decoded = files.mapInPandas(
+            decode, "nk long, ck long, flag boolean, nm_len long, bal_cents long"
+        )
+        agg = (
+            decoded.groupBy("nk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("ck").cast("long").alias("sum_key"),
+                F.sum(F.when(F.col("flag"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_flagged"),
+                F.sum("nm_len").cast("long").alias("sum_name_len"),
+                F.sum(F.when(F.col("nm_len").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulled"),
+                F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+            )
+            .orderBy("nk")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
