@@ -150,3 +150,79 @@ def test_fuzz_vs_pyarrow(ints, texts, comp):
     _names, cols = read_orc(_dump(t, compression=comp))
     assert cols[0] == t["i"].to_pylist()
     assert cols[1] == t["s"].to_pylist()
+
+
+# ---------------------------------------------------------------- writer
+from us_stock_data_pipeline_spark.functions.orc_raw import write_orc
+
+_W_NAMES = ["i", "f", "b", "s", "bin"]
+_W_TYPES = ["long", "double", "boolean", "string", "binary"]
+_W_COLS = [
+    [1, None, -5, 2**40, 0, 7, 7, 7, 7, 8],
+    [1.5, None, -0.25, 3.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0],
+    [True, False, None, True, False, True, True, False, True, True],
+    ["ab", None, "", "日本", "x", "yz", "ab", "ab", "q", "r"],
+    [b"\x00\x01", None, b"", b"xyz", b"q", b"r", b"s", b"t", b"u", b"v"],
+]
+
+
+@pytest.mark.parametrize("comp", ["none", "zlib", "snappy"])
+@pytest.mark.parametrize("stripe_rows", [None, 3])
+def test_writer_own_and_pyarrow(comp, stripe_rows):
+    buf = write_orc(_W_NAMES, _W_TYPES, _W_COLS, compression=comp,
+                    stripe_rows=stripe_rows)
+    names, cols = read_orc(buf)
+    assert names == _W_NAMES and cols == _W_COLS
+    t = po.read_table(io.BytesIO(buf))
+    assert t.column_names == _W_NAMES
+    for nm, col in zip(_W_NAMES, _W_COLS):
+        assert t[nm].to_pylist() == col, nm
+
+
+def test_writer_spark_jvm_reads(spark):
+    buf = write_orc(_W_NAMES[:4], _W_TYPES[:4],
+                    [c[:] for c in _W_COLS[:4]], compression="zlib",
+                    stripe_rows=4)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.orc")
+        open(p, "wb").write(buf)
+        rows = spark.read.orc(p).collect()
+        for j, nm in enumerate(_W_NAMES[:4]):
+            assert [r[nm] for r in rows] == _W_COLS[j], nm
+
+
+def test_writer_rlev2_run_shapes():
+    # long equal runs (SHORT_REPEAT) interleaved with noise (DIRECT)
+    vals = ([7] * 9 + [1, 2, 3] + [0] * 10 + [-(2**50), 2**50]) * 40
+    buf = write_orc(["v"], ["long"], [vals], compression="zlib")
+    _n, cols = read_orc(buf)
+    assert cols[0] == vals
+    assert po.read_table(io.BytesIO(buf))["v"].to_pylist() == vals
+
+
+def test_writer_validation():
+    with pytest.raises(ValueError):
+        write_orc(["a", "b"], ["long", "long"], [[1], [1, 2]])
+    with pytest.raises(NotImplementedError):
+        write_orc(["a"], ["timestamp"], [[1]])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    ints=st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                  min_size=1, max_size=300),
+    texts=st.lists(st.one_of(st.none(), st.text(max_size=10)),
+                   min_size=1, max_size=300),
+    comp=st.sampled_from(["none", "zlib", "snappy"]),
+    stripe_rows=st.sampled_from([None, 37]),
+)
+def test_writer_fuzz_two_decoders(ints, texts, comp, stripe_rows):
+    n = min(len(ints), len(texts))
+    cols = [ints[:n], texts[:n]]
+    buf = write_orc(["i", "s"], ["long", "string"], cols,
+                    compression=comp, stripe_rows=stripe_rows)
+    _names, rc = read_orc(buf)
+    assert rc == cols
+    t = po.read_table(io.BytesIO(buf))
+    assert t["i"].to_pylist() == cols[0]
+    assert t["s"].to_pylist() == cols[1]

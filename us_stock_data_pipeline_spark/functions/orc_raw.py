@@ -445,3 +445,325 @@ def read_orc(buf: bytes) -> tuple[list[str], list[list]]:
             it = iter(vals)
             cols[j].extend(next(it) if p_ else None for p_ in present)
     return names, cols
+
+
+# --------------------------------------------------------------- writer
+# The write side: emits spec-shaped ORC files — protobuf metadata,
+# chunked-DEFLATE stream framing, byte-RLE booleans, RLEv2 integers
+# (SHORT_REPEAT for short runs, DIRECT elsewhere, 512-value runs,
+# closest-fixed-bits widths) — read back by pyarrow's C++ reader,
+# Spark's Java reader, and this module's own read_orc.
+
+
+def _pb_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(fid: int, v: int) -> bytes:
+    return _pb_varint(fid << 3) + _pb_varint(v)
+
+
+def _pb_bytes(fid: int, b: bytes) -> bytes:
+    return _pb_varint((fid << 3) | 2) + _pb_varint(len(b)) + b
+
+
+def _compress_orc_stream(raw: bytes, compression: int) -> bytes:
+    """Chunked stream framing: one chunk per 256 KiB window, stored
+    uncompressed (is_original) when DEFLATE does not pay."""
+    if compression == _COMP_NONE:
+        return raw
+    out = bytearray()
+    for i in range(0, len(raw), 262144):
+        chunk = raw[i : i + 262144]
+        if compression == _COMP_ZLIB:
+            comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate
+        else:
+            from us_stock_data_pipeline_spark.functions.multimodal import (
+                snappy_compress,
+            )
+
+            comp = snappy_compress(bytes(chunk))
+        if len(comp) < len(chunk):
+            h = len(comp) << 1
+            out += bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF]) + comp
+        else:
+            h = (len(chunk) << 1) | 1
+            out += bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF]) + chunk
+    return bytes(out)
+
+
+def _byte_rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = -1
+    while i < n:
+        j = i
+        while j < n and j - i < 130 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            if lit_start >= 0:
+                seg = data[lit_start:i]
+                out.append(256 - len(seg))
+                out += seg
+                lit_start = -1
+            out.append(run - 3)
+            out.append(data[i])
+            i = j
+        else:
+            if lit_start < 0:
+                lit_start = i
+            i += 1
+            if i - lit_start == 128:
+                seg = data[lit_start:i]
+                out.append(256 - len(seg))
+                out += seg
+                lit_start = -1
+    if lit_start >= 0:
+        seg = data[lit_start:n]
+        out.append(256 - len(seg))
+        out += seg
+    return bytes(out)
+
+
+def _bits_msb_pack(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 0x80 >> (i & 7)
+    return bytes(out)
+
+
+_WIDTH_CODE = {w: w - 1 for w in range(1, 25)}
+_WIDTH_CODE.update({26: 24, 28: 25, 30: 26, 32: 27, 40: 28, 48: 29, 56: 30, 64: 31})
+
+
+class _BitWriterMSB:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, width: int) -> None:
+        self.acc = (self.acc << width) | (v & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _rlev2_encode(vals: list[int], signed: bool) -> bytes:
+    """SHORT_REPEAT for runs of 3-10 equal values, DIRECT otherwise
+    (512-value runs at the closest fixed width of the run's max) — a
+    valid-by-construction subset of RLEv2's four modes."""
+    out = bytearray()
+    enc = [(_zigzag(v) if signed else v) for v in vals]
+    i, n = 0, len(enc)
+    while i < n:
+        j = i
+        while j < n and j - i < 10 and enc[j] == enc[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            v = enc[i]
+            width = max(1, (v.bit_length() + 7) // 8)
+            out.append(((width - 1) << 3) | (run - 3))
+            out += v.to_bytes(width, "big")
+            i = j
+            continue
+        # DIRECT run: up to 512 values, stopping early at a long
+        # equal-run boundary so the repeat encoder can take it
+        k = i
+        while k < n and k - i < 512:
+            r = k
+            while r < n and r - k < 10 and enc[r] == enc[k]:
+                r += 1
+            if r - k >= 3 and k > i:
+                break
+            k = r if r > k else k + 1
+        seg = enc[i:k]
+        width = _closest_fixed_bits(max(v.bit_length() for v in seg) or 1)
+        bw = _BitWriterMSB()
+        for v in seg:
+            bw.write(v, width)
+        code = _WIDTH_CODE[width]
+        ln = len(seg) - 1
+        out.append((0b01 << 6) | (code << 1) | (ln >> 8))
+        out.append(ln & 0xFF)
+        out += bw.done()
+        i = k
+    return bytes(out)
+
+
+_WRITE_KINDS = {
+    "long": _K_LONG,
+    "int64": _K_LONG,
+    "int": _K_INT,
+    "int32": _K_INT,
+    "double": _K_DOUBLE,
+    "float": _K_FLOAT,
+    "string": _K_STRING,
+    "binary": _K_BINARY,
+    "boolean": _K_BOOLEAN,
+    "bool": _K_BOOLEAN,
+}
+
+
+def write_orc(
+    names: list[str],
+    types: list[str],
+    columns: list[list],
+    compression: str = "zlib",
+    stripe_rows: int | None = None,
+) -> bytes:
+    """Serialize columns into a complete ORC file: 'ORC' header, one or
+    more stripes (PRESENT byte-RLE bit-streams for nullable data, RLEv2
+    integers, DIRECT_V2 strings, IEEE doubles/floats, byte-RLE
+    booleans), per-stripe protobuf footers, file Footer + PostScript.
+    Types: long/int/double/float/string/binary/boolean."""
+    comp = {"none": _COMP_NONE, "zlib": _COMP_ZLIB, "snappy": _COMP_SNAPPY}[
+        compression
+    ]
+    kinds = []
+    for tp in types:
+        if tp not in _WRITE_KINDS:
+            raise NotImplementedError(f"ORC write type {tp!r} not in scope")
+        kinds.append(_WRITE_KINDS[tp])
+    n_rows = len(columns[0]) if columns else 0
+    for nm, c in zip(names, columns):
+        if len(c) != n_rows:
+            raise ValueError(f"column {nm!r} length != {n_rows}")
+    body = bytearray(b"ORC")
+    stripes_info: list[bytes] = []
+    step = stripe_rows if stripe_rows and stripe_rows > 0 else max(n_rows, 1)
+    for start in range(0, max(n_rows, 1), step):
+        stripe_n = min(step, n_rows - start) if n_rows else 0
+        stream_meta: list[tuple[int, int, bytes]] = []  # (col, kind, raw)
+        encodings: list[tuple[int, int]] = [(0, 0)]  # root: DIRECT
+        for j, kind in enumerate(kinds):
+            col = columns[j][start : start + step]
+            cid = j + 1
+            present = [v is not None for v in col]
+            vals = [v for v in col if v is not None]
+            if not all(present):
+                stream_meta.append(
+                    (
+                        cid,
+                        _S_PRESENT,
+                        _byte_rle_encode(_bits_msb_pack(present)),
+                    )
+                )
+            if kind in (_K_INT, _K_LONG):
+                data = _rlev2_encode([int(v) for v in vals], signed=True)
+                stream_meta.append((cid, _S_DATA, data))
+                encodings.append((2, 0))  # DIRECT_V2
+            elif kind == _K_DOUBLE:
+                stream_meta.append(
+                    (cid, _S_DATA, struct.pack(f"<{len(vals)}d", *vals))
+                )
+                encodings.append((0, 0))
+            elif kind == _K_FLOAT:
+                stream_meta.append(
+                    (cid, _S_DATA, struct.pack(f"<{len(vals)}f", *vals))
+                )
+                encodings.append((0, 0))
+            elif kind == _K_BOOLEAN:
+                stream_meta.append(
+                    (
+                        cid,
+                        _S_DATA,
+                        _byte_rle_encode(_bits_msb_pack([bool(v) for v in vals])),
+                    )
+                )
+                encodings.append((0, 0))
+            else:  # string / binary: DIRECT_V2 data + lengths
+                raw = bytearray()
+                lens = []
+                for v in vals:
+                    bb = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    raw += bb
+                    lens.append(len(bb))
+                stream_meta.append((cid, _S_DATA, bytes(raw)))
+                stream_meta.append(
+                    (cid, _S_LENGTH, _rlev2_encode(lens, signed=False))
+                )
+                encodings.append((2, 0))  # DIRECT_V2
+        stripe_offset = len(body)
+        streams_pb = bytearray()
+        data_len = 0
+        for cid, skind, raw in stream_meta:
+            framed = _compress_orc_stream(raw, comp)
+            body += framed
+            streams_pb += _pb_bytes(
+                1,
+                _pb_field(1, skind) + _pb_field(2, cid) + _pb_field(3, len(framed)),
+            )
+            data_len += len(framed)
+        enc_pb = bytearray()
+        for ekind, dsize in encodings:
+            e = _pb_field(1, ekind)
+            if dsize:
+                e += _pb_field(2, dsize)
+            enc_pb += _pb_bytes(2, e)
+        sf_raw = bytes(streams_pb) + bytes(enc_pb)
+        sf_framed = _compress_orc_stream(sf_raw, comp)
+        body += sf_framed
+        stripes_info.append(
+            _pb_field(1, stripe_offset)
+            + _pb_field(2, 0)  # indexLength: no row index
+            + _pb_field(3, data_len)
+            + _pb_field(4, len(sf_framed))
+            + _pb_field(5, stripe_n)
+        )
+        if n_rows == 0:
+            break
+    # Footer: types (root struct + leaves), stripes, row count
+    types_pb = bytearray()
+    root = _pb_field(1, _K_STRUCT)
+    for j in range(len(names)):
+        root += _pb_field(2, j + 1)
+    for nm in names:
+        root += _pb_bytes(3, nm.encode("utf-8"))
+    types_pb += _pb_bytes(4, root)
+    for kind in kinds:
+        types_pb += _pb_bytes(4, _pb_field(1, kind))
+    footer_raw = (
+        _pb_field(1, 3)  # headerLength ("ORC")
+        + _pb_field(2, len(body))  # contentLength
+        + b"".join(_pb_bytes(3, s) for s in stripes_info)
+        + bytes(types_pb)
+        + _pb_field(6, n_rows)
+        + _pb_field(8, 0)  # rowIndexStride: none
+    )
+    footer_framed = _compress_orc_stream(footer_raw, comp)
+    body += footer_framed
+    ps = (
+        _pb_field(1, len(footer_framed))
+        + _pb_field(2, comp)
+        + _pb_field(3, 262144)
+        + _pb_bytes(4, _pb_varint(0) + _pb_varint(12))  # version 0.12 (packed)
+        + _pb_field(5, 0)  # metadataLength
+        + _pb_field(6, 9)  # writerVersion
+        + _pb_bytes(8000, b"ORC")
+    )
+    body += ps
+    body.append(len(ps))
+    return bytes(body)

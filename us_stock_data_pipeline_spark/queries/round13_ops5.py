@@ -1172,3 +1172,123 @@ def storage_orc_raw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# sink: ORC WRITER — every protobuf/RLEv2 byte emitted by the engine
+# --------------------------------------------------------------------------
+
+_ORC_WRITE_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+       CAST(count(*) FILTER (WHERE c_custkey % 4 = 0) AS BIGINT) AS n_flagged,
+       CAST(sum(length(c_name)) FILTER (WHERE c_custkey % 7 <> 0) AS BIGINT)
+         AS sum_name_len,
+       CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_nulled,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "sink_orc_raw_writer",
+    oracle=_ORC_WRITE_ORACLE,
+    tags=("sink", "storage"),
+    round=13,
+)
+def sink_orc_raw_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC WRITER with every byte emitted by the engine itself (round
+    13, `orc_raw.write_orc`): each mapInPandas task serializes its
+    customer batch — longs, doubles, booleans, nullable strings — into
+    a complete ORC file (protobuf PostScript/Footer/StripeFooter,
+    chunked-DEFLATE stream framing, PRESENT byte-RLE bit-streams,
+    RLEv2 integers with SHORT_REPEAT + DIRECT runs, DIRECT_V2
+    strings, 512-row stripes so multi-stripe assembly is
+    load-bearing), then reads it back through TWO independent
+    decoders — pyarrow's C++ ORC reader and the in-repo `read_orc` —
+    raising on any disagreement (Spark's Java reader accepts the same
+    files, pinned in tests/test_orc_raw.py). Decoded values feed the
+    aggregate. With parquet, Avro, and Arrow IPC writers this closes
+    the dependency-free export matrix across all four formats."""
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS ck",
+        "CAST(c_nationkey AS BIGINT) AS nk",
+        "c_custkey % 4 = 0 AS flag",
+        "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS nm",
+        "CAST(c_acctbal AS DOUBLE) AS bal",
+    )
+
+    def roundtrip(batches):
+        import io as _io
+        import math
+
+        import pandas as pd
+        import pyarrow.orc as po
+
+        from us_stock_data_pipeline_spark.functions.orc_raw import (
+            read_orc,
+            write_orc,
+        )
+
+        for b in batches:
+            if b.empty:
+                continue
+            ck = [int(v) for v in b["ck"]]
+            nk = [int(v) for v in b["nk"]]
+            flag = [bool(v) for v in b["flag"]]
+            nm = [
+                None if v is None else str(v)
+                for v in b["nm"].astype(object).where(b["nm"].notna(), None)
+            ]
+            bal = [float(v) for v in b["bal"]]
+            buf = write_orc(
+                ["ck", "nk", "flag", "nm", "bal"],
+                ["long", "long", "boolean", "string", "double"],
+                [ck, nk, flag, nm, bal],
+                compression="zlib",
+                stripe_rows=512,
+            )
+            t = po.read_table(_io.BytesIO(buf))
+            if (
+                t["ck"].to_pylist() != ck
+                or t["nm"].to_pylist() != nm
+                or t["flag"].to_pylist() != flag
+                or t["bal"].to_pylist() != bal
+            ):
+                raise ValueError("pyarrow ORC read-back mismatch")
+            _names, cols = read_orc(buf)
+            if cols != [ck, nk, flag, nm, bal]:
+                raise ValueError("own-reader ORC read-back mismatch")
+            yield pd.DataFrame(
+                {
+                    "nk": nk,
+                    "ck": ck,
+                    "flag": flag,
+                    "nm_len": [None if v is None else len(v) for v in nm],
+                    "bal_cents": [math.floor(v * 100 + 0.5) for v in bal],
+                }
+            )
+
+    decoded = cust.mapInPandas(
+        roundtrip, "nk long, ck long, flag boolean, nm_len long, bal_cents long"
+    )
+    return (
+        decoded.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("ck").cast("long").alias("sum_key"),
+            F.sum(F.when(F.col("flag"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("nm_len").cast("long").alias("sum_name_len"),
+            F.sum(F.when(F.col("nm_len").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulled"),
+            F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+        )
+        .orderBy("nk")
+    )
