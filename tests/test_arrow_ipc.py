@@ -164,3 +164,17 @@ def test_writer_fuzz_two_decoders(ints, lists, batch_rows):
     assert t["l"].to_pylist() == cols[1]
     _names, rc = read_arrow_ipc(buf)
     assert rc == cols
+
+
+@pytest.mark.parametrize("batch_rows", [None, 2])
+def test_writer_file_format_footer_seeking(batch_rows):
+    """file_format=True must satisfy pa.ipc.open_file, which seeks via
+    the trailing Footer flatbuffer — the Block structs are load-bearing."""
+    buf = write_arrow_ipc(
+        _W_NAMES, _W_TYPES, _W_COLS, batch_rows=batch_rows, file_format=True
+    )
+    t = pa.ipc.open_file(io.BytesIO(buf)).read_all()
+    for nm, col in zip(_W_NAMES, _W_COLS):
+        assert t[nm].to_pylist() == col, nm
+    names, cols = read_arrow_ipc(buf)
+    assert names == _W_NAMES and cols == _W_COLS

@@ -538,7 +538,7 @@ def _serialize_array(typ: str, vals: list, nodes: list, bufs: list) -> None:
 
 def write_arrow_ipc(
     names: list[str], types: list[str], columns: list[list],
-    batch_rows: int | None = None,
+    batch_rows: int | None = None, file_format: bool = False,
 ) -> bytes:
     """Serialize columns into an Arrow IPC STREAM: Schema message,
     one RecordBatch message per `batch_rows` rows (default: one), and
@@ -546,7 +546,12 @@ def write_arrow_ipc(
     module. Types: int64/int32/float64/float32/bool/utf8/binary and
     list<...> of those. Readable by pyarrow (`pa.ipc.open_stream`) and
     by this module's own `read_arrow_ipc` — the two-decoder bar every
-    writer here meets."""
+    writer here meets. `file_format=True` wraps the stream as an
+    ARROW1 FILE (Feather v2): leading magic, trailing Footer
+    flatbuffer (re-emitted schema + 24-byte Block structs locating
+    every record-batch message), footer length, closing magic —
+    readable by `pa.ipc.open_file` (which seeks via the footer, so the
+    Blocks are load-bearing, not decorative)."""
     n_rows = len(columns[0]) if columns else 0
     for name, c in zip(names, columns):
         if len(c) != n_rows:
@@ -561,7 +566,9 @@ def write_arrow_ipc(
             ]
         )
 
-    out = bytearray(_message(_MSG_SCHEMA, schema_writer, 0))
+    out = bytearray(b"ARROW1\x00\x00" if file_format else b"")
+    blocks: list[tuple[int, int, int]] = []  # (offset, meta_len, body_len)
+    out += _message(_MSG_SCHEMA, schema_writer, 0)
     step = batch_rows if batch_rows and batch_rows > 0 else max(n_rows, 1)
     for start in range(0, max(n_rows, 1), step):
         nodes: list[tuple[int, int]] = []
@@ -586,9 +593,35 @@ def write_arrow_ipc(
                 ]
             )
 
-        out += _message(_MSG_RECORD_BATCH, rb_writer, len(body))
+        msg = _message(_MSG_RECORD_BATCH, rb_writer, len(body))
+        blocks.append((len(out), len(msg), len(body)))
+        out += msg
         out += body
         if n_rows == 0:
             break
     out += struct.pack("<Ii", 0xFFFFFFFF, 0)  # end of stream
+    if not file_format:
+        return bytes(out)
+    # Footer flatbuffer (File.fbs): version, re-emitted Schema table,
+    # empty dictionaries vector, Block structs (24 bytes: i64 offset,
+    # i32 metaDataLength incl. the 8-byte prefix and padding, 4 bytes
+    # struct padding, i64 bodyLength)
+    blocks_raw = b"".join(
+        struct.pack("<qi4xq", off, mlen, blen) for off, mlen, blen in blocks
+    )
+    fb = _FBBuilder()
+    fb.buf += b"\x00\x00\x00\x00"
+    root = fb.table(
+        [
+            (0, "i16", 4),  # MetadataVersion V5
+            (1, "offset", lambda: schema_writer(fb)),
+            (2, "offset", lambda: fb.vector_structs(b"", 0)),
+            (3, "offset", lambda: fb.vector_structs(blocks_raw, len(blocks))),
+        ]
+    )
+    struct.pack_into("<I", fb.buf, 0, root)
+    footer = bytes(fb.buf)
+    out += footer
+    out += struct.pack("<i", len(footer))
+    out += b"ARROW1"
     return bytes(out)
