@@ -505,11 +505,110 @@ def _stat_filter_keeps(stats: dict[str, list] | None, stat_filter: dict) -> bool
     return True
 
 
+# ------------------------------------------------------------ bloom index
+# Per-file BLOOM KEY INDEX (Hudi's bloom index / parquet bloom filters
+# on plain files): a 1 KiB bitset per (file, column) recorded in the
+# manifest next to the zone maps, letting point lookups (MERGE probes,
+# GDPR deletes, id fetches) skip files that provably lack the key.
+# Positions come from md5 over the value's STRING form, computed
+# identically JVM-side at harvest (Spark md5/conv SQL) and Python-side
+# at probe time — no engine-specific hash in the contract.
+
+_BLOOM_M = 65536  # default bits per (file, column): ~16 bits/key at
+# the fixture's file sizes; the PROBE side infers m from the stored
+# bitset length, so tables written with different sizes coexist
+_BLOOM_K = 3
+
+
+def _bloom_position(value, i: int, m: int = _BLOOM_M) -> int:
+    import hashlib as _hl
+
+    h = _hl.md5(f"{value}#{i}".encode("utf-8")).hexdigest()[:15]
+    return int(h, 16) % m
+
+
+def _collect_file_blooms(
+    spark: SparkSession,
+    root: str,
+    ver_dir: str,
+    bloom_cols: tuple[str, ...],
+    bloom_bits: int = _BLOOM_M,
+) -> dict[str, dict[str, str]]:
+    """{rel_file: {col: hex bitset}} for every file under a version
+    dir. Distinct SET positions per file are bounded by bloom_bits, so
+    the collect is kilobytes per file regardless of row count. Sizing
+    rule: ~16 bits per expected key per file keeps the per-probe false
+    positive rate under 1% (a false positive costs one extra file
+    read, never a wrong answer)."""
+    base = posixpath.join(root, ver_dir)
+    out: dict[str, dict[str, str]] = {}
+    marker = "/" + _VERSIONS + "/"
+    df_all = spark.read.parquet(base)
+    for col in bloom_cols:
+        if col not in df_all.columns:
+            continue
+        pos_exprs = [
+            F.expr(
+                f"CAST(conv(substring(md5(concat(CAST(`{col}` AS STRING),"
+                f" '#', '{i}')), 1, 15), 16, 10) AS BIGINT) % {bloom_bits}"
+            )
+            for i in range(_BLOOM_K)
+        ]
+        rows = (
+            df_all.where(F.col(col).isNotNull())
+            .select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.explode(F.array(*pos_exprs)).alias("pos"),
+            )
+            .groupBy("_fp")
+            .agg(F.collect_set("pos").alias("ps"))
+            .collect()
+        )
+        for r in rows:
+            fp = r["_fp"]
+            idx = fp.find(marker)
+            rel = fp[idx + 1 :] if idx >= 0 else fp
+            bits = bytearray(bloom_bits // 8)
+            for p in r["ps"]:
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            out.setdefault(rel, {})[col] = bits.hex()
+    return out
+
+
+def _bloom_keeps(stats: dict | None, key_filter: dict) -> bool:
+    """Keep the file unless EVERY probed value of some filtered column
+    is provably absent (all-bits-set is required for a maybe). Missing
+    blooms keep the file — like zone maps, pruning is an optimization,
+    never a correctness gate."""
+    if stats is None or not key_filter:
+        return True
+    blooms = stats.get("__bloom__") or {}
+    for col, values in key_filter.items():
+        hexmap = blooms.get(col)
+        if not hexmap:
+            continue
+        bits = bytes.fromhex(hexmap)
+        m = len(bits) * 8  # per-file size rides the stored bitset
+        found = False
+        for v in values:
+            if all(
+                (bits[p >> 3] >> (p & 7)) & 1
+                for p in (_bloom_position(v, i, m) for i in range(_BLOOM_K))
+            ):
+                found = True
+                break
+        if not found:
+            return False
+    return True
+
+
 def plan_snapshot_files(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     stat_filter: dict | None = None,
+    key_filter: dict | None = None,
 ) -> tuple[dict[str, list[str]], list[str]]:
     """Resolve a snapshot to the files a reader must scan, zone-map
     pruned. Returns (kept: {owning ver_dir -> [file or partition-dir
@@ -527,11 +626,13 @@ def plan_snapshot_files(
     for part_dir, ver_dir in manifest.items():
         prefix = posixpath.join(ver_dir, part_dir) + "/"
         files = [f for f in file_stats if f.startswith(prefix)]
-        if not files or not stat_filter:
+        if not files or not (stat_filter or key_filter):
             kept.setdefault(ver_dir, []).append(posixpath.join(ver_dir, part_dir))
             continue
         for f in files:
-            if _stat_filter_keeps(file_stats.get(f), stat_filter):
+            if _stat_filter_keeps(
+                file_stats.get(f), stat_filter or {}
+            ) and _bloom_keeps(file_stats.get(f), key_filter or {}):
                 kept.setdefault(ver_dir, []).append(f)
             else:
                 skipped.append(f)
@@ -545,6 +646,7 @@ def read_versioned(
     partition_filter=None,
     stat_filter: dict | None = None,
     ref: str | None = None,
+    key_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the manifest (current, or a pinned version
     for time travel), then scan each owning version directory's touched
@@ -590,15 +692,21 @@ def read_versioned(
     by_ver: dict[str, list[str]] = {}
     for part_dir, ver_dir in manifest.items():
         prefix = posixpath.join(ver_dir, part_dir) + "/"
-        stat_files = [f for f in file_stats if f.startswith(prefix)] if stat_filter else []
+        stat_files = (
+            [f for f in file_stats if f.startswith(prefix)]
+            if (stat_filter or key_filter)
+            else []
+        )
         if not stat_files:
             by_ver.setdefault(ver_dir, []).append(posixpath.join(ver_dir, part_dir))
             continue
         for f in stat_files:
-            if _stat_filter_keeps(file_stats.get(f), stat_filter):
+            if _stat_filter_keeps(
+                file_stats.get(f), stat_filter or {}
+            ) and _bloom_keeps(file_stats.get(f), key_filter or {}):
                 by_ver.setdefault(ver_dir, []).append(f)
     if not by_ver:
-        raise LookupError("stat_filter pruned every file of every partition")
+        raise LookupError("stat/key filters pruned every file of every partition")
     pieces = []
     for ver_dir, rel_paths in sorted(by_ver.items()):
         base = posixpath.join(root, ver_dir)
@@ -769,7 +877,12 @@ def _schema_meta(doc: dict) -> dict:
     type."""
     return {
         k: doc[k]
-        for k in ("added_columns", "dropped_columns", "renamed_columns")
+        for k in (
+            "added_columns",
+            "dropped_columns",
+            "renamed_columns",
+            "bloom_cols",
+        )
         if doc.get(k)
     }
 
@@ -977,6 +1090,7 @@ def versioned_merge_upsert(
     stats_cols: tuple[str, ...] = (),
     files_per_partition: int = 1,
     delete_rows: DataFrame | None = None,
+    bloom_cols: tuple[str, ...] = (),
 ) -> int:
     """Upsert `updates` into the versioned table at `root`; returns the
     committed version number.
@@ -1171,6 +1285,18 @@ def versioned_merge_upsert(
                 new_stats.update(
                     _collect_file_stats(spark, root, ver_dir, harvest_cols)
                 )
+            # bloom key index: per-(file, column) bitsets ride the same
+            # per-file stats entries the zone maps use, so carry/prune
+            # logic is shared; cols union across commits like stats_cols
+            eff_bloom_cols = tuple(
+                dict.fromkeys(tuple(doc.get("bloom_cols", ())) + bloom_cols)
+            )
+            bl_cols = tuple(c for c in eff_bloom_cols if c in merged.columns)
+            if bl_cols:
+                for f, colmap in _collect_file_blooms(
+                    spark, root, ver_dir, bl_cols
+                ).items():
+                    new_stats.setdefault(f, {})["__bloom__"] = colmap
             body = json.dumps(
                 {
                     "version": new_ver,
@@ -1183,6 +1309,7 @@ def versioned_merge_upsert(
                     "file_stats": new_stats,
                     "constraints": doc.get("constraints", {}),
                     **_schema_meta(doc),
+                    "bloom_cols": list(eff_bloom_cols),
                 },
                 sort_keys=True,
             )

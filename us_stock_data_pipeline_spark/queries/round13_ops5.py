@@ -12,6 +12,11 @@ byte level too.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1291,4 +1296,114 @@ def sink_orc_raw_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
         )
         .orderBy("nk")
+    )
+
+
+# --------------------------------------------------------------------------
+# ETL: per-file BLOOM KEY INDEX — point-lookup file skipping
+# --------------------------------------------------------------------------
+
+_BLOOM_IDS = (3, 57, 911)
+
+_BLOOM_ORACLE = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+         AS day,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       TRUE AS files_pruned
+FROM events
+WHERE event_id IN {_BLOOM_IDS}
+ORDER BY event_id
+"""
+
+
+@register(
+    "etl_versioned_bloom_index_skipping",
+    oracle=_BLOOM_ORACLE,
+    tags=("etl", "layout", "scale", "versioned"),
+    round=13,
+)
+def etl_versioned_bloom_index_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM KEY INDEX on the versioned table (round 13) —
+    Hudi's bloom index / parquet bloom filters re-expressed on the
+    manifest protocol, the POINT-LOOKUP complement to the zone maps'
+    range pruning: a bloom-enabled merge records a 1 KiB bitset per
+    (file, key column) in the manifest (positions from md5 over the
+    value's string form, computed by Spark SQL at harvest and plain
+    Python at probe — engine-neutral), and
+    `read_versioned(key_filter=...)` drops files that provably lack
+    every probed key before any listing or scan is planned. The
+    fixture partitions events by (event_type, week), so a 3-id fetch
+    must keep at most a handful of files and SKIP the rest —
+    `plan_snapshot_files` is consulted and the hashed `files_pruned`
+    column pins that skipping actually happened. At 100 TB this is
+    what makes "fetch these 3 records" (GDPR lookups, MERGE probes)
+    cost a manifest walk plus a few file reads instead of a table
+    scan. False positives only cost an extra file read; false
+    negatives are impossible (tests/test_bloom_index.py probes
+    exhaustively)."""
+    from us_stock_data_pipeline_spark.etl.versioned import (
+        plan_snapshot_files,
+        read_versioned,
+        versioned_merge_upsert,
+    )
+
+    src_stat = os.stat(os.path.join(sf_dir, "events.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "us_sdps_bloomidx",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(root, "_staged.json")
+    want = {"size": src_stat.st_size, "mtime": src_stat.st_mtime,
+            "bloom_bits": 65536}
+    have = None
+    if os.path.exists(marker):
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                have = json.load(fh)
+        except Exception:  # noqa: BLE001 — corrupt marker: restage
+            have = None
+    if have != want:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            (F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7)
+            .cast("long")
+            .alias("wk"),
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
+            .cast("long")
+            .alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        versioned_merge_upsert(
+            spark,
+            ev,
+            root,
+            key_cols=("event_id",),
+            partition_cols=("event_type", "wk"),
+            bloom_cols=("event_id",),
+        )
+        with open(marker, "w", encoding="utf-8") as fh:
+            json.dump(want, fh)
+    probe = list(_BLOOM_IDS)
+    kept, skipped = plan_snapshot_files(
+        spark, root, key_filter={"event_id": probe}
+    )
+    n_kept = sum(len(v) for v in kept.values())
+    snap = read_versioned(spark, root, key_filter={"event_id": probe})
+    return (
+        snap.filter(F.col("event_id").isin(probe))
+        .select(
+            F.col("event_id").cast("long"),
+            "event_type",
+            F.col("day").cast("long"),
+            F.col("cents").cast("long"),
+        )
+        .withColumn("files_pruned", F.lit(len(skipped) > n_kept))
+        .orderBy("event_id")
     )
