@@ -116,10 +116,17 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(prefs.select(F.col("li").alias("i"), F.col("wi").alias("j"), "n"))
         .groupBy("i", "j")
         .agg(F.sum("n").cast("long").alias("g"))
+        # feeds s1 AND denom: without the persist the symmetrize+shuffle
+        # +aggregate subtree re-executes once per consumer (the executed
+        # plan showed it inlined up to 8x across the si/sj broadcasts,
+        # denom, and the final join — 2.9s of the query's 3.5s)
+        .transform(registry.track_persist)
     )
     wins = prefs.groupBy(F.col("wi").alias("i")).agg(F.sum("n").cast("long").alias("w"))
     s1 = (
-        games.join(wins, "i", "left")
+        # wins is supplier-sized (dimension cardinality) — broadcast it so
+        # the left join needs no shuffle/sort of the games table
+        games.join(F.broadcast(wins), "i", "left")
         .groupBy("i", "w")
         .agg(F.sum("g").cast("long").alias("gtot"))
         .select(
@@ -128,6 +135,8 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gtot",
             F.expr("CAST(2000000 * coalesce(w, 0) div gtot AS BIGINT)").alias("s1_e6"),
         )
+        # feeds si, sj, and the final join — one evaluation, three readers
+        .transform(registry.track_persist)
     )
     si = s1.select(F.col("i"), F.col("s1_e6").alias("si_e6"))
     sj = s1.select(F.col("i").alias("j"), F.col("s1_e6").alias("sj_e6"))
@@ -143,7 +152,9 @@ def rlhf_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        s1.join(denom, "i")
+        # denom is supplier-sized; broadcast avoids a sort-merge join of
+        # two tiny aggregates (each side below any sane shuffle payoff)
+        s1.join(F.broadcast(denom), "i")
         .select(
             F.col("i").alias("suppkey"),
             F.col("w").alias("wins"),
