@@ -142,7 +142,15 @@ def bars_fifo_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sells_b = sells.select(
         F.col("inst").alias("s_inst"), "sell_px", "s0", "s1", band_of("s0", "s1").alias("s_band")
     )
-    matched = buys_b.hint("merge").join(
+    # Shuffled-hash instead of sort-merge: both sides arrive freshly
+    # exploded (nothing is pre-sorted on (inst, band)), so merge pays two
+    # full sorts of the banded legs that the hash build skips; the build
+    # per partition is bounded by fills-per-band, the same invariant that
+    # bounds the pair fan-out. Measured at sf0.1 best-of-3: 1.98s ->
+    # 1.43s in an isolated A/B (within-session reruns put both inside
+    # the host's ±0.3s noise band, so the structural argument — two
+    # sorts removed — is the load-bearing one; guide §3.1).
+    matched = buys_b.hint("shuffle_hash").join(
         sells_b,
         (buys_b.inst == sells_b.s_inst)
         & (buys_b.band == sells_b.s_band)

@@ -141,13 +141,24 @@ def lineitem_cost_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0).alias("bumped"),
     )
+    # Two-level rollup instead of countDistinct: the per-(order, flag)
+    # aggregate needs NO exchange (the frame is already hash-partitioned
+    # by l_orderkey from the window passes, and HashPartitioning on a
+    # subset of the grouping keys satisfies the clustering), and the
+    # per-flag reduce then counts groups — the countDistinct form paid
+    # an Expand doubling of the 600k-row frame plus a full exchange.
+    per_order = final.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("alloc_cents").cast("long").alias("allocated_cents"),
+        F.sum("bumped").cast("long").alias("n_lines_bumped"),
+    )
     return (
-        final.groupBy("l_returnflag")
+        per_order.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum("alloc_cents").cast("long").alias("allocated_cents"),
-            F.sum("bumped").cast("long").alias("n_lines_bumped"),
-            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("allocated_cents").cast("long").alias("allocated_cents"),
+            F.sum("n_lines_bumped").cast("long").alias("n_lines_bumped"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
         .orderBy("l_returnflag")
     )
