@@ -241,6 +241,82 @@ for _cte in (
     )
 
 
+def _word_span_arrays(words: DataFrame, piece_s: DataFrame) -> DataFrame:
+    """One row per training word with its scored candidate spans as an
+    IN-ROW array — sp = array<struct<i,j,piece,s>> holds exactly the
+    rows the exploded spans ⋈ piece_s join produced (spans whose piece
+    is absent from piece_s drop via the IS NOT NULL filter, preserving
+    the inner-join semantics EM iteration 2's vocab restriction relies
+    on). piece_s is vocab-sized, so it rides along as ONE broadcast map
+    row instead of a join. This keeps the whole Viterbi DP inside one
+    narrow projection over the 150-word sample (see _arr_em_newc)."""
+    smap = piece_s.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "s"))).alias("smap")
+    )
+    return words.crossJoin(F.broadcast(smap)).select(
+        "word",
+        "freq",
+        F.length("word").cast("long").alias("wlen"),
+        F.expr(
+            f"""filter(
+  flatten(transform(sequence(0, length(word) - 1), i ->
+    transform(sequence(i + 1, least(i + {MAX_PIECE}, length(word))), j ->
+      named_struct(
+        'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+        'piece', substring(word, i + 1, j - i),
+        's', try_element_at(smap, substring(word, i + 1, j - i)))))),
+  x -> x.s IS NOT NULL)"""
+        ).alias("sp"),
+    )
+
+
+# Forward/backward Viterbi over the in-row span array: p[j] (prefix
+# best score ending at j) and r[k] (suffix best starting k chars from
+# the END) computed by sequential aggregate() — the exact integer
+# max-plus recurrences of the join-chain formulation (_unigram_core_sql)
+# evaluated per row instead of as 2 x MAX_WLEN join+aggregate stages.
+# NULL semantics match the SQL: unreachable positions are NULL
+# (array_max skips NULL terms and returns NULL over an empty/all-NULL
+# set, exactly like max() over a LEFT JOIN's no-match rows), and every
+# element_at index is structurally in range (i < j <= wlen and
+# j - i <= MAX_PIECE <= k), so ANSI mode cannot trip.
+_DPF_EXPR = """aggregate(
+  sequence(1, CAST(wlen AS INT)), array(CAST(0 AS BIGINT)),
+  (acc, jj) -> concat(acc, array(array_max(
+    transform(filter(sp, x -> x.j = jj),
+      x -> element_at(acc, CAST(x.i + 1 AS INT)) + x.s)))))"""
+
+_DPB_EXPR = """aggregate(
+  sequence(1, CAST(wlen AS INT)), array(CAST(0 AS BIGINT)),
+  (acc, kk) -> concat(acc, array(array_max(
+    transform(filter(sp, x -> x.i = wlen - kk),
+      x -> x.s + element_at(acc, CAST(kk - (x.j - x.i) + 1 AS INT)))))))"""
+
+
+def _arr_em_newc(wsp: DataFrame) -> DataFrame:
+    """E-step on-path counting over the span-array frame: a span is
+    ON-PATH iff p[i] + s + r[wlen-j] == p[wlen] (membership in SOME
+    optimal segmentation — deterministic under ties). Returns
+    (piece, new_count). The only shuffle is the final piece rollup."""
+    dp = wsp.select(
+        "freq",
+        "wlen",
+        "sp",
+        F.expr(_DPF_EXPR).alias("parr"),
+        F.expr(_DPB_EXPR).alias("rarr"),
+    )
+    onpath = dp.select("freq", "wlen", "parr", "rarr", F.explode("sp").alias("x")).filter(
+        F.expr(
+            "element_at(parr, CAST(x.i + 1 AS INT)) + x.s"
+            " + element_at(rarr, CAST(wlen - x.j + 1 AS INT))"
+            " = element_at(parr, CAST(wlen + 1 AS INT))"
+        )
+    )
+    return onpath.groupBy(F.col("x.piece").alias("piece")).agg(
+        F.sum("freq").cast("long").alias("new_count")
+    )
+
+
 def _l2fp_df(df: DataFrame, cnt_col: str = "cnt") -> DataFrame:
     """DataFrame twin of `_l2fp_ctes` (same exact integer recursion)."""
     df = (
@@ -345,94 +421,13 @@ def tokenizer_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("seed_count"),
         (F.col("l2") - F.col("tot_l2")).alias("s"),
     )
-    spans_s = track_persist(
-        spans.join(F.broadcast(piece_s.select("piece", "s")), "piece").select(
-            "word",
-            "freq",
-            "i",
-            "j",
-            "piece",
-            "s",
-            (F.length("word").cast("long") - F.col("i")).alias("ri"),
-            (F.col("j") - F.col("i")).alias("dlen"),
-        )
-    )
-    # forward DP: state row per word carrying p0..p8
-    state = words.select("word", F.lit(0).cast("long").alias("p0"))
-    for j in range(1, MAX_WLEN + 1):
-        sp_j = spans_s.filter(F.col("j") == j).select("word", "i", "s")
-        case = None
-        for i in range(max(0, j - MAX_PIECE), j):
-            branch = F.when(F.col("i") == i, F.col(f"p{i}"))
-            case = branch if case is None else case.when(
-                F.col("i") == i, F.col(f"p{i}")
-            )
-        carried = [f"p{k}" for k in range(j)]
-        state = (
-            state.join(sp_j, "word", "left")
-            .groupBy("word", *carried)
-            .agg(F.max(case + F.col("s")).alias(f"p{j}"))
-        )
-    state = track_persist(state)
-    dpf_all = state.selectExpr(
-        "word",
-        "stack("
-        + str(MAX_WLEN + 1)
-        + ", "
-        + ", ".join(f"CAST({j} AS BIGINT), p{j}" for j in range(MAX_WLEN + 1))
-        + ") AS (pos, sc)",
-    ).filter(F.col("sc").isNotNull())
-    # backward DP: r{k} = dp of the suffix starting k chars from the END
-    rstate = words.select("word", F.lit(0).cast("long").alias("r0"))
-    for k in range(1, MAX_WLEN + 1):
-        sp_k = spans_s.filter(F.col("ri") == k).select("word", "dlen", "s")
-        case = None
-        for d in range(1, min(MAX_PIECE, k) + 1):
-            case = (
-                F.when(F.col("dlen") == d, F.col(f"r{k - d}"))
-                if case is None
-                else case.when(F.col("dlen") == d, F.col(f"r{k - d}"))
-            )
-        carried = [f"r{t}" for t in range(k)]
-        rstate = (
-            rstate.join(sp_k, "word", "left")
-            .groupBy("word", *carried)
-            .agg(F.max(F.col("s") + case).alias(f"r{k}"))
-        )
-    rstate = track_persist(rstate)
-    dpb_all = rstate.selectExpr(
-        "word",
-        "stack("
-        + str(MAX_WLEN + 1)
-        + ", "
-        + ", ".join(
-            f"CAST(length(word) - {k} AS BIGINT), r{k}"
-            for k in range(MAX_WLEN + 1)
-        )
-        + ") AS (pos, sc)",
-    ).filter(F.col("sc").isNotNull() & (F.col("pos") >= 0))
-    dptot = dpf_all.filter(F.col("pos") == F.length("word")).select(
-        "word", F.col("sc").alias("tot_sc")
-    )
-    onpath = (
-        spans_s.join(
-            dpf_all.select(
-                "word", F.col("pos").alias("i"), F.col("sc").alias("fsc")
-            ),
-            ["word", "i"],
-        )
-        .join(
-            dpb_all.select(
-                "word", F.col("pos").alias("j"), F.col("sc").alias("bsc")
-            ),
-            ["word", "j"],
-        )
-        .join(dptot, "word")
-        .filter(F.col("fsc") + F.col("s") + F.col("bsc") == F.col("tot_sc"))
-    )
-    newc = onpath.groupBy("piece").agg(
-        F.sum("freq").cast("long").alias("new_count")
-    )
+    # E-step: the forward/backward Viterbi DP runs as per-word array
+    # recurrences inside ONE projection (see _word_span_arrays /
+    # _arr_em_newc) — the former 2 x MAX_WLEN chained join+aggregate
+    # stages cost ~5s of driver-side plan analysis alone and 16 shuffle
+    # stage barriers at execution; the arithmetic (integer max-plus,
+    # NULL-propagating) is identical, so the oracle hash is unchanged.
+    newc = _arr_em_newc(_word_span_arrays(words, piece_s.select("piece", "s")))
     w_rank = Window.orderBy(F.desc("new_count"), F.asc("piece"))
     return (
         piece_s.join(newc, "piece")

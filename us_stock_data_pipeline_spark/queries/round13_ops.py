@@ -437,8 +437,10 @@ from us_stock_data_pipeline_spark.queries.round12_ops2 import (  # noqa: E402
     TOP_K,
     TOP_WORDS,
     _DUCK_PREAMBLE,
+    _arr_em_newc,
     _l2fp_ctes,
     _l2fp_df,
+    _word_span_arrays,
 )
 
 
@@ -659,105 +661,6 @@ def _words_and_spans(spark: SparkSession, sf_dir: str):
     return words, spans
 
 
-def _em_pass_df(words: DataFrame, spans_s: DataFrame) -> DataFrame:
-    """One E-step over scored spans (word, freq, i, j, piece, s, ri,
-    dlen): state-carrying forward/backward Viterbi -> on-path counts.
-    Returns (piece, new_count). Same column-chain shape as
-    `tokenizer_unigram_em_step` — step j's frame references only step
-    j-1, so the plan stays linear in MAX_WLEN."""
-    from us_stock_data_pipeline_spark.registry import track_persist
-
-    state = words.select("word", F.lit(0).cast("long").alias("p0"))
-    for j in range(1, MAX_WLEN + 1):
-        sp_j = spans_s.filter(F.col("j") == j).select("word", "i", "s")
-        case = None
-        for i in range(max(0, j - MAX_PIECE), j):
-            case = (
-                F.when(F.col("i") == i, F.col(f"p{i}"))
-                if case is None
-                else case.when(F.col("i") == i, F.col(f"p{i}"))
-            )
-        carried = [f"p{k}" for k in range(j)]
-        state = (
-            state.join(sp_j, "word", "left")
-            .groupBy("word", *carried)
-            .agg(F.max(case + F.col("s")).alias(f"p{j}"))
-        )
-    state = track_persist(state)
-    dpf_all = state.selectExpr(
-        "word",
-        "stack("
-        + str(MAX_WLEN + 1)
-        + ", "
-        + ", ".join(f"CAST({j} AS BIGINT), p{j}" for j in range(MAX_WLEN + 1))
-        + ") AS (pos, sc)",
-    ).filter(F.col("sc").isNotNull())
-    rstate = words.select("word", F.lit(0).cast("long").alias("r0"))
-    for k in range(1, MAX_WLEN + 1):
-        sp_k = spans_s.filter(F.col("ri") == k).select("word", "dlen", "s")
-        case = None
-        for d in range(1, min(MAX_PIECE, k) + 1):
-            case = (
-                F.when(F.col("dlen") == d, F.col(f"r{k - d}"))
-                if case is None
-                else case.when(F.col("dlen") == d, F.col(f"r{k - d}"))
-            )
-        carried = [f"r{t}" for t in range(k)]
-        rstate = (
-            rstate.join(sp_k, "word", "left")
-            .groupBy("word", *carried)
-            .agg(F.max(F.col("s") + case).alias(f"r{k}"))
-        )
-    rstate = track_persist(rstate)
-    dpb_all = rstate.selectExpr(
-        "word",
-        "stack("
-        + str(MAX_WLEN + 1)
-        + ", "
-        + ", ".join(
-            f"CAST(length(word) - {k} AS BIGINT), r{k}" for k in range(MAX_WLEN + 1)
-        )
-        + ") AS (pos, sc)",
-    ).filter(F.col("sc").isNotNull() & (F.col("pos") >= 0))
-    dptot = dpf_all.filter(F.col("pos") == F.length("word")).select(
-        "word", F.col("sc").alias("tot_sc")
-    )
-    onpath = (
-        spans_s.join(
-            dpf_all.select("word", F.col("pos").alias("i"), F.col("sc").alias("fsc")),
-            ["word", "i"],
-        )
-        .join(
-            dpb_all.select("word", F.col("pos").alias("j"), F.col("sc").alias("bsc")),
-            ["word", "j"],
-        )
-        .join(dptot, "word")
-        .filter(F.col("fsc") + F.col("s") + F.col("bsc") == F.col("tot_sc"))
-    )
-    return onpath.groupBy("piece").agg(
-        F.sum("freq").cast("long").alias("new_count")
-    )
-
-
-def _scored_spans(spans: DataFrame, piece_s: DataFrame) -> DataFrame:
-    """spans x per-piece fixed-point scores, with the backward-DP helper
-    columns (ri = distance from the END, dlen = piece length)."""
-    from us_stock_data_pipeline_spark.registry import track_persist
-
-    return track_persist(
-        spans.join(F.broadcast(piece_s.select("piece", "s")), "piece").select(
-            "word",
-            "freq",
-            "i",
-            "j",
-            "piece",
-            "s",
-            (F.length("word").cast("long") - F.col("i")).alias("ri"),
-            (F.col("j") - F.col("i")).alias("dlen"),
-        )
-    )
-
-
 def _fp_scores(lin: DataFrame) -> DataFrame:
     """(id, cnt) -> (piece, cnt, s) with s = L2FP(cnt) - L2FP(total);
     `lin` must contain the '' total row."""
@@ -801,7 +704,10 @@ def tokenizer_unigram_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     piece_s1 = _fp_scores(lin1)
-    newc1 = _em_pass_df(words, _scored_spans(spans, piece_s1))
+    # E-step 1 as per-word array DP (round12_ops2._arr_em_newc): same
+    # integer max-plus recurrences, one projection instead of 16
+    # chained join+aggregate stages per pass.
+    newc1 = _arr_em_newc(_word_span_arrays(words, piece_s1.select("piece", "s")))
     from pyspark.sql import Window
 
     w_rank1 = Window.orderBy(F.desc("new_count"), F.asc("piece"))
@@ -828,7 +734,7 @@ def tokenizer_unigram_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     piece_s2 = _fp_scores(lin2)
-    newc2 = _em_pass_df(words, _scored_spans(spans, piece_s2))
+    newc2 = _arr_em_newc(_word_span_arrays(words, piece_s2.select("piece", "s")))
     w_rank2 = Window.orderBy(F.desc("new_count"), F.asc("piece"))
     return (
         piece_s2.select("piece", F.col("cnt").alias("count1"), "s")
