@@ -1207,6 +1207,7 @@ def versioned_merge_upsert(
                 .parquet(del_scratch)
                 .select(*key_cols)
             )
+        _staged_moved = False  # scratch renamed into a version dir
         for attempt in range(max_commit_retries):
             base_ver = current_version(spark, root)
             new_ver = base_ver + 1
@@ -1250,9 +1251,32 @@ def versioned_merge_upsert(
                     # NULL, mirroring read_versioned's union semantics.
                     merged = merged.unionByName(keep, allowMissingColumns=True)
             abs_ver = posixpath.join(root, ver_dir)
-            _layout_for_write(merged, partition_cols, files_per_partition).write.mode(
-                "overwrite"
-            ).partitionBy(*partition_cols).parquet(abs_ver)
+            if merged is staged and not _staged_moved:
+                # No existing rows to merge (base commit, or a commit
+                # touching only brand-new partitions): the staged scratch
+                # dir already holds EXACTLY the bytes the version dir
+                # needs, in the same layout (_layout_for_write ran at
+                # staging). Publish it by a metadata-only rename instead
+                # of re-running a second full write job — the version
+                # dir's uuid name keeps the move race-free (_move_dir).
+                _mkdirs(spark, posixpath.join(root, _VERSIONS))
+                if _move_dir(spark, scratch, abs_ver):
+                    # retries (lost CAS) must re-read the batch from its
+                    # new home; the moved dir is unreferenced until the
+                    # manifest publishes, an orphan for vacuum if we lose
+                    _staged_moved = True
+                    staged = spark.read.option("basePath", abs_ver).parquet(abs_ver)
+                    merged = staged
+                else:
+                    _layout_for_write(
+                        merged, partition_cols, files_per_partition
+                    ).write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                        abs_ver
+                    )
+            else:
+                _layout_for_write(
+                    merged, partition_cols, files_per_partition
+                ).write.mode("overwrite").partitionBy(*partition_cols).parquet(abs_ver)
             new_manifest = dict(manifest)
             written = set(_leaf_partition_dirs(spark, abs_ver, len(partition_cols)))
             for d in written:

@@ -581,23 +581,30 @@ def stream_versioned_cdf_to_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def apply_changes(batch, _epoch):
             # one microbatch may span several commits: apply in version
-            # order so an update-then-delete of the same key lands right
-            versions = [
-                r[0]
-                for r in batch.select("_commit_version").distinct().collect()
-            ]
-            for v in sorted(versions):
-                chg = batch.filter(F.col("_commit_version") == v)
-                ups = chg.filter(
-                    F.col("_change_type").isin("insert", "update_postimage")
-                ).select("nk", "band", "val")
-                if not ups.isEmpty():
-                    versioned_merge_upsert(
-                        spark, ups, mart, key_cols=("nk",), partition_cols=("band",)
-                    )
-                dels = chg.filter(F.col("_change_type") == "delete").select("nk")
-                if not dels.isEmpty():
-                    versioned_delete(spark, dels, mart, key_cols=("nk",))
+            # order so an update-then-delete of the same key lands right.
+            # Persist first: every filter/isEmpty/merge below re-executes
+            # the microbatch plan otherwise — 2 actions per commit each
+            # re-reading the Python data source (guide §5, reused frame).
+            batch = batch.persist()
+            try:
+                versions = [
+                    r[0]
+                    for r in batch.select("_commit_version").distinct().collect()
+                ]
+                for v in sorted(versions):
+                    chg = batch.filter(F.col("_commit_version") == v)
+                    ups = chg.filter(
+                        F.col("_change_type").isin("insert", "update_postimage")
+                    ).select("nk", "band", "val")
+                    if not ups.isEmpty():
+                        versioned_merge_upsert(
+                            spark, ups, mart, key_cols=("nk",), partition_cols=("band",)
+                        )
+                    dels = chg.filter(F.col("_change_type") == "delete").select("nk")
+                    if not dels.isEmpty():
+                        versioned_delete(spark, dels, mart, key_cols=("nk",))
+            finally:
+                batch.unpersist()
 
         q = (
             feed.writeStream.foreachBatch(apply_changes)
