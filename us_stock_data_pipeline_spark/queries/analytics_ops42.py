@@ -147,34 +147,72 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set — the same broadcast-queries/corpus-never-shuffles
     plan as knn_bruteforce_cosine, with the occurrence count one
     extra aggregate over the top-k edge list."""
+    import posixpath
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms are per-VECTOR, so compute them map-side in each projection
-    # (once per vector) instead of inside the pair expression (once per
-    # PAIR — the original folded qn/cn per pair, tripling the dominant
-    # per-pair array work; measured 17s -> ~6s at sf0.1)
-    norm = "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (acc, v) -> acc + v))"
-    q = emb.filter(F.col("vec_id") % _HUB_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.expr(norm).alias("qnorm"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.expr(norm).alias("cnorm"),
-    )
-    dot = "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
-    pairs = (
-        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "cid",
-            F.floor(
-                F.expr(f"({dot}) / (qnorm * cnorm)") * 10_000 + F.lit(0.5)
+    # The 800k-pair brute-force cosine ran as per-pair zip_with+aggregate
+    # HOFs (~5s at sf0.1 — allocation per pair, no real vectorization;
+    # an unrolled 64-term codegen expression measured WORSE, 18s). Hand
+    # whole candidate batches to numpy instead (guide §4.2) with the
+    # arithmetic kept BIT-IDENTICAL to the HOF form: every accumulation
+    # (dot products, norms) loops dim-by-dim in float64 — the same
+    # left-to-right order as aggregate() — so cos_e4 round boundaries
+    # cannot drift. Each task loads the query matrix once from the
+    # parquet input itself (guide §8's co-locate move — the same query
+    # set the old plan broadcast), computes its candidate slice's
+    # per-query local top-k, and the JVM window reduces the 32 local
+    # top-k lists to the global one: per-partition top-k under the
+    # identical (cos desc, cid asc) order is selection-monotone, so the
+    # surviving rows are exactly the old plan's.
+    emb_path = posixpath.join(sf_dir, "embeddings.parquet")
+    k, mod = _HUB_K, _HUB_QUERY_MOD
+
+    def topk_kernel(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        vid = t.column("vec_id").to_numpy()
+        allq = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        qsel = vid % mod == 0
+        qids, qm = vid[qsel], allq[qsel]
+        nq, dim = qm.shape
+        qn = np.zeros(nq)
+        for d in range(dim):  # sequential over dims == aggregate() order
+            qn += qm[:, d] * qm[:, d]
+        qn = np.sqrt(qn)
+        for b in batches:
+            cids = b["cid"].to_numpy()
+            ce = np.asarray(b["ce"].tolist(), dtype=np.float64)
+            nc = ce.shape[0]
+            cn = np.zeros(nc)
+            for d in range(dim):
+                cn += ce[:, d] * ce[:, d]
+            cn = np.sqrt(cn)
+            acc = np.zeros((nc, nq))
+            for d in range(dim):
+                acc += ce[:, d : d + 1] * qm[:, d][None, :]
+            e4 = np.floor(acc / (qn[None, :] * cn[:, None]) * 10_000 + 0.5).astype(
+                np.int64
             )
-            .cast("long")
-            .alias("cos_e4"),
-        )
+            outq: list = []
+            outc: list = []
+            oute: list = []
+            for j in range(nq):
+                col = e4[:, j]
+                idx = np.nonzero(cids != qids[j])[0]
+                pick = idx[np.lexsort((cids[idx], -col[idx]))[:k]]
+                outq.extend([qids[j]] * len(pick))
+                outc.extend(cids[pick].tolist())
+                oute.extend(col[pick].tolist())
+            yield pd.DataFrame({"qid": outq, "cid": outc, "cos_e4": oute})
+
+    cand = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # explicit width: the candidate side is a few MB, which AQE would
+    # coalesce to one task and serialize the matmul on one core
+    pairs = cand.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        topk_kernel, "qid long, cid long, cos_e4 long"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_e4").desc(), "cid")
     topk = pairs.withColumn("rk", F.row_number().over(w)).filter(

@@ -203,12 +203,19 @@ def dedup_multiblock_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
+            # thresholded levenshtein (Spark 3.5+): banded O(n*k) DP that
+            # returns the EXACT distance when <= threshold and -1 above
+            # it — identical surviving rows and values, ~6x less DP work
+            # at k=25 vs the full O(n*m) (guide §1.2 per-task work). The
+            # -1 sentinel must not pass the <= filter, hence between().
             F.levenshtein(
-                F.substring("text_a", 1, 300), F.substring("text_b", 1, 300)
+                F.substring("text_a", 1, 300),
+                F.substring("text_b", 1, 300),
+                _MB_EDIT_MAX,
             )
             .cast("long")
             .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= _MB_EDIT_MAX)
+        .filter(F.col("edit_dist").between(0, _MB_EDIT_MAX))
         .orderBy("id_a", "id_b")
     )
