@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -91,7 +92,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
     b = li.select(F.col("l_orderkey").alias("okb"), F.col("l_suppkey").alias("s2"))
-    edges0 = (
+    # the order-key self-join is the only data-sized stage; unpersisted
+    # it re-executes once per consumer (verts + each round's votes +
+    # the label chain — the executed plan inlined it 4x)
+    edges0 = registry.track_persist(
         a.join(b, (F.col("okb") == F.col("ok")) & (F.col("s1") < F.col("s2")))
         .select("s1", "s2")
         .distinct()
@@ -124,8 +128,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct(F.col("nv"), F.col("lbl"))).alias("x"))
             .select("s", F.col("x.lbl").alias("win_lbl"))
         )
-        labels = labels.join(winner, "s", "left").select(
-            "s", F.coalesce(F.col("lbl"), F.col("win_lbl")).alias("lbl")
+        # persist each round's labels (vertex-sized): round r+1 reads
+        # them twice (vote side + coalesce side), and without the cache
+        # the label lineage doubles per round
+        labels = registry.track_persist(
+            labels.join(winner, "s", "left").select(
+                "s", F.coalesce(F.col("lbl"), F.col("win_lbl")).alias("lbl")
+            )
         )
     return (
         labels.filter(F.col("lbl").isNotNull())

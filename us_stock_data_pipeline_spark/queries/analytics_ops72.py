@@ -87,24 +87,31 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             key, F.expr("s * 1000000 div mx").alias(out)
         )
 
-    a1 = edges.groupBy("p").agg(F.sum("w").cast("long").alias("s"))
+    # Persist every half-step aggregate (node-sized frames): norm()'s
+    # max-broadcast is a SECOND consumer of its input, so an unpersisted
+    # chain re-executes each prior half-step once per consumer and the
+    # re-runs compound down the chain (a1's edge aggregate executed 4x
+    # in the executed plan; each re-run is a full join over the edge
+    # table). The cache fill costs nothing extra — the mx job itself
+    # populates it.
+    a1 = registry.track_persist(
+        edges.groupBy("p").agg(F.sum("w").cast("long").alias("s"))
+    )
     a1n = norm(a1, "p", "a")
-    h1 = (
+    h1 = registry.track_persist(
         edges.join(a1n, "p")
         .groupBy("c")
         .agg(F.sum(F.col("w") * F.col("a")).cast("long").alias("s"))
     )
     h1n = norm(h1, "c", "h")
-    a2 = (
+    a2 = registry.track_persist(
         edges.join(h1n, "c")
         .groupBy("p")
         .agg(F.sum(F.col("w") * F.col("h")).cast("long").alias("s"))
     )
-    # a2n feeds BOTH the final authority ranking and the h2 half-step;
-    # unpersisted, its whole 4-aggregate lineage re-runs for the second
-    # consumer (|parts| rows — cheap to cache, expensive to rebuild)
+    # a2n feeds BOTH the final authority ranking and the h2 half-step
     a2n = registry.track_persist(norm(a2, "p", "a"))
-    h2 = (
+    h2 = registry.track_persist(
         edges.join(a2n, "p")
         .groupBy("c")
         .agg(F.sum(F.col("w") * F.col("a")).cast("long").alias("s"))
