@@ -374,7 +374,12 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour_bin(F.col("ts")).alias("bin"),
     )
     return (
-        clicks.join(purchases, "bin")
+        # shuffled-hash on the dense bin key: both sides arrive unsorted,
+        # so sort-merge pays two sorts the per-bin hash build skips; the
+        # build side is bounded by purchases-per-bin (the same density
+        # the banding already relies on — a temporally hot bin gets the
+        # salt compound either way). Measured ~10% at sf0.1 (guide §3.1).
+        clicks.join(purchases.hint("shuffle_hash"), "bin")
         .filter(
             (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
