@@ -42,10 +42,15 @@ def test_bm25_model_tables_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_fifo_merge_hint_forces_sort_merge(spark):
+def test_fifo_overlap_join_is_keyed_shuffled_hash(spark):
+    """The banded overlap join must stay a KEYED join (never a
+    nested-loop over raw intervals); since the optimization round it is
+    hinted shuffled-hash — both sides arrive freshly exploded, so
+    sort-merge paid two sorts the per-partition hash build skips."""
     plan = _executed(spark, "bars_fifo_pnl")
-    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_winnowing_explode_parallelized(spark):
