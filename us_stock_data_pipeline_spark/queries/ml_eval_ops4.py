@@ -251,31 +251,19 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("lang").alias("true_lang"), F.count(F.lit(1)).cast("long").alias("c"))
         .transform(registry.track_persist)
     )
-    # doc_len feeds cls AND the scoring cross join — persist the 1-row-
-    # per-doc frame so the doc-level aggregation runs once.
-    doc_len = registry.track_persist(
-        doc_tok.groupBy("doc_id").agg(
-            F.max("true_lang").alias("true_lang"), F.sum("c").cast("long").alias("n_tok")
-        )
+    doc_len = doc_tok.groupBy("doc_id").agg(
+        F.max("true_lang").alias("true_lang"), F.sum("c").cast("long").alias("n_tok")
     )
-    # wl feeds the log-likelihood table AND the vocabulary size.
-    wl = registry.track_persist(
-        doc_tok.groupBy(F.col("true_lang").alias("lang"), "w").agg(
-            F.sum("c").cast("long").alias("cnt")
-        )
+    # model-side counts all fold out of doc_tok / the raw docs table:
+    # t_lang = sum of per-doc counts; n_docs per lang needs no explode
+    # (split(' ') never yields zero tokens, so every doc tokenizes).
+    cls = doc_tok.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("t_lang"),
     )
-    # model-side counts fold out of the SMALL derived frames instead of
-    # re-aggregating the token-level table: doc_id is unique in doc_len,
-    # so n_docs is a plain count (the countDistinct over doc_tok cost an
-    # Expand doubling of the 116k-row cache); t_lang = sum of doc
-    # lengths; v counts distinct tokens over the (lang, w) model table
-    # (vocab-sized); n_all = sum of the per-lang doc counts.
-    cls = doc_len.groupBy(F.col("true_lang").alias("lang")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("t_lang"),
-    )
-    vocab = wl.agg(F.countDistinct("w").cast("long").alias("v")).crossJoin(
-        doc_len.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    vocab = doc_tok.agg(
+        F.countDistinct("w").cast("long").alias("v"),
+        F.countDistinct("doc_id").cast("long").alias("n_all"),
     )
     consts = cls.crossJoin(F.broadcast(vocab)).select(
         "lang",
@@ -290,6 +278,9 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("prior_e9"),
+    )
+    wl = doc_tok.groupBy(F.col("true_lang").alias("lang"), "w").agg(
+        F.sum("c").cast("long").alias("cnt")
     )
     ll = wl.join(F.broadcast(consts.select("lang", "t_lang", "v", "ll0_e9")), "lang").select(
         "lang",
@@ -313,9 +304,7 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scorespace = (
         doc_len.crossJoin(F.broadcast(consts.select("lang", "prior_e9", "ll0_e9")))
-        # corr is docs x langs — dimension-sized; broadcasting it keeps
-        # the score space partitioned by doc_id (no sort-merge shuffle)
-        .join(F.broadcast(corr), ["doc_id", "lang"], "left")
+        .join(corr, ["doc_id", "lang"], "left")
         .select(
             "doc_id",
             "true_lang",
@@ -329,12 +318,8 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # argmax without a window sort: min((-score, lang)) over each doc's
     # five candidate rows == row_number(score DESC, lang ASC) == 1.
-    # group by doc_id ALONE (true_lang is functionally dependent — max):
-    # scorespace inherits doc_len's hash partitioning on doc_id through
-    # the broadcast joins, so this aggregate needs no exchange at all.
-    pred = scorespace.groupBy("doc_id").agg(
-        F.max("true_lang").alias("true_lang"),
-        F.min(F.struct((-F.col("score_e9")).alias("ns"), F.col("lang"))).alias("best"),
+    pred = scorespace.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct((-F.col("score_e9")).alias("ns"), F.col("lang"))).alias("best")
     )
     return (
         pred.groupBy("true_lang", F.col("best.lang").alias("pred_lang"))
