@@ -15,10 +15,13 @@ def _executed(spark, name):
 
 
 def test_kcore_iterates_on_cached_edges(spark):
-    """Each peel round must read the previous round's persisted result,
-    not recompute the chain from the scan."""
+    """r14 contract: the stats plan reads the PERSISTED degree tables
+    (InMemoryTableScan) over lazily-checkpointed edge rounds (Scan
+    ExistingRDD — lineage flat, never the rebuilt chain), and the peel
+    never degenerates to a cartesian product."""
     plan = _executed(spark, "graph_kcore_decomposition")
     assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -61,6 +61,9 @@ def main() -> int:
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
+        # Report the best-total rep's OWN build/exec split (advisor r13
+        # low): independent minima across reps could come from different
+        # reps and not sum to total_s, confusing before/after comparisons.
         best_b = best_e = best_t = float("inf")
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"opt-probe: {name}")
@@ -69,9 +72,8 @@ def main() -> int:
             t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
-            best_b = min(best_b, t1 - t0)
-            best_e = min(best_e, t2 - t1)
-            best_t = min(best_t, t2 - t0)
+            if t2 - t0 < best_t:
+                best_b, best_e, best_t = t1 - t0, t2 - t1, t2 - t0
         out[name] = {
             "build_s": round(best_b, 3),
             "exec_s": round(best_e, 3),

@@ -70,8 +70,10 @@ def forecast_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame
     kernel and the recursive-CTE oracle agree bit-for-bit; the first
     interval seeds at 1.0 per Croston's convention. Plan: one
     fact-fact rollup to per-(part, day) demand with the partkey
-    filter pushed to the scan, then an applyInPandas kernel over the
-    sparse per-part series."""
+    filter pushed to the scan, then an in-row collect_list +
+    aggregate() recursion over each part's day-sorted event array
+    (the r13 rewrite of the former applyInPandas kernel — no Python
+    boundary)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     demand = (
