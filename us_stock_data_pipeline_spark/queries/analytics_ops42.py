@@ -147,7 +147,7 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set — the same broadcast-queries/corpus-never-shuffles
     plan as knn_bruteforce_cosine, with the occurrence count one
     extra aggregate over the top-k edge list."""
-    import posixpath
+    import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     # The 800k-pair brute-force cosine ran as per-pair zip_with+aggregate
@@ -157,26 +157,41 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic kept BIT-IDENTICAL to the HOF form: every accumulation
     # (dot products, norms) loops dim-by-dim in float64 — the same
     # left-to-right order as aggregate() — so cos_e4 round boundaries
-    # cannot drift. Each task loads the query matrix once from the
-    # parquet input itself (guide §8's co-locate move — the same query
-    # set the old plan broadcast), computes its candidate slice's
-    # per-query local top-k, and the JVM window reduces the 32 local
+    # cannot drift. The 1/{_HUB_QUERY_MOD} query matrix is built ONCE on
+    # the driver from the same load_table frame and BROADCAST (guide
+    # §3.1; r13's kernel pq.read_table'd the FULL embeddings file in
+    # every task — O(table) I/O per task at scale, and a bare local
+    # path that bypassed Spark's FS layer; advisor r13). float32
+    # parquet values widen to float64 exactly on both paths, so the
+    # cosines are unchanged. Each task computes its candidate slice's
+    # per-query local top-k; the JVM window reduces the 32 local
     # top-k lists to the global one: per-partition top-k under the
     # identical (cos desc, cid asc) order is selection-monotone, so the
     # surviving rows are exactly the old plan's.
-    emb_path = posixpath.join(sf_dir, "embeddings.parquet")
     k, mod = _HUB_K, _HUB_QUERY_MOD
+    qpdf = (
+        emb.filter(F.col("vec_id") % mod == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    bc = spark.sparkContext.broadcast(
+        (
+            qpdf["vec_id"].to_numpy(),
+            np.asarray(qpdf["embedding"].tolist(), dtype=np.float64)
+            if len(qpdf)
+            else np.zeros((0, 0)),
+        )
+    )
 
     def topk_kernel(batches):
         import numpy as np
         import pandas as pd
-        import pyarrow.parquet as pq
 
-        t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        vid = t.column("vec_id").to_numpy()
-        allq = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        qsel = vid % mod == 0
-        qids, qm = vid[qsel], allq[qsel]
+        qids, qm = bc.value
+        if qids.size == 0:  # empty fixture: emit nothing (advisor r13)
+            for _ in batches:
+                pass
+            return
         nq, dim = qm.shape
         qn = np.zeros(nq)
         for d in range(dim):  # sequential over dims == aggregate() order

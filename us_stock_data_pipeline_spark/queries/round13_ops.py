@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_stock_data_pipeline_spark.catalog import load_table
+from us_stock_data_pipeline_spark import registry
 from us_stock_data_pipeline_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -223,6 +224,9 @@ def stream_versioned_cdf_compaction(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("c_nationkey") % 5).cast("long").alias("band"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("val"))
+        # reused by every commit below: cache the per-nation rollup so
+        # each staging write reads 25 cached rows, not customer (guide §5)
+        .transform(registry.track_persist)
     )
     root = tempfile.mkdtemp(prefix=f"us_sdps_cdfcmp_{_uuid.uuid4().hex[:8]}_")
     sink = f"cdf_cmp_{_uuid.uuid4().hex[:8]}"
@@ -951,6 +955,9 @@ def etl_versioned_sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("c_nationkey") % 5).cast("long").alias("band"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("val"))
+        # reused by every commit below: cache the per-nation rollup so
+        # each staging write reads 25 cached rows, not customer (guide §5)
+        .transform(registry.track_persist)
     )
     root = tempfile.mkdtemp(prefix=f"us_sdps_mrgbs_{_uuid.uuid4().hex[:8]}_")
     name = f"mrgbs_{_uuid.uuid4().hex[:8]}"
@@ -1065,6 +1072,9 @@ def etl_versioned_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("c_nationkey") % 5).cast("long").alias("band"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("val"))
+        # reused by every commit below: cache the per-nation rollup so
+        # each staging write reads 25 cached rows, not customer (guide §5)
+        .transform(registry.track_persist)
     )
     root = tempfile.mkdtemp(prefix=f"us_sdps_cons_{_uuid.uuid4().hex[:8]}_")
     name = f"cons_{_uuid.uuid4().hex[:8]}"
@@ -1179,6 +1189,9 @@ def etl_versioned_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("c_nationkey") % 5).cast("long").alias("band"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("val"))
+        # reused by every commit below: cache the per-nation rollup so
+        # each staging write reads 25 cached rows, not customer (guide §5)
+        .transform(registry.track_persist)
     )
     root = tempfile.mkdtemp(prefix=f"us_sdps_tchg_{_uuid.uuid4().hex[:8]}_")
     name = f"tchg_{_uuid.uuid4().hex[:8]}"
