@@ -44,6 +44,23 @@ from us_stock_data_pipeline_spark.session import get_spark
 REPS = 3  # best-of-N, identical for DuckDB and both Spark modes
 
 
+def _json_line(payload: dict) -> str:
+    """Serialize the bench payload as exactly ONE parseable JSON line.
+
+    The driver's round-over-round comparison parses this line; r12's
+    emission failed to parse driver-side (PERF_r13 `prev_bench_ok:
+    false`), silencing the whole comparison. Pin the contract here:
+    single line, no NaN/Infinity (json.dumps would emit them by default
+    and strict parsers reject both), round-trips through json.loads.
+    tests/test_bench_contract.py exercises this helper directly.
+    """
+    line = json.dumps(payload, allow_nan=False)
+    if "\n" in line or "\r" in line:
+        raise ValueError("bench JSON payload serialized to multiple lines")
+    json.loads(line)  # round-trip check: fail HERE, not driver-side
+    return line
+
+
 def _run(fn, spark, sf_dir) -> int:
     """Execute one query end-to-end; return its row count."""
     return len(fn(spark, sf_dir).toPandas())
@@ -244,8 +261,31 @@ def main() -> None:
         if duck_queries
         else duck_total
     )
+    # Drift band (VERDICT r13 "what's wrong" #2 / next-round #4): the run
+    # already times identical code twice at well-separated points — the
+    # DuckDB baseline (start vs late) and the Spark concurrent wall
+    # (mid vs end) — an interleaved A/B of the HOST, not the code. Surface
+    # the spread so every bench record carries its own noise estimate;
+    # per-change attribution still comes from same-session A/Bs
+    # (tools/opt_probe.py), never from cross-run split deltas.
+    def _band(a, b):
+        return round(100.0 * abs(b - a) / a, 1) if a else None
+
+    drift = {
+        "duckdb_band_pct": _band(duck_total, duck2_total)
+        if duck_total and duck2_total
+        else None,
+        "concurrent_band_pct": _band(concurrent_wall, conc2_wall),
+        "note": (
+            "spread between same-process repeats of identical code "
+            "(DuckDB baseline run1 vs run2, Spark concurrent run1 vs "
+            "run2) — the host noise floor any cross-run per-query delta "
+            "must clear before it means anything"
+        ),
+    }
+
     print(
-        json.dumps(
+        _json_line(
             {
                 # Headline = concurrent wall: the throughput number a
                 # multi-query workload sees; per-query machinery floor
@@ -270,6 +310,7 @@ def main() -> None:
                     round(concurrent_wall / duck_cmp, 2) if duck_cmp else None
                 ),
                 "spark_job_floor_sec": job_floor,
+                "drift": drift,
                 "ab_second_run": {
                     "concurrent_wall_sec": conc2_wall,
                     "duckdb_baseline_sec": duck2_total,
