@@ -1159,10 +1159,25 @@ def versioned_merge_upsert(
     _layout_for_write(updates, partition_cols, files_per_partition).write.mode(
         "overwrite"
     ).partitionBy(*partition_cols).parquet(scratch)
+    # The staged layout's schema is fully known — partitionBy moved the
+    # partition columns out of the data files and appends them at the
+    # end on read — so pass it explicitly and skip the footer-inference
+    # pass spark.read would otherwise pay on every re-read of the batch
+    # (twice per commit; the versioned queries commit 4-6 times each).
+    from pyspark.sql.types import StructType
+
+    staged_schema = StructType(
+        [f for f in updates.schema.fields if f.name not in partition_cols]
+        + [updates.schema[c] for c in partition_cols]
+    )
     del_scratch: str | None = None
     try:
         touched = _leaf_partition_dirs(spark, scratch, len(partition_cols))
-        staged = spark.read.option("basePath", scratch).parquet(scratch)
+        staged = (
+            spark.read.schema(staged_schema)
+            .option("basePath", scratch)
+            .parquet(scratch)
+        )
         # CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`): new
         # rows must satisfy every declared constraint, or the commit is
         # rejected BEFORE any manifest is published (kept rows already
@@ -1202,8 +1217,18 @@ def versioned_merge_upsert(
                 set(touched)
                 | set(_leaf_partition_dirs(spark, del_scratch, len(partition_cols)))
             )
+            _del_base = delete_rows.select(*key_cols, *partition_cols)
+            _del_schema = StructType(
+                [
+                    f
+                    for f in _del_base.schema.fields
+                    if f.name not in partition_cols
+                ]
+                + [_del_base.schema[c] for c in partition_cols]
+            )
             del_keys = (
-                spark.read.option("basePath", del_scratch)
+                spark.read.schema(_del_schema)
+                .option("basePath", del_scratch)
                 .parquet(del_scratch)
                 .select(*key_cols)
             )
@@ -1265,7 +1290,11 @@ def versioned_merge_upsert(
                     # new home; the moved dir is unreferenced until the
                     # manifest publishes, an orphan for vacuum if we lose
                     _staged_moved = True
-                    staged = spark.read.option("basePath", abs_ver).parquet(abs_ver)
+                    staged = (
+                        spark.read.schema(staged_schema)
+                        .option("basePath", abs_ver)
+                        .parquet(abs_ver)
+                    )
                     merged = staged
                 else:
                     _layout_for_write(
@@ -1392,6 +1421,12 @@ def versioned_delete(
             keys = keys.withColumnRenamed(_vis, _phys)
     key_cols = tuple(_dv_renames.get(c, c) for c in key_cols)
     dv_dir = posixpath.join(_DVS, f"dv-{uuid.uuid4().hex}")
+    # Note: dedup-then-coalesce, in that order. The tempting coalesce(1)
+    # BEFORE dropDuplicates (one single-task job instead of one map task
+    # per input partition) was A/B'd and is ~10x SLOWER when the caller's
+    # frame is a driver-side createDataFrame: the coalesced task computes
+    # every parent Python-RDD partition sequentially, paying the Python
+    # eval handoff per partition serially instead of in parallel.
     keys.select(*key_cols).dropDuplicates().coalesce(1).write.mode(
         "overwrite"
     ).parquet(posixpath.join(root, dv_dir))
