@@ -245,8 +245,17 @@ def ml_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(1), F.size("t") - F.col("n") + 1),
                     lambda i: F.concat_ws(" ", F.slice("t", i, F.col("n"))),
                 )
-            ).alias("g"),
+            ).alias("g0"),
         )
+        # r14 (guide §2.3): the gram string is internal — only clipped
+        # counts surface — so collapse it to a long right after the
+        # explode; the (doc, n, gram) aggregations and the cand-ref join
+        # then key on 8 bytes instead of up-to-4-word strings. Hashing
+        # must sit OUTSIDE the transform lambda (HOF lambdas evaluate
+        # interpreted; inside the lambda this measured 2.5x slower on
+        # the jaccard twin). In-session A/B: 3.63s -> 3.41s best-of-3
+        # locally; the byte shrink is the at-scale motivation.
+        g = g.select("doc_id", "n", F.xxhash64("g0").alias("g"))
         return g.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias(cname))
 
     cand = gram_counts("cand_toks", "c")
