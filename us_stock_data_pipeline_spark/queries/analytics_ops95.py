@@ -211,9 +211,14 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     club_n = club.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
     c1 = club.select(F.col("k"), F.col("node").alias("a"))
     c2 = club.select(F.col("k").alias("k2"), F.col("node").alias("b"))
+    # r14 (guide §3.1): the club tables are node-sized (suppliers with
+    # degree > k) while `edges` is fact-sized — broadcast the clubs so
+    # the membership joins probe the cached edge set in place instead of
+    # shuffling it twice (plan: 2 SortMergeJoin -> 2 BroadcastHashJoin;
+    # in-session A/B 4.16s -> 3.79s best-of-3, identical output).
     club_e = (
-        edges.join(c1, "a")
-        .join(c2, (F.col("k2") == F.col("k")) & (c2.b == edges.b))
+        edges.join(F.broadcast(c1), "a")
+        .join(F.broadcast(c2), (F.col("k2") == F.col("k")) & (c2.b == edges.b))
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
     )
