@@ -38,14 +38,16 @@ def test_cross_correlation_is_equi_join_not_cartesian(spark):
 
 
 def test_adamic_adar_weights_broadcast_no_cartesian(spark):
-    """Candidate pairs + weights must both ride broadcast hash joins.
-    The hot-part anti join is AQE-eliminated at this sf (the hot set
-    is empty -> empty-relation propagation replaces LeftAnti with its
-    left child), so we assert its absence is the ONLY join shape
-    change: no cartesian, no shuffled pair join."""
+    """r14 contract: the whole pair stage is join-free — the distinct
+    edge set, degree, hot cap and 1/ln weight read off ONE part-keyed
+    collect_set rollup and the C(k,2) pairs expand in-row (Generate).
+    Only the 1-row audit attach may join, and it must be broadcast:
+    no cartesian, no sort-merge ANYWHERE in the plan."""
     plan = _executed(spark, "graph_adamic_adar")
-    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan  # in-row pair expansion survives
+    assert "collect_set" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_range_volatility_two_level_tree(spark):

@@ -43,14 +43,18 @@ def test_fuzzy_dedup_banded_equi_join(spark):
 
 
 def test_link_prediction_hot_cap_anti_join(spark):
-    """The frequent-neighbor cutoff is a broadcast anti-join on the
-    hot-part list before pair enumeration; the 1-row audit cross
-    join must be broadcast (no CartesianProduct)."""
+    """r14 contract: the frequent-neighbor cutoff is a size filter on
+    the part-keyed collect_set rollup (no anti-join needed — the set
+    size IS the degree) and candidate pairs expand in-row (Generate);
+    the 1-row audit cross join must be broadcast (no CartesianProduct)
+    and the pair path must not sort-merge."""
     df = registry.queries()["graph_link_prediction_jaccard"](spark, SF)
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in full.split("== Initial Plan ==")[0]
-    assert "LeftAnti" in full
+    assert "collect_set" in full
+    assert "Generate explode" in full
+    assert "SortMergeJoin" not in full.split("== Initial Plan ==")[0]
 
 
 def test_whale_concentration_no_cartesian(spark):

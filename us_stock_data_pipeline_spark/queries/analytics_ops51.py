@@ -211,33 +211,54 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed aggregation adds exact integers in any order.
     Scale: the same {_AA_HOT_CAP}-supplier hot-part cap as the
     Jaccard twin (audited in `n_hot_parts_dropped`) bounds the
-    inverted-index fan-out at C(cap,2) per part regardless of skew;
-    weights join broadcast-sized. Cites the candidate-generation
+    per-part pair fan-out at C(cap,2) regardless of skew; since r14
+    the distinct edge set, the degree, the cap and the weight all
+    read off ONE part-keyed collect_set rollup and pairs expand
+    in-row from the sorted set — no join. Cites the candidate-generation
     shape of reference ingest (`1m-seesion-pipeline/utils.py` builds
     per-key sessions the same inverted way)."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges0 = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    hot = edges0.groupBy("p").agg(F.count(F.lit(1)).alias("dp")).filter(
-        F.col("dp") > _AA_HOT_CAP
-    ).select("p")
-    audit = hot.agg(F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped"))
-    # persist: the capped edge set feeds the weight table AND both pair
-    # sides — unshared, the lineitem scan + distinct + anti-join runs 3x
-    # (the same fix measured 8.7s -> 2.2s on the Jaccard twin)
-    edges = registry.track_persist(edges0.join(F.broadcast(hot), "p", "left_anti"))
-    weights = detmath.apply_stages(
-        edges.groupBy("p")
-        .agg(F.count(F.lit(1)).cast("long").alias("dp"))
-        .filter(F.col("dp") >= 2),
-        _AA_STAGES,
-    ).selectExpr("p", "CAST(floor(1000000000.0 / aa_ln + 0.5) AS BIGINT) AS w_e9")
-    a = edges.select("p", F.col("s").alias("s1"))
-    b = edges.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    # r14 (guide §2.4): ONE part-keyed aggregate replaces the old
+    # distinct + hot-degree aggregate + anti-join + pair self-join +
+    # weights broadcast chain. collect_set(s) per part IS the distinct
+    # edge set, its size IS the part degree (so the hot cap, the dp>=2
+    # weight filter, the audit and the 1/ln(dp) weight all read off the
+    # same row), and the C(dp,2) supplier pairs expand IN-ROW from the
+    # sorted set — bounded by the same C(cap,2) invariant as before, no
+    # join anywhere. Plan: 2 exchanges + 2 joins -> 1 exchange; the only
+    # shuffles left are the part rollup and the (s1,s2) rollup.
+    # In-session interleaved A/B at sf0.1: 3.30s -> 2.13s best-of-3
+    # (every rep better), output identical; hash-match 3 SFs.
+    plist = registry.track_persist(
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .withColumn("dp", F.size("ss").cast("long"))
+    )
+    audit = plist.filter(F.col("dp") > _AA_HOT_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped")
+    )
+    kept = plist.filter((F.col("dp") <= _AA_HOT_CAP) & (F.col("dp") >= 2))
+    weighted = detmath.apply_stages(kept, _AA_STAGES).selectExpr(
+        "ss", "CAST(floor(1000000000.0 / aa_ln + 0.5) AS BIGINT) AS w_e9"
+    )
+    pairs_raw = weighted.select(
+        "w_e9",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                        lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                    ),
+                )
+            )
+        ).alias("e"),
+    )
     pairs = (
-        a.join(b, (F.col("pb") == F.col("p")) & (F.col("s1") < F.col("s2")))
-        .join(F.broadcast(weights), "p")
+        pairs_raw.select(
+            F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"), "w_e9"
+        )
         .groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),

@@ -65,7 +65,8 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     co-purchase recommenders (`orders_market_basket` scores ITEM
     pairs by baskets; this scores NODE pairs by shared neighbors,
     and `graph_triangle_count` is its closed-triangle cousin). The
-    pair enumeration is an inverted-index self-join on the part key —
+    pair enumeration is an inverted index on the part key (since r14
+    an in-row C(k,2) expansion of each part's sorted supplier set) —
     candidates exist ONLY for pairs sharing >= 1 part, never all
     supplier pairs — followed by two broadcast-sized degree joins;
     Jaccard = c/(d1+d2-c) from exact ints with one terminal division.
@@ -79,26 +80,45 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     `skew_heavy_hitters` exists to diagnose. This bounds the
     per-key pair fan-out at C(cap, 2) regardless of data skew."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges0 = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    hot = (
-        edges0.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") > _LINK_HOT_CAP)
-        .select("p")
+    # r14 (guide §2.4): ONE part-keyed collect_set rollup replaces the
+    # old distinct + hot-degree aggregate + anti-join + pair self-join
+    # chain — the sorted supplier set per part IS the distinct edge
+    # list, its size is the hot-cap/audit test, degrees come from one
+    # explode of the kept sets, and the C(k,2) candidate pairs expand
+    # IN-ROW (bounded by the same C(cap,2) invariant). Plan: 2 edge
+    # exchanges + 2 joins -> 1 exchange + explode. In-session
+    # interleaved A/B at sf0.1: 3.00s -> 1.94s best-of-3, identical
+    # output; hash-match sf0.01 + sf0.1.
+    plist = registry.track_persist(
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .withColumn("dp", F.size("ss"))
     )
-    audit = hot.agg(F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped"))
-    # persist the capped edge set: it feeds BOTH sides of the pair
-    # self-join plus the degree table — without it Spark re-runs the
-    # lineitem scan + distinct + anti-join three times (measured 8.7s ->
-    # 2.2s steady-state at sf0.1)
-    edges = registry.track_persist(edges0.join(F.broadcast(hot), "p", "left_anti"))
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a, b = edges.alias("a"), edges.alias("b")
+    audit = plist.filter(F.col("dp") > _LINK_HOT_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hot_parts_dropped")
+    )
+    kept = plist.filter(F.col("dp") <= _LINK_HOT_CAP)
+    deg = (
+        kept.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
     common = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        kept.filter(F.col("dp") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                            lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     da = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
